@@ -1,0 +1,236 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational operator coverage (SURVEY.md §2.2-§2.5: projections, filters,
+  * joins J1-J4, aggregations A1-A10, sorts/top-k T1-T4) exercised over the
+  * driver's TPC-H-ish testdata.
+  *
+  * Cross-engine double discipline: every aggregated money/quantity column is
+  * cast to DECIMAL(18,2) BEFORE aggregation — decimal addition is exact and
+  * commutative, so Spark's partial/final aggregation order can't change the
+  * result — then cast back to DOUBLE at the end (correctly-rounded in both
+  * engines → bit-identical).
+  */
+object RelationalQueries {
+
+  private val D = DecimalType(18, 2)
+  /** sum through exact decimal, emit double */
+  private def dsum(c: Column): Column = sum(c.cast(D)).cast("double")
+  /** mean through exact decimal sum / count, emit double */
+  private def davg(c: Column): Column = sum(c.cast(D)).cast("double") / count(lit(1))
+
+  /** Exact integer cents of a 2-dp double column. Products of money
+    * columns CANNOT go through a double→DECIMAL cast (Spark and DuckDB
+    * round the product's last ulp differently); integer-cents arithmetic
+    * is exact and engine-independent. round() yields an exactly-integral
+    * double, so the long cast is lossless in both engines.
+    */
+  private def cents(c: Column): Column = round(c * 100, 0).cast("long")
+  private def centsSql(e: String): String = s"CAST(round($e * 100, 0) AS BIGINT)"
+
+  /** Revenue: sum of price_cents * (100 - disc_cents), rescaled. */
+  private def revenueCol: Column =
+    (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+      .cast("double") / 10000.0)
+  private val revenueSql: String =
+    s"CAST(sum(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})) AS DOUBLE) / 10000.0"
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+    * parquet reader rejects; read ns-as-long and rebuild a micros
+    * timestamp (exact for these values; DuckDB reads ns natively and
+    * date_trunc alignment makes outputs identical).
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── q01: TPC-H Q1-style pricing summary (A1-A5: hash agg, partial+final) ──
+    QueryDef("q01_pricing_summary",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            revenueCol.as("sum_disc_price"),
+            (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+              * (lit(100L) + cents(col("l_tax")))).cast("double") / 1000000.0).as("sum_charge"),
+            davg(col("l_quantity")).as("avg_qty"),
+            davg(col("l_extendedprice")).as("avg_price"),
+            davg(col("l_discount")).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some(s"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               $revenueSql AS sum_disc_price,
+               CAST(sum(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})
+                        * (100 + ${centsSql("l_tax")})) AS DOUBLE) / 1000000.0 AS sum_charge,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+               CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // ── q02: filter + projection pushdown (P1-P3; scan should show PushedFilters) ──
+    QueryDef("q02_filter_project",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_quantity") > 45 && col("l_discount") >= 0.09)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
+          .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        FROM lineitem WHERE l_quantity > 45 AND l_discount >= 0.09
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // ── q03: join + group agg (J1 shape: fact ⋈ dims; broadcast-able dims) ──
+    QueryDef("q03_segment_revenue",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(revenueCol.as("revenue"),
+               count(lit(1)).as("n_items"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some(s"""
+        SELECT c_mktsegment,
+               $revenueSql AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                      JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ── q04: top-k (T1 shape: ORDER BY ... LIMIT k → TakeOrderedAndProject) ──
+    QueryDef("q04_topk_orders",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .limit(10),
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""")),
+
+    // ── q05: ranking window (W8 shape: row_number per partition) ──
+    QueryDef("q05_window_rank",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+        t(s, dir, "lineitem")
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("l_suppkey"), col("rk").cast("long").as("rk"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+          .orderBy(col("l_suppkey"), col("rk"))
+      },
+      Some("""
+        SELECT l_suppkey, rk, l_orderkey, l_linenumber, l_extendedprice FROM (
+          SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+                 row_number() OVER (PARTITION BY l_suppkey
+                   ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS rk
+          FROM lineitem) WHERE rk <= 3
+        ORDER BY l_suppkey, rk""")),
+
+    // ── q06: anti join — orders with no lineitems, per order priority ──
+    QueryDef("q06_anti_join",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val li = t(s, dir, "lineitem")
+        o.join(li, col("o_orderkey") === col("l_orderkey"), "left_anti")
+          .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_empty_orders"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n_empty_orders
+        FROM orders WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ── q07: distinct aggregation (A9 + countDistinct) ──
+    QueryDef("q07_distinct_agg",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_partkey")).as("n_parts"),
+               countDistinct(col("l_suppkey")).as("n_supps"),
+               count(lit(1)).as("n_rows"))
+          .orderBy(col("l_returnflag")),
+      Some("""
+        SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+               count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ── q08: time-bucketed event aggregation (events table; date_trunc) ──
+    QueryDef("q08_events_hourly",
+      (s, dir) =>
+        events(s, dir)
+          .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+                   col("event_type"))
+          .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+          .orderBy(col("hour"), col("event_type")),
+      Some("""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")),
+
+    // ── q09: semi-structured extraction (F11: JSON path into typed column) ──
+    QueryDef("q09_json_extract",
+      (s, dir) =>
+        events(s, dir)
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"))
+          .orderBy(col("event_type")),
+      Some("""
+        SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ── q10: star-schema multi-join rollup (region → nation → customer → orders → lineitem) ──
+    QueryDef("q10_region_rollup",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        val n = t(s, dir, "nation")
+        val r = t(s, dir, "region")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(revenueCol.as("revenue"),
+               countDistinct(col("o_orderkey")).as("n_orders"))
+          .orderBy(col("r_name"))
+      },
+      Some(s"""
+        SELECT r_name,
+               $revenueSql AS revenue,
+               count(DISTINCT o_orderkey) AS n_orders
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                      JOIN customer ON o_custkey = c_custkey
+                      JOIN nation ON c_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name"""))
+  )
+}

@@ -1,13 +1,39 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextEmbed, VectorOps}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` / `oracleSql` are assembled from the QueryRegistry so every
+  * operator's Spark implementation and DuckDB oracle live side by side.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship: end-to-end RAG retrieval (embed → cosine top-k → fetch text)
+    * on sf0.001; the driver smoke-checks rows > 0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val qv = TextEmbed.embedScala("spark batch window join customer value")
+    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+    TextEmbed.withEmbed(docs, "text", "vector")
+      .withColumn("score", round(VectorOps.dot(col("vector"), typedLit(qv)), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("rnk").cast("long").as("rnk"), col("doc_id"), col("score"), substring(col("text"), 1, 80).as("snippet"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    QueryRegistry.all.map(d => d.name -> d.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (LlmClient-boundary queries) → driver records a rows-only check.
+    */
+  def oracleSql: Map[String, String] =
+    QueryRegistry.all.flatMap(d => d.oracle.map(sql => d.name -> sql.trim)).toMap
 }

@@ -1,0 +1,290 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextOps, XHash}
+
+/** Text-pipeline operators over the `documents` table: exact dedup,
+  * MinHash-LSH, SimHash, n-gram Jaccard, language scoring, quality
+  * metrics, token stats, chunking (SURVEY.md §2.6-§2.7 + the
+  * training-data-pipeline extensions).
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  // Deterministic language marker lists (heuristic language-ID; the
+  // classifier is the SPEC — the oracle replays the same lists).
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "value", "fast"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est"),
+    "es" -> Seq("el", "los", "las", "es", "una", "por"),
+    "zh" -> Seq("de5", "shi4", "zai4", "le5"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── q20: exact dedup via normalized-text fingerprint ──
+    QueryDef("q20_dedup_exact",
+      (s, dir) =>
+        docs(s, dir)
+          .withColumn("fp", TextOps.fingerprint(col("text")))
+          .groupBy(col("fp"))
+          .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("canonical"),
+               max(col("doc_id")).as("last_dup"))
+          .filter(col("n_dups") > 1)
+          .orderBy(col("fp")),
+      Some(s"""
+        SELECT ${TextOps.fingerprintSql("text")} AS fp, count(*) AS n_dups,
+               min(doc_id) AS canonical, max(doc_id) AS last_dup
+        FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY fp""")),
+
+    // ── q21: corpus token statistics per (lang, source) ──
+    QueryDef("q21_token_stats",
+      (s, dir) =>
+        docs(s, dir)
+          .withColumn("n_tokens", TextOps.wordCount(col("text")).cast("long"))
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+               sum(col("n_tokens")).as("total_tokens"),
+               (sum(col("n_tokens")).cast("double") / count(lit(1))).as("avg_tokens"),
+               min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+          .orderBy(col("lang"), col("source")),
+      Some(s"""
+        SELECT lang, source, count(*) AS n_docs,
+               CAST(sum(len(${TextOps.tokensSql("text")})) AS BIGINT) AS total_tokens,
+               CAST(sum(len(${TextOps.tokensSql("text")})) AS DOUBLE) / count(*) AS avg_tokens,
+               min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        FROM documents GROUP BY lang, source ORDER BY lang, source""")),
+
+    // ── q22: per-document quality scoring ──
+    QueryDef("q22_text_quality",
+      (s, dir) =>
+        docs(s, dir)
+          .withColumn("n_tokens", TextOps.wordCount(col("text")).cast("long"))
+          .withColumn("punct_ratio", round(TextOps.punctRatio(col("text")), 6))
+          .withColumn("avg_token_len",
+            when(col("n_tokens") === 0, lit(0.0)).otherwise(
+              round(aggregate(TextOps.tokens(col("text")), lit(0L), (acc, t) => acc + length(t))
+                .cast("double") / col("n_tokens"), 6)))
+          .withColumn("is_quality",
+            col("n_tokens") >= 5 && col("n_tokens") <= 10000 && col("punct_ratio") < 0.2)
+          .select(col("doc_id"), col("n_tokens"), col("punct_ratio"), col("avg_token_len"), col("is_quality"))
+          .orderBy(col("doc_id")),
+      Some(s"""
+        WITH t AS (SELECT doc_id, text, ${TextOps.tokensSql("text")} AS toks FROM documents)
+        SELECT doc_id, len(toks) AS n_tokens,
+               round(CASE WHEN length(text) = 0 THEN 0.0
+                     ELSE CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) END, 6) AS punct_ratio,
+               CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 6) END AS avg_token_len,
+               (len(toks) >= 5 AND len(toks) <= 10000 AND
+                round(CASE WHEN length(text) = 0 THEN 0.0
+                      ELSE CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) END, 6) < 0.2) AS is_quality
+        FROM t ORDER BY doc_id""")),
+
+    // ── q23: heuristic language-ID (marker-word voting) ──
+    QueryDef("q23_langid",
+      (s, dir) => {
+        val toks = TextOps.tokens(col("text"))
+        val scores = LangMarkers.map { case (l, words) =>
+          size(filter(toks, t => t.isin(words.map(lit): _*))).as(s"score_$l")
+        }
+        val best = LangMarkers.map { case (l, _) =>
+          struct(col(s"score_$l").as("s"), lit(l).as("l"))
+        }
+        docs(s, dir)
+          .select(col("doc_id") +: col("lang") +: scores: _*)
+          .withColumn("pred",
+            when(greatest(LangMarkers.map(m => col(s"score_${m._1}")): _*) === 0, lit("unknown"))
+              .otherwise(sort_array(array(best: _*), asc = false).getItem(0).getField("l")))
+          .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("pred"))
+      },
+      Some {
+        val toks = TextOps.tokensSql("text")
+        val scoreExprs = LangMarkers.map { case (l, words) =>
+          val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+          s"len(list_filter($toks, t -> list_contains($list, t))) AS score_$l"
+        }.mkString(",\n               ")
+        val greatest = LangMarkers.map(m => s"score_${m._1}").mkString("greatest(", ", ", ")")
+        // argmax with ties broken by HIGHER score then LEXICALLY LARGER lang
+        // tag — mirrors Spark's sort_array(desc) on struct(score, lang).
+        val caseExpr = {
+          val structs = LangMarkers.map { case (l, _) => s"{'s': score_$l, 'l': '$l'}" }.mkString("[", ", ", "]")
+          s"list_reverse_sort($structs)[1]['l']"
+        }
+        s"""
+        WITH scored AS (
+          SELECT doc_id, lang,
+               $scoreExprs
+          FROM documents)
+        SELECT lang, CASE WHEN $greatest = 0 THEN 'unknown' ELSE $caseExpr END AS pred,
+               count(*) AS n
+        FROM scored GROUP BY 1, 2 ORDER BY lang, pred"""
+      }),
+
+    // ── q24: word-3-gram Jaccard near-dup pairs, blocked by length bucket ──
+    QueryDef("q24_ngram_jaccard",
+      (s, dir) => {
+        val d = docs(s, dir)
+          .withColumn("blk", (col("n_chars") / 100).cast("long"))
+          .withColumn("toks", TextOps.tokens(col("text")))
+          .withColumn("sh", array_distinct(TextOps.shinglesFromTokens(col("toks"), 3)))
+          .filter(size(col("sh")) > 0)
+          .select(col("blk"), col("doc_id"), col("sh"))
+        val a = d.select(col("blk"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+        val b = d.select(col("blk"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+        a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
+          .withColumn("jac", round(
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+              size(array_union(col("sh_a"), col("sh_b"))), 6))
+          .filter(col("jac") >= 0.5)
+          .select(col("id_a"), col("id_b"), col("jac"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some {
+        val toks = TextOps.tokensSql("text")
+        s"""
+        WITH tk AS (
+          SELECT (n_chars // 100) AS blk, doc_id, $toks AS toks FROM documents),
+        d AS (
+          SELECT blk, doc_id,
+                 list_distinct(CASE WHEN len(toks) < 3 THEN []::VARCHAR[] ELSE
+                   list_transform(range(0, len(toks) - 2), i ->
+                     array_to_string(list_slice(toks, i + 1, i + 3), ' ')) END) AS sh
+          FROM tk)
+        , d2 AS (SELECT * FROM d WHERE len(sh) > 0)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                     len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jac
+        FROM d2 a JOIN d2 b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                    len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5
+        ORDER BY id_a, id_b"""
+      }),
+
+    // ── q25: MinHash signatures (16 perms; the LSH building block) ──
+    QueryDef("q25_minhash",
+      (s, dir) => {
+        val perms = XHash.permParams(16)
+        val d = docs(s, dir)
+          .withColumn("toks", TextOps.tokens(col("text")))
+          .withColumn("sh", array_distinct(TextOps.shinglesFromTokens(col("toks"), 3)))
+          .filter(size(col("sh")) > 0)
+          .withColumn("h31", transform(col("sh"), t => XHash.hash31(t)))
+        val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
+          array_min(transform(col("h31"), h => XHash.permute(h, a, b))).as(s"mh_$i")
+        }
+        d.select(col("doc_id") +: sigCols: _*).orderBy(col("doc_id"))
+      },
+      Some {
+        val perms = XHash.permParams(16)
+        val toks = TextOps.tokensSql("text")
+        val h31 = XHash.hash31Sql("t")
+        val sigs = perms.zipWithIndex.map { case ((a, b), i) =>
+          s"list_min(list_transform(h31, h -> ((($a * h) + $b) % 2147483647))) AS mh_$i"
+        }.mkString(",\n               ")
+        s"""
+        WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
+        sh AS (
+          SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN []::VARCHAR[] ELSE
+            list_transform(range(0, len(toks) - 2), i ->
+              array_to_string(list_slice(toks, i + 1, i + 3), ' ')) END) AS sh
+          FROM tk),
+        d AS (
+          SELECT doc_id, list_transform(sh, t -> $h31) AS h31
+          FROM sh WHERE len(sh) > 0)
+        SELECT doc_id,
+               $sigs
+        FROM d ORDER BY doc_id"""
+      }),
+
+    // ── q26: SimHash (32-bit) per document ──
+    QueryDef("q26_simhash",
+      (s, dir) => {
+        // bit j set iff #tokens with hash-bit j > #tokens without; the
+        // per-token hashes are staged ONCE (md5 inside a 32-way loop
+        // would re-hash per bit — no CSE inside lambdas).
+        val bits = (0 until 32).map { j =>
+          val ones = size(filter(col("hs"), h => shiftright(h, j).bitwiseAND(1) === 1))
+          when(ones * 2 > size(col("hs")), lit(1L << j)).otherwise(lit(0L))
+        }
+        docs(s, dir)
+          .withColumn("toks", TextOps.tokens(col("text")))
+          .withColumn("hs", transform(col("toks"), t => XHash.hash60(t)))
+          .withColumn("simhash", bits.reduce(_ + _))
+          .select(col("doc_id"), col("simhash"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val toks = TextOps.tokensSql("text")
+        val h = XHash.hash60Sql("t")
+        val bitSum = (0 until 32).map { j =>
+          s"(CASE WHEN 2 * len(list_filter(hs, h -> ((h >> $j) & 1) = 1)) > len(hs) THEN (1::BIGINT << $j) ELSE 0 END)"
+        }.mkString(" + ")
+        s"""
+        WITH d AS (SELECT doc_id, list_transform($toks, t -> $h) AS hs FROM documents)
+        SELECT doc_id, $bitSum AS simhash FROM d ORDER BY doc_id"""
+      }),
+
+    // ── q28: fixed-size character chunking (reference W6, 800-char strides
+    //        `src/groq_cot_batch_agents.ipynb` cell 1; 200 here for testdata) ──
+    QueryDef("q28_chunk_fixed",
+      (s, dir) =>
+        docs(s, dir)
+          .withColumn("chunk_id", explode(expr("sequence(0L, (length(text) - 1) div 200)")))
+          .withColumn("chunk_text", expr("substring(text, cast(chunk_id * 200 + 1 as int), 200)"))
+          .select(col("doc_id"), col("chunk_id"), col("chunk_text"))
+          .orderBy(col("doc_id"), col("chunk_id")),
+      Some("""
+        SELECT doc_id, i AS chunk_id, substr(text, CAST(i * 200 + 1 AS INT), 200) AS chunk_text
+        FROM documents, UNNEST(range(0, ((length(text) - 1) // 200) + 1)) AS u(i)
+        ORDER BY doc_id, chunk_id""")),
+
+    // ── q29: sliding word-window chunking (reference W7: windows w/ overlap,
+    //        `scripts/archive/prepare_data.py:40-66`; 50-word windows, stride 40) ──
+    QueryDef("q29_chunk_sliding",
+      (s, dir) => {
+        val d = docs(s, dir).withColumn("toks", TextOps.tokens(col("text")))
+          .filter(size(col("toks")) > 0)
+        d.withColumn("start",
+            explode(expr("sequence(0L, greatest((size(toks) - 1) div 40, 0L) * 40, 40L)")))
+          .filter(col("start") === 0 || col("start") < size(col("toks")))
+          .withColumn("chunk_text", array_join(slice(col("toks"), col("start") + 1, lit(50)), " "))
+          .withColumn("n_words", least(size(col("toks")) - col("start"), lit(50)))
+          .select(col("doc_id"), col("start"), col("n_words"), col("chunk_text"))
+          .orderBy(col("doc_id"), col("start"))
+      },
+      Some {
+        val toks = TextOps.tokensSql("text")
+        s"""
+        WITH d AS (SELECT doc_id, $toks AS toks FROM documents WHERE len($toks) > 0)
+        SELECT doc_id, i AS start,
+               least(len(toks) - i, 50) AS n_words,
+               array_to_string(list_slice(toks, i + 1, i + 50), ' ') AS chunk_text
+        FROM d, UNNEST(range(0, greatest(((len(toks) - 1) // 40), 0) * 40 + 1, 40)) AS u(i)
+        WHERE i = 0 OR i < len(toks)
+        ORDER BY doc_id, start"""
+      }),
+
+    // ── q30: corpus stats per source (A6/A7/A9 family) ──
+    QueryDef("q30_doc_stats",
+      (s, dir) =>
+        docs(s, dir)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+               min(col("n_chars")).as("min_chars"),
+               max(col("n_chars")).as("max_chars"),
+               (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+               countDistinct(col("lang")).as("n_langs"))
+          .orderBy(col("source")),
+      Some("""
+        SELECT source, count(*) AS n_docs, min(n_chars) AS min_chars,
+               max(n_chars) AS max_chars,
+               CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+               count(DISTINCT lang) AS n_langs
+        FROM documents GROUP BY source ORDER BY source"""))
+  )
+}

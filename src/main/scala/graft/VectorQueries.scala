@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+/** Vector search + embedding-space dedup (SURVEY.md T1/J4/V2-V5 plus the
+  * scale extensions: ANN, near-duplicate detection).
+  *
+  * Engine notes for 100 TB:
+  *   - Brute-force top-k for a SMALL query set is a broadcast of the query
+  *     vectors against a single scan of the collection → TakeOrdered per
+  *     query, no shuffle of the big side (q11).
+  *   - All-pairs similarity is never global at scale: it is BLOCKED on a
+  *     key (here `label`, standing in for an IVF/LSH bucket) so the
+  *     cross-product happens within partitions (q13).
+  *   - Scores compared cross-engine are computed in double and rounded to
+  *     6 dp; ranking ties break on vec_id so order is total.
+  */
+object VectorQueries {
+
+  /** DuckDB twin of VectorOps.dot over two FLOAT[] list columns (double math). */
+  private def dotSql(a: String, b: String, dim: Int = 64): String =
+    s"list_sum(list_transform(range(1, ${dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private def normSql(a: String, dim: Int = 64): String =
+    s"sqrt(${dotSql(a, a, dim)})"
+
+  private def cosSql(a: String, b: String, dim: Int = 64): String =
+    s"(${dotSql(a, b, dim)} / (${normSql(a, dim)} * ${normSql(b, dim)}))"
+
+  private def score6(a: Column, b: Column): Column =
+    round(VectorOps.cosine(a, b), 6)
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── q11: brute-force cosine top-k for a small query set (T1) ──
+    QueryDef("q11_ann_topk",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = emb(s, dir)
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid").asc)
+        e.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+          .join(broadcast(q), col("qid") =!= col("nid"))
+          .withColumn("score", score6(col("qv"), col("nv")))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select(col("qid"), col("rnk").cast("long").as("rnk"), col("nid"), col("score"))
+          .orderBy(col("qid"), col("rnk"))
+      },
+      Some(s"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+             c AS (SELECT vec_id AS nid, embedding AS nv FROM embeddings),
+             scored AS (
+               SELECT qid, nid, round(${cosSql("qv", "nv")}, 6) AS score
+               FROM q JOIN c ON qid <> nid),
+             ranked AS (
+               SELECT qid, nid, score,
+                      row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rnk
+               FROM scored)
+        SELECT qid, rnk, nid, score FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""")),
+
+    // ── q12: k-NN join (1-nn for a sampled left side; J4 at scale) ──
+    QueryDef("q12_knn_join",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = emb(s, dir)
+        val left = e.filter(col("vec_id") % 5 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid").asc)
+        e.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+          .join(broadcast(left), col("qid") =!= col("nid"))
+          .withColumn("score", score6(col("qv"), col("nv")))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") === 1)
+          .select(col("qid"), col("nid"), col("score"))
+          .orderBy(col("qid"))
+      },
+      Some(s"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 5 = 0),
+             c AS (SELECT vec_id AS nid, embedding AS nv FROM embeddings),
+             scored AS (
+               SELECT qid, nid, round(${cosSql("qv", "nv")}, 6) AS score,
+                      row_number() OVER (PARTITION BY qid ORDER BY round(${cosSql("qv", "nv")}, 6) DESC, nid ASC) AS rnk
+               FROM q JOIN c ON qid <> nid)
+        SELECT qid, nid, score FROM scored WHERE rnk = 1 ORDER BY qid""")),
+
+    // ── q13: blocked near-duplicate pairs in embedding space ──
+    QueryDef("q13_neardup_cosine",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val a = e.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("va"))
+        val b = e.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("vb"))
+        a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))
+          .withColumn("score", score6(col("va"), col("vb")))
+          .filter(col("score") >= 0.4)
+          .select(col("label"), col("id_a"), col("id_b"), col("score"))
+          .orderBy(col("label"), col("id_a"), col("id_b"))
+      },
+      Some(s"""
+        SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b,
+               round(${cosSql("a.embedding", "b.embedding")}, 6) AS score
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.4
+        ORDER BY label, id_a, id_b""")),
+
+    // ── q14: per-label embedding statistics (A8 generalization) ──
+    QueryDef("q14_embed_stats",
+      (s, dir) =>
+        emb(s, dir)
+          .select(col("label"),
+            VectorOps.normL2(col("embedding")).as("nrm"),
+            array_min(col("embedding")).cast("double").as("mn"),
+            array_max(col("embedding")).cast("double").as("mx"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n"),
+               round(avg(col("nrm")), 6).as("avg_norm"),
+               min(col("mn")).as("min_elem"),
+               max(col("mx")).as("max_elem"))
+          .orderBy(col("label")),
+      Some(s"""
+        SELECT label, count(*) AS n,
+               round(avg(${normSql("embedding")}), 6) AS avg_norm,
+               min(CAST(list_aggregate(embedding, 'min') AS DOUBLE)) AS min_elem,
+               max(CAST(list_aggregate(embedding, 'max') AS DOUBLE)) AS max_elem
+        FROM embeddings GROUP BY label ORDER BY label"""))
+  )
+}

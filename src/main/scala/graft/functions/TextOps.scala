@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column operations (tokenize / shingle / quality metrics).
+  *
+  * These back both the reference's string surface (SURVEY.md §2.7 F1-F10 —
+  * split/trim/length/regex over diary lines) and the training-data-pipeline
+  * extensions (token counting, quality scoring, n-gram shingling for dedup).
+  * Pure `functions._` compositions: codegen'd, no UDFs, and each has an
+  * exact DuckDB-SQL twin used by the correctness oracle.
+  */
+object TextOps {
+
+  /** Lowercased alphanumeric word tokens, empties dropped.
+    * Spark `split` and DuckDB `string_split_regex` agree on this pattern. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+
+  def tokensSql(expr: String): String =
+    s"list_filter(string_split_regex(lower($expr), '[^a-z0-9]+'), t -> len(t) > 0)"
+
+  /** Whitespace token count (reference word_count semantics,
+    * `src/chunking_strategy.py:131-132` `len(chunk_text.split())`). */
+  def wordCount(text: Column): Column = size(tokens(text))
+
+  /** Word n-gram shingles from an ALREADY-STAGED tokens column (stage the
+    * tokens with withColumn first — a raw tokens(text) expression inside
+    * the transform lambda would re-tokenize per shingle; Catalyst has no
+    * CSE inside lambdas). Used by n-gram-Jaccard and MinHash dedup. */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), size(toks) - lit(n)),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+
+  def shinglesSql(expr: String, n: Int): String = {
+    val toks = tokensSql(expr)
+    s"CASE WHEN len($toks) < $n THEN []::VARCHAR[] ELSE " +
+      s"list_transform(range(0, len($toks) - $n + 1), i -> array_to_string(list_slice($toks, i + 1, i + $n), ' ')) END"
+  }
+
+  /** Character-level punctuation ratio: non-alphanumeric-non-space chars / chars. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, "[a-zA-Z0-9\\s]", "")).cast("double") / length(text))
+
+  /** Stopword ratio against a fixed wordlist (language-quality heuristic). */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => t.isin(stopwords.map(lit): _*))).cast("double") / size(toks))
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercased text.
+    * Exact-dedup key (SURVEY.md scale extensions). */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  def fingerprintSql(expr: String): String =
+    s"md5(trim(regexp_replace(lower($expr), '\\s+', ' ', 'g')))"
+}

@@ -1,0 +1,130 @@
+package graft.store
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.VectorOps
+
+/** Parquet-backed vector collection — the engine's analogue of the
+  * reference's Milvus collection client (`scripts/milvus_db.py:36-114`,
+  * 8 methods: list/describe/create/query/insert/stats/get_all/
+  * get_by_ids/search). Semantics preserved, REST artifacts dropped:
+  *   - pagination (`get_all_entities` offset/limit loop,
+  *     `scripts/milvus_db.py:77-97`) is a REST workaround — a full scan
+  *     is native here;
+  *   - batched insert + flush (`chunking_strategy_cloud.py:139-153`,
+  *     batch_size=100) is what partitioned Parquet writes already do;
+  *   - the quadratic re-insert bug (`scripts/prepare_data.py:79-95`,
+  *     growing list re-inserted every loop) is intentionally NOT
+  *     reproduced — each row is written once.
+  *
+  * Scale design: data lives partitioned by a caller-chosen bucket column
+  * (e.g. IVF centroid id or date); `search` is a scan + TakeOrdered (no
+  * shuffle of the collection); `getByIds` is an IN-filter pushed to
+  * parquet. On a cluster the same layout bucket-prunes.
+  */
+final case class CollectionInfo(name: String, rows: Long, dim: Int, metric: String)
+
+class Collection private (
+    val spark: SparkSession,
+    val root: String,
+    val name: String,
+    val metric: String) {
+
+  private def path = s"$root/$name"
+
+  def df: DataFrame = spark.read.parquet(path)
+
+  /** S7/S8: append entity rows. Expects id/vector/text(+metadata) columns. */
+  def insert(rows: DataFrame): Unit =
+    rows.write.mode(SaveMode.Append).parquet(path)
+
+  /** S6: describe — entityCount, dimension, metric. */
+  def describe(): CollectionInfo = {
+    val d = df
+    val dim = d.select(size(col("vector"))).head().getInt(0)
+    CollectionInfo(name, d.count(), dim, metric)
+  }
+
+  /** S9: full scan (pagination dropped by design). */
+  def getAll(outputFields: Seq[String] = Nil): DataFrame =
+    if (outputFields.isEmpty) df else df.select(outputFields.map(col): _*)
+
+  /** P4/J1: point lookup by primary keys (broadcast semi-join shape). */
+  def getByIds(ids: Seq[Long]): DataFrame =
+    df.filter(col("id").isin(ids: _*))
+
+  /** P1-P3: filter expression + projection + limit, like
+    * `query_entities(name, filter, outputFields, limit)`
+    * (`scripts/milvus_db.py:51-59`). The filter string hits Catalyst's
+    * parser — same `field == value && ...` surface Milvus accepts.
+    */
+  def query(filter: String = "", outputFields: Seq[String] = Nil, limit: Int = 100): DataFrame = {
+    var d = df
+    if (filter.nonEmpty) d = d.filter(expr(filter))
+    if (outputFields.nonEmpty && outputFields != Seq("*")) d = d.select(outputFields.map(col): _*)
+    d.limit(limit)
+  }
+
+  /** T1: cosine top-k for one query vector. Plans as a single scan +
+    * TakeOrderedAndProject — no shuffle, no index required. The reference
+    * hard-codes k=1 (`scripts/milvus_db.py:112`) against its own default
+    * of 5; we honor the parameter (strict-compat callers pass 1).
+    */
+  def search(queryVec: Array[Double], k: Int = 5): DataFrame = {
+    val qv = lit(queryVec)
+    df.withColumn("score", VectorOps.cosine(col("vector"), qv))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** Batch search: one plan for many query vectors (queries broadcast,
+    * rank window per query) — the vectorized form of looping `search`.
+    */
+  def searchBatch(queries: DataFrame, k: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id").asc)
+    df.join(broadcast(queries), lit(true))
+      .withColumn("score", VectorOps.cosine(col("vector"), col("qv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .drop("qv")
+  }
+}
+
+object Collection {
+  /** Minimal active schema (`scripts/prepare_data.py:79-90`): id, vector, text. */
+  def entitySchema(dim: Int): StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("vector", ArrayType(FloatType, containsNull = false), nullable = false),
+    StructField("text", StringType, nullable = true)))
+
+  /** S5: create (drop-then-create when overwrite, mirroring
+    * `chunking_strategy_docker.py:131-146`). */
+  def create(spark: SparkSession, root: String, name: String,
+             dim: Int, metric: String = "COSINE", overwrite: Boolean = false): Collection = {
+    val c = new Collection(spark, root, name, metric)
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], entitySchema(dim))
+    empty.write.mode(if (overwrite) SaveMode.Overwrite else SaveMode.Ignore).parquet(s"$root/$name")
+    c
+  }
+
+  def open(spark: SparkSession, root: String, name: String): Collection =
+    new Collection(spark, root, name, "COSINE")
+
+  /** S6: list collections under a root. */
+  def list(spark: SparkSession, root: String): Seq[String] = {
+    val dir = new java.io.File(root)
+    if (!dir.exists) Nil
+    else dir.listFiles.filter(_.isDirectory).map(_.getName).sorted.toSeq
+  }
+
+  def drop(root: String, name: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete()
+    }
+    val f = new java.io.File(s"$root/$name")
+    if (f.exists) rm(f)
+  }
+}

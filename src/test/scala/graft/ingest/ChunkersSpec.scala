@@ -1,0 +1,79 @@
+package graft.ingest
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ChunkersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val header1 = "1st Day of Frostfall 1855 - Arrival in the Capital"
+  private val header2 = "2nd Day of Frostfall 1855 - The Market"
+
+  test("W1: header detection + parse (reference test_regex.ipynb example)") {
+    val df = Seq(
+      "7th Day of Emberglow 1855 - Visions of the Dawnspire",
+      "Just a normal line", header1).toDF("line")
+    val got = df.select(Chunkers.isHeader(col("line"))).as[Boolean].collect()
+    assert(got.toSeq === Seq(true, false, true))
+    val p = df.filter(Chunkers.isHeader(col("line")))
+      .select(Chunkers.parseHeader(col("line")).as("h"))
+      .selectExpr("h.day", "h.month", "h.year", "h.title")
+      .as[(Int, String, Int, String)].collect().head
+    assert(p === ((7, "Emberglow", 1855, "Visions of the Dawnspire")))
+  }
+
+  test("W2: date fill-down") {
+    val lines = Seq(header1, "line a", "line b", header2, "line c")
+    val df = Seq((0L, lines.mkString("\n"))).toDF("doc_id", "text")
+    val got = Chunkers.fillDownDate(Chunkers.lines(df)).orderBy("line_no")
+      .select("date").as[String].collect()
+    assert(got.toSeq === Seq(header1, header1, header1, header2, header2))
+  }
+
+  test("W4: day+paragraph chunking splits on blank lines") {
+    val text = s"$header1\npara one line1\npara one line2\n\npara two\n$header2\nsolo para"
+    val df = Seq((0L, text)).toDF("doc_id", "text")
+    val got = Chunkers.dayParagraphChunks(Chunkers.lines(df))
+      .orderBy("chunk_number").select("chunk_text").as[String].collect()
+    // header is part of the day text (prefix), paragraphs split on blank lines
+    assert(got.length === 3)
+    assert(got(0) === s"$header1\npara one line1\npara one line2")
+    assert(got(1) === "para two")
+    assert(got(2) === s"$header2\nsolo para")
+  }
+
+  test("W3/W9: 3-break chunking emits header chunks and 3-line groups") {
+    val body = (1 to 7).map(i => s"line $i")
+    val text = (header1 +: body).mkString("\n")
+    val df = Seq((0L, text)).toDF("doc_id", "text")
+    val got = Chunkers.threeBreakChunks(Chunkers.lines(df))
+      .orderBy("chunk_number")
+      .select("chunk_text", "is_date_chunk").as[(String, Boolean)].collect()
+    assert(got.length === 4) // header + ceil(7/3)=3 body chunks
+    assert(got(0) === ((header1, true)))
+    assert(got(1) === (("line 1\nline 2\nline 3", false)))
+    assert(got(2) === (("line 4\nline 5\nline 6", false)))
+    assert(got(3) === (("line 7", false))) // remainder flush
+  }
+
+  test("W5: splitLargeChunk cuts at sentence, space, or hard boundary") {
+    val s1 = ("a" * 50 + ". ") * 30 // sentence cuts available
+    val parts = Chunkers.splitLargeChunk(s1, 200)
+    assert(parts.forall(_.length <= 200))
+    assert(parts.mkString(" ").filterNot(_ == ' ') === s1.trim.filterNot(_ == ' '))
+    // no delimiters at all → hard cut at maxSize
+    val s2 = "x" * 1000
+    val hard = Chunkers.splitLargeChunk(s2, 300)
+    assert(hard.map(_.length).sum === 1000)
+    assert(hard.forall(_.length <= 300))
+    // short text passes through
+    assert(Chunkers.splitLargeChunk("short", 800) === Seq("short"))
+  }
+
+  test("W6: fixed char chunks") {
+    val df = Seq((0L, "abcdefghij")).toDF("doc_id", "text")
+    val got = Chunkers.fixedCharChunks(df, 4).orderBy("chunk_id")
+      .select("chunk_text").as[String].collect()
+    assert(got.toSeq === Seq("abcd", "efgh", "ij"))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.store
+
+import graft.SparkSpec
+import graft.functions.TextEmbed
+import org.apache.spark.sql.functions._
+
+class CollectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val root = java.nio.file.Files.createTempDirectory("graft-coll").toString
+
+  private def seeded = {
+    val docs = Seq(
+      (0L, "spark window aggregation engine"),
+      (1L, "the quick brown fox jumps"),
+      (2L, "vector search cosine similarity"),
+      (3L, "spark window aggregation engine twice")
+    ).toDF("id", "text")
+    TextEmbed.withEmbed(docs, "text", "vector").select("id", "vector", "text")
+  }
+
+  test("create / insert / describe roundtrip") {
+    Collection.drop(root, "c1")
+    val c = Collection.create(spark, root, "c1", TextEmbed.DefaultDim, overwrite = true)
+    c.insert(seeded)
+    val info = c.describe()
+    assert(info.rows === 4)
+    assert(info.dim === TextEmbed.DefaultDim)
+    assert(info.metric === "COSINE")
+    assert(Collection.list(spark, root).contains("c1"))
+  }
+
+  test("getByIds is a point lookup") {
+    val c = Collection.open(spark, root, "c1")
+    val got = c.getByIds(Seq(1L, 3L)).select("id").as[Long].collect().sorted
+    assert(got.toSeq === Seq(1L, 3L))
+  }
+
+  test("query: filter string + projection + limit (milvus query_entities surface)") {
+    val c = Collection.open(spark, root, "c1")
+    val got = c.query("id >= 1 and id <= 2", Seq("id", "text"), 10)
+    assert(got.columns.toSeq === Seq("id", "text"))
+    assert(got.count() === 2)
+  }
+
+  test("search: cosine top-k finds the near-duplicate first") {
+    val c = Collection.open(spark, root, "c1")
+    val qv = TextEmbed.embedScala("spark window aggregation engine")
+    val hits = c.search(qv, k = 2).select("id", "score").as[(Long, Double)].collect()
+    assert(hits.length === 2)
+    assert(hits.head._1 === 0L) // exact text match → cosine 1
+    assert(math.abs(hits.head._2 - 1.0) < 1e-9)
+    assert(hits(1)._1 === 3L) // near-duplicate second
+  }
+
+  test("searchBatch: one plan, per-query ranks") {
+    val c = Collection.open(spark, root, "c1")
+    val qs = Seq(
+      (10L, TextEmbed.embedScala("vector search cosine")),
+      (11L, TextEmbed.embedScala("quick brown fox"))
+    ).toDF("qid", "qv")
+    val got = c.searchBatch(qs, k = 1).select("qid", "id").as[(Long, Long)].collect().toMap
+    assert(got === Map(10L -> 2L, 11L -> 1L))
+  }
+
+  test("search plans as TakeOrderedAndProject (no full sort, no shuffle)") {
+    val c = Collection.open(spark, root, "c1")
+    val plan = c.search(TextEmbed.embedScala("spark"), 3).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"unexpected plan:\n$plan")
+  }
+}
