@@ -19,7 +19,20 @@ final case class QueryDef(
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String])
 
+/** Spread a small-file scan across the cluster before compute-heavy
+  * per-row work (embedding, hashing, shingling, cosine). A single parquet
+  * file arrives as ONE partition; without this every downstream projection
+  * runs on one core — locally and, worse, on one executor of a thousand.
+  * The shuffle moves only the raw rows (cheap) and buys full parallelism
+  * for the expensive projection that follows.
+  */
+object Par {
+  def apply(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+}
+
 object QueryRegistry {
   def all: Seq[QueryDef] =
-    RelationalQueries.defs ++ VectorQueries.defs ++ TextQueries.defs ++ RagQueries.defs
+    RelationalQueries.defs ++ VectorQueries.defs ++ TextQueries.defs ++
+      RagQueries.defs ++ StreamQueries.defs
 }

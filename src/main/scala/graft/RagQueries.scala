@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.{TextEmbed, VectorOps}
+import graft.functions.{TextEmbed, VectorKernels}
 import graft.rag.RagPipeline
 
 /** End-to-end RAG operators (SURVEY.md §3.1/§3.3) over the documents table.
@@ -16,7 +16,7 @@ import graft.rag.RagPipeline
 object RagQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    Par(s.read.parquet(s"$dir/documents.parquet"))
 
   val QueryText = "spark batch window join customer value"
 
@@ -30,11 +30,14 @@ object RagQueries {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val qv = TextEmbed.embedScala(QueryText)
-        val w = Window.orderBy(col("score").desc, col("doc_id").asc)
-        TextEmbed.withEmbed(docs(s, dir), "text", "vector")
-          .withColumn("score", round(VectorOps.dot(col("vector"), typedLit(qv)), 6))
-          .withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") <= 5)
+        // TakeOrderedAndProject does the top-k (parallel, no global sort);
+        // the rank window then runs over only k rows.
+        val top = TextEmbed.withEmbed(docs(s, dir), "text", "vector")
+          .withColumn("score", round(VectorKernels.dotFast(col("vector"), typedLit(qv)), 6))
+          .select(col("doc_id"), col("score"))
+          .orderBy(col("score").desc, col("doc_id").asc).limit(5)
+        top.withColumn("rnk",
+            row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
           .select(col("rnk").cast("long").as("rnk"), col("doc_id"), col("score"))
           .orderBy(col("rnk"))
       },

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.{TextEmbed, VectorOps}
+import graft.functions.{TextEmbed, VectorKernels}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,14 +16,15 @@ object SparkEntry {
     */
   def entry(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val docs = Par(spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
     val qv = TextEmbed.embedScala("spark batch window join customer value")
-    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
-    TextEmbed.withEmbed(docs, "text", "vector")
-      .withColumn("score", round(VectorOps.dot(col("vector"), typedLit(qv)), 6))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 5)
-      .select(col("rnk").cast("long").as("rnk"), col("doc_id"), col("score"), substring(col("text"), 1, 80).as("snippet"))
+    val top = TextEmbed.withEmbed(docs, "text", "vector")
+      .withColumn("score", round(VectorKernels.dotFast(col("vector"), typedLit(qv)), 6))
+      .select(col("doc_id"), col("score"), substring(col("text"), 1, 80).as("snippet"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(5)
+    top.withColumn("rnk",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select(col("rnk").cast("long").as("rnk"), col("doc_id"), col("score"), col("snippet"))
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

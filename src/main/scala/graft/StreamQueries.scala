@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+import graft.streaming.StreamingIngest
+
+/** Streaming + typed-stateful + multimodal operator coverage.
+  *
+  * q50 runs an actual Structured Streaming query (memory sink, complete
+  * mode) and is oracle-checked against plain SQL — Structured Streaming's
+  * batch-equivalence contract makes that a meaningful check, not a
+  * tautology. q51 exercises KeyValueGroupedDataset.mapGroups (typed
+  * stateful shape). q60 exercises the multimodal binary plumbing (decode
+  * stub → rows-only check).
+  */
+object StreamQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q50_stream_hourly",
+      (s, dir) => StreamingIngest.hourlyEventCounts(s, dir)
+        .orderBy(col("hour"), col("event_type")),
+      Some("""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+               count(*) AS n_events
+        FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")),
+
+    QueryDef("q51_user_sessions",
+      (s, dir) => StreamingIngest.userSessions(s, dir, gapMinutes = 30),
+      Some("""
+        WITH g AS (
+          SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+          FROM events)
+        SELECT user_id, count(*) AS n_events,
+               CAST(1 + sum(CASE WHEN prev IS NOT NULL AND ts - prev > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+        FROM g GROUP BY user_id ORDER BY user_id""")),
+
+    QueryDef("q60_multimodal",
+      (s, dir) => {
+        val media = Multimodal.fakeMediaFromDocs(s, dir)
+        Multimodal.decodeStub(media, "payload", "media_type")
+          .groupBy(col("media_type"))
+          .agg(count(lit(1)).as("n"),
+               round(avg(col("meta.width")), 4).as("avg_width"),
+               sum(col("meta.n_frames")).as("total_frames"),
+               round(avg(element_at(col("features"), 1)), 6).as("avg_bin0"))
+          .orderBy(col("media_type"))
+      },
+      None)
+  )
+}

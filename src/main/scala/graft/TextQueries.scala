@@ -12,7 +12,7 @@ import graft.functions.{TextOps, XHash}
 object TextQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    Par(s.read.parquet(s"$dir/documents.parquet"))
 
   // Deterministic language marker lists (heuristic language-ID; the
   // classifier is the SPEC — the oracle replays the same lists).
@@ -125,7 +125,14 @@ object TextQueries {
         FROM scored GROUP BY 1, 2 ORDER BY lang, pred"""
       }),
 
-    // ── q24: word-3-gram Jaccard near-dup pairs, blocked by length bucket ──
+    // ── q24: word-3-gram Jaccard near-dup pairs, blocked by length bucket.
+    //   Implemented as an INVERTED-INDEX join (shingle → doc postings,
+    //   self-join on shingle, count per pair = |A∩B|), not a blocked cross
+    //   join: only pairs that actually share a shingle materialize, so
+    //   cost tracks true overlap (sparse) instead of block² — the exact
+    //   algorithm that survives 100 TB. |A∪B| = |A| + |B| − |A∩B|.
+    //   Output ≡ the naive all-pairs definition restricted to jac ≥ 0.5
+    //   (pairs sharing no shingle have jac 0 and can never qualify). ──
     QueryDef("q24_ngram_jaccard",
       (s, dir) => {
         val d = docs(s, dir)
@@ -133,13 +140,18 @@ object TextQueries {
           .withColumn("toks", TextOps.tokens(col("text")))
           .withColumn("sh", array_distinct(TextOps.shinglesFromTokens(col("toks"), 3)))
           .filter(size(col("sh")) > 0)
-          .select(col("blk"), col("doc_id"), col("sh"))
-        val a = d.select(col("blk"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-        val b = d.select(col("blk"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-        a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
-          .withColumn("jac", round(
-            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-              size(array_union(col("sh_a"), col("sh_b"))), 6))
+          .select(col("blk"), col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
+        val postings = d.select(col("blk"), col("doc_id"), col("n_sh"),
+          explode(col("sh")).as("shingle"))
+        val a = postings.select(col("blk"), col("shingle"),
+          col("doc_id").as("id_a"), col("n_sh").as("na"))
+        val b = postings.select(col("blk"), col("shingle"),
+          col("doc_id").as("id_b"), col("n_sh").as("nb"))
+        a.join(b, Seq("blk", "shingle")).filter(col("id_a") < col("id_b"))
+          .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
+          .agg(count(lit(1)).as("inter"))
+          .withColumn("jac", round(col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter")), 6))
           .filter(col("jac") >= 0.5)
           .select(col("id_a"), col("id_b"), col("jac"))
           .orderBy(col("id_a"), col("id_b"))
@@ -227,6 +239,133 @@ object TextQueries {
         s"""
         WITH d AS (SELECT doc_id, list_transform($toks, t -> $h) AS hs FROM documents)
         SELECT doc_id, $bitSum AS simhash FROM d ORDER BY doc_id"""
+      }),
+
+    // ── q27: MinHash-LSH near-dup pairs — the scale path for dedup.
+    //   16-perm signatures banded 4×4; pairs sharing ≥1 band become
+    //   candidates (a hash-partitioned self-join on band value — never an
+    //   all-pairs cross join), then exact Jaccard verifies. At 100 TB the
+    //   band join is the only shuffle and candidate count ≈ true-dup count. ──
+    QueryDef("q27_minhash_lsh",
+      (s, dir) => {
+        val perms = XHash.permParams(16)
+        val d = docs(s, dir)
+          .withColumn("toks", TextOps.tokens(col("text")))
+          .withColumn("sh", array_distinct(TextOps.shinglesFromTokens(col("toks"), 3)))
+          .filter(size(col("sh")) > 0)
+          .withColumn("h31", transform(col("sh"), t => XHash.hash31(t)))
+        val sig = d.select(col("doc_id") +: col("sh") +:
+          perms.zipWithIndex.map { case ((a, b), i) =>
+            array_min(transform(col("h31"), h => XHash.permute(h, a, b))).as(s"mh_$i")
+          }: _*)
+        // candidates dedup on ids ONLY (distinct over heavy shingle arrays
+        // would hash megabytes per pair); shingle sets join back after.
+        val bands = sig.select(col("doc_id"), posexplode(array(
+          (0 until 4).map(bd => concat_ws("_",
+            (0 until 4).map(r => col(s"mh_${bd * 4 + r}")): _*)): _*)))
+          .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key")
+        val cand = bands.select(col("band_idx"), col("band_key"), col("doc_id").as("id_a"))
+          .join(bands.select(col("band_idx"), col("band_key"), col("doc_id").as("id_b")),
+            Seq("band_idx", "band_key"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b")).distinct()
+        val shSets = d.select(col("doc_id"), col("sh"))
+        cand
+          .join(shSets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+          .join(shSets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+          .withColumn("jac", round(
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+              size(array_union(col("sh_a"), col("sh_b"))), 6))
+          .filter(col("jac") >= 0.5)
+          .select(col("id_a"), col("id_b"), col("jac"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some {
+        val perms = XHash.permParams(16)
+        val toks = TextOps.tokensSql("text")
+        val h31 = XHash.hash31Sql("t")
+        val sigs = perms.zipWithIndex.map { case ((a, b), i) =>
+          s"list_min(list_transform(h31, h -> ((($a * h) + $b) % 2147483647))) AS mh_$i"
+        }.mkString(",\n               ")
+        val bandList = (0 until 4).map { bd =>
+          (0 until 4).map(r => s"mh_${bd * 4 + r}::VARCHAR").mkString("concat_ws('_', ", ", ", ")")
+        }.mkString("[", ", ", "]")
+        s"""
+        WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
+        shg AS (
+          SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN []::VARCHAR[] ELSE
+            list_transform(range(0, len(toks) - 2), i ->
+              array_to_string(list_slice(toks, i + 1, i + 3), ' ')) END) AS sh
+          FROM tk),
+        hd AS (
+          SELECT doc_id, sh, list_transform(sh, t -> $h31) AS h31
+          FROM shg WHERE len(sh) > 0),
+        sig AS (
+          SELECT doc_id, sh,
+               $sigs
+          FROM hd),
+        bands AS (
+          SELECT doc_id, sh, i - 1 AS band_idx, ($bandList)[i] AS band_key
+          FROM sig, UNNEST(range(1, 5)) AS u(i)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b,
+               round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+                     len(list_distinct(list_concat(sh_a, sh_b))), 6) AS jac
+        FROM cand
+        WHERE round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+                    len(list_distinct(list_concat(sh_a, sh_b))), 6) >= 0.5
+        ORDER BY id_a, id_b"""
+      }),
+
+    // ── q31: SimHash near-dup pairs via byte-banding. 4 bands of 8 bits
+    //   over the 32-bit simhash: any pair within hamming distance 3 MUST
+    //   share an untouched band (pigeonhole), so recall is exact while the
+    //   join stays hash-partitioned on (band_idx, band_value). ──
+    QueryDef("q31_simhash_pairs",
+      (s, dir) => {
+        val bits = (0 until 32).map { j =>
+          val ones = size(filter(col("hs"), h => shiftright(h, j).bitwiseAND(1) === 1))
+          when(ones * 2 > size(col("hs")), lit(1L << j)).otherwise(lit(0L))
+        }
+        val sh = docs(s, dir)
+          .withColumn("toks", TextOps.tokens(col("text")))
+          .withColumn("hs", transform(col("toks"), t => XHash.hash60(t)))
+          .withColumn("simhash", bits.reduce(_ + _))
+          .select(col("doc_id"), col("simhash"))
+        val bands = sh.select(col("doc_id"), col("simhash"), posexplode(array(
+          (0 until 4).map(bd => shiftright(col("simhash"), bd * 8).bitwiseAND(255)): _*)))
+          .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_val")
+        val a = bands.select(col("band_idx"), col("band_val"),
+          col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+        val b = bands.select(col("band_idx"), col("band_val"),
+          col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+        a.join(b, Seq("band_idx", "band_val")).filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming")).distinct()
+          .filter(col("hamming") <= 3)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some {
+        val toks = TextOps.tokensSql("text")
+        val h = XHash.hash60Sql("t")
+        val bitSum = (0 until 32).map { j =>
+          s"(CASE WHEN 2 * len(list_filter(hs, h -> ((h >> $j) & 1) = 1)) > len(hs) THEN (1::BIGINT << $j) ELSE 0 END)"
+        }.mkString(" + ")
+        s"""
+        WITH d AS (SELECT doc_id, list_transform($toks, t -> $h) AS hs FROM documents),
+        sh AS (SELECT doc_id, $bitSum AS simhash FROM d),
+        bands AS (
+          SELECT doc_id, simhash, i AS band_idx, (simhash >> (i * 8)) & 255 AS band_val
+          FROM sh, UNNEST(range(0, 4)) AS u(i)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3 ORDER BY id_a, id_b"""
       }),
 
     // ── q28: fixed-size character chunking (reference W6, 800-char strides

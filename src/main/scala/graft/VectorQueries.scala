@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.VectorOps
+import graft.functions.{VectorKernels, VectorOps}
 
 /** Vector search + embedding-space dedup (SURVEY.md T1/J4/V2-V5 plus the
   * scale extensions: ANN, near-duplicate detection).
@@ -30,10 +30,10 @@ object VectorQueries {
     s"(${dotSql(a, b, dim)} / (${normSql(a, dim)} * ${normSql(b, dim)}))"
 
   private def score6(a: Column, b: Column): Column =
-    round(VectorOps.cosine(a, b), 6)
+    round(VectorKernels.cosineFast(a, b), 6)
 
   private def emb(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    Par(s.read.parquet(s"$dir/embeddings.parquet"))
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -109,6 +109,68 @@ object VectorQueries {
           ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.4
         ORDER BY label, id_a, id_b""")),
+
+    // ── q15: IVF-style ANN (reference S11: IVF_FLAT nlist/nprobe,
+    //   `src/archive/chunking_strategy_docker.py:161-171`). Build phase:
+    //   one centroid per label (the coarse quantizer; rounded to 6dp so
+    //   both engines share the exact centroid). Probe phase: each query
+    //   scans only the nprobe=2 nearest cells instead of the whole
+    //   collection — the scan shrinks by nlist/nprobe, which is the whole
+    //   point at 100 TB (cells = partition keys → partition pruning). ──
+    QueryDef("q15_ivf_ann",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = emb(s, dir)
+        // centroids: per-label, per-position mean, rounded (deterministic)
+        val cents = e
+          .select(col("label"), posexplode(col("embedding").cast("array<double>")))
+          .groupBy(col("label"), col("pos"))
+          .agg(round(sum(col("col")) / count(lit(1)), 6).as("c"))
+          .groupBy(col("label"))
+          .agg(transform(sort_array(collect_list(struct(col("pos"), col("c")))),
+            x => x.getField("c")).as("cv"))
+        val q = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        // probe: 2 nearest centroids per query
+        val wProbe = Window.partitionBy(col("qid")).orderBy(col("cscore").desc, col("label").asc)
+        val probed = q.join(broadcast(cents), lit(true))
+          .withColumn("cscore", round(VectorKernels.cosineFast(col("qv"), col("cv")), 6))
+          .withColumn("crnk", row_number().over(wProbe))
+          .filter(col("crnk") <= 2)
+          .select(col("qid"), col("qv"), col("label"))
+        // search only within probed cells
+        val wTop = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid").asc)
+        probed.join(e.select(col("label"), col("vec_id").as("nid"), col("embedding").as("nv")), Seq("label"))
+          .filter(col("qid") =!= col("nid"))
+          .withColumn("score", score6(col("qv"), col("nv")))
+          .withColumn("rnk", row_number().over(wTop))
+          .filter(col("rnk") <= 5)
+          .select(col("qid"), col("rnk").cast("long").as("rnk"), col("nid"), col("score"))
+          .orderBy(col("qid"), col("rnk"))
+      },
+      Some(s"""
+        WITH elems AS (
+          SELECT label, i, CAST(embedding[i] AS DOUBLE) AS v
+          FROM embeddings, UNNEST(range(1, 65)) AS t(i)),
+        cent AS (
+          SELECT label, i, round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS c
+          FROM elems GROUP BY label, i),
+        centv AS (SELECT label, list(c ORDER BY i) AS cv FROM cent GROUP BY label),
+        q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
+        probed AS (
+          SELECT qid, qv, label FROM (
+            SELECT q.qid, q.qv, centv.label,
+                   row_number() OVER (PARTITION BY q.qid
+                     ORDER BY round(${cosSql("q.qv", "centv.cv")}, 6) DESC, centv.label ASC) AS crnk
+            FROM q CROSS JOIN centv) WHERE crnk <= 2),
+        scored AS (
+          SELECT p.qid, e.vec_id AS nid, round(${cosSql("p.qv", "e.embedding")}, 6) AS score
+          FROM probed p JOIN embeddings e ON p.label = e.label AND p.qid <> e.vec_id),
+        ranked AS (
+          SELECT qid, nid, score,
+                 row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rnk
+          FROM scored)
+        SELECT qid, rnk, nid, score FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""")),
 
     // ── q14: per-label embedding statistics (A8 generalization) ──
     QueryDef("q14_embed_stats",

@@ -114,6 +114,19 @@ object Chunkers {
         col("header"), col("line_count"), col("word_count"), col("is_date_chunk"))
   }
 
+  /** F2 (v3 chunker metadata, `src/archive/chunking_strategy_v3.py:60,94`):
+    * capitalized words in appearance order. NOTE the reference's v2
+    * fixture metadata claims 873 chunks but its chunk array holds 872 —
+    * the chunk set is identical to v1; only this metadata column differs.
+    */
+  def palavrasMaiusculas(text: Column): Column =
+    regexp_extract_all(text, lit("\\b[A-Z]\\w*\\b"), lit(0))
+
+  /** v3 chunker: 3-break chunks + capitalized-word metadata. */
+  def threeBreakChunksV3(lineDf: DataFrame, breakEvery: Int = 3): DataFrame =
+    threeBreakChunks(lineDf, breakEvery)
+      .withColumn("palavras_maiusculas", palavrasMaiusculas(col("chunk_text")))
+
   /** W5 (`split_large_chunk`, `src/archive/chunking_strategy.py:4-16`):
     * chunks over maxSize are cut at the last '.' before the limit, else
     * the last space, else hard cut — repeatedly. Deterministic scalar →

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing for a training-data pipeline.
+  *
+  * Media (image/audio/video) travel as opaque `BINARY` payloads plus a
+  * typed metadata struct; decode / feature-extract / frame-sample run as
+  * `mapPartitions` batch operators so a real decoder (JNI/FFI image or
+  * audio lib) initializes once per partition — the exact executor-lifetime
+  * pattern the Embedder uses. No media libraries exist in this container,
+  * so `decodeStub` is a clearly-marked DETERMINISTIC FAKE: it derives
+  * pseudo-dimensions and a 16-bin byte histogram from the payload bytes.
+  * The Spark-side contract — schema, batching, partitioning, column
+  * shapes — is real and tested; swapping in a true decoder changes only
+  * the per-row body.
+  */
+object Multimodal {
+
+  val MediaMetaSchema: StructType = StructType(Seq(
+    StructField("media_type", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType)))
+
+  def featureSchema(dataSchema: StructType): StructType = StructType(
+    dataSchema.fields ++ Seq(
+      StructField("meta", MediaMetaSchema),
+      StructField("features", ArrayType(DoubleType, containsNull = false))))
+
+  /** STUB decode — stands in for pdfbox/javacv/librosa-style decoding.
+    * Deterministic from bytes: byte-histogram features (16 bins,
+    * L1-normalized) + fake dimensions. Real implementation would parse
+    * the container format here.
+    */
+  private def decodeBytes(payload: Array[Byte], mediaType: String): (Row, Array[Double]) = {
+    val hist = new Array[Double](16)
+    if (payload != null) payload.foreach(b => hist((b & 0xFF) / 16) += 1.0)
+    val total = hist.sum
+    val feats = if (total == 0) hist else hist.map(_ / total)
+    val w = if (payload == null) 0 else 64 + (payload.length % 64)
+    val h = if (payload == null) 0 else 64 + ((payload.length / 64) % 64)
+    val frames = mediaType match {
+      case "video" => 1 + (if (payload == null) 0 else payload.length / 256)
+      case _ => 1
+    }
+    (Row(mediaType, w, h, frames), feats)
+  }
+
+  /** Decode + feature-extract: binary column → (meta struct, features).
+    * mapPartitions so a real decoder would init once per partition.
+    */
+  def decodeStub(df: DataFrame, payloadCol: String, mediaTypeCol: String): DataFrame = {
+    val outSchema = featureSchema(df.schema)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val typeIdx = df.schema.fieldIndex(mediaTypeCol)
+    df.mapPartitions { rows =>
+      // a real decoder would be constructed HERE, once per partition
+      rows.map { r =>
+        val (meta, feats) = decodeBytes(r.getAs[Array[Byte]](payloadIdx), r.getString(typeIdx))
+        Row.fromSeq(r.toSeq ++ Seq(meta, feats))
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
+  /** Frame sampling for video payloads: every nth 256-byte "frame" of the
+    * binary payload becomes a row (stride pattern of real frame samplers).
+    */
+  def frameSample(df: DataFrame, payloadCol: String, everyN: Int): DataFrame =
+    df.withColumn("frame_idx",
+        explode(expr(s"sequence(0L, greatest((length($payloadCol) - 1) div 256, 0L), $everyN)")))
+      .withColumn("frame_bytes",
+        expr(s"substring($payloadCol, cast(frame_idx * 256 + 1 as int), 256)"))
+
+  /** Demo source: wraps a text corpus as fake binary media rows. */
+  def fakeMediaFromDocs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("media_type"))
+}

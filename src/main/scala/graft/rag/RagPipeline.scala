@@ -3,7 +3,7 @@ package graft.rag
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.{TextEmbed, VectorOps}
+import graft.functions.{TextEmbed, VectorKernels}
 
 /** Batch RAG pipeline (SURVEY.md §3.1 / §3.3), vectorized.
   *
@@ -29,7 +29,7 @@ object RagPipeline {
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("rnk_tiebreak").asc)
     collection
       .join(broadcast(questions), lit(true))
-      .withColumn("score", round(VectorOps.cosine(col("qv"), col("vector")), 6))
+      .withColumn("score", round(VectorKernels.cosineFast(col("qv"), col("vector")), 6))
       .withColumn("rnk_tiebreak", col("id"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)

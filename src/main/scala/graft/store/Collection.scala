@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.functions.VectorOps
+import graft.functions.{VectorKernels, VectorOps}
 
 /** Parquet-backed vector collection — the engine's analogue of the
   * reference's Milvus collection client (`scripts/milvus_db.py:36-114`,
@@ -36,9 +36,15 @@ class Collection private (
 
   def df: DataFrame = spark.read.parquet(path)
 
-  /** S7/S8: append entity rows. Expects id/vector/text(+metadata) columns. */
+  /** S7/S8: append entity rows. Expects id/vector/text(+metadata) columns.
+    * Schema-on-write like the Milvus server (`scripts/milvus_db.py:61-68`
+    * inserts are validated server-side): vectors conform to the declared
+    * FLOAT_VECTOR element type so the parquet directory stays
+    * schema-consistent regardless of the caller's float/double arrays.
+    */
   def insert(rows: DataFrame): Unit =
-    rows.write.mode(SaveMode.Append).parquet(path)
+    rows.withColumn("vector", col("vector").cast(ArrayType(FloatType, containsNull = true)))
+      .write.mode(SaveMode.Append).parquet(path)
 
   /** S6: describe — entityCount, dimension, metric. */
   def describe(): CollectionInfo = {
@@ -74,7 +80,7 @@ class Collection private (
     */
   def search(queryVec: Array[Double], k: Int = 5): DataFrame = {
     val qv = lit(queryVec)
-    df.withColumn("score", VectorOps.cosine(col("vector"), qv))
+    df.withColumn("score", VectorKernels.cosineFast(col("vector"), qv.cast("array<double>")))
       .orderBy(col("score").desc, col("id").asc)
       .limit(k)
   }
@@ -85,7 +91,7 @@ class Collection private (
   def searchBatch(queries: DataFrame, k: Int = 5): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id").asc)
     df.join(broadcast(queries), lit(true))
-      .withColumn("score", VectorOps.cosine(col("vector"), col("qv")))
+      .withColumn("score", VectorKernels.cosineFast(col("vector"), col("qv")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .drop("qv")
@@ -96,7 +102,7 @@ object Collection {
   /** Minimal active schema (`scripts/prepare_data.py:79-90`): id, vector, text. */
   def entitySchema(dim: Int): StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
-    StructField("vector", ArrayType(FloatType, containsNull = false), nullable = false),
+    StructField("vector", ArrayType(FloatType, containsNull = true), nullable = false),
     StructField("text", StringType, nullable = true)))
 
   /** S5: create (drop-then-create when overwrite, mirroring

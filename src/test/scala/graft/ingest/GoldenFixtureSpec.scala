@@ -65,6 +65,21 @@ class GoldenFixtureSpec extends SparkSpec {
     assert(badCounts === 0, "line/word count parity")
   }
 
+  test("F2 parity: v3 chunker's palavras_maiusculas matches diary_chunks_3breaks_v2.json") {
+    val fixture = spark.read.option("multiLine", true).json(s"$ref/diary_chunks_3breaks_v2.json")
+      .select(explode(col("chunks")).as("c"))
+      .select(
+        col("c.chunk_number").cast("long").as("chunk_number"),
+        col("c.day_metadata.palavras_maiusculas").as("ref_palavras"))
+    val got = Chunkers.threeBreakChunksV3(lineDf)
+      .select(col("chunk_number"), col("palavras_maiusculas"))
+    val joined = got.join(fixture, Seq("chunk_number"))
+    assert(joined.count() === 872)
+    val bad = joined.filter(
+      col("palavras_maiusculas") =!= col("ref_palavras")).count()
+    assert(bad === 0, "palavras parity")
+  }
+
   test("A3/A4 parity: chunks-per-day aggregation matches fixture metadata") {
     val got = Chunkers.threeBreakChunks(lineDf)
     val perDay = got.groupBy("date").count()
