@@ -10,12 +10,18 @@ import org.apache.spark.sql.functions._
   * (`scripts/prepare_data.py:21-22,50-54`). That model needs network +
   * native libs; this zero-egress stand-in preserves the CONTRACT the rest
   * of the engine relies on — fixed dimension, L2-normalized (cosine ≡
-  * dot), deterministic, similar texts → similar vectors (hashed
-  * bag-of-words) — while staying a pure column pipeline with an exact
-  * DuckDB twin, so retrieval is oracle-checkable end to end.
+  * dot), deterministic, similar texts → similar vectors — while staying a
+  * pure column pipeline with an exact DuckDB twin, so retrieval is
+  * oracle-checkable end to end.
   *
-  * Shape: token → 60-bit md5 hash → bucket = h % dim; v[i] = #tokens in
-  * bucket i; L2-normalize. (A hashed term-frequency vector.)
+  * Shape: stopword-filtered tokens plus their 5-char prefixes (subword
+  * features, fastText-style — exact-token BoW cannot bridge "Veridia" ↔
+  * "Veridian", which measurably breaks diary retrieval) → 60-bit md5 hash
+  * → bucket = h % dim with SIGN ±1 from hash bit 8 (signed feature
+  * hashing: matching features always reinforce, colliding features cancel
+  * in expectation — unsigned accumulation makes every collision a false
+  * positive); v[i] = sign(s)·√|s| (sublinear TF — raw counts let frequent
+  * words dominate short-chunk cosine); L2-normalize.
   *
   * IMPORTANT perf note: every stage is materialized as its own column via
   * `withEmbed` (never one nested Column expression). Catalyst does NOT do
@@ -27,8 +33,18 @@ import org.apache.spark.sql.functions._
   */
 object TextEmbed {
 
-  /** Default dim matches the driver testdata embeddings table (64-d). */
+  /** Default dim matches the driver testdata embeddings table (64-d);
+    * diary pipelines pass 384 (the reference contract). */
   val DefaultDim = 64
+
+  /** Fixed function-word list shared by all three implementations. */
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "is", "was", "are", "were", "in", "on", "at",
+    "to", "and", "or", "as", "it", "its", "be", "by", "for", "with",
+    "that", "this", "these", "those", "from", "had", "has", "have", "my",
+    "i", "he", "she", "they", "we", "me", "his", "her", "their", "our")
+
+  def bucket(tok: Column, dim: Int): Column = XHash.hash60(tok) % lit(dim.toLong)
 
   /** Adds `outCol` = deterministic L2-normalized embedding of `textCol`.
     * Each intermediate (tokens, per-token buckets, raw counts, norm) is
@@ -40,10 +56,22 @@ object TextEmbed {
     val bkts = "__embed_buckets"
     val raw = "__embed_raw"
     val nrm = "__embed_norm"
-    df.withColumn(toks, TextOps.tokens(col(textCol)))
-      .withColumn(bkts, transform(col(toks), t => XHash.hash60(t) % lit(dim.toLong)))
+    df.withColumn(toks, {
+        val kept = filter(TextOps.tokens(col(textCol)), t => !t.isin(Stopwords.map(lit): _*))
+        concat(kept, transform(kept, t => substring(t, 1, 5)))
+      })
+      .withColumn(bkts, transform(col(toks), t => {
+        val h = XHash.hash60(t)
+        struct((h % lit(dim.toLong)).as("b"),
+          when(shiftright(h, 8).bitwiseAND(1) === 1, lit(1.0)).otherwise(lit(-1.0)).as("s"))
+      }))
       .withColumn(raw, transform(sequence(lit(0L), lit(dim - 1L)),
-        i => size(filter(col(bkts), b => b === i)).cast("double")))
+        i => {
+          val signed = aggregate(
+            filter(col(bkts), e => e.getField("b") === i),
+            lit(0.0), (acc, e) => acc + e.getField("s"))
+          signum(signed) * sqrt(abs(signed))
+        }))
       .withColumn(nrm, sqrt(aggregate(col(raw), lit(0.0), (acc, x) => acc + x * x)))
       .withColumn(outCol,
         when(col(nrm) === 0.0, col(raw))
@@ -56,30 +84,42 @@ object TextEmbed {
     * column pipeline bit for bit. Asserted equal in TextEmbedSpec.
     */
   def embedScala(text: String, dim: Int = DefaultDim): Array[Double] = {
-    val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
-    val v = new Array[Double](dim)
+    val stop = Stopwords.toSet
+    val kept = text.toLowerCase.split("[^a-z0-9]+").filter(t => t.nonEmpty && !stop(t))
+    val toks = kept ++ kept.map(_.take(5))
+    val signed = new Array[Double](dim)
     val mdig = java.security.MessageDigest.getInstance("MD5")
     toks.foreach { t =>
       val hex = mdig.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 15)
       val h = java.lang.Long.parseLong(hex, 16)
-      v((h % dim).toInt) += 1.0
+      signed((h % dim).toInt) += (if (((h >> 8) & 1L) == 1L) 1.0 else -1.0)
     }
+    val v = signed.map(x => math.signum(x) * math.sqrt(math.abs(x)))
     val n = math.sqrt(v.map(x => x * x).sum)
     if (n == 0.0) v else v.map(_ / n)
   }
 
   /** DuckDB twin (staged through CTE columns — DuckDB evaluates each
     * SELECT-list column once per row, so no blow-up there either).
-    * Returns (withClauses, vecExpr): compose into `WITH s0 AS (...) ...`.
+    * Compose into `WITH <stages>, ...` and read `vec` from `<prefix>_vec`.
     */
   def embedSqlStages(srcTable: String, idCol: String, textExpr: String,
                      dim: Int = DefaultDim, prefix: String = "e"): String = {
+    val stopList = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
     val toks = TextOps.tokensSql(textExpr)
     val h = XHash.hash60Sql("t")
     s"""${prefix}_toks AS (
-       |  SELECT $idCol, list_transform($toks, t -> ($h % $dim)) AS bkts FROM $srcTable),
+       |  SELECT $idCol,
+       |         list_transform(
+       |           list_concat(kept, list_transform(kept, k -> substr(k, 1, 5))),
+       |           t -> {'b': ($h % $dim), 's': CASE WHEN (($h >> 8) & 1) = 1 THEN 1.0 ELSE -1.0 END}) AS bkts
+       |  FROM (SELECT $idCol, list_filter($toks, t -> NOT list_contains($stopList, t)) AS kept
+       |        FROM $srcTable)),
        |${prefix}_raw AS (
-       |  SELECT $idCol, list_transform(range(0, $dim), i -> len(list_filter(bkts, b -> b = i))::DOUBLE) AS raw
+       |  SELECT $idCol, list_transform(range(0, $dim), i ->
+       |    CASE WHEN list_sum(list_transform(list_filter(bkts, e -> e['b'] = i), e -> e['s'])) IS NULL THEN 0.0
+       |         ELSE sign(list_sum(list_transform(list_filter(bkts, e -> e['b'] = i), e -> e['s'])))
+       |              * sqrt(abs(list_sum(list_transform(list_filter(bkts, e -> e['b'] = i), e -> e['s'])))) END) AS raw
        |  FROM ${prefix}_toks),
        |${prefix}_vec AS (
        |  SELECT $idCol,

@@ -32,13 +32,16 @@ object ExtractiveLlm extends LlmClient {
   override def answer(question: String, context: Seq[String]): String = {
     val q = toks(question).toSet
     if (q.isEmpty || context.isEmpty) return Fallback
+    // short overlapping windows: the densest 24-token span is the answer
+    // (tight spans keep judge precision meaningful; a page-sized span
+    // "contains" every answer and scores near zero)
     val spans = context.flatMap { c =>
       val t = toks(c)
       if (t.isEmpty) Nil
-      else t.sliding(120, 60).map(_.toArray).toSeq
+      else t.sliding(24, 12).map(_.toArray).toSeq
     }
     if (spans.isEmpty) return Fallback
-    val best = spans.maxBy(span => span.count(q.contains))
+    val best = spans.maxBy(span => (span.count(q.contains), -span.length))
     if (best.count(q.contains) == 0) Fallback else best.mkString(" ")
   }
 
