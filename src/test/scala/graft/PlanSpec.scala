@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the optimizations the engine claims must be
+  * visible in `.explain` output — filter/projection pushdown into the
+  * parquet scan, broadcast joins for small dims, TakeOrderedAndProject
+  * for top-k, whole-stage codegen around the custom kernels.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q02: predicate and projection pushed to the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity)") || p.contains("GreaterThan(l_quantity"), p.take(2000))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_discount:double>"),
+      "scan must read only the 4 projected columns:\n" + p.take(2000))
+  }
+
+  test("q03: dimension joins broadcast (no shuffle of the fact side for dims)") {
+    val p = plan("q03_segment_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q04: top-k plans as TakeOrderedAndProject, not global sort") {
+    val p = plan("q04_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q11: query side broadcast against a single scan of the collection") {
+    val p = plan("q11_ann_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("q01: partial aggregation before the exchange (map-side combine)") {
+    val p = plan("q01_pricing_summary")
+    val firstHashAgg = p.indexOf("HashAggregate")
+    val exchange = p.indexOf("Exchange")
+    assert(firstHashAgg >= 0 && exchange >= 0)
+    // plan prints top-down: final agg, exchange, partial agg — a partial
+    // HashAggregate must appear BELOW (after) the Exchange in the tree
+    assert(p.indexOf("HashAggregate", exchange) > exchange,
+      "expected partial HashAggregate under the Exchange:\n" + p.take(2000))
+  }
+}
