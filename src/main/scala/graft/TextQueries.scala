@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.{TextOps, XHash}
+import graft.functions.{MinHashSig, TextOps, XHash}
 
 /** Text-pipeline operators over the `documents` table: exact dedup,
   * MinHash-LSH, SimHash, n-gram Jaccard, language scoring, quality
@@ -186,10 +186,9 @@ object TextQueries {
           .withColumn("sh", array_distinct(TextOps.shinglesFromTokens(col("toks"), 3)))
           .filter(size(col("sh")) > 0)
           .withColumn("h31", transform(col("sh"), t => XHash.hash31(t)))
-        val sigCols = perms.zipWithIndex.map { case ((a, b), i) =>
-          array_min(transform(col("h31"), h => XHash.permute(h, a, b))).as(s"mh_$i")
-        }
-        d.select(col("doc_id") +: sigCols: _*).orderBy(col("doc_id"))
+        val sig = d.withColumn("sig", MinHashSig(col("h31"), perms.length))
+        sig.select(col("doc_id") +: perms.indices.map(i =>
+          element_at(col("sig"), i + 1).as(s"mh_$i")): _*).orderBy(col("doc_id"))
       },
       Some {
         val perms = XHash.permParams(16)
@@ -254,10 +253,9 @@ object TextQueries {
           .withColumn("sh", array_distinct(TextOps.shinglesFromTokens(col("toks"), 3)))
           .filter(size(col("sh")) > 0)
           .withColumn("h31", transform(col("sh"), t => XHash.hash31(t)))
-        val sig = d.select(col("doc_id") +: col("sh") +:
-          perms.zipWithIndex.map { case ((a, b), i) =>
-            array_min(transform(col("h31"), h => XHash.permute(h, a, b))).as(s"mh_$i")
-          }: _*)
+        val sig = d.withColumn("sigv", MinHashSig(col("h31"), perms.length))
+          .select(col("doc_id") +: col("sh") +:
+            perms.indices.map(i => element_at(col("sigv"), i + 1).as(s"mh_$i")): _*)
         // candidates dedup on ids ONLY (distinct over heavy shingle arrays
         // would hash megabytes per pair); shingle sets join back after.
         val bands = sig.select(col("doc_id"), posexplode(array(

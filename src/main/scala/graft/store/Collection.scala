@@ -46,6 +46,22 @@ class Collection private (
     rows.withColumn("vector", col("vector").cast(ArrayType(FloatType, containsNull = true)))
       .write.mode(SaveMode.Append).parquet(path)
 
+  /** IVF-style layout: rows land in hive partitions keyed by `cellCol`
+    * (e.g. a coarse-quantizer centroid id). `searchCells` then prunes to
+    * the probed cells AT THE SCAN — the 100 TB shape where nprobe/nlist
+    * of the data is read. */
+  def insertPartitioned(rows: DataFrame, cellCol: String): Unit =
+    rows.withColumn("vector", col("vector").cast(ArrayType(FloatType, containsNull = true)))
+      .write.mode(SaveMode.Append).partitionBy(cellCol).parquet(path)
+
+  /** Cosine top-k over only the given cells; the cell predicate becomes a
+    * PartitionFilter (directory pruning), not a row filter. */
+  def searchCells(queryVec: Array[Double], cellCol: String, cells: Seq[Long], k: Int = 5): DataFrame =
+    df.filter(col(cellCol).isin(cells: _*))
+      .withColumn("score", VectorKernels.cosineFast(col("vector"), lit(queryVec).cast("array<double>")))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+
   /** S6: describe — entityCount, dimension, metric. */
   def describe(): CollectionInfo = {
     val d = df

@@ -63,6 +63,18 @@ class CollectionSpec extends SparkSpec {
     assert(got === Map(10L -> 2L, 11L -> 1L))
   }
 
+  test("partitioned cells: probe prunes partitions at the scan") {
+    import org.apache.spark.sql.functions._
+    Collection.drop(root, "cells")
+    val c = Collection.open(spark, root, "cells")
+    c.insertPartitioned(seeded.withColumn("cell", col("id") % 2), "cell")
+    val q = c.searchCells(TextEmbed.embedScala("spark window"), "cell", Seq(0L), k = 2)
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [") && scan.contains("cell"), scan)
+    // only even ids live in cell 0
+    assert(q.select("id").as[Long].collect().forall(_ % 2 == 0))
+  }
+
   test("search plans as TakeOrderedAndProject (no full sort, no shuffle)") {
     val c = Collection.open(spark, root, "c1")
     val plan = c.search(TextEmbed.embedScala("spark"), 3).queryExecution.executedPlan.toString
