@@ -141,8 +141,11 @@ object TextQueries {
           .withColumn("sh", array_distinct(TextOps.shinglesFromTokens(col("toks"), 3)))
           .filter(size(col("sh")) > 0)
           .select(col("blk"), col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
+        // postings carry the 60-bit shingle hash, not the string: the
+        // shuffle/sort keys shrink to 8 bytes (collision odds ~n²/2^61 —
+        // negligible, and the oracle hashes identically)
         val postings = d.select(col("blk"), col("doc_id"), col("n_sh"),
-          explode(col("sh")).as("shingle"))
+          explode(transform(col("sh"), sh => XHash.hash60(sh))).as("shingle"))
         val a = postings.select(col("blk"), col("shingle"),
           col("doc_id").as("id_a"), col("n_sh").as("na"))
         val b = postings.select(col("blk"), col("shingle"),
@@ -163,9 +166,11 @@ object TextQueries {
           SELECT (n_chars // 100) AS blk, doc_id, $toks AS toks FROM documents),
         d AS (
           SELECT blk, doc_id,
-                 list_distinct(CASE WHEN len(toks) < 3 THEN []::VARCHAR[] ELSE
-                   list_transform(range(0, len(toks) - 2), i ->
-                     array_to_string(list_slice(toks, i + 1, i + 3), ' ')) END) AS sh
+                 list_transform(
+                   list_distinct(CASE WHEN len(toks) < 3 THEN []::VARCHAR[] ELSE
+                     list_transform(range(0, len(toks) - 2), i ->
+                       array_to_string(list_slice(toks, i + 1, i + 3), ' ')) END),
+                   sh -> (('0x' || substr(md5(sh), 1, 15))::BIGINT)) AS sh
           FROM tk)
         , d2 AS (SELECT * FROM d WHERE len(sh) > 0)
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,

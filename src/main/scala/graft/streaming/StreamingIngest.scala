@@ -55,6 +55,28 @@ object StreamingIngest {
         col("event_type"), col("n_events"))
   }
 
+  /** True streaming stateful operator (flatMapGroupsWithState): per-user
+    * running event counts maintained in GroupState across micro-batches,
+    * emitted on every update. The custom-state shape SURVEY.md §2.9
+    * sketches for incremental ingestion.
+    */
+  def runningUserCounts(spark: SparkSession,
+                        events: org.apache.spark.sql.Dataset[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val counted = events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, batch: Iterator[(Long, Long)], state: GroupState[Long]) => {
+          val prev = state.getOption.getOrElse(0L)
+          val now = prev + batch.size
+          state.update(now)
+          Iterator((uid, now))
+        })
+      .toDF("user_id", "n_events")
+    counted
+  }
+
   /** Typed stateful aggregation over KeyValueGroupedDataset: per-user
     * event count + session count (sessions split on gaps > gapMinutes).
     * Deterministic: timestamps are sorted inside the group.

@@ -26,6 +26,16 @@ class RagPipelineSpec extends SparkSpec {
     assert(got.getAs[Seq[Long]]("source_ids").head === 0L)
   }
 
+  test("strict-compat k=1 reproduces the reference's single-chunk retrieval quirk") {
+    // the reference hard-codes limit=1 against its own k=5 default
+    // (scripts/milvus_db.py:112) — the engine honors k, so strict-compat
+    // callers just pass k=1 and get the reference's (weaker) behavior
+    val qs = Seq((0L, "what is the currency of veridia called")).toDF("qid", "question")
+    val got = RagPipeline.answerBatch(qs, collection, k = 1).collect().head
+    assert(got.getAs[Int]("n_context") === 1)
+    assert(got.getAs[Seq[Long]]("source_ids").size === 1)
+  }
+
   test("no-overlap question yields the reference's verbatim fallback string") {
     assert(ExtractiveLlm.answer("zzz qqq", Seq("totally unrelated text")) ===
       "Could not find relevant data within the document")

@@ -20,6 +20,26 @@ class StreamingIngestSpec extends SparkSpec {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("flatMapGroupsWithState: state accumulates across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val out = StreamingIngest.runningUserCounts(spark, input.toDS())
+    val name = s"running_${System.nanoTime()}"
+    val q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      input.addData((1L, 10L), (1L, 11L), (2L, 20L))
+      q.processAllAvailable()
+      input.addData((1L, 12L)) // second micro-batch: state must carry over
+      q.processAllAvailable()
+      val rows = spark.table(name).as[(Long, Long)].collect().toSeq
+      assert(rows.contains((1L, 2L)))   // after batch 1
+      assert(rows.contains((2L, 1L)))
+      assert(rows.contains((1L, 3L)))   // state persisted into batch 2
+    } finally q.stop()
+  }
+
   test("typed stateful sessions: counts match groupBy, sessions ≥ 1") {
     val got = StreamingIngest.userSessions(spark, sf)
     val counts = spark.read.schema(StreamingIngest.EventsRawSchema)
