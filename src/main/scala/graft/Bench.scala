@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm the JVM/codegen/scan paths so the first measured query doesn't
+    // absorb session startup (observed ~6s on whichever query ran first)
+    try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).count()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink forces every output column to be computed; a count()
