@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.{MinHashSig, TextOps, XHash}
+import graft.functions.{MinHashSig, ShingleHash60, TextOps, XHash}
 
 /** Text-pipeline operators over the `documents` table: exact dedup,
   * MinHash-LSH, SimHash, n-gram Jaccard, language scoring, quality
@@ -135,17 +135,17 @@ object TextQueries {
     //   (pairs sharing no shingle have jac 0 and can never qualify). ──
     QueryDef("q24_ngram_jaccard",
       (s, dir) => {
+        // fused kernel: tokens → distinct 60-bit shingle hashes in one pass;
+        // postings then shuffle 8-byte keys (collision odds ~n²/2^61 —
+        // negligible, and the oracle hashes identically)
         val d = docs(s, dir)
           .withColumn("blk", (col("n_chars") / 100).cast("long"))
           .withColumn("toks", TextOps.tokens(col("text")))
-          .withColumn("sh", array_distinct(TextOps.shinglesFromTokens(col("toks"), 3)))
+          .withColumn("sh", ShingleHash60(col("toks"), 3))
           .filter(size(col("sh")) > 0)
           .select(col("blk"), col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
-        // postings carry the 60-bit shingle hash, not the string: the
-        // shuffle/sort keys shrink to 8 bytes (collision odds ~n²/2^61 —
-        // negligible, and the oracle hashes identically)
         val postings = d.select(col("blk"), col("doc_id"), col("n_sh"),
-          explode(transform(col("sh"), sh => XHash.hash60(sh))).as("shingle"))
+          explode(col("sh")).as("shingle"))
         val a = postings.select(col("blk"), col("shingle"),
           col("doc_id").as("id_a"), col("n_sh").as("na"))
         val b = postings.select(col("blk"), col("shingle"),
@@ -188,9 +188,9 @@ object TextQueries {
         val perms = XHash.permParams(16)
         val d = docs(s, dir)
           .withColumn("toks", TextOps.tokens(col("text")))
-          .withColumn("sh", array_distinct(TextOps.shinglesFromTokens(col("toks"), 3)))
-          .filter(size(col("sh")) > 0)
-          .withColumn("h31", transform(col("sh"), t => XHash.hash31(t)))
+          .withColumn("sh60", ShingleHash60(col("toks"), 3))
+          .filter(size(col("sh60")) > 0)
+          .withColumn("h31", transform(col("sh60"), h => h % 2147483647L))
         val sig = d.withColumn("sig", MinHashSig(col("h31"), perms.length))
         sig.select(col("doc_id") +: perms.indices.map(i =>
           element_at(col("sig"), i + 1).as(s"mh_$i")): _*).orderBy(col("doc_id"))
@@ -255,9 +255,9 @@ object TextQueries {
         val perms = XHash.permParams(16)
         val d = docs(s, dir)
           .withColumn("toks", TextOps.tokens(col("text")))
-          .withColumn("sh", array_distinct(TextOps.shinglesFromTokens(col("toks"), 3)))
+          .withColumn("sh", ShingleHash60(col("toks"), 3))
           .filter(size(col("sh")) > 0)
-          .withColumn("h31", transform(col("sh"), t => XHash.hash31(t)))
+          .withColumn("h31", transform(col("sh"), h => h % 2147483647L))
         val sig = d.withColumn("sigv", MinHashSig(col("h31"), perms.length))
           .select(col("doc_id") +: col("sh") +:
             perms.indices.map(i => element_at(col("sigv"), i + 1).as(s"mh_$i")): _*)
@@ -296,12 +296,14 @@ object TextQueries {
         s"""
         WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
         shg AS (
-          SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3 THEN []::VARCHAR[] ELSE
-            list_transform(range(0, len(toks) - 2), i ->
-              array_to_string(list_slice(toks, i + 1, i + 3), ' ')) END) AS sh
+          SELECT doc_id, list_distinct(list_transform(
+            list_distinct(CASE WHEN len(toks) < 3 THEN []::VARCHAR[] ELSE
+              list_transform(range(0, len(toks) - 2), i ->
+                array_to_string(list_slice(toks, i + 1, i + 3), ' ')) END),
+            sh -> (('0x' || substr(md5(sh), 1, 15))::BIGINT))) AS sh
           FROM tk),
         hd AS (
-          SELECT doc_id, sh, list_transform(sh, t -> $h31) AS h31
+          SELECT doc_id, sh, list_transform(sh, h -> (h % 2147483647)) AS h31
           FROM shg WHERE len(sh) > 0),
         sig AS (
           SELECT doc_id, sh,
