@@ -87,6 +87,24 @@ object RelationalQueries {
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus""")),
 
+    // ── q16: rollup (multi-level aggregate in one pass — subtotal rows
+    //   coalesce to 'ALL' so both engines sort identically) ──
+    QueryDef("q16_rollup",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+          .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+                  coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+                  col("n"), col("sum_qty"))
+          .orderBy(col("rf"), col("ls")),
+      Some("""
+        SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+               count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY rf, ls""")),
+
     // ── q02: filter + projection pushdown (P1-P3; scan should show PushedFilters) ──
     QueryDef("q02_filter_project",
       (s, dir) =>
