@@ -14,7 +14,7 @@ object Bench {
     // absorb session startup (observed ~6s on whichever query ran first)
     try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).count()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink forces every output column to be computed; a count()
       // would let column pruning skip the projections being measured

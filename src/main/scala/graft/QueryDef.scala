@@ -17,7 +17,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class QueryDef(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    benchmark: Boolean = true)
 
 /** Spread a small-file scan across the cluster before compute-heavy
   * per-row work (embedding, hashing, shingling, cosine). A single parquet

@@ -72,6 +72,41 @@ object RagQueries {
       },
       None),
 
+    // ── q43: the reference's own 55-question diary eval, end to end.
+    //   Sources are the reference's committed fixtures (read-only), not
+    //   sfDir — this is the flagship capability check: ingest → W7 chunks
+    //   → 384-d embed → retrieve k=5 → extractive answer → judge. The
+    //   reference's archived run: mean grade 0.216, 46/55 fallbacks. ──
+    QueryDef("q43_diary_eval",
+      (s, dir) => {
+        val ref = "/root/reference"
+        val lines = s.read.option("multiLine", true)
+          .json(s"$ref/tests/diary_line_chunks.json")
+          .select(explode(col("chunks")).as("c"))
+          .select(col("c.line_number").cast("long").as("line_no"), col("c.line_text").as("line"))
+        val diary = lines.orderBy("line_no")
+          .agg(concat_ws("\n", collect_list(col("line"))).as("text"))
+        val chunks = diary
+          .withColumn("toks", split(col("text"), "\\s+"))
+          .withColumn("start", explode(expr(
+            "sequence(0L, greatest((size(toks) - 1) div 40, 0L) * 40, 40L)")))
+          .filter(col("start") === 0 || col("start") < size(col("toks")))
+          .withColumn("chunk_text", array_join(slice(col("toks"), col("start") + 1, lit(50)), " "))
+          .select(col("start").as("id"), col("chunk_text"))
+        val collection = TextEmbed.withEmbed(Par(chunks), "chunk_text", "vector", 384)
+          .select(col("id"), col("chunk_text").as("text"), col("vector"))
+        val qa = graft.sources.QaSource.load(s,
+            s"$ref/data/questions.txt", s"$ref/data/answers.txt")
+          .select(col("qa_id").as("qid"), col("question"), col("expected_answer"))
+        RagPipeline.evalBatch(qa, collection, k = 5, dim = 384)
+          .select(col("qid"), col("question"), col("answer"), col("grade"), col("success"))
+          .orderBy(col("qid"))
+      },
+      None,
+      // fixture-constant work (reads the reference corpus, not sfDir) —
+      // excluded from the sf-scaled bench line, still in the verify gate
+      benchmark = false),
+
     // ── q42: eval harness — QA pairs, judge grades, mean grade ──
     QueryDef("q42_rag_eval",
       (s, dir) => {
