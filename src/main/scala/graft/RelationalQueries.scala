@@ -105,6 +105,29 @@ object RelationalQueries {
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         ORDER BY rf, ls""")),
 
+    // ── q17: set operations (EXCEPT / INTERSECT distinct semantics —
+    //   §2.9 only requires union, these complete the family) ──
+    QueryDef("q17_set_ops",
+      (s, dir) => {
+        val e = events(s, dir)
+        def users(t: String) = e.filter(col("event_type") === t)
+          .select(col("user_id")).distinct()
+        val clickOnly = users("click").except(users("view"))
+          .withColumn("op", lit("click_only"))
+        val both = users("click").intersect(users("view"))
+          .withColumn("op", lit("both"))
+        clickOnly.unionByName(both)
+          .select(col("op"), col("user_id"))
+          .orderBy(col("op"), col("user_id"))
+      },
+      Some("""
+        WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+             v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view')
+        SELECT 'click_only' AS op, user_id FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM v)
+        UNION ALL
+        SELECT 'both' AS op, user_id FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM v)
+        ORDER BY op, user_id""")),
+
     // ── q02: filter + projection pushdown (P1-P3; scan should show PushedFilters) ──
     QueryDef("q02_filter_project",
       (s, dir) =>
