@@ -128,6 +128,31 @@ object RelationalQueries {
         SELECT 'both' AS op, user_id FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM v)
         ORDER BY op, user_id""")),
 
+    // ── q18: frame-based window aggregation (moving stats per user over
+    //   event time; ORDER BY (ts, event_id) makes the frame a total order
+    //   so both engines sum identical row sequences) ──
+    QueryDef("q18_moving_avg",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-3, Window.currentRow)
+        events(s, dir)
+          .filter(col("user_id") < 20)
+          .withColumn("moving_avg", round(avg(col("value")).over(w), 6))
+          .withColumn("moving_n", count(lit(1)).over(w))
+          .select(col("user_id"), col("event_id"), col("moving_n"), col("moving_avg"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""
+        SELECT user_id, event_id,
+               count(*) OVER w AS moving_n,
+               round(avg(value) OVER w, 6) AS moving_avg
+        FROM events WHERE user_id < 20
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, event_id""")),
+
     // ── q02: filter + projection pushdown (P1-P3; scan should show PushedFilters) ──
     QueryDef("q02_filter_project",
       (s, dir) =>

@@ -34,12 +34,6 @@ object TextOps {
       transform(sequence(lit(0), size(toks) - lit(n)),
         i => array_join(slice(toks, i + 1, lit(n)), " ")))
 
-  def shinglesSql(expr: String, n: Int): String = {
-    val toks = tokensSql(expr)
-    s"CASE WHEN len($toks) < $n THEN []::VARCHAR[] ELSE " +
-      s"list_transform(range(0, len($toks) - $n + 1), i -> array_to_string(list_slice($toks, i + 1, i + $n), ' ')) END"
-  }
-
   /** Character-level punctuation ratio: non-alphanumeric-non-space chars / chars. */
   def punctRatio(text: Column): Column =
     when(length(text) === 0, lit(0.0)).otherwise(

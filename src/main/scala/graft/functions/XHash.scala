@@ -38,9 +38,6 @@ object XHash {
   def permute(h: Column, a: Long, b: Long): Column =
     (lit(a) * h + lit(b)) % lit(2147483647L)
 
-  def permuteSql(hExpr: String, a: Long, b: Long): String =
-    s"((($a * $hExpr) + $b) % 2147483647)"
-
   /** Deterministic (a, b) parameter pairs for n minhash permutations —
     * generated from a fixed LCG so Spark and the SQL oracle share them.
     */
