@@ -153,6 +153,24 @@ object RelationalQueries {
                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
         ORDER BY user_id, event_id""")),
 
+    // ── q19: exact percentiles (sort-based aggregate; both engines use
+    //   linear interpolation — rounded to 6dp to absorb last-ulp drift) ──
+    QueryDef("q19_percentiles",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(expr("percentile(l_extendedprice, 0.5D)"), 6).as("p50"),
+            round(expr("percentile(l_extendedprice, 0.9D)"), 6).as("p90"),
+            round(expr("percentile(l_extendedprice, 0.99D)"), 6).as("p99"))
+          .orderBy(col("l_returnflag")),
+      Some("""
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+               round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+               round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ── q02: filter + projection pushdown (P1-P3; scan should show PushedFilters) ──
     QueryDef("q02_filter_project",
       (s, dir) =>
