@@ -8,11 +8,13 @@ import org.apache.spark.sql.types.DecimalType
   * joins J1-J4, aggregations A1-A10, sorts/top-k T1-T4) exercised over the
   * driver's TPC-H-ish testdata.
   *
-  * Cross-engine double discipline: every aggregated money/quantity column is
-  * cast to DECIMAL(18,2) BEFORE aggregation — decimal addition is exact and
-  * commutative, so Spark's partial/final aggregation order can't change the
-  * result — then cast back to DOUBLE at the end (correctly-rounded in both
-  * engines → bit-identical).
+  * Cross-engine double discipline: every SUM/MEAN over a money/quantity
+  * column goes through DECIMAL(18,2) (or integer cents) BEFORE aggregation —
+  * decimal addition is exact and commutative, so Spark's partial/final
+  * aggregation order can't change the result — then back to DOUBLE at the
+  * end (correctly-rounded in both engines → bit-identical). Order-based
+  * aggregates (percentiles, q19) operate on the raw doubles: both engines
+  * interpolate the same sorted sequence, and 6dp rounding absorbs ulp drift.
   */
 object RelationalQueries {
 
@@ -160,9 +162,9 @@ object RelationalQueries {
         t(s, dir, "lineitem")
           .groupBy(col("l_returnflag"))
           .agg(
-            round(expr("percentile(l_extendedprice, 0.5D)"), 6).as("p50"),
-            round(expr("percentile(l_extendedprice, 0.9D)"), 6).as("p90"),
-            round(expr("percentile(l_extendedprice, 0.99D)"), 6).as("p99"))
+            round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("p50"),
+            round(percentile(col("l_extendedprice"), lit(0.9)), 6).as("p90"),
+            round(percentile(col("l_extendedprice"), lit(0.99)), 6).as("p99"))
           .orderBy(col("l_returnflag")),
       Some("""
         SELECT l_returnflag,
