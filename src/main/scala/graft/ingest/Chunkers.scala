@@ -66,12 +66,16 @@ object Chunkers {
           sort_array(collect_list(struct(col("line_no"), col("line")))),
           s => s.getField("line")), "\n").as("day_text"),
         min(col("line_no")).as("day_start"))
-      .withColumn("para", explode(split(col("day_text"), "\n\\s*\n")))
-      .withColumn("chunk_text", trim(col("para")))
+      .select(col("doc_id"), col("date"), col("header"), col("day_start"),
+        posexplode(split(col("day_text"), "\n\\s*\n")))
+      .withColumnRenamed("pos", "para_idx")
+      .withColumn("chunk_text", trim(col("col")))
       .filter(length(col("chunk_text")) > 0)
+      // para_idx keeps the paragraph's position inside its day, so numbering
+      // follows document order (day_start is unique per day within a doc)
       .withColumn("chunk_number",
         row_number().over(Window.partitionBy(col("doc_id"))
-          .orderBy(col("day_start"), col("date"), col("chunk_text"))) - 1)
+          .orderBy(col("day_start"), col("para_idx"))) - 1)
       .select(col("doc_id"), col("chunk_number"), col("chunk_text"), col("date"),
         col("header"),
         size(split(col("chunk_text"), "\n")).as("line_count"),

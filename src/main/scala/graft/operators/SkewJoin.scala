@@ -21,9 +21,21 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** Join types where an unmatched small-side row produces no output row:
+    * for right/full outer the exploded small side would emit each unmatched
+    * row saltBuckets times (every salt copy survives), so those are rejected.
+    */
+  private val SupportedJoinTypes =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+        "left_anti", "leftanti")
+
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  saltBuckets: Int, joinType: String = "inner"): DataFrame = {
     require(saltBuckets > 0)
+    val normalized = joinType.toLowerCase.replace("_", "")
+    require(SupportedJoinTypes.map(_.replace("_", "")).contains(normalized),
+      s"saltedJoin: joinType '$joinType' would duplicate unmatched small-side rows " +
+        s"${saltBuckets}x; supported: inner, left[_outer], left_semi, left_anti")
     val salted = big.withColumn("__salt", (rand(seed = 7) * saltBuckets).cast("int"))
     val exploded = small
       .withColumn("__salt", explode(sequence(lit(0), lit(saltBuckets - 1))))

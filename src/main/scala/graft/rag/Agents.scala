@@ -53,18 +53,12 @@ object Agents {
     val analyze = udf((text: String) => expertAnalyzeJson(question, text))
     chunks
       .withColumn("analysis_json", analyze(col("chunk_text")))
-      .withColumn("analysis",
-        from_json(col("analysis_json"), AnalysisSchema, Map("mode" -> "FAILFAST").asJava))
+      // default PERMISSIVE mode: malformed JSON yields a null struct, so the
+      // isNotNull filter below actually performs the L6 validation (FAILFAST
+      // would abort the whole job on one bad record from a real LlmClient)
+      .withColumn("analysis", from_json(col("analysis_json"), AnalysisSchema))
       .filter(col("analysis").isNotNull && col("analysis.relevance").isNotNull) // L6
       .filter(col("analysis.relevance") > relevanceThreshold) // P7
-  }
-
-  private implicit class MapOps[K, V](m: Map[K, V]) {
-    def asJava: java.util.Map[K, V] = {
-      val jm = new java.util.HashMap[K, V]()
-      m.foreach { case (k, v) => jm.put(k, v) }
-      jm
-    }
   }
 
   /** L4: first relevant chunk — filter + limit(1); Spark schedules

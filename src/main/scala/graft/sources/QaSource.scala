@@ -8,14 +8,16 @@ import org.apache.spark.sql.functions._
   * The reference zips two text files line-by-line, truncating to the
   * shorter (`min_len`, `scripts/eval.py:44-53`). Here each file is read
   * with stable line numbers and INNER-joined on line number — the inner
-  * join IS the min_len truncation. Blank lines are dropped the way the
-  * reference's `strip()` filter does.
+  * join IS the min_len truncation. Blank lines are KEPT and paired by raw
+  * index exactly like the reference (which only `strip()`s each line); a
+  * pair where one file has a blank line surfaces as an empty string, not
+  * a silently dropped row.
   */
 object QaSource {
 
-  /** Stable (file-order) line numbering. `spark.read.text` preserves
-    * order within a file; zipWithIndex gives the global ordinal without
-    * the monotonically_increasing_id partition-gap caveat.
+  /** Stable (file-order) line numbering, no filtering. `spark.read.text`
+    * preserves order within a file; zipWithIndex gives the global ordinal
+    * without the monotonically_increasing_id partition-gap caveat.
     */
   def numberedLines(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
@@ -23,7 +25,6 @@ object QaSource {
       .zipWithIndex()
       .map { case (l, i) => (i, l) }
       .toDF("line_no", "line")
-      .filter(length(trim(col("line"))) > 0)
   }
 
   def load(spark: SparkSession, questionsPath: String, answersPath: String): DataFrame = {

@@ -42,6 +42,19 @@ class ChunkersSpec extends SparkSpec {
     assert(got(2) === s"$header2\nsolo para")
   }
 
+  test("W4: chunk_number follows document order, not alphabetical order") {
+    // within-day paragraphs deliberately NOT in alphabetical order:
+    // "zebra" comes first in the document, "apple" second
+    val text = s"$header1\nzebra paragraph\n\napple paragraph\n\nmango paragraph"
+    val df = Seq((0L, text)).toDF("doc_id", "text")
+    val got = Chunkers.dayParagraphChunks(Chunkers.lines(df))
+      .orderBy("chunk_number").select("chunk_text").as[String].collect()
+    assert(got.length === 3)
+    assert(got(0) === s"$header1\nzebra paragraph")
+    assert(got(1) === "apple paragraph")
+    assert(got(2) === "mango paragraph")
+  }
+
   test("W3/W9: 3-break chunking emits header chunks and 3-line groups") {
     val body = (1 to 7).map(i => s"line $i")
     val text = (header1 +: body).mkString("\n")

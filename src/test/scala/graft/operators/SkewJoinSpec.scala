@@ -25,6 +25,16 @@ class SkewJoinSpec extends SparkSpec {
     assert(out.filter($"k" === 99L).select("name").head().isNullAt(0))
   }
 
+  test("right/full outer join types are rejected (would duplicate unmatched rows)") {
+    val big = Seq((1L, "a")).toDF("k", "tag")
+    val small = Seq((1L, "dim1"), (2L, "unmatched")).toDF("k", "name")
+    for (jt <- Seq("right", "right_outer", "full", "full_outer", "outer")) {
+      intercept[IllegalArgumentException] {
+        SkewJoin.saltedJoin(big, small, "k", 4, jt)
+      }
+    }
+  }
+
   test("keySkew surfaces the hot key with its share") {
     val big = ((1 to 90).map(_ => 1L) ++ (1 to 10).map(_ => 2L)).toDF("k")
     val top = SkewJoin.keySkew(big, "k", 1).head()
