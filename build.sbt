@@ -30,5 +30,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the 37-query bench run accumulates enough garbage that an
+  // 8g heap put multi-second full-GC pauses into whichever query they hit
+  // (observed as 3-10s run-to-run swings on otherwise sub-second queries)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

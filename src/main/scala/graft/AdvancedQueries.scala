@@ -1,0 +1,238 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Second-wave relational operators: temporal joins (as-of, range),
+  * batch sessionization, multi-dimensional aggregation (cube, pivot),
+  * sketch-vs-exact property checks, semi-join EXISTS, and a custom typed
+  * Aggregator — the operator families a training-data pipeline leans on
+  * beyond the reference's own surface.
+  *
+  * Cross-engine discipline matches RelationalQueries: exact integer /
+  * decimal arithmetic wherever an aggregate crosses the oracle boundary,
+  * total orders (ts, event_id) under every window, timestamps emitted as
+  * formatted strings.
+  */
+object AdvancedQueries {
+
+  private val D = DecimalType(18, 2)
+  private def dsum(c: Column): Column = sum(c.cast(D)).cast("double")
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** See RelationalQueries.events — TIMESTAMP(NANOS) rebuild (data is
+    * microsecond-granular, so the rebuild is exact). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── q32: as-of join — each click matched to the most recent prior (or
+    //   same-instant) view by the same user. Spark lacks a native as-of
+    //   join; the scalable formulation is a single fill-down window over
+    //   the union (one shuffle by user, no per-row range probe): order by
+    //   (ts, is_click, event_id) so a view at the identical timestamp is
+    //   visible to the click, and carry the last view id forward. ──
+    QueryDef("q32_asof_join",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_type") === "click", col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        events(s, dir)
+          .filter(col("event_type").isin("click", "view"))
+          .withColumn("view_id",
+            last(when(col("event_type") === "view", col("event_id")), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+                  coalesce(col("view_id"), lit(-1L)).as("view_id"))
+          .orderBy(col("user_id"), col("click_id"))
+      },
+      Some("""
+        SELECT user_id, event_id AS click_id, coalesce(view_id, -1) AS view_id FROM (
+          SELECT user_id, event_id, event_type,
+                 last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+                   OVER (PARTITION BY user_id
+                         ORDER BY ts, event_type = 'click', event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_id
+          FROM events WHERE event_type IN ('click', 'view'))
+        WHERE event_type = 'click' ORDER BY user_id, click_id""")),
+
+    // ── q33: range join — pairs of same-user events within a 10-minute
+    //   window. The naive form is an inequality join (nested-loop at any
+    //   scale); the scalable form bins each left row into the two
+    //   10-minute buckets its window can span and equi-joins on
+    //   (user, bucket) before the exact range filter — shuffle-friendly
+    //   and skew-bounded. ──
+    QueryDef("q33_range_join",
+      (s, dir) => {
+        val winUs = 600L * 1000000L
+        val e = events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts"),
+                  unix_micros(col("ts")).as("us"))
+        val a = e.select(col("user_id"), col("event_id").as("a_id"),
+            col("ts").as("a_ts"),
+            explode(array((col("us") / winUs).cast("long"),
+                          (col("us") / winUs).cast("long") + 1)).as("bucket"))
+        val b = e.select(col("user_id"), col("event_id").as("b_id"),
+            col("ts").as("b_ts"), (col("us") / winUs).cast("long").as("bucket"))
+        a.join(b, Seq("user_id", "bucket"))
+          .filter(col("b_ts") >= col("a_ts") &&
+                  col("b_ts") <= col("a_ts") + expr("INTERVAL 10 MINUTES") &&
+                  col("a_id") < col("b_id"))
+          .select(col("user_id"), col("a_id"), col("b_id"))
+          .orderBy(col("user_id"), col("a_id"), col("b_id"))
+      },
+      Some("""
+        SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+         AND a.event_id < b.event_id
+        ORDER BY a.user_id, a_id, b_id""")),
+
+    // ── q34: batch sessionization (gaps-and-islands): a session breaks
+    //   after a 24h silence. lag → break flag → running sum = session id;
+    //   one shuffle by user, everything else inside the sorted partition.
+    //   (The streaming twin is q51's stateful mapGroupsWithState.) ──
+    QueryDef("q34_sessions_batch",
+      (s, dir) => {
+        val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val gapUs = 24L * 3600L * 1000000L
+        events(s, dir)
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(ord))
+          .withColumn("is_new",
+            (col("prev_us").isNull ||
+             (unix_micros(col("ts")) - col("prev_us")) > gapUs).cast("int"))
+          .withColumn("sess_id", sum(col("is_new")).over(run).cast("long"))
+          .groupBy(col("user_id"), col("sess_id"))
+          .agg(count(lit(1)).as("n_events"),
+               date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
+               date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("sess_end"))
+          .orderBy(col("user_id"), col("sess_id"))
+      },
+      Some("""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 86400000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sessions AS (
+          SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+          FROM flagged)
+        SELECT user_id, sess_id, count(*) AS n_events,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS sess_end
+        FROM sessions GROUP BY user_id, sess_id ORDER BY user_id, sess_id""")),
+
+    // ── q35: cube — full 2-dim subtotal lattice (event_type × hour),
+    //   single pass; subtotal NULLs coalesce to sentinels so both engines
+    //   sort identically (same trick as q16's rollup). ──
+    QueryDef("q35_cube",
+      (s, dir) =>
+        events(s, dir)
+          .withColumn("h", hour(col("ts")))
+          .cube(col("event_type"), col("h"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .select(coalesce(col("event_type"), lit("ALL")).as("et"),
+                  coalesce(col("h"), lit(-1)).as("h"),
+                  col("n"), col("sum_value"))
+          .orderBy(col("et"), col("h")),
+      Some("""
+        SELECT coalesce(event_type, 'ALL') AS et, coalesce(h, -1) AS h,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM (SELECT event_type, CAST(extract(hour FROM ts) AS INT) AS h, value FROM events)
+        GROUP BY CUBE (event_type, h) ORDER BY et, h""")),
+
+    // ── q36: pivot — event_type rotated into columns (explicit value list
+    //   so the plan is a single pass with no distinct-discovery job). ──
+    QueryDef("q36_pivot",
+      (s, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val pivoted = events(s, dir)
+          .groupBy(col("user_id"))
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+        types.foldLeft(pivoted) { (df, tname) =>
+          df.withColumn(s"n_$tname", coalesce(col(tname), lit(0L))).drop(tname)
+        }.orderBy(col("user_id"))
+      },
+      Some("""
+        SELECT user_id,
+               count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+               count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+               count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+               count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+               count(*) FILTER (WHERE event_type = 'view')     AS n_view
+        FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // ── q37: sketch-vs-exact property check — HyperLogLog++ distinct
+    //   estimate must land within 2% of the exact count. The boolean is
+    //   what crosses the oracle boundary (DuckDB can't replay Spark's
+    //   HLL bit-for-bit; it CAN verify the accuracy contract), the
+    //   pattern for asserting any approximate operator cross-engine. ──
+    QueryDef("q37_approx_distinct",
+      (s, dir) =>
+        events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("n_exact"),
+               approx_count_distinct(col("user_id"), 0.01).as("n_approx"))
+          .select(col("event_type"), col("n_exact"),
+                  (abs(col("n_approx") - col("n_exact")) <=
+                    col("n_exact") * 0.02).as("approx_within_2pct"))
+          .orderBy(col("event_type")),
+      Some("""
+        SELECT event_type, count(DISTINCT user_id) AS n_exact,
+               TRUE AS approx_within_2pct
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ── q38: EXISTS via left-semi join (q06 covers the anti side):
+    //   order priorities of orders carrying any near-capacity lineitem. ──
+    QueryDef("q38_exists_semi",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val li = t(s, dir, "lineitem").filter(col("l_quantity") >= 50)
+        o.join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity >= 50)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ── q39: custom typed Aggregator (operators.WeightedAvg) — exact
+    //   long-pair buffer, so partial aggregation is order-independent and
+    //   the only fp op is the final division (both operands < 2^53 →
+    //   bit-identical across engines, no rounding needed). ──
+    QueryDef("q39_weighted_avg",
+      (s, dir) => {
+        val wavg = udaf(graft.operators.WeightedAvg.centsAggregator)
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(wavg(round(col("l_extendedprice") * 100, 0).cast("long"),
+                    col("l_quantity").cast("long")).as("wavg_price"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""
+        SELECT l_returnflag,
+               CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                 / CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / 100.0
+                 AS wavg_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+  )
+}

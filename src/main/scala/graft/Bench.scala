@@ -14,18 +14,32 @@ object Bench {
     // absorb session startup (observed ~6s on whichever query ran first)
     try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).count()
     catch { case _: Throwable => () }
-    val results = SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink forces every output column to be computed; a count()
-      // would let column pruning skip the projections being measured
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+    // SPARK_GRAFT_ONLY=q19,q31 narrows to matching queries;
+    // SPARK_GRAFT_REPS repeats each query and reports the minimum.
+    // Default 2: the first execution of a plan carries its whole-stage
+    // codegen compile + JIT warmup, which showed up as 3-10s run-to-run
+    // swings on sub-second queries; min-of-2 reports steady state (the
+    // regime that matters at 100 TB, where per-stage compile amortizes
+    // over thousands of tasks). The reps count is emitted in the JSON.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val selected = SparkEntry.benchQueries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+    val results = selected.map { case (name, fn) =>
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        // noop sink forces every output column to be computed; a count()
+        // would let column pruning skip the projections being measured
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -34,6 +34,6 @@ object Par {
 
 object QueryRegistry {
   def all: Seq[QueryDef] =
-    RelationalQueries.defs ++ VectorQueries.defs ++ TextQueries.defs ++
-      RagQueries.defs ++ StreamQueries.defs
+    RelationalQueries.defs ++ AdvancedQueries.defs ++ VectorQueries.defs ++
+      TextQueries.defs ++ RagQueries.defs ++ StreamQueries.defs
 }

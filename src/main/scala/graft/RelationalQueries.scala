@@ -155,17 +155,42 @@ object RelationalQueries {
                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
         ORDER BY user_id, event_id""")),
 
-    // ── q19: exact percentiles (sort-based aggregate; both engines use
-    //   linear interpolation — rounded to 6dp to absorb last-ulp drift) ──
+    // ── q19: exact percentiles, sort-based. Spark's `percentile` aggregate
+    //   materializes a boxed value→count OpenHashMap per group (3.6s steady
+    //   state at sf0.1); a window rank over the group-partitioned sort plus
+    //   linear interpolation (lower + (upper-lower)*frac, the same formula
+    //   both engines use) gets the identical result from one distributed
+    //   sort. 6dp rounding absorbs last-ulp drift. ──
     QueryDef("q19_percentiles",
-      (s, dir) =>
-        t(s, dir, "lineitem")
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
+        val wg = Window.partitionBy(col("l_returnflag"))
+        val ranked = t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+          .withColumn("rn", row_number().over(w).cast("long") - 1)
+          .withColumn("n", count(lit(1)).over(wg))
+        // pos = p*(n-1) is constant within a group; the rows at floor(pos)
+        // and ceil(pos) carry the interpolation endpoints (equal when pos
+        // is integral, in which case lo == hi and frac*(hi-lo) vanishes)
+        def pos(p: Double): Column = lit(p) * (col("n") - 1).cast("double")
+        def lo(p: Double): Column = max(when(col("rn") === floor(pos(p)).cast("long"), col("v")))
+        def hi(p: Double): Column = max(when(col("rn") === ceil(pos(p)).cast("long"), col("v")))
+        def interp(p: Double): Column = {
+          val k = (p * 100).toInt
+          val po = lit(p) * (col("n") - 1).cast("double")
+          round(col(s"lo_$k") + (col(s"hi_$k") - col(s"lo_$k")) * (po - floor(po)), 6)
+        }
+        ranked
           .groupBy(col("l_returnflag"))
-          .agg(
-            round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("p50"),
-            round(percentile(col("l_extendedprice"), lit(0.9)), 6).as("p90"),
-            round(percentile(col("l_extendedprice"), lit(0.99)), 6).as("p99"))
-          .orderBy(col("l_returnflag")),
+          .agg(max(col("n")).as("n"),
+               lo(0.5).as("lo_50"), hi(0.5).as("hi_50"),
+               lo(0.9).as("lo_90"), hi(0.9).as("hi_90"),
+               lo(0.99).as("lo_99"), hi(0.99).as("hi_99"))
+          .select(col("l_returnflag"),
+                  interp(0.5).as("p50"), interp(0.9).as("p90"), interp(0.99).as("p99"))
+          .orderBy(col("l_returnflag"))
+      },
       Some("""
         SELECT l_returnflag,
                round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
