@@ -214,6 +214,40 @@ object AdvancedQueries {
                       WHERE l_orderkey = o_orderkey AND l_quantity >= 50)
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // ── q44: two-armed star join (TPC-H Q9 shape) — lineitem reaches
+    //   part and supplier→nation through different keys; every dimension
+    //   broadcasts so the fact table is never shuffled for the joins,
+    //   only for the final (n_name, p_type) aggregation. Also the only
+    //   consumers of the part/supplier tables, closing source coverage. ──
+    QueryDef("q44_supplier_part",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val p = t(s, dir, "part").filter(col("p_size") >= 20)
+        val su = t(s, dir, "supplier")
+        val n = t(s, dir, "nation")
+        val cents = (c: Column) => round(c * 100, 0).cast("long")
+        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), col("p_type"))
+          .agg((sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+                 .cast("double") / 10000.0).as("revenue"),
+               count(lit(1)).as("n_items"))
+          .orderBy(col("n_name"), col("p_type"))
+      },
+      Some("""
+        SELECT n_name, p_type,
+               CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS DOUBLE)
+                 / 10000.0 AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_size >= 20
+        GROUP BY n_name, p_type ORDER BY n_name, p_type""")),
+
     // ── q39: custom typed Aggregator (operators.WeightedAvg) — exact
     //   long-pair buffer, so partial aggregation is order-independent and
     //   the only fp op is the final division (both operands < 2^53 →

@@ -36,6 +36,33 @@ object StreamQueries {
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
         FROM g GROUP BY user_id ORDER BY user_id""")),
 
+    // ── q52: stream-stream inner join (watermarks both sides + time-range
+    //   predicate bound the state); every click × its same-user views in
+    //   the preceding 10 minutes. Checked against the batch interval join
+    //   (Structured Streaming's batch-equivalence contract). ──
+    QueryDef("q52_stream_join",
+      (s, dir) => StreamingIngest.clickViewJoin(s, dir)
+        .orderBy(col("user_id"), col("click_id"), col("view_id")),
+      Some("""
+        SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id
+        FROM events c JOIN events v
+          ON c.user_id = v.user_id
+         AND c.event_type = 'click' AND v.event_type = 'view'
+         AND v.ts >= c.ts - INTERVAL 10 MINUTE AND v.ts <= c.ts
+        ORDER BY c.user_id, click_id, view_id""")),
+
+    // ── q53: streaming dedup, watermark-bounded state
+    //   (dropDuplicatesWithinWatermark) — the surviving key set is the
+    //   DISTINCT set, which is what the oracle checks. ──
+    QueryDef("q53_stream_dedup",
+      (s, dir) => StreamingIngest.distinctUserHourType(s, dir)
+        .orderBy(col("user_id"), col("hour"), col("event_type")),
+      Some("""
+        SELECT DISTINCT user_id,
+               strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+               event_type
+        FROM events ORDER BY user_id, hour, event_type""")),
+
     QueryDef("q60_multimodal",
       (s, dir) => {
         val media = Multimodal.fakeMediaFromDocs(s, dir)

@@ -172,6 +172,60 @@ object VectorQueries {
           FROM scored)
         SELECT qid, rnk, nid, score FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""")),
 
+    // ── q45: scalar-quantized (SQ8) similarity — the memory-side scale
+    //   path IVF_FLAT pairs with in real ANN systems: each stored vector
+    //   compresses to per-vector (min, scale) + 64 int8 codes (4× smaller
+    //   than float32, 8× smaller than the double math), and queries score
+    //   full-precision-query × reconstructed-neighbor. floor(x + 0.5)
+    //   instead of round() so both engines quantize identically (Spark
+    //   round is HALF_UP via BigDecimal, DuckDB rounds half away from
+    //   zero; floor is exact in both). Codes and reconstruction stage as
+    //   separate projections — Catalyst does no CSE inside lambdas. ──
+    QueryDef("q45_sq8_ann",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = emb(s, dir)
+        val coded = e
+          .withColumn("mn", array_min(col("embedding")).cast("double"))
+          .withColumn("scale",
+            (array_max(col("embedding")).cast("double") - col("mn")) / 255.0)
+          .withColumn("codes", transform(col("embedding").cast("array<double>"),
+            v => floor((v - col("mn")) / col("scale") + 0.5)))
+          .withColumn("recon", transform(col("codes"),
+            c => col("mn") + col("scale") * c))
+          .select(col("vec_id").as("nid"), col("recon"))
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid").asc)
+        coded.join(broadcast(q), col("qid") =!= col("nid"))
+          .withColumn("score", round(VectorOps.cosine(col("qv"), col("recon")), 6))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select(col("qid"), col("rnk").cast("long").as("rnk"), col("nid"), col("score"))
+          .orderBy(col("qid"), col("rnk"))
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT vec_id, embedding,
+                 CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS mn,
+                 (CAST(list_aggregate(embedding, 'max') AS DOUBLE)
+                  - CAST(list_aggregate(embedding, 'min') AS DOUBLE)) / 255.0 AS scale
+          FROM embeddings),
+        coded AS (
+          SELECT vec_id AS nid,
+                 list_transform(embedding,
+                   v -> mn + scale * floor((CAST(v AS DOUBLE) - mn) / scale + 0.5)) AS recon
+          FROM base),
+        q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        scored AS (
+          SELECT qid, nid, round(${cosSql("qv", "recon")}, 6) AS score
+          FROM q JOIN coded ON qid <> nid),
+        ranked AS (
+          SELECT qid, nid, score,
+                 row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rnk
+          FROM scored)
+        SELECT qid, rnk, nid, score FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""")),
+
     // ── q14: per-label embedding statistics (A8 generalization) ──
     QueryDef("q14_embed_stats",
       (s, dir) =>

@@ -31,28 +31,73 @@ object StreamingIngest {
     * Semantics identical to the batch date_trunc aggregation.
     */
   def hourlyEventCounts(spark: SparkSession, dir: String): DataFrame = {
+    // FileStreamSource requires a DIRECTORY; eventStream's pathGlobFilter
+    // selects just the events table out of the shared testdata dir.
+    val stream = eventStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    runToTable(spark, stream, "complete")
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n_events"))
+  }
+
+  private def eventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val name = s"stream_hourly_${System.nanoTime()}"
-    // FileStreamSource requires a DIRECTORY; pathGlobFilter selects just
-    // the events table out of the shared testdata dir.
-    val stream = spark.readStream
+    spark.readStream
       .schema(EventsRawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"))
-    val q = stream.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .start()
+  }
+
+  private def runToTable(spark: SparkSession, df: DataFrame, mode: String): DataFrame = {
+    val name = s"stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
     try q.processAllAvailable()
     finally q.stop()
     spark.table(name)
-      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
-        col("event_type"), col("n_events"))
+  }
+
+  /** Stream-stream inner join: each click joined to every view by the
+    * same user within the preceding 10 minutes. Watermarks on BOTH sides
+    * plus the time-range predicate are what let Spark bound the join
+    * state (a side's row can be dropped once the other side's watermark
+    * passes its join window) — the shape that survives an unbounded
+    * stream; an unconstrained stream-stream join would accrete state
+    * forever.
+    */
+  def clickViewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val clicks = eventStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val views = eventStream(spark, dir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val joined = clicks.join(views,
+      expr("c_user = v_user AND v_ts >= c_ts - INTERVAL 10 MINUTES AND v_ts <= c_ts"))
+    runToTable(spark, joined, "append")
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"))
+  }
+
+  /** Streaming deduplication with watermark-bounded state
+    * (dropDuplicatesWithinWatermark): first sighting of each
+    * (user, hour, event_type) key survives. The key set IS the distinct
+    * set — duplicates of an hour-bucketed key are at most an hour apart,
+    * inside the watermark delay, so the within-watermark semantics are
+    * exact here while state stays O(active keys), not O(stream).
+    */
+  def distinctUserHourType(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = eventStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("ts"))
+      .dropDuplicatesWithinWatermark("user_id", "hour", "event_type")
+    runToTable(spark, keyed, "append")
+      .select(col("user_id"), col("hour"), col("event_type"))
   }
 
   /** True streaming stateful operator (flatMapGroupsWithState): per-user

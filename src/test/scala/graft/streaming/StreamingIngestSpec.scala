@@ -40,6 +40,50 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join emits matches when sides arrive in different batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // (user, event_id, epoch_seconds)
+    val clicksIn = MemoryStream[(Long, Long, Long)]
+    val viewsIn = MemoryStream[(Long, Long, Long)]
+    val clicks = clicksIn.toDF().toDF("c_user", "click_id", "sec")
+      .withColumn("c_ts", timestamp_seconds(col("sec"))).drop("sec")
+      .withWatermark("c_ts", "1 hour")
+    val views = viewsIn.toDF().toDF("v_user", "view_id", "sec")
+      .withColumn("v_ts", timestamp_seconds(col("sec"))).drop("sec")
+      .withWatermark("v_ts", "1 hour")
+    val joined = clicks.join(views,
+      expr("c_user = v_user AND v_ts >= c_ts - INTERVAL 10 MINUTES AND v_ts <= c_ts"))
+      .select(col("c_user"), col("click_id"), col("view_id"))
+    val name = s"ssj_${System.nanoTime()}"
+    val q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      val t0 = 1700000000L
+      clicksIn.addData((1L, 100L, t0 + 300)) // click at t0+5min
+      q.processAllAvailable()
+      // the matching view arrives a batch LATER: the click must still be
+      // buffered in join state (watermark hasn't passed its window)
+      viewsIn.addData((1L, 200L, t0), (1L, 201L, t0 + 3600)) // in-window, out-of-window
+      q.processAllAvailable()
+      val rows = spark.table(name).as[(Long, Long, Long)].collect().toSeq
+      assert(rows === Seq((1L, 100L, 200L)))
+    } finally q.stop()
+  }
+
+  test("streaming distinct keys ≡ batch SELECT DISTINCT") {
+    val streamed = StreamingIngest.distinctUserHourType(spark, sf)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.schema(StreamingIngest.EventsRawSchema)
+      .parquet(s"$sf/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("user_id"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type")).distinct()
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
   test("typed stateful sessions: counts match groupBy, sessions ≥ 1") {
     val got = StreamingIngest.userSessions(spark, sf)
     val counts = spark.read.schema(StreamingIngest.EventsRawSchema)
