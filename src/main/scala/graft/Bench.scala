@@ -8,6 +8,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions) // KernelRewrite active in the bench
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen/scan paths so the first measured query doesn't

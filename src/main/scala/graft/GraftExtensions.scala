@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSim, DotProduct}
+import graft.functions.{CosineSim, DotProduct, KernelRewrite}
 
 /** SparkSessionExtensions entry point: makes the engine's custom Catalyst
   * expressions available to ANY session (SQL included) via
@@ -11,11 +11,13 @@ import graft.functions.{CosineSim, DotProduct}
   *   SparkSession.builder().withExtensions(new GraftExtensions) ...
   *   // or spark.sql.extensions=graft.GraftExtensions
   *
-  * Per SURVEY.md §7.3 the only Catalyst-level custom work the reference's
-  * semantics justify are these scalar kernels — all relational operators
-  * map to built-ins, so no custom Rule/SparkStrategy ships by default
-  * (exact top-k already plans as TakeOrderedAndProject; the IVF path is a
-  * query shape, not a plan rewrite).
+  * Ships the scalar kernels as SQL functions plus the `KernelRewrite`
+  * optimizer rule that turns `VectorOps`' declarative HOF formulations
+  * into those kernels automatically (a pure cost rewrite — bit-identical
+  * results, pinned by `KernelRewriteSpec`). No custom SparkStrategy ships:
+  * all relational operators map to built-ins (exact top-k already plans as
+  * TakeOrderedAndProject; the IVF path is a query shape, not a plan
+  * rewrite), per SURVEY.md §7.3.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -28,5 +30,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_f32"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_f32"),
       (args: Seq[Expression]) => CosineSim(args(0), args(1))))
+    e.injectOptimizerRule(_ => KernelRewrite)
   }
 }

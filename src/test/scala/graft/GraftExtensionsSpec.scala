@@ -6,7 +6,12 @@ import org.scalatest.funsuite.AnyFunSuite
 class GraftExtensionsSpec extends AnyFunSuite {
 
   test("withExtensions session resolves dot_f32 / cosine_f32 in SQL") {
-    // a dedicated session: extensions must come in through the builder
+    // a dedicated session: extensions must come in through the builder.
+    // getOrCreate reuses any default session (ignoring extensions), which
+    // made this test order-dependent — clear first so a REAL new session
+    // (on the shared SparkContext) is built with the extensions applied.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     val s = SparkSession.builder()
       .master("local[2]")
       .appName("graft-ext-test")

@@ -28,6 +28,17 @@ class VectorQueriesSpec extends SparkSpec {
     assert(checked.count() > 0)
   }
 
+  test("q45: HOF cosine fuses to the CosineSim kernel under KernelRewrite") {
+    val plan = VectorQueries.defs.find(_.name == "q45_sq8_ann").get
+      .fn(spark, "/root/testdata/sf0.001").queryExecution.analyzed
+    val after = graft.functions.KernelRewrite(plan)
+    // the cosine sits in a mid-plan Project, so walk every node
+    val fused = after.collect { case node =>
+      node.expressions.flatMap(_.collect { case c: graft.functions.CosineSim => c })
+    }.flatten
+    assert(fused.nonEmpty)
+  }
+
   test("q45: quantized top-1 neighbor usually agrees with exact top-1") {
     val sf = "/root/testdata/sf0.001"
     val sq8 = VectorQueries.defs.find(_.name == "q45_sq8_ann").get.fn(spark, sf)
