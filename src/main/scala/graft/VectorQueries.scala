@@ -35,6 +35,23 @@ object VectorQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Par(s.read.parquet(s"$dir/embeddings.parquet"))
 
+  // ── q46 constants: 16 sign-bit hyperplanes over the 64-dim space,
+  //    4 bands × 4 bits. ±1 entries come from a fixed LCG (bit 32, the
+  //    low bit of an LCG alternates) so the Scala side and the literal
+  //    arrays inlined into the oracle SQL are the same matrix. ──
+  private val RpBits = 16
+  private val RpBands = 4
+  private val RpDim = 64
+  private val hyperplaneSigns: Array[Array[Double]] = {
+    var s = 715225739L
+    def next(): Long = {
+      s = (s * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue; s
+    }
+    Array.fill(RpBits, RpDim)(if (((next() >>> 32) & 1L) == 1L) 1.0 else -1.0)
+  }
+  private def hyperplaneSign(b: Int, i: Int): Double = hyperplaneSigns(b)(i)
+  private def Hyperplanes(b: Int): Array[Double] = hyperplaneSigns(b)
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── q11: brute-force cosine top-k for a small query set (T1) ──
@@ -225,6 +242,78 @@ object VectorQueries {
                  row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS rnk
           FROM scored)
         SELECT qid, rnk, nid, score FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""")),
+
+    // ── q46: random-hyperplane LSH near-dup over embeddings — the
+    //   UNBLOCKED scale path q13's label-blocking can't give you (labels
+    //   don't exist on a raw crawl). 16 sign bits against fixed ±1
+    //   hyperplanes (SimHash-for-vectors), banded 4×4 → candidates are
+    //   same-band collisions only, then exact cosine verification. The
+    //   hyperplane matrix comes from the shared LCG and is inlined into
+    //   the oracle SQL as literals, so both engines run the identical
+    //   pipeline (collision sets and all — recall is a property of the
+    //   scheme, determinism of the constants). At real scale: more
+    //   bits/band cuts candidates; bands shard the shuffle key. ──
+    QueryDef("q46_rplsh_neardup",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val bitCols = (0 until RpBits).map { b =>
+          (VectorKernels.dotFast(col("embedding"), Hyperplanes(b)) >= 0).cast("int")
+        }
+        val withBits = e.select(col("vec_id"), col("embedding"),
+          array(bitCols: _*).as("bits"))
+        val bandCols = (0 until RpBands).map { j =>
+          struct(lit(j).as("band_idx"),
+            (element_at(col("bits"), 4 * j + 1) * 8 + element_at(col("bits"), 4 * j + 2) * 4 +
+             element_at(col("bits"), 4 * j + 3) * 2 + element_at(col("bits"), 4 * j + 4))
+              .as("band_val"))
+        }
+        val banded = withBits
+          .select(col("vec_id"), col("embedding"), explode(array(bandCols: _*)).as("band"))
+          .select(col("vec_id"), col("embedding"),
+            col("band.band_idx").as("band_idx"), col("band.band_val").as("band_val"))
+        val a = banded.select(col("band_idx"), col("band_val"),
+          col("vec_id").as("id_a"), col("embedding").as("va"))
+        val b = banded.select(col("band_idx"), col("band_val"),
+          col("vec_id").as("id_b"), col("embedding").as("vb"))
+        a.join(b, Seq("band_idx", "band_val"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), col("va"), col("vb"))
+          .dropDuplicates("id_a", "id_b") // a pair may collide in several bands
+          .withColumn("score", score6(col("va"), col("vb")))
+          .filter(col("score") >= 0.4)
+          .select(col("id_a"), col("id_b"), col("score"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some {
+        val planes = (0 until RpBits).map { b =>
+          (0 until RpDim).map(i => hyperplaneSign(b, i)).map(v =>
+            if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+        }
+        val bitsSql = planes.map { p =>
+          s"CASE WHEN list_sum(list_transform(range(1, ${RpDim + 1}), i -> CAST(embedding[i] AS DOUBLE) * ($p)[i])) >= 0 THEN 1 ELSE 0 END"
+        }.mkString("[", ",\n               ", "]")
+        s"""
+        WITH sigs AS (
+          SELECT vec_id, embedding,
+                 $bitsSql AS bits
+          FROM embeddings),
+        banded AS (
+          SELECT vec_id, embedding, j AS band_idx,
+                 bits[4*j+1]*8 + bits[4*j+2]*4 + bits[4*j+3]*2 + bits[4*j+4] AS band_val
+          FROM sigs, UNNEST([0, 1, 2, 3]) AS t(j)),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+           AND a.vec_id < b.vec_id)
+        SELECT c.id_a, c.id_b,
+               round(${cosSql("ea.embedding", "eb.embedding")}, 6) AS score
+        FROM cand c
+          JOIN embeddings ea ON ea.vec_id = c.id_a
+          JOIN embeddings eb ON eb.vec_id = c.id_b
+        WHERE round(${cosSql("ea.embedding", "eb.embedding")}, 6) >= 0.4
+        ORDER BY id_a, id_b"""
+      }),
 
     // ── q14: per-label embedding statistics (A8 generalization) ──
     QueryDef("q14_embed_stats",
