@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.{MinHashSig, ShingleHash60, TextOps, XHash}
+import graft.functions.{CdcCuts, MinHashSig, ShingleHash60, TextOps, XHash}
 
 /** Text-pipeline operators over the `documents` table: exact dedup,
   * MinHash-LSH, SimHash, n-gram Jaccard, language scoring, quality
@@ -39,6 +39,34 @@ object TextQueries {
         SELECT ${TextOps.fingerprintSql("text")} AS fp, count(*) AS n_dups,
                min(doc_id) AS canonical, max(doc_id) AS last_dup
         FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY fp""")),
+
+    // ── q47: content-defined chunking (Rabin-Karp rolling hash, the
+    //   FastCDC-style dedup primitive): cut where the 16-char window hash
+    //   ≡ 0 mod 64, so chunk identity survives insertions (offset-based
+    //   chunking would shift every downstream chunk). CdcCuts is the O(n)
+    //   rolling custom Expression; the oracle recomputes each window with
+    //   an O(n·w) Horner fold — exact integer math, identical cuts. ──
+    QueryDef("q47_cdc_chunks",
+      (s, dir) =>
+        docs(s, dir)
+          .withColumn("cuts", CdcCuts(col("text")))
+          .select(col("doc_id"),
+            (size(col("cuts")) + 1).cast("long").as("n_chunks"),
+            aggregate(col("cuts"), lit(0L), (acc, p) => acc + p).as("cut_sum"))
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH cuts AS (
+          SELECT d.doc_id, p
+          FROM documents d, UNNEST(range(16, length(d.text))) t(p)
+          WHERE list_reduce(
+                  list_transform(range(p - 15, p + 1),
+                    j -> CAST(unicode(substr(d.text, CAST(j AS INT), 1)) AS BIGINT)),
+                  (a, b) -> (a * 257 + b) % 1048573) % 64 = 0)
+        SELECT d.doc_id,
+               CAST(count(c.p) + 1 AS BIGINT) AS n_chunks,
+               CAST(coalesce(sum(c.p), 0) AS BIGINT) AS cut_sum
+        FROM documents d LEFT JOIN cuts c ON d.doc_id = c.doc_id
+        GROUP BY d.doc_id ORDER BY d.doc_id""")),
 
     // ── q21: corpus token statistics per (lang, source) ──
     QueryDef("q21_token_stats",
