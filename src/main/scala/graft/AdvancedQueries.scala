@@ -196,6 +196,40 @@ object AdvancedQueries {
                TRUE AS approx_within_2pct
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // ── q48: approx-quantile sketch vs exact (same contract pattern as
+    //   q37): Spark's Greenwald-Khanna approx_percentile must land within
+    //   its accuracy bound of the exact sorted-rank percentile; the
+    //   boolean contract crosses the oracle, not the sketch internals. ──
+    QueryDef("q48_approx_quantile",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
+        val wg = Window.partitionBy(col("l_returnflag"))
+        val ranked = t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+          .withColumn("rn", row_number().over(w).cast("long") - 1)
+          .withColumn("n", count(lit(1)).over(wg))
+        val pos = lit(0.5) * (col("n") - 1).cast("double")
+        ranked
+          .groupBy(col("l_returnflag"))
+          .agg(max(col("n")).as("n"),
+               max(when(col("rn") === floor(pos).cast("long"), col("v"))).as("lo"),
+               max(when(col("rn") === ceil(pos).cast("long"), col("v"))).as("hi"),
+               percentile_approx(col("v"), lit(0.5), lit(1000)).as("approx"))
+          .select(col("l_returnflag"),
+                  round(col("lo") + (col("hi") - col("lo"))
+                    * (lit(0.5) * (col("n") - 1).cast("double")
+                       - floor(lit(0.5) * (col("n") - 1).cast("double"))), 6).as("p50_exact"),
+                  (abs(col("approx") - col("lo")) <= (col("hi") - col("lo")) +
+                    col("lo") * 0.01).as("approx_within_1pct"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact,
+               TRUE AS approx_within_1pct
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ── q38: EXISTS via left-semi join (q06 covers the anti side):
     //   order priorities of orders carrying any near-capacity lineitem. ──
     QueryDef("q38_exists_semi",

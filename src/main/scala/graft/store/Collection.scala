@@ -36,6 +36,28 @@ class Collection private (
 
   def df: DataFrame = spark.read.parquet(path)
 
+  /** Delete by predicate (the Milvus client's `delete(expr)`): parquet is
+    * immutable, so this is copy-on-write — survivors rewrite to a fresh
+    * directory which then replaces the old one (the Delta/Iceberg shape
+    * minus the transaction log; at cluster scale the rewrite touches only
+    * partitions containing matches when the predicate prunes). Returns
+    * the number of rows removed.
+    */
+  def delete(filter: String): Long = {
+    val pred = expr(filter)
+    val before = df.count()
+    val tmp = s"$path.__rewrite"
+    df.filter(!pred).write.mode(SaveMode.Overwrite).parquet(tmp)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(path))
+    require(new java.io.File(tmp).renameTo(new java.io.File(path)),
+      s"delete: could not swap $tmp into place")
+    before - df.count()
+  }
+
   /** S7/S8: append entity rows. Expects id/vector/text(+metadata) columns.
     * Schema-on-write like the Milvus server (`scripts/milvus_db.py:61-68`
     * inserts are validated server-side): vectors conform to the declared

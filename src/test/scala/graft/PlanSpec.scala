@@ -36,6 +36,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("q33: binned range join plans as a hash join, never nested-loop") {
+    val p = plan("q33_range_join")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+           p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "binning exists precisely to avoid the nested-loop plan:\n" + p.take(3000))
+  }
+
+  test("q44: both dimension arms broadcast; fact side never shuffles for joins") {
+    val p = plan("q44_supplier_part")
+    assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 3,
+      "part, supplier and nation must all broadcast:\n" + p.take(3000))
+  }
+
+  test("q19: percentiles plan as window sort, not a percentile hash aggregate") {
+    val p = plan("q19_percentiles")
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("percentile"),
+      "the value-map percentile aggregate should be gone:\n" + p.take(2000))
+  }
+
+  test("q32: as-of join is one window pass — no join operator at all") {
+    val p = plan("q32_asof_join")
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("Join"), "fill-down formulation must not join:\n" + p.take(2000))
+  }
+
   test("q01: partial aggregation before the exchange (map-side combine)") {
     val p = plan("q01_pricing_summary")
     val firstHashAgg = p.indexOf("HashAggregate")

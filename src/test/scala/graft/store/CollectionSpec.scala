@@ -80,4 +80,16 @@ class CollectionSpec extends SparkSpec {
     val plan = c.search(TextEmbed.embedScala("spark"), 3).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"unexpected plan:\n$plan")
   }
+
+  test("delete(expr) removes matches copy-on-write and reports the count") {
+    Collection.drop(root, "cdel")
+    val c = Collection.create(spark, root, "cdel", TextEmbed.DefaultDim, overwrite = true)
+    c.insert(seeded)
+    val removed = c.delete("id >= 2")
+    assert(removed === 2)
+    assert(c.df.select("id").as[Long].collect().sorted.toSeq === Seq(0L, 1L))
+    // survivors stay queryable and a second delete is a no-op
+    assert(c.delete("id >= 2") === 0)
+    assert(c.describe().rows === 2)
+  }
 }
