@@ -12,7 +12,9 @@ object Verify {
     val only: String => Boolean =
       if (args.length > 2) { n => args(2).split(",").exists(n.startsWith) }
       else _ => true
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default to every core: an unset env must not quietly run local[4]
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,7 +28,7 @@ object Verify {
     // thread pool so independent jobs overlap (wall time ~ slowest few,
     // not the sum). The streaming query (memory sink, unique name) and
     // the conf-setting events reader are both safe under this.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     val futures = SparkEntry.queries.toSeq.filter(kv => only(kv._1)).map { case (name, fn) =>
