@@ -183,9 +183,14 @@ object AdvancedQueries {
     //   pattern for asserting any approximate operator cross-engine. ──
     QueryDef("q37_approx_distinct",
       (s, dir) =>
+        // pre-distinct instead of countDistinct-next-to-approx: the mixed
+        // aggregate plans an Expand (2x the input rows); HLL over the
+        // distinct set is the same sketch (order-independent max-merge),
+        // so one distinct shuffle feeds both sides
         events(s, dir)
+          .select(col("event_type"), col("user_id")).distinct()
           .groupBy(col("event_type"))
-          .agg(countDistinct(col("user_id")).as("n_exact"),
+          .agg(count(lit(1)).as("n_exact"),
                approx_count_distinct(col("user_id"), 0.01).as("n_approx"))
           .select(col("event_type"), col("n_exact"),
                   (abs(col("n_approx") - col("n_exact")) <=

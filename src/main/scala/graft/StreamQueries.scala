@@ -63,6 +63,10 @@ object StreamQueries {
                event_type
         FROM events ORDER BY user_id, hour, event_type""")),
 
+    // The decode STUB is deterministic byte arithmetic, so the oracle can
+    // replay it from the source text (ASCII ⇒ byte i = code point i):
+    // the stub boundary is checked exactly, not just rows>0 — swap in a
+    // real decoder and this oracle is the one thing you'd retire.
     QueryDef("q60_multimodal",
       (s, dir) => {
         val media = Multimodal.fakeMediaFromDocs(s, dir)
@@ -74,6 +78,23 @@ object StreamQueries {
                round(avg(element_at(col("features"), 1)), 6).as("avg_bin0"))
           .orderBy(col("media_type"))
       },
-      None)
+      Some("""
+        WITH m AS (
+          SELECT doc_id, text,
+                 ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+                 length(text) AS len
+          FROM documents),
+        per AS (
+          SELECT media_type,
+                 64 + len % 64 AS width,
+                 CASE WHEN media_type = 'video' THEN 1 + len // 256 ELSE 1 END AS n_frames,
+                 CAST(list_sum(list_transform(range(1, len + 1),
+                      j -> CASE WHEN unicode(substr(text, CAST(j AS INT), 1)) < 16
+                           THEN 1 ELSE 0 END)) AS DOUBLE) / len AS bin0
+          FROM m)
+        SELECT media_type, count(*) AS n, round(avg(width), 4) AS avg_width,
+               CAST(sum(n_frames) AS BIGINT) AS total_frames,
+               round(avg(bin0), 6) AS avg_bin0
+        FROM per GROUP BY media_type ORDER BY media_type"""))
   )
 }
