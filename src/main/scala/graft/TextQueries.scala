@@ -14,6 +14,83 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Par(s.read.parquet(s"$dir/documents.parquet"))
 
+  /** q27's pipeline, reusable (q49 clusters its pairs): shingle → minhash
+    * → 4×4 band join → exact-Jaccard verify. No output ordering — callers
+    * sort or consume as a set.
+    */
+  private def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
+    val perms = XHash.permParams(16)
+    val d = docs(s, dir)
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("sh", ShingleHash60(col("toks"), 3))
+      .filter(size(col("sh")) > 0)
+      .withColumn("h31", transform(col("sh"), h => h % 2147483647L))
+    val sig = d.withColumn("sigv", MinHashSig(col("h31"), perms.length))
+      .select(col("doc_id") +: col("sh") +:
+        perms.indices.map(i => element_at(col("sigv"), i + 1).as(s"mh_$i")): _*)
+    // candidates dedup on ids ONLY (distinct over heavy shingle arrays
+    // would hash megabytes per pair); shingle sets join back after.
+    val bands = sig.select(col("doc_id"), posexplode(array(
+      (0 until 4).map(bd => concat_ws("_",
+        (0 until 4).map(r => col(s"mh_${bd * 4 + r}")): _*)): _*)))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key")
+    val cand = bands.select(col("band_idx"), col("band_key"), col("doc_id").as("id_a"))
+      .join(bands.select(col("band_idx"), col("band_key"), col("doc_id").as("id_b")),
+        Seq("band_idx", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val shSets = d.select(col("doc_id"), col("sh"))
+    cand
+      .join(shSets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shSets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jac", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .filter(col("jac") >= 0.5)
+      .select(col("id_a"), col("id_b"), col("jac"))
+  }
+
+  /** DuckDB twin of minhashLshPairs (no ORDER BY — composes as a CTE). */
+  private val minhashLshPairsSql: String = {
+    val perms = XHash.permParams(16)
+    val toks = TextOps.tokensSql("text")
+    val sigs = perms.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(h31, h -> ((($a * h) + $b) % 2147483647))) AS mh_$i"
+    }.mkString(",\n               ")
+    val bandList = (0 until 4).map { bd =>
+      (0 until 4).map(r => s"mh_${bd * 4 + r}::VARCHAR").mkString("concat_ws('_', ", ", ", ")")
+    }.mkString("[", ", ", "]")
+    s"""
+        WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
+        shg AS (
+          SELECT doc_id, list_distinct(list_transform(
+            list_distinct(CASE WHEN len(toks) < 3 THEN []::VARCHAR[] ELSE
+              list_transform(range(0, len(toks) - 2), i ->
+                array_to_string(list_slice(toks, i + 1, i + 3), ' ')) END),
+            sh -> (('0x' || substr(md5(sh), 1, 15))::BIGINT))) AS sh
+          FROM tk),
+        hd AS (
+          SELECT doc_id, sh, list_transform(sh, h -> (h % 2147483647)) AS h31
+          FROM shg WHERE len(sh) > 0),
+        sig AS (
+          SELECT doc_id, sh,
+               $sigs
+          FROM hd),
+        bands AS (
+          SELECT doc_id, sh, i - 1 AS band_idx, ($bandList)[i] AS band_key
+          FROM sig, UNNEST(range(1, 5)) AS u(i)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b,
+               round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+                     len(list_distinct(list_concat(sh_a, sh_b))), 6) AS jac
+        FROM cand
+        WHERE round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+                    len(list_distinct(list_concat(sh_a, sh_b))), 6) >= 0.5"""
+  }
+
   // Deterministic language marker lists (heuristic language-ID; the
   // classifier is the SPEC — the oracle replays the same lists).
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
@@ -279,79 +356,55 @@ object TextQueries {
     //   all-pairs cross join), then exact Jaccard verifies. At 100 TB the
     //   band join is the only shuffle and candidate count ≈ true-dup count. ──
     QueryDef("q27_minhash_lsh",
+      (s, dir) => minhashLshPairs(s, dir).orderBy(col("id_a"), col("id_b")),
+      Some(s"$minhashLshPairsSql\n        ORDER BY id_a, id_b")),
+
+    // ── q49: near-dup pairs → connected components (the step after LSH in
+    //   a real dedup pipeline: clusters pick ONE canonical doc per group).
+    //   Spark side is iterative min-label propagation — each pass one
+    //   join + min-agg, lineage truncated per iteration, converging in
+    //   O(component diameter) passes; the fixpoint label is the component
+    //   minimum, which the oracle reproduces with a recursive-CTE
+    //   transitive closure over the identical q27 pair SQL. ──
+    QueryDef("q49_dedup_clusters",
       (s, dir) => {
-        val perms = XHash.permParams(16)
-        val d = docs(s, dir)
-          .withColumn("toks", TextOps.tokens(col("text")))
-          .withColumn("sh", ShingleHash60(col("toks"), 3))
-          .filter(size(col("sh")) > 0)
-          .withColumn("h31", transform(col("sh"), h => h % 2147483647L))
-        val sig = d.withColumn("sigv", MinHashSig(col("h31"), perms.length))
-          .select(col("doc_id") +: col("sh") +:
-            perms.indices.map(i => element_at(col("sigv"), i + 1).as(s"mh_$i")): _*)
-        // candidates dedup on ids ONLY (distinct over heavy shingle arrays
-        // would hash megabytes per pair); shingle sets join back after.
-        val bands = sig.select(col("doc_id"), posexplode(array(
-          (0 until 4).map(bd => concat_ws("_",
-            (0 until 4).map(r => col(s"mh_${bd * 4 + r}")): _*)): _*)))
-          .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key")
-        val cand = bands.select(col("band_idx"), col("band_key"), col("doc_id").as("id_a"))
-          .join(bands.select(col("band_idx"), col("band_key"), col("doc_id").as("id_b")),
-            Seq("band_idx", "band_key"))
-          .filter(col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b")).distinct()
-        val shSets = d.select(col("doc_id"), col("sh"))
-        cand
-          .join(shSets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-          .join(shSets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-          .withColumn("jac", round(
-            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-              size(array_union(col("sh_a"), col("sh_b"))), 6))
-          .filter(col("jac") >= 0.5)
-          .select(col("id_a"), col("id_b"), col("jac"))
-          .orderBy(col("id_a"), col("id_b"))
+        val pairs = minhashLshPairs(s, dir)
+        val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+          .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+          .localCheckpoint()
+        var lbl = edges.select(col("a").as("id")).distinct()
+          .withColumn("lbl", col("id")).localCheckpoint()
+        var changed = 1L
+        while (changed > 0) {
+          val viaNeighbor = edges
+            .join(lbl.select(col("id").as("b"), col("lbl")), Seq("b"))
+            .select(col("a").as("id"), col("lbl"))
+          val next = lbl.unionByName(viaNeighbor)
+            .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+            .localCheckpoint() // truncate lineage: plans must not nest per pass
+          changed = next.join(lbl.withColumnRenamed("lbl", "old"), Seq("id"))
+            .filter(col("lbl") =!= col("old")).count()
+          lbl = next
+        }
+        import org.apache.spark.sql.expressions.Window
+        lbl.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+          .withColumn("cluster_size",
+            count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+          .orderBy(col("doc_id"))
       },
-      Some {
-        val perms = XHash.permParams(16)
-        val toks = TextOps.tokensSql("text")
-        val h31 = XHash.hash31Sql("t")
-        val sigs = perms.zipWithIndex.map { case ((a, b), i) =>
-          s"list_min(list_transform(h31, h -> ((($a * h) + $b) % 2147483647))) AS mh_$i"
-        }.mkString(",\n               ")
-        val bandList = (0 until 4).map { bd =>
-          (0 until 4).map(r => s"mh_${bd * 4 + r}::VARCHAR").mkString("concat_ws('_', ", ", ", ")")
-        }.mkString("[", ", ", "]")
-        s"""
-        WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
-        shg AS (
-          SELECT doc_id, list_distinct(list_transform(
-            list_distinct(CASE WHEN len(toks) < 3 THEN []::VARCHAR[] ELSE
-              list_transform(range(0, len(toks) - 2), i ->
-                array_to_string(list_slice(toks, i + 1, i + 3), ' ')) END),
-            sh -> (('0x' || substr(md5(sh), 1, 15))::BIGINT))) AS sh
-          FROM tk),
-        hd AS (
-          SELECT doc_id, sh, list_transform(sh, h -> (h % 2147483647)) AS h31
-          FROM shg WHERE len(sh) > 0),
-        sig AS (
-          SELECT doc_id, sh,
-               $sigs
-          FROM hd),
-        bands AS (
-          SELECT doc_id, sh, i - 1 AS band_idx, ($bandList)[i] AS band_key
-          FROM sig, UNNEST(range(1, 5)) AS u(i)),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
-          FROM bands a JOIN bands b
-            ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
-        SELECT id_a, id_b,
-               round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
-                     len(list_distinct(list_concat(sh_a, sh_b))), 6) AS jac
-        FROM cand
-        WHERE round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
-                    len(list_distinct(list_concat(sh_a, sh_b))), 6) >= 0.5
-        ORDER BY id_a, id_b"""
-      }),
+      Some(s"""
+        WITH RECURSIVE pairs AS ($minhashLshPairsSql),
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        nodes AS (SELECT DISTINCT a AS id FROM edges),
+        reach(a, b) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        SELECT a AS doc_id, min(b) AS cluster_id,
+               count(*) OVER (PARTITION BY min(b)) AS cluster_size
+        FROM reach GROUP BY a ORDER BY doc_id""")),
 
     // ── q31: SimHash near-dup pairs via byte-banding. 4 bands of 8 bits
     //   over the 32-bit simhash: any pair within hamming distance 3 MUST
