@@ -287,6 +287,33 @@ object AdvancedQueries {
         WHERE p_size >= 20
         GROUP BY n_name, p_type ORDER BY n_name, p_type""")),
 
+    // ── q55: correlated scalar subqueries through the SQL surface —
+    //   parts priced above their brand's mean. Catalyst decorrelates the
+    //   two per-brand scalars into aggregate-join plans (no per-row
+    //   probes). The comparison is p > sum/n rewritten as p·100·n >
+    //   sum(cents): pure integer math, so the boundary can't drift
+    //   between engines the way a floating mean could. ──
+    QueryDef("q55_correlated",
+      (s, dir) => {
+        t(s, dir, "part").createOrReplaceTempView("part_v")
+        s.sql("""
+          SELECT p_brand, count(*) AS n_above
+          FROM part_v p
+          WHERE CAST(round(p_retailprice * 100, 0) AS BIGINT) *
+                (SELECT count(*) FROM part_v p2 WHERE p2.p_brand = p.p_brand)
+                > (SELECT sum(CAST(round(p2.p_retailprice * 100, 0) AS BIGINT))
+                   FROM part_v p2 WHERE p2.p_brand = p.p_brand)
+          GROUP BY p_brand ORDER BY p_brand""")
+      },
+      Some("""
+        SELECT p_brand, count(*) AS n_above
+        FROM part p
+        WHERE CAST(round(p_retailprice * 100, 0) AS BIGINT) *
+              (SELECT count(*) FROM part p2 WHERE p2.p_brand = p.p_brand)
+              > (SELECT sum(CAST(round(p2.p_retailprice * 100, 0) AS BIGINT))
+                 FROM part p2 WHERE p2.p_brand = p.p_brand)
+        GROUP BY p_brand ORDER BY p_brand""")),
+
     // ── q39: custom typed Aggregator (operators.WeightedAvg) — exact
     //   long-pair buffer, so partial aggregation is order-independent and
     //   the only fp op is the final division (both operands < 2^53 →

@@ -406,6 +406,46 @@ object TextQueries {
                count(*) OVER (PARTITION BY min(b)) AS cluster_size
         FROM reach GROUP BY a ORDER BY doc_id""")),
 
+    // ── q54: TF-IDF top terms per document — the inverted-index shape
+    //   (explode → tf per (doc, term) → df per term → join back) whose
+    //   only shuffles are the two aggregations and the term join. Ranking
+    //   happens on the ROUNDED score with a term tiebreak, so last-ulp ln
+    //   drift between engines can't reorder. ──
+    QueryDef("q54_tfidf",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = docs(s, dir)
+        val n = d.count().toDouble // corpus size: one metadata-cheap job
+        val tf = d.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term").asc)
+        tf.join(dfreq, Seq("term"))
+          .withColumn("score", round(col("tf") * log(lit(n) / col("df")), 6))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 3 && col("doc_id") < 50)
+          .select(col("doc_id"), col("rnk"), col("term"), col("score"))
+          .orderBy(col("doc_id"), col("rnk"))
+      },
+      Some(s"""
+        WITH tk AS (
+          SELECT doc_id, unnest(${TextOps.tokensSql("text")}) AS term FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY doc_id, term),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        scored AS (
+          SELECT doc_id, term, round(tf * ln(n.n / df), 6) AS score
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        ranked AS (
+          SELECT doc_id, term, score,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, term ASC) AS rnk
+          FROM scored)
+        SELECT doc_id, rnk, term, score FROM ranked
+        WHERE rnk <= 3 AND doc_id < 50 ORDER BY doc_id, rnk""")),
+
     // ── q31: SimHash near-dup pairs via byte-banding. 4 bands of 8 bits
     //   over the 32-bit simhash: any pair within hamming distance 3 MUST
     //   share an untouched band (pigeonhole), so recall is exact while the
