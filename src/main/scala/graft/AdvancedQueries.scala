@@ -287,6 +287,69 @@ object AdvancedQueries {
         WHERE p_size >= 20
         GROUP BY n_name, p_type ORDER BY n_name, p_type""")),
 
+    // ── q56: unpivot/melt — the pivot inverse (long-form measures from
+    //   wide columns, one pass, no join). Values go through integer cents
+    //   before the sum like every money aggregate. ──
+    QueryDef("q56_unpivot",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+          .unpivot(Array(col("l_returnflag")),
+                   Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+                   "measure", "v")
+          .groupBy(col("l_returnflag"), col("measure"))
+          .agg(count(lit(1)).as("n"), dsum(col("v")).as("total"))
+          .orderBy(col("l_returnflag"), col("measure")),
+      Some("""
+        SELECT l_returnflag, measure, count(*) AS n,
+               CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM (
+          SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS v FROM lineitem
+          UNION ALL
+          SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+          UNION ALL
+          SELECT l_returnflag, 'l_discount', l_discount FROM lineitem)
+        GROUP BY l_returnflag, measure ORDER BY l_returnflag, measure""")),
+
+    // ── q57: time-series gap fill — the date-spine pattern: generate the
+    //   full hour × event_type grid with sequence/explode, left-join the
+    //   observed counts, fill 0. At scale the spine is tiny (hours ×
+    //   types) and broadcasts; the fact side shuffles once for its
+    //   aggregation. ──
+    QueryDef("q57_gap_fill",
+      (s, dir) => {
+        val e = events(s, dir)
+        val observed = e
+          .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"))
+        val bounds = e.agg(
+          date_trunc("hour", min(col("ts"))).as("lo"),
+          date_trunc("hour", max(col("ts"))).as("hi"))
+        val spine = bounds
+          .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("hr"))
+          .crossJoin(e.select(col("event_type")).distinct())
+        spine.join(observed, Seq("hr", "event_type"), "left")
+          .select(date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+                  col("event_type"),
+                  coalesce(col("n_events"), lit(0L)).as("n_events"))
+          .orderBy(col("hour"), col("event_type"))
+      },
+      Some("""
+        WITH bounds AS (
+          SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+          FROM events),
+        spine AS (
+          SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr, et.event_type
+          FROM bounds, (SELECT DISTINCT event_type FROM events) et),
+        observed AS (
+          SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n_events
+          FROM events GROUP BY 1, 2)
+        SELECT strftime(s.hr, '%Y-%m-%d %H:%M:%S') AS hour, s.event_type,
+               CAST(coalesce(o.n_events, 0) AS BIGINT) AS n_events
+        FROM spine s LEFT JOIN observed o
+          ON s.hr = o.hr AND s.event_type = o.event_type
+        ORDER BY hour, s.event_type""")),
+
     // ── q55: correlated scalar subqueries through the SQL surface —
     //   parts priced above their brand's mean. Catalyst decorrelates the
     //   two per-brand scalars into aggregate-join plans (no per-row
