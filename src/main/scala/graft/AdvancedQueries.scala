@@ -207,24 +207,14 @@ object AdvancedQueries {
     //   boolean contract crosses the oracle, not the sketch internals. ──
     QueryDef("q48_approx_quantile",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
-        val wg = Window.partitionBy(col("l_returnflag"))
-        val ranked = t(s, dir, "lineitem")
-          .select(col("l_returnflag"), col("l_extendedprice").as("v"))
-          .withColumn("rn", row_number().over(w).cast("long") - 1)
-          .withColumn("n", count(lit(1)).over(wg))
-        val pos = lit(0.5) * (col("n") - 1).cast("double")
-        ranked
+        import ExactPercentiles._
+        ranked(t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice")
           .groupBy(col("l_returnflag"))
           .agg(max(col("n")).as("n"),
-               max(when(col("rn") === floor(pos).cast("long"), col("v"))).as("lo"),
-               max(when(col("rn") === ceil(pos).cast("long"), col("v"))).as("hi"),
+               lo(0.5).as("lo"), hi(0.5).as("hi"),
                percentile_approx(col("v"), lit(0.5), lit(1000)).as("approx"))
           .select(col("l_returnflag"),
-                  round(col("lo") + (col("hi") - col("lo"))
-                    * (lit(0.5) * (col("n") - 1).cast("double")
-                       - floor(lit(0.5) * (col("n") - 1).cast("double"))), 6).as("p50_exact"),
+                  interp(0.5, "lo", "hi").as("p50_exact"),
                   (abs(col("approx") - col("lo")) <= (col("hi") - col("lo")) +
                     col("lo") * 0.01).as("approx_within_1pct"))
           .orderBy(col("l_returnflag"))

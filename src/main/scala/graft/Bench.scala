@@ -29,15 +29,22 @@ object Bench {
     val selected = SparkEntry.benchQueries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         // noop sink forces every output column to be computed; a count()
         // would let column pruning skip the projections being measured
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          // a failed rep must NOT contribute its (fast) elapsed time —
+          // a query that breaks would otherwise look like a speedup
+          System.err.println(s"[bench] $name: ${e.getMessage}")
+          None
+        }
       }
-      name -> times.min
+      // all-reps-failed → an unmissable sentinel in the profile
+      name -> (if (times.nonEmpty) times.min else 9999.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

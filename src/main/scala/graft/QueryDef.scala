@@ -32,6 +32,38 @@ object Par {
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 }
 
+/** Exact sort-based percentiles shared by q19/q48: window rank within the
+  * key group, endpoint rows picked at floor/ceil of p·(n−1), linear
+  * interpolation lower + (upper−lower)·frac — the formula both Spark's
+  * `percentile` and DuckDB's `quantile_cont` use, without the boxed
+  * value→count map Spark's aggregate builds.
+  */
+object ExactPercentiles {
+  import org.apache.spark.sql.{Column, DataFrame}
+  import org.apache.spark.sql.expressions.Window
+  import org.apache.spark.sql.functions._
+
+  /** (key, v, rn, n): 0-based rank of v within key, and the group size. */
+  def ranked(df: DataFrame, key: String, value: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col("v"))
+    val wg = Window.partitionBy(col(key))
+    df.select(col(key), col(value).as("v"))
+      .withColumn("rn", row_number().over(w).cast("long") - 1)
+      .withColumn("n", count(lit(1)).over(wg))
+  }
+
+  def pos(p: Double): Column = lit(p) * (col("n") - 1).cast("double")
+  /** aggregate pick of the interpolation endpoints (equal when pos is
+    * integral, making the frac term vanish) */
+  def lo(p: Double): Column = max(when(col("rn") === floor(pos(p)).cast("long"), col("v")))
+  def hi(p: Double): Column = max(when(col("rn") === ceil(pos(p)).cast("long"), col("v")))
+  /** post-aggregation interpolation over the picked lo/hi columns */
+  def interp(p: Double, loCol: String, hiCol: String): Column = {
+    val po = pos(p)
+    round(col(loCol) + (col(hiCol) - col(loCol)) * (po - floor(po)), 6)
+  }
+}
+
 object QueryRegistry {
   def all: Seq[QueryDef] =
     RelationalQueries.defs ++ AdvancedQueries.defs ++ VectorQueries.defs ++

@@ -163,32 +163,17 @@ object RelationalQueries {
     //   sort. 6dp rounding absorbs last-ulp drift. ──
     QueryDef("q19_percentiles",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
-        val wg = Window.partitionBy(col("l_returnflag"))
-        val ranked = t(s, dir, "lineitem")
-          .select(col("l_returnflag"), col("l_extendedprice").as("v"))
-          .withColumn("rn", row_number().over(w).cast("long") - 1)
-          .withColumn("n", count(lit(1)).over(wg))
-        // pos = p*(n-1) is constant within a group; the rows at floor(pos)
-        // and ceil(pos) carry the interpolation endpoints (equal when pos
-        // is integral, in which case lo == hi and frac*(hi-lo) vanishes)
-        def pos(p: Double): Column = lit(p) * (col("n") - 1).cast("double")
-        def lo(p: Double): Column = max(when(col("rn") === floor(pos(p)).cast("long"), col("v")))
-        def hi(p: Double): Column = max(when(col("rn") === ceil(pos(p)).cast("long"), col("v")))
-        def interp(p: Double): Column = {
-          val k = (p * 100).toInt
-          val po = lit(p) * (col("n") - 1).cast("double")
-          round(col(s"lo_$k") + (col(s"hi_$k") - col(s"lo_$k")) * (po - floor(po)), 6)
-        }
-        ranked
+        import ExactPercentiles._
+        ranked(t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice")
           .groupBy(col("l_returnflag"))
           .agg(max(col("n")).as("n"),
                lo(0.5).as("lo_50"), hi(0.5).as("hi_50"),
                lo(0.9).as("lo_90"), hi(0.9).as("hi_90"),
                lo(0.99).as("lo_99"), hi(0.99).as("hi_99"))
           .select(col("l_returnflag"),
-                  interp(0.5).as("p50"), interp(0.9).as("p90"), interp(0.99).as("p99"))
+                  interp(0.5, "lo_50", "hi_50").as("p50"),
+                  interp(0.9, "lo_90", "hi_90").as("p90"),
+                  interp(0.99, "lo_99", "hi_99").as("p99"))
           .orderBy(col("l_returnflag"))
       },
       Some("""

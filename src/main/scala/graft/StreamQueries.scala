@@ -67,6 +67,9 @@ object StreamQueries {
     // replay it from the source text (ASCII ⇒ byte i = code point i):
     // the stub boundary is checked exactly, not just rows>0 — swap in a
     // real decoder and this oracle is the one thing you'd retire.
+    // NOTE the equivalence holds because the corpus is verified all-ASCII
+    // and non-empty: the stub histograms UTF-8 BYTES of the payload while
+    // the SQL counts CODEPOINTS of the text — identical only for ASCII.
     QueryDef("q60_multimodal",
       (s, dir) => {
         val media = Multimodal.fakeMediaFromDocs(s, dir)

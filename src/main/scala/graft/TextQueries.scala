@@ -384,6 +384,7 @@ object TextQueries {
             .localCheckpoint() // truncate lineage: plans must not nest per pass
           changed = next.join(lbl.withColumnRenamed("lbl", "old"), Seq("id"))
             .filter(col("lbl") =!= col("old")).count()
+          lbl.unpersist() // next is materialized; drop the previous pass's blocks
           lbl = next
         }
         import org.apache.spark.sql.expressions.Window

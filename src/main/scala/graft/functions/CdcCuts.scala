@@ -46,21 +46,24 @@ case class CdcCuts(child: Expression) extends UnaryExpression with CodegenFallba
       s"cdc_cuts requires STRING input, got ${child.dataType.simpleString}")
 
   override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    val n = s.length
+    // code POINTS, not UTF-16 units: DuckDB's unicode()/substr/length are
+    // codepoint-based, so a non-BMP char (one codepoint, two Java chars)
+    // must advance positions and hashes exactly once in both engines
+    val cp = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val n = cp.length
     val cuts = scala.collection.mutable.ArrayBuffer.empty[Any]
     if (n >= W) {
       var h = 0L
       var i = 0
-      while (i < W) { h = (h * B + s.charAt(i)) % M; i += 1 }
+      while (i < W) { h = (h * B + cp(i)) % M; i += 1 }
       // i is now the 0-indexed position AFTER the first window; 1-indexed
       // window end p = i. Cuts allowed at w <= p < n (never after the
       // final char — the tail is always its own chunk).
       var p = W
       if (h % Mask == 0L && p < n) cuts += p
       while (p < n) {
-        val cIn = s.charAt(p).toLong
-        val cOut = s.charAt(p - W).toLong
+        val cIn = cp(p).toLong
+        val cOut = cp(p - W).toLong
         h = ((h * B + cIn - cOut * bw % M) % M + M) % M
         p += 1
         if (h % Mask == 0L && p < n) cuts += p

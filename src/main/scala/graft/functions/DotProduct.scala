@@ -110,7 +110,12 @@ case class CosineSim(left: Expression, right: Expression) extends VectorKernel {
       val x = get(a, i, leftIsFloat); val y = get(b, i, rightIsFloat)
       ab += x * y; aa += x * x; bb += y * y; i += 1
     }
-    ab / (math.sqrt(aa) * math.sqrt(bb))
+    // HOF formulation is Divide(dot, norm*norm), and non-ANSI Divide
+    // returns NULL on a 0.0 divisor — a zero-norm vector must yield null
+    // here too, not 0/0 = NaN (NaN sorts FIRST in a descending top-k,
+    // null last; the bit-identity contract covers the degenerate case)
+    val denom = math.sqrt(aa) * math.sqrt(bb)
+    if (denom == 0.0) null else ab / denom
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -119,6 +124,7 @@ case class CosineSim(left: Expression, right: Expression) extends VectorKernel {
       val n = ctx.freshName("n")
       val ab = ctx.freshName("ab"); val aa = ctx.freshName("aa"); val bb = ctx.freshName("bb")
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val denom = ctx.freshName("denom")
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) { ${ev.isNull} = true; } else {
@@ -129,7 +135,10 @@ case class CosineSim(left: Expression, right: Expression) extends VectorKernel {
          |    double $y = ${getJ(b, i, rightIsFloat)};
          |    $ab += $x * $y; $aa += $x * $x; $bb += $y * $y;
          |  }
-         |  if (!${ev.isNull}) { ${ev.value} = $ab / (java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb)); }
+         |  if (!${ev.isNull}) {
+         |    double $denom = java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb);
+         |    if ($denom == 0.0D) { ${ev.isNull} = true; } else { ${ev.value} = $ab / $denom; }
+         |  }
          |}
        """.stripMargin
     })

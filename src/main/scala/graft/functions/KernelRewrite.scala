@@ -89,8 +89,11 @@ object KernelRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
-    case e => e.transformUp {
+  // one bottom-up pass per plan node (transformAllExpressions +
+  // per-expression transformUp would redo the full subtree rewrite at
+  // every enclosing node — quadratic for nothing)
+  def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case p => p.transformExpressionsUp {
       case DotShape(a, b) => DotProduct(a, b)
       case SumSqShape(a) => DotProduct(a, a)
       case Divide(DotProduct(a1, b1),

@@ -30,9 +30,12 @@ object VectorOps {
   def normL2(a: Column): Column =
     sqrt(aggregate(asD(a), lit(0.0), (acc, x) => acc + x * x))
 
-  /** Cosine similarity; null-safe on dimension mismatch handled upstream. */
+  /** Cosine similarity. try_divide, not `/`: under Spark 4's default ANSI
+    * mode a zero-norm vector would throw DIVIDE_BY_ZERO mid-job; the
+    * engine's semantics (and the CosineSim kernel's) is NULL — undefined
+    * cosine, sorts last in a descending top-k. */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (normL2(a) * normL2(b))
+    try_divide(dot(a, b), normL2(a) * normL2(b))
 
   /** Squared Euclidean distance. */
   def distSq(a: Column, b: Column): Column =

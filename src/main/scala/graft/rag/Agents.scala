@@ -53,11 +53,15 @@ object Agents {
     val analyze = udf((text: String) => expertAnalyzeJson(question, text))
     chunks
       .withColumn("analysis_json", analyze(col("chunk_text")))
-      // default PERMISSIVE mode: malformed JSON yields a null struct, so the
-      // isNotNull filter below actually performs the L6 validation (FAILFAST
-      // would abort the whole job on one bad record from a real LlmClient)
+      // default PERMISSIVE mode: malformed/truncated JSON yields a struct
+      // with null (or partially parsed) FIELDS — never a null struct — so
+      // L6 must check every required key, exactly like the notebook's
+      // required_keys validation. (FAILFAST would instead abort the whole
+      // job on one bad record from a real LlmClient.)
       .withColumn("analysis", from_json(col("analysis_json"), AnalysisSchema))
-      .filter(col("analysis").isNotNull && col("analysis.relevance").isNotNull) // L6
+      .filter(col("analysis.relevance").isNotNull &&
+        col("analysis.key_findings").isNotNull &&
+        col("analysis.missing_info").isNotNull) // L6
       .filter(col("analysis.relevance") > relevanceThreshold) // P7
   }
 

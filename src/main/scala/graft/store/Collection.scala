@@ -47,14 +47,28 @@ class Collection private (
     val pred = expr(filter)
     val before = df.count()
     val tmp = s"$path.__rewrite"
-    df.filter(!pred).write.mode(SaveMode.Overwrite).parquet(tmp)
+    // NULL-predicate rows are NOT matches and must survive: plain
+    // !pred would drop them (three-valued logic makes NOT NULL = NULL,
+    // which filter discards)
+    df.filter(!coalesce(pred, lit(false))).write.mode(SaveMode.Overwrite).parquet(tmp)
+    // swap via a trash rename so a crash between the two renames leaves
+    // the data recoverable (old dir intact under .__old), never deleted
+    // before its replacement is in place. NOTE: the rewrite does not
+    // preserve an insertPartitioned hive layout — re-partition after
+    // deleting from a cell-partitioned collection.
+    val live = new java.io.File(path)
+    val old = new java.io.File(s"$path.__old")
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete(); ()
     }
-    rm(new java.io.File(path))
-    require(new java.io.File(tmp).renameTo(new java.io.File(path)),
-      s"delete: could not swap $tmp into place")
+    rm(old)
+    require(live.renameTo(old), s"delete: could not stage $path aside")
+    if (!new java.io.File(tmp).renameTo(live)) {
+      old.renameTo(live) // roll back
+      throw new IllegalStateException(s"delete: could not swap $tmp into place")
+    }
+    rm(old)
     before - df.count()
   }
 
@@ -160,7 +174,9 @@ object Collection {
   def list(spark: SparkSession, root: String): Seq[String] = {
     val dir = new java.io.File(root)
     if (!dir.exists) Nil
-    else dir.listFiles.filter(_.isDirectory).map(_.getName).sorted.toSeq
+    else dir.listFiles.filter(_.isDirectory).map(_.getName)
+      .filterNot(_.contains(".__")) // delete()'s transient rewrite/trash dirs
+      .sorted.toSeq
   }
 
   def drop(root: String, name: String): Unit = {

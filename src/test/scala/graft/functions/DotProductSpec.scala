@@ -30,6 +30,19 @@ class DotProductSpec extends SparkSpec {
     assert(withNull.head().isNullAt(0))
   }
 
+  test("zero-norm vector → null, matching the HOF's non-ANSI Divide (not NaN)") {
+    val zero = typedLit(Array(0.0, 0.0, 0.0))
+    val v = typedLit(Array(1.0, 2.0, 3.0))
+    val df = Seq(1).toDF("x")
+    // HOF formulation: Divide by 0.0 → NULL in default mode
+    assert(df.select(VectorOps.cosine(zero, v)).head().isNullAt(0))
+    // kernel must agree — NaN would sort FIRST in a descending top-k
+    assert(df.select(VectorKernels.cosineFast(zero, v)).head().isNullAt(0))
+    assert(df.select(VectorKernels.cosineFast(v, zero)).head().isNullAt(0))
+    // dot of a zero vector is still 0.0, not null
+    assert(df.select(VectorKernels.dotFast(zero, v)).head().getDouble(0) === 0.0)
+  }
+
   test("mixed float/double inputs widen like the HOF cast") {
     val f = typedLit(Array(0.1f, 0.2f, 0.3f))
     val d = typedLit(Array(0.5, 0.25, 0.125))

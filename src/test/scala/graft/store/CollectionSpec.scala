@@ -92,4 +92,18 @@ class CollectionSpec extends SparkSpec {
     assert(c.delete("id >= 2") === 0)
     assert(c.describe().rows === 2)
   }
+
+  test("delete leaves NULL-predicate rows alone (they are not matches)") {
+    Collection.drop(root, "cnull")
+    val c = Collection.create(spark, root, "cnull", TextEmbed.DefaultDim, overwrite = true)
+    c.insert(seeded)
+    c.insert(seeded.limit(1)
+      .withColumn("text", lit(null).cast("string"))
+      .withColumn("id", lit(99L)))
+    // predicate evaluates NULL on the text-less row: it must survive
+    val removed = c.delete("text = 'the quick brown fox jumps'")
+    assert(removed === 1)
+    assert(c.df.filter(col("id") === 99L).count() === 1)
+    assert(c.describe().rows === 4)
+  }
 }
