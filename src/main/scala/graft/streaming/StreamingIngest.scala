@@ -30,7 +30,8 @@ object StreamingIngest {
     * file (one micro-batch; complete mode), returned as a batch DataFrame.
     * Semantics identical to the batch date_trunc aggregation.
     */
-  def hourlyEventCounts(spark: SparkSession, dir: String): DataFrame = {
+  def hourlyEventCounts(outer: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(outer)
     // FileStreamSource requires a DIRECTORY; eventStream's pathGlobFilter
     // selects just the events table out of the shared testdata dir.
     val stream = eventStream(spark, dir)
@@ -40,6 +41,21 @@ object StreamingIngest {
     runToTable(spark, stream, "complete")
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n_events"))
+  }
+
+  /** Stateful micro-batches pay a per-state-partition commit/snapshot cost
+    * every batch regardless of data volume; 32 shuffle partitions × (two
+    * sides of a join + dedup/agg state) dominated sub-second queries. The
+    * streaming queries run on a cloned session (shared SparkContext,
+    * private conf) with a smaller state partition count — on a real
+    * cluster you'd size this to executor count, and state is keyed, so
+    * capacity scales with active keys either way.
+    */
+  private def streamSession(spark: SparkSession): SparkSession = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s2
   }
 
   private def eventStream(spark: SparkSession, dir: String): DataFrame = {
@@ -67,7 +83,8 @@ object StreamingIngest {
     * stream; an unconstrained stream-stream join would accrete state
     * forever.
     */
-  def clickViewJoin(spark: SparkSession, dir: String): DataFrame = {
+  def clickViewJoin(outer: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(outer)
     val clicks = eventStream(spark, dir)
       .filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("ts").as("c_ts"))
@@ -89,7 +106,8 @@ object StreamingIngest {
     * inside the watermark delay, so the within-watermark semantics are
     * exact here while state stays O(active keys), not O(stream).
     */
-  def distinctUserHourType(spark: SparkSession, dir: String): DataFrame = {
+  def distinctUserHourType(outer: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(outer)
     val keyed = eventStream(spark, dir)
       .withWatermark("ts", "1 hour")
       .select(col("user_id"),
