@@ -118,6 +118,25 @@ object StreamingIngest {
       .select(col("user_id"), col("hour"), col("event_type"))
   }
 
+  /** Incremental index build: a docs STREAM embeds and appends into a
+    * Collection's parquet directory exactly once per micro-batch — the
+    * reference's insert-inside-loop (`scripts/prepare_data.py:79-95`,
+    * which re-inserted the whole growing list every iteration) done
+    * right: the file-sink commit log gives exactly-once appends, and
+    * `Collection.open(...).df`/search read only committed files.
+    */
+  def streamingInsert(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                      path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.functions.TextEmbed.withEmbed(docs, textCol, "vector")
+      .withColumn("vector", col("vector").cast(ArrayType(FloatType, containsNull = true)))
+      .writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
   /** True streaming stateful operator (flatMapGroupsWithState): per-user
     * running event counts maintained in GroupState across micro-batches,
     * emitted on every update. The custom-state shape SURVEY.md §2.9

@@ -84,6 +84,29 @@ class StreamingIngestSpec extends SparkSpec {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("streaming insert: embeds accumulate across micro-batches, search works") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("id", "text")
+    val q = StreamingIngest.streamingInsert(
+      docs, "text", s"$root/c_stream", s"$root/ckpt")
+    try {
+      input.addData((0L, "spark window aggregation"), (1L, "quick brown fox"))
+      q.processAllAvailable()
+      val c = graft.store.Collection.open(spark, root, "c_stream")
+      assert(c.df.count() === 2)
+      input.addData((2L, "vector cosine search engine"))
+      q.processAllAvailable()
+      assert(c.df.count() === 3) // append, not rewrite: batch 1 rows intact
+      val top = c.search(
+        graft.functions.TextEmbed.embedScala("vector cosine search"), 1).head()
+      assert(top.getAs[Long]("id") === 2L)
+    } finally q.stop()
+  }
+
   test("typed stateful sessions: counts match groupBy, sessions ≥ 1") {
     val got = StreamingIngest.userSessions(spark, sf)
     val counts = spark.read.schema(StreamingIngest.EventsRawSchema)
