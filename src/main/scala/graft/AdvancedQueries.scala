@@ -277,6 +277,33 @@ object AdvancedQueries {
         WHERE p_size >= 20
         GROUP BY n_name, p_type ORDER BY n_name, p_type""")),
 
+    // ── q58: stratified sampling — training pipelines downsample per
+    //   stratum (language, source, quality band). sampleBy is seeded and
+    //   deterministic WITHIN Spark but not across engines, so the oracle
+    //   checks the sampling CONTRACT (the q37 sketch pattern): per-stratum
+    //   rates within tolerance, never exceeding the population. ──
+    QueryDef("q58_stratified_sample",
+      (s, dir) => {
+        val fractions = Map("click" -> 0.5, "view" -> 0.2, "purchase" -> 1.0,
+                            "error" -> 0.1, "signup" -> 0.1)
+        val e = events(s, dir)
+        val sampled = e.stat.sampleBy("event_type", fractions, seed = 42L)
+          .groupBy(col("event_type")).agg(count(lit(1)).as("n_sampled"))
+        val totals = e.groupBy(col("event_type")).agg(count(lit(1)).as("n_total"))
+        val frac = typedLit(fractions)
+        totals.join(sampled, Seq("event_type"), "left")
+          .withColumn("n_sampled", coalesce(col("n_sampled"), lit(0L)))
+          .withColumn("expected", element_at(frac, col("event_type")) * col("n_total"))
+          .select(col("event_type"), col("n_total"),
+            (col("n_sampled") <= col("n_total") &&
+             abs(col("n_sampled") - col("expected")) <= col("expected") * 0.25 + 20)
+              .as("rate_ok"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        SELECT event_type, count(*) AS n_total, TRUE AS rate_ok
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // ── q56: unpivot/melt — the pivot inverse (long-form measures from
     //   wide columns, one pass, no join). Values go through integer cents
     //   before the sum like every money aggregate. ──
