@@ -63,6 +63,32 @@ object StreamQueries {
                event_type
         FROM events ORDER BY user_id, hour, event_type""")),
 
+    // ── q59: native session_window streaming aggregation — the engine
+    //   merges dynamic-gap windows in state (vs q34's batch islands and
+    //   q51's typed mapGroups). window.end = last event + gap, which the
+    //   oracle reproduces as max(ts) + INTERVAL 30 MINUTE. ──
+    QueryDef("q59_session_window",
+      (s, dir) => StreamingIngest.sessionWindows(s, dir)
+        .orderBy(col("user_id"), col("sess_start")),
+      Some("""
+        WITH flagged AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sessions AS (
+          SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sess_id
+          FROM flagged)
+        SELECT user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+               strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS sess_end,
+               count(*) AS n_events
+        FROM sessions GROUP BY user_id, sess_id
+        ORDER BY user_id, sess_start""")),
+
     // The decode STUB is deterministic byte arithmetic, so the oracle can
     // replay it from the source text (ASCII ⇒ byte i = code point i):
     // the stub boundary is checked exactly, not just rows>0 — swap in a

@@ -118,6 +118,25 @@ object StreamingIngest {
       .select(col("user_id"), col("hour"), col("event_type"))
   }
 
+  /** Native session windows (session_window + watermark): dynamic-gap
+    * windows merged by the streaming aggregation itself — state is one
+    * in-flight window per active (user, session), closed and emitted once
+    * the watermark passes the gap. The batch-equivalence oracle is the
+    * gaps-and-islands formulation of the same 30-minute sessions.
+    */
+  def sessionWindows(outer: SparkSession, dir: String): DataFrame = {
+    val spark = streamSession(outer)
+    val sessions = eventStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    runToTable(spark, sessions, "complete")
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("sess_end"),
+        col("n_events"))
+  }
+
   /** Incremental index build: a docs STREAM embeds and appends into a
     * Collection's parquet directory exactly once per micro-batch — the
     * reference's insert-inside-loop (`scripts/prepare_data.py:79-95`,

@@ -63,6 +63,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "fill-down formulation must not join:\n" + p.take(2000))
   }
 
+  test("q46: RP-LSH banded self-join is a hash join on (band, value)") {
+    val p = plan("q46_rplsh_neardup")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+           p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("q01: partial aggregation before the exchange (map-side combine)") {
     val p = plan("q01_pricing_summary")
     val firstHashAgg = p.indexOf("HashAggregate")
