@@ -277,6 +277,36 @@ object AdvancedQueries {
         WHERE p_size >= 20
         GROUP BY n_name, p_type ORDER BY n_name, p_type""")),
 
+    // ── q61: Bloom-filter semi-join pruning — at 100 TB you don't shuffle
+    //   a fact table to semi-join a key set; you broadcast a Bloom sketch
+    //   and pre-filter at the scan (what Spark's runtime row-group
+    //   filtering does internally). Contract oracle: zero false negatives
+    //   (every purchaser passes) and a bounded false-positive rate on
+    //   non-purchasers. ──
+    QueryDef("q61_bloom_filter",
+      (s, dir) => {
+        val e = events(s, dir).select(col("user_id"), col("event_type"))
+        val purchasers = e.filter(col("event_type") === "purchase")
+        val bf = purchasers.stat.bloomFilter("user_id", 2000L, 0.03)
+        val might = udf((uid: Long) => bf.mightContain(uid))
+        val users = e.groupBy(col("user_id"))
+          .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("is_purchaser"))
+          .withColumn("hit", might(col("user_id")))
+        users.agg(
+            sum(col("is_purchaser")).cast("long").as("n_purchasers"),
+            // no false negatives, ever — the Bloom contract
+            (sum(when(col("is_purchaser") === 1 && !col("hit"), 1).otherwise(0)) === 0)
+              .as("no_false_negatives"),
+            // observed FP rate on non-purchasers well under 5x the target fpp
+            (sum(when(col("is_purchaser") === 0 && col("hit"), 1).otherwise(0)) <=
+              greatest(sum(when(col("is_purchaser") === 0, 1).otherwise(0)) * 0.15, lit(5.0)))
+              .as("fp_rate_bounded"))
+      },
+      Some("""
+        SELECT count(DISTINCT user_id) AS n_purchasers,
+               TRUE AS no_false_negatives, TRUE AS fp_rate_bounded
+        FROM events WHERE event_type = 'purchase'""")),
+
     // ── q58: stratified sampling — training pipelines downsample per
     //   stratum (language, source, quality band). sampleBy is seeded and
     //   deterministic WITHIN Spark but not across engines, so the oracle
