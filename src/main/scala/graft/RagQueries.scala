@@ -75,7 +75,7 @@ object RagQueries {
     // ── q43: the reference's own 55-question diary eval, end to end.
     //   Sources are the reference's committed fixtures (read-only), not
     //   sfDir — this is the flagship capability check: ingest → W7 chunks
-    //   → 384-d embed → retrieve k=5 → extractive answer → judge. The
+    //   → 384-d embed → retrieve k=10 → extractive answer → judge. The
     //   reference's archived run: mean grade 0.216, 46/55 fallbacks. ──
     QueryDef("q43_diary_eval",
       (s, dir) => {
@@ -98,7 +98,7 @@ object RagQueries {
         val qa = graft.sources.QaSource.load(s,
             s"$ref/data/questions.txt", s"$ref/data/answers.txt")
           .select(col("qa_id").as("qid"), col("question"), col("expected_answer"))
-        RagPipeline.evalBatch(qa, collection, k = 5, dim = 384)
+        RagPipeline.evalBatch(qa, collection, k = 10, dim = 384)
           .select(col("qid"), col("question"), col("answer"), col("grade"), col("success"))
           .orderBy(col("qid"))
       },

@@ -29,20 +29,35 @@ object ExtractiveLlm extends LlmClient {
   private def toks(s: String): Array[String] =
     s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
 
+  /** question-side stopwords: interrogatives + glue that match every
+    * sentence and drown the discriminative terms */
+  private val Stop = Set(
+    "what", "who", "whom", "whose", "which", "where", "when", "why", "how",
+    "is", "are", "was", "were", "be", "been", "did", "do", "does", "has",
+    "have", "had", "the", "a", "an", "of", "in", "on", "at", "to", "for",
+    "by", "with", "and", "or", "it", "its", "his", "her", "their", "this",
+    "that", "there", "about", "many", "much", "name", "called", "happened",
+    "during", "describe", "according", "diary")
+
   override def answer(question: String, context: Seq[String]): String = {
-    val q = toks(question).toSet
+    val all = toks(question).toSet
+    val content = all -- Stop
+    val q = if (content.nonEmpty) content else all // never score on nothing
     if (q.isEmpty || context.isEmpty) return Fallback
-    // short overlapping windows: the densest 24-token span is the answer
-    // (tight spans keep judge precision meaningful; a page-sized span
-    // "contains" every answer and scores near zero)
-    val spans = context.flatMap { c =>
-      val t = toks(c)
-      if (t.isEmpty) Nil
-      else t.sliding(24, 12).map(_.toArray).toSeq
-    }
-    if (spans.isEmpty) return Fallback
-    val best = spans.maxBy(span => (span.count(q.contains), -span.length))
-    if (best.count(q.contains) == 0) Fallback else best.mkString(" ")
+    // sentence-level extraction: the sentence with the densest question
+    // overlap usually CONTAINS or IMMEDIATELY PRECEDES the answer, and
+    // sentence boundaries keep judge precision meaningful (a fixed token
+    // window drags in neighbors that dilute F1)
+    val sents = context.flatMap(_.split("(?<=[.!?])\\s+")).map(_.trim).filter(_.nonEmpty)
+    if (sents.isEmpty) return Fallback
+    val overlaps = sents.map(s => toks(s).distinct.count(q.contains))
+    val bestScore = overlaps.max
+    if (bestScore == 0) return Fallback
+    // among max-overlap sentences prefer the shortest (F1 precision),
+    // then the earliest (deterministic)
+    sents.zip(overlaps).zipWithIndex
+      .filter(_._1._2 == bestScore)
+      .minBy { case ((s, _), idx) => (toks(s).length, idx) }._1._1
   }
 
   override def judge(question: String, expected: String, predicted: String): Double = {

@@ -76,7 +76,7 @@ class EndToEndSpec extends SparkSpec {
   test("full 55-question eval beats the reference's archived 0.216 mean grade") {
     val qa = QaSource.load(spark, s"$ref/data/questions.txt", s"$ref/data/answers.txt")
       .select(col("qa_id").as("qid"), col("question"), col("expected_answer"))
-    val out = RagPipeline.evalBatch(qa, collectionDf, k = 5, dim = Dim).cache()
+    val out = RagPipeline.evalBatch(qa, collectionDf, k = 10, dim = Dim).cache()
     assert(out.count() === 55)
     val grades = out.agg(avg(col("grade")).as("mean"), count(when(col("success"), 1)).as("answered"))
       .head()
