@@ -277,6 +277,73 @@ object AdvancedQueries {
         WHERE p_size >= 20
         GROUP BY n_name, p_type ORDER BY n_name, p_type""")),
 
+    // ── q62: Pearson correlation / covariance per group — built from the
+    //   five EXACT power sums (decimal(38,0), no overflow, no fp order
+    //   dependence) instead of corr()/covar_samp(), whose single-pass
+    //   Welford updates differ numerically between engines. The final
+    //   formula is a handful of double ops on identical inputs → bitwise
+    //   equal across engines. ──
+    QueryDef("q62_correlation",
+      (s, dir) => {
+        val D0 = DecimalType(38, 0)
+        val x = round(col("l_extendedprice") * 100, 0).cast("long") // cents
+        val y = col("l_quantity").cast("long")
+        val agg = t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).cast("double").as("n"),
+               sum(x.cast(D0)).cast("double").as("sx"),
+               sum(y.cast(D0)).cast("double").as("sy"),
+               sum((x * y).cast(D0)).cast("double").as("sxy"),
+               sum((x * x).cast(D0)).cast("double").as("sxx"),
+               sum((y * y).cast(D0)).cast("double").as("syy"))
+        agg.select(col("l_returnflag"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+               sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr_price_qty"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (col("n") * (col("n") - 1) * 100.0), 6).as("covar_samp_dollars"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""
+        WITH sums AS (
+          SELECT l_returnflag,
+                 CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+                 CAST(sum(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+                 CAST(sum(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+                 CAST(sum(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                               * CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+                 CAST(sum(CAST(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) AS syy
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag,
+               round((n * sxy - sx * sy) /
+                     (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_price_qty,
+               round((n * sxy - sx * sy) / (n * (n - 1) * 100.0), 6) AS covar_samp_dollars
+        FROM sums ORDER BY l_returnflag""")),
+
+    // ── q63: heavy-hitter sketch contract — freqItems (Karp-Papadimitriou
+    //   -Shenker single-pass counters) must return a SUPERSET of every
+    //   value with frequency above the support threshold; the oracle pins
+    //   that no true heavy hitter is missed. ──
+    QueryDef("q63_freq_items",
+      (s, dir) => {
+        val e = events(s, dir)
+        val support = 0.15
+        val sketch = e.stat.freqItems(Array("event_type"), support)
+          .head().getSeq[String](0).toSet
+        val total = e.count()
+        e.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+          .filter(col("n") > total * support)
+          .withColumn("found_by_sketch",
+            col("event_type").isin(sketch.toSeq: _*))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        SELECT event_type, count(*) AS n, TRUE AS found_by_sketch
+        FROM events GROUP BY event_type
+        HAVING count(*) > 0.15 * (SELECT count(*) FROM events)
+        ORDER BY event_type""")),
+
     // ── q61: Bloom-filter semi-join pruning — at 100 TB you don't shuffle
     //   a fact table to semi-join a key set; you broadcast a Bloom sketch
     //   and pre-filter at the scan (what Spark's runtime row-group
