@@ -225,6 +225,35 @@ object AdvancedQueries {
                TRUE AS approx_within_1pct
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // ── q64: full outer join — the one join type the reference's shapes
+    //   never need (q06 anti, q38 semi, q03/q10/q44 inner, q32/q57 left):
+    //   per-user click and view activity merged with both-sides-null
+    //   semantics. ──
+    QueryDef("q64_full_outer",
+      (s, dir) => {
+        val e = events(s, dir)
+        def per(tpe: String, out: String) =
+          e.filter(col("event_type") === tpe)
+            .groupBy(col("user_id")).agg(count(lit(1)).as(out))
+        val c = per("click", "n_clicks")
+        val v = per("view", "n_views")
+        c.join(v, Seq("user_id"), "full_outer")
+          .select(col("user_id"),
+            coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+            coalesce(col("n_views"), lit(0L)).as("n_views"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        WITH c AS (SELECT user_id, count(*) AS n_clicks FROM events
+                   WHERE event_type = 'click' GROUP BY user_id),
+             v AS (SELECT user_id, count(*) AS n_views FROM events
+                   WHERE event_type = 'view' GROUP BY user_id)
+        SELECT coalesce(c.user_id, v.user_id) AS user_id,
+               coalesce(n_clicks, 0) AS n_clicks,
+               coalesce(n_views, 0) AS n_views
+        FROM c FULL OUTER JOIN v ON c.user_id = v.user_id
+        ORDER BY user_id""")),
+
     // ── q38: EXISTS via left-semi join (q06 covers the anti side):
     //   order priorities of orders carrying any near-capacity lineitem. ──
     QueryDef("q38_exists_semi",
