@@ -43,33 +43,64 @@ class Collection private (
     * partitions containing matches when the predicate prunes). Returns
     * the number of rows removed.
     */
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmTree)
+    f.delete(); ()
+  }
+
+  /** Copy-on-write rewrite: `write` produces the replacement directory,
+    * then a trash-first rename swap installs it — a crash between the two
+    * renames leaves the data recoverable under `.__old`, never deleted
+    * before its replacement is in place. NOTE: rewrites do not preserve
+    * an insertPartitioned hive layout — re-partition afterwards if the
+    * collection was cell-partitioned.
+    */
+  private def rewriteSwap(op: String)(write: String => Unit): Unit = {
+    val tmp = s"$path.__rewrite"
+    write(tmp)
+    val live = new java.io.File(path)
+    val old = new java.io.File(s"$path.__old")
+    rmTree(old)
+    require(live.renameTo(old), s"$op: could not stage $path aside")
+    if (!new java.io.File(tmp).renameTo(live)) {
+      old.renameTo(live) // roll back
+      throw new IllegalStateException(s"$op: could not swap $tmp into place")
+    }
+    rmTree(old)
+  }
+
   def delete(filter: String): Long = {
     val pred = expr(filter)
     val before = df.count()
-    val tmp = s"$path.__rewrite"
     // NULL-predicate rows are NOT matches and must survive: plain
     // !pred would drop them (three-valued logic makes NOT NULL = NULL,
     // which filter discards)
-    df.filter(!coalesce(pred, lit(false))).write.mode(SaveMode.Overwrite).parquet(tmp)
-    // swap via a trash rename so a crash between the two renames leaves
-    // the data recoverable (old dir intact under .__old), never deleted
-    // before its replacement is in place. NOTE: the rewrite does not
-    // preserve an insertPartitioned hive layout — re-partition after
-    // deleting from a cell-partitioned collection.
-    val live = new java.io.File(path)
-    val old = new java.io.File(s"$path.__old")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
+    rewriteSwap("delete") { tmp =>
+      df.filter(!coalesce(pred, lit(false))).write.mode(SaveMode.Overwrite).parquet(tmp)
     }
-    rm(old)
-    require(live.renameTo(old), s"delete: could not stage $path aside")
-    if (!new java.io.File(tmp).renameTo(live)) {
-      old.renameTo(live) // roll back
-      throw new IllegalStateException(s"delete: could not swap $tmp into place")
-    }
-    rm(old)
     before - df.count()
+  }
+
+  /** Compaction: N small append files → ceil(bytes / targetFileBytes)
+    * right-sized files. Streaming ingest and per-batch inserts accrete
+    * small files (the classic operational problem at scale: open-file
+    * overhead and scan-task explosion); compaction is the same
+    * copy-on-write swap as delete, sized from the actual on-disk bytes.
+    * Returns (filesBefore, filesAfter).
+    */
+  def compact(targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    def parquetFiles(d: java.io.File): Seq[java.io.File] = {
+      val fs = Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
+      fs.filter(_.isFile).filter(_.getName.endsWith(".parquet")) ++
+        fs.filter(_.isDirectory).flatMap(parquetFiles)
+    }
+    val before = parquetFiles(new java.io.File(path))
+    val bytes = before.map(_.length()).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    rewriteSwap("compact") { tmp =>
+      df.repartition(nOut).write.mode(SaveMode.Overwrite).parquet(tmp)
+    }
+    (before.size, parquetFiles(new java.io.File(path)).size)
   }
 
   /** S7/S8: append entity rows. Expects id/vector/text(+metadata) columns.

@@ -93,6 +93,20 @@ class CollectionSpec extends SparkSpec {
     assert(c.describe().rows === 2)
   }
 
+  test("compact folds many small append files into one, preserving rows") {
+    Collection.drop(root, "ccomp")
+    val c = Collection.create(spark, root, "ccomp", TextEmbed.DefaultDim, overwrite = true)
+    // 5 separate appends → ≥5 part files (each its own write job)
+    (0 until 5).foreach(_ => c.insert(seeded.repartition(2)))
+    val rowsBefore = c.df.count()
+    val (before, after) = c.compact()
+    assert(before >= 5)
+    assert(after === 1) // tiny data → one right-sized file
+    assert(c.df.count() === rowsBefore)
+    // still searchable after the rewrite
+    assert(c.search(TextEmbed.embedScala("spark"), 1).count() === 1)
+  }
+
   test("delete leaves NULL-predicate rows alone (they are not matches)") {
     Collection.drop(root, "cnull")
     val c = Collection.create(spark, root, "cnull", TextEmbed.DefaultDim, overwrite = true)
