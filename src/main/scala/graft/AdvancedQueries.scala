@@ -306,6 +306,55 @@ object AdvancedQueries {
         WHERE p_size >= 20
         GROUP BY n_name, p_type ORDER BY n_name, p_type""")),
 
+    // ── q65: distribution window functions (ntile / percent_rank /
+    //   cume_dist) — partitioned by priority so the sort shards; the
+    //   (totalprice, orderkey) order is tie-free, so the rank-derived
+    //   ratios are exact small-integer quotients in both engines. ──
+    QueryDef("q65_window_distribution",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        t(s, dir, "orders")
+          .filter(col("o_custkey") < 50)
+          .withColumn("quartile", ntile(4).over(w).cast("long"))
+          .withColumn("pct_rank", round(percent_rank().over(w), 6))
+          .withColumn("cume", round(cume_dist().over(w), 6))
+          .select(col("o_orderpriority"), col("o_orderkey"),
+                  col("quartile"), col("pct_rank"), col("cume"))
+          .orderBy(col("o_orderpriority"), col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderpriority, o_orderkey,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume
+        FROM orders WHERE o_custkey < 50
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey)
+        ORDER BY o_orderpriority, o_orderkey""")),
+
+    // ── q66: temporal scalar family — calendar extracts plus a clamped
+    //   month shift (both engines clamp Jan 31 + 1 month to Feb 28/29),
+    //   grouped to a fiscal-calendar rollup. ──
+    QueryDef("q66_temporal",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .withColumn("yr", year(col("o_orderdate")).cast("long"))
+          .withColumn("qtr", quarter(col("o_orderdate")).cast("long"))
+          .withColumn("fiscal_month", month(add_months(col("o_orderdate"), 6)).cast("long"))
+          .groupBy(col("yr"), col("qtr"), col("fiscal_month"))
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+          .orderBy(col("yr"), col("qtr"), col("fiscal_month")),
+      Some("""
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+               CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+               CAST(month(o_orderdate + INTERVAL 6 MONTH) AS BIGINT) AS fiscal_month,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY 1, 2, 3 ORDER BY yr, qtr, fiscal_month""")),
+
     // ── q62: Pearson correlation / covariance per group — built from the
     //   five EXACT power sums (decimal(38,0), no overflow, no fp order
     //   dependence) instead of corr()/covar_samp(), whose single-pass
