@@ -58,7 +58,10 @@ object RelationalQueries {
     // ── q01: TPC-H Q1-style pricing summary (A1-A5: hash agg, partial+final) ──
     QueryDef("q01_pricing_summary",
       (s, dir) => {
-        val li = t(s, dir, "lineitem")
+        // Par: a single-file scan otherwise runs the 8-aggregate decimal
+        // partial aggregation in ONE task; the repartition ships raw rows
+        // (cheap) and buys full parallelism for the heavy map-side combine
+        val li = Par(t(s, dir, "lineitem"))
         li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
@@ -310,13 +313,19 @@ object RelationalQueries {
         val c = t(s, dir, "customer")
         val n = t(s, dir, "nation")
         val r = t(s, dir, "region")
+        // two-level aggregate instead of countDistinct-beside-sum: the
+        // mixed form plans an Expand that doubles every joined row; the
+        // per-order partial keeps one pass and the distinct for free
         li.join(o, col("l_orderkey") === col("o_orderkey"))
           .join(c, col("o_custkey") === col("c_custkey"))
           .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("o_orderkey"))
+          .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+            .as("rev_cents"))
           .groupBy(col("r_name"))
-          .agg(revenueCol.as("revenue"),
-               countDistinct(col("o_orderkey")).as("n_orders"))
+          .agg((sum(col("rev_cents")).cast("double") / 10000.0).as("revenue"),
+               count(lit(1)).as("n_orders"))
           .orderBy(col("r_name"))
       },
       Some(s"""
