@@ -430,27 +430,30 @@ object AdvancedQueries {
     //   non-purchasers. ──
     QueryDef("q61_bloom_filter",
       (s, dir) => {
-        val e = events(s, dir).select(col("user_id"), col("event_type"))
-        val purchasers = e.filter(col("event_type") === "purchase")
-        val bf = purchasers.stat.bloomFilter("user_id", 2000L, 0.03)
+        // membership = every third user: a ~1/3 member set leaves a REAL
+        // non-member population, so the false-positive clause is
+        // exercised, not vacuously true (every user purchases at least
+        // once in this data, so "purchasers" would leave no non-members)
+        val users = events(s, dir).select(col("user_id")).distinct()
+          .withColumn("is_member", (col("user_id") % 3 === 0).cast("int"))
+        val bf = users.filter(col("is_member") === 1)
+          .stat.bloomFilter("user_id", 2000L, 0.03)
         val might = udf((uid: Long) => bf.mightContain(uid))
-        val users = e.groupBy(col("user_id"))
-          .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("is_purchaser"))
-          .withColumn("hit", might(col("user_id")))
-        users.agg(
-            sum(col("is_purchaser")).cast("long").as("n_purchasers"),
+        users.withColumn("hit", might(col("user_id")))
+          .agg(
+            sum(col("is_member")).cast("long").as("n_members"),
             // no false negatives, ever — the Bloom contract
-            (sum(when(col("is_purchaser") === 1 && !col("hit"), 1).otherwise(0)) === 0)
+            (sum(when(col("is_member") === 1 && !col("hit"), 1).otherwise(0)) === 0)
               .as("no_false_negatives"),
-            // observed FP rate on non-purchasers well under 5x the target fpp
-            (sum(when(col("is_purchaser") === 0 && col("hit"), 1).otherwise(0)) <=
-              greatest(sum(when(col("is_purchaser") === 0, 1).otherwise(0)) * 0.15, lit(5.0)))
+            // observed FP rate on non-members well under 5x the target fpp
+            (sum(when(col("is_member") === 0 && col("hit"), 1).otherwise(0)) <=
+              greatest(sum(when(col("is_member") === 0, 1).otherwise(0)) * 0.15, lit(5.0)))
               .as("fp_rate_bounded"))
       },
       Some("""
-        SELECT count(DISTINCT user_id) AS n_purchasers,
+        SELECT count(DISTINCT user_id) AS n_members,
                TRUE AS no_false_negatives, TRUE AS fp_rate_bounded
-        FROM events WHERE event_type = 'purchase'""")),
+        FROM events WHERE user_id % 3 = 0""")),
 
     // ── q58: stratified sampling — training pipelines downsample per
     //   stratum (language, source, quality band). sampleBy is seeded and

@@ -11,10 +11,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions) // KernelRewrite active in the bench
-    // same ad-hoc conf hook as Verify (SPARK_GRAFT_EXTRA_CONF="k=v;k=v")
-    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").filter(_.contains("="))
-      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
-    val spark = builder.getOrCreate()
+    val spark = GraftSession.applyExtraConf(builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen/scan paths so the first measured query doesn't
     // absorb session startup (observed ~6s on whichever query ran first)

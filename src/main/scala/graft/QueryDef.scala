@@ -32,6 +32,20 @@ object Par {
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 }
 
+/** Session-builder helpers shared by the driver-contract mains. */
+object GraftSession {
+  /** SPARK_GRAFT_EXTRA_CONF="k=v;k=v" → ad-hoc session confs (e.g.
+    * spark.sql.codegen.factoryMode=NO_CODEGEN to gate interpreted paths,
+    * or cluster-tuning knobs). One owner so Bench and Verify can't drift.
+    */
+  def applyExtraConf(b: org.apache.spark.sql.SparkSession.Builder)
+      : org.apache.spark.sql.SparkSession.Builder = {
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); b.config(k, v) })
+    b
+  }
+}
+
 /** Exact sort-based percentiles shared by q19/q48: window rank within the
   * key group, endpoint rows picked at floor/ceil of p·(n−1), linear
   * interpolation lower + (upper−lower)·frac — the formula both Spark's

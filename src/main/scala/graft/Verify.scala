@@ -21,12 +21,7 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions) // KernelRewrite active in the gate
-    // SPARK_GRAFT_EXTRA_CONF="k=v;k=v" — ad-hoc conf injection (e.g.
-    // spark.sql.codegen.factoryMode=NO_CODEGEN to gate the interpreted
-    // expression paths, or cluster-tuning knobs)
-    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").filter(_.contains("="))
-      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
-    val spark = builder.getOrCreate()
+    val spark = GraftSession.applyExtraConf(builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Spark's scheduler is thread-safe: submit query dumps from a small

@@ -48,6 +48,19 @@ class Collection private (
     f.delete(); ()
   }
 
+  /** A directory fed by a streaming file sink carries a _spark_metadata
+    * commit log, and batch readers then trust ONLY the log: files appended
+    * by batch insert would be invisible, and a rewrite would permanently
+    * drop them while breaking the stream's checkpoint. Refuse the mix —
+    * a streaming-fed collection is managed by its stream (stop it and
+    * copy into a fresh collection to convert).
+    */
+  private def requireNotStreamManaged(op: String): Unit =
+    require(!new java.io.File(s"$path/_spark_metadata").exists,
+      s"$op: $name is streaming-managed (_spark_metadata present); " +
+        "batch mutations would write rows the sink log hides or destroy " +
+        "log-tracked files — stop the stream and copy to a new collection first")
+
   /** Copy-on-write rewrite: `write` produces the replacement directory,
     * then a trash-first rename swap installs it — a crash between the two
     * renames leaves the data recoverable under `.__old`, never deleted
@@ -56,6 +69,7 @@ class Collection private (
     * collection was cell-partitioned.
     */
   private def rewriteSwap(op: String)(write: String => Unit): Unit = {
+    requireNotStreamManaged(op)
     val tmp = s"$path.__rewrite"
     write(tmp)
     val live = new java.io.File(path)
@@ -109,17 +123,20 @@ class Collection private (
     * FLOAT_VECTOR element type so the parquet directory stays
     * schema-consistent regardless of the caller's float/double arrays.
     */
-  def insert(rows: DataFrame): Unit =
-    rows.withColumn("vector", col("vector").cast(ArrayType(FloatType, containsNull = true)))
-      .write.mode(SaveMode.Append).parquet(path)
+  def insert(rows: DataFrame): Unit = {
+    requireNotStreamManaged("insert")
+    Collection.conformVector(rows).write.mode(SaveMode.Append).parquet(path)
+  }
 
   /** IVF-style layout: rows land in hive partitions keyed by `cellCol`
     * (e.g. a coarse-quantizer centroid id). `searchCells` then prunes to
     * the probed cells AT THE SCAN — the 100 TB shape where nprobe/nlist
     * of the data is read. */
-  def insertPartitioned(rows: DataFrame, cellCol: String): Unit =
-    rows.withColumn("vector", col("vector").cast(ArrayType(FloatType, containsNull = true)))
+  def insertPartitioned(rows: DataFrame, cellCol: String): Unit = {
+    requireNotStreamManaged("insertPartitioned")
+    Collection.conformVector(rows)
       .write.mode(SaveMode.Append).partitionBy(cellCol).parquet(path)
+  }
 
   /** Cosine top-k over only the given cells; the cell predicate becomes a
     * PartitionFilter (directory pruning), not a row filter. */
@@ -182,6 +199,14 @@ class Collection private (
 }
 
 object Collection {
+  /** Schema-on-write vector conformance shared by every ingest path
+    * (batch insert, partitioned insert, streaming sink) — ONE owner, so
+    * the collection's on-disk element type can't drift between paths.
+    */
+  def conformVector(rows: DataFrame): DataFrame =
+    rows.withColumn("vector",
+      col("vector").cast(ArrayType(FloatType, containsNull = true)))
+
   /** Minimal active schema (`scripts/prepare_data.py:79-90`): id, vector, text. */
   def entitySchema(dim: Int): StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),

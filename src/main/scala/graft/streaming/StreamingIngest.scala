@@ -54,8 +54,7 @@ object StreamingIngest {
   private def streamSession(spark: SparkSession): SparkSession = {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", "8")
-    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s2
+    s2 // nanosAsLong is owned by eventStream, the only reader needing it
   }
 
   private def eventStream(spark: SparkSession, dir: String): DataFrame = {
@@ -143,12 +142,18 @@ object StreamingIngest {
     * which re-inserted the whole growing list every iteration) done
     * right: the file-sink commit log gives exactly-once appends, and
     * `Collection.open(...).df`/search read only committed files.
+    *
+    * MANAGEMENT CONTRACT: the sink's _spark_metadata log makes the
+    * directory streaming-managed — batch readers trust only the log, so
+    * Collection.insert/delete/compact REFUSE such directories (they
+    * would write invisible rows or destroy log-tracked files). To
+    * convert, stop the stream and copy into a fresh collection.
     */
   def streamingInsert(docs: org.apache.spark.sql.DataFrame, textCol: String,
                       path: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    graft.functions.TextEmbed.withEmbed(docs, textCol, "vector")
-      .withColumn("vector", col("vector").cast(ArrayType(FloatType, containsNull = true)))
+    graft.store.Collection.conformVector(
+        graft.functions.TextEmbed.withEmbed(docs, textCol, "vector"))
       .writeStream
       .format("parquet")
       .option("path", path)

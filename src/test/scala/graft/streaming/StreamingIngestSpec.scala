@@ -104,6 +104,15 @@ class StreamingIngestSpec extends SparkSpec {
       val top = c.search(
         graft.functions.TextEmbed.embedScala("vector cosine search"), 1).head()
       assert(top.getAs[Long]("id") === 2L)
+      // a streaming-managed directory (sink _spark_metadata log) must
+      // refuse batch mutations: appended files would be invisible to
+      // log-trusting readers, rewrites would destroy log-tracked files
+      intercept[IllegalArgumentException] {
+        c.insert(Seq((9L, Array(0.1f), "x")).toDF("id", "vector", "text"))
+      }
+      intercept[IllegalArgumentException] { c.delete("id = 0") }
+      intercept[IllegalArgumentException] { c.compact() }
+      assert(c.df.count() === 3) // nothing was touched
     } finally q.stop()
   }
 
