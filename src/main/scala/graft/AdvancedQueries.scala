@@ -425,21 +425,44 @@ object AdvancedQueries {
     // ── q61: Bloom-filter semi-join pruning — at 100 TB you don't shuffle
     //   a fact table to semi-join a key set; you broadcast a Bloom sketch
     //   and pre-filter at the scan (what Spark's runtime row-group
-    //   filtering does internally). Contract oracle: zero false negatives
-    //   (every purchaser passes) and a bounded false-positive rate on
-    //   non-purchasers. ──
+    //   filtering does internally). The sketch is built by the distributed
+    //   `bloom_filter_agg` Catalyst aggregate (map-side partial merge, no
+    //   driver loop) and probed by `BloomFilterMightContain` over a binary
+    //   Literal — fully inside codegen, no closure capture — exactly the
+    //   expression pair InjectRuntimeFilter plants. Sized from the ACTUAL
+    //   member count, not a constant, so the FP bound holds at any SF.
+    //   Contract oracle: zero false negatives (every member passes) and a
+    //   bounded false-positive rate on non-members. ──
     QueryDef("q61_bloom_filter",
       (s, dir) => {
+        import org.apache.spark.sql.graftbridge.ColumnBridge
+        import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+        import org.apache.spark.sql.types.BinaryType
         // membership = every third user: a ~1/3 member set leaves a REAL
         // non-member population, so the false-positive clause is
         // exercised, not vacuously true (every user purchases at least
         // once in this data, so "purchasers" would leave no non-members)
         val users = events(s, dir).select(col("user_id")).distinct()
           .withColumn("is_member", (col("user_id") % 3 === 0).cast("int"))
-        val bf = users.filter(col("is_member") === 1)
-          .stat.bloomFilter("user_id", 2000L, 0.03)
-        val might = udf((uid: Long) => bf.mightContain(uid))
-        users.withColumn("hit", might(col("user_id")))
+        val members = users.filter(col("is_member") === 1)
+          .select(col("user_id").cast("long").as("uid"))
+        val nMembers = math.max(members.count(), 1L)
+        // fpp 0.03 → m = ceil(-n·ln p / ln²2) bits (standard Bloom sizing)
+        val numBits = math.max(64L,
+          math.ceil(-nMembers * math.log(0.03) / (math.log(2) * math.log(2))).toLong)
+        // bloom_filter_agg isn't parser-registered in this build, so the
+        // aggregate is constructed directly (same expression the SQL
+        // function would resolve to)
+        val bfAgg = ColumnBridge.column(
+          new BloomFilterAggregate(
+            ColumnBridge.expression(col("uid")),
+            Literal(nMembers), Literal(numBits)).toAggregateExpression())
+        val sketch = members.agg(bfAgg.as("bf")).head.getAs[Array[Byte]](0)
+        val might = ColumnBridge.column(BloomFilterMightContain(
+          Literal(sketch, BinaryType),
+          ColumnBridge.expression(col("user_id").cast("long"))))
+        users.withColumn("hit", might)
           .agg(
             sum(col("is_member")).cast("long").as("n_members"),
             // no false negatives, ever — the Bloom contract

@@ -96,7 +96,12 @@ object RelationalQueries {
     //   coalesce to 'ALL' so both engines sort identically) ──
     QueryDef("q16_rollup",
       (s, dir) =>
-        t(s, dir, "lineitem")
+        // Par AFTER the 3-column projection: the repartition then ships only
+        // the grouping keys + measure (not all 16 lineitem columns), and the
+        // Expand(×3) + decimal partial agg runs on all cores instead of the
+        // single task a one-file scan yields (same rationale as q01).
+        Par(t(s, dir, "lineitem")
+            .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity")))
           .rollup(col("l_returnflag"), col("l_linestatus"))
           .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
           .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),

@@ -204,8 +204,12 @@ object VectorQueries {
         val e = emb(s, dir)
         val coded = e
           .withColumn("mn", array_min(col("embedding")).cast("double"))
-          .withColumn("scale",
-            (array_max(col("embedding")).cast("double") - col("mn")) / 255.0)
+          // greatest(..., 1e-12): a constant vector has max=min → scale 0,
+          // which divides by zero (ANSI throw / engine-divergent inf). The
+          // floor guard keeps codes at 0 and recon at mn — exact either way.
+          .withColumn("scale", greatest(
+            (array_max(col("embedding")).cast("double") - col("mn")) / 255.0,
+            lit(1e-12)))
           .withColumn("codes", transform(col("embedding").cast("array<double>"),
             v => floor((v - col("mn")) / col("scale") + 0.5)))
           .withColumn("recon", transform(col("codes"),
@@ -225,8 +229,9 @@ object VectorQueries {
         WITH base AS (
           SELECT vec_id, embedding,
                  CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS mn,
-                 (CAST(list_aggregate(embedding, 'max') AS DOUBLE)
-                  - CAST(list_aggregate(embedding, 'min') AS DOUBLE)) / 255.0 AS scale
+                 greatest((CAST(list_aggregate(embedding, 'max') AS DOUBLE)
+                  - CAST(list_aggregate(embedding, 'min') AS DOUBLE)) / 255.0,
+                  1e-12) AS scale
           FROM embeddings),
         coded AS (
           SELECT vec_id AS nid,

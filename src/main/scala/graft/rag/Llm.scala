@@ -11,6 +11,14 @@ package graft.rag
   * (`scripts/eval.py:105-113`).
   */
 trait LlmClient extends Serializable {
+  /** Called once per partition before any answer/judge call — a real
+    * client opens its HTTP connection pool / loads auth here and reuses
+    * it for every row in the partition (the reference re-creates a Groq
+    * client per request, `src/groq_proxy.py:44`; this lifecycle fixes
+    * that). RagPipeline guarantees open() precedes the first call and is
+    * invoked exactly once per partition, mirroring `Embedder.open`.
+    */
+  def open(): Unit = ()
   def answer(question: String, context: Seq[String]): String
   /** Returns a grade in [0, 1]. */
   def judge(question: String, expected: String, predicted: String): Double

@@ -36,6 +36,27 @@ object RagPipeline {
       .drop("rnk_tiebreak", "qv")
   }
 
+  /** The external-service boundary: appends `out` = f(client, row) via
+    * mapPartitions so `client.open()` runs ONCE per partition and the
+    * opened client (connection pool, loaded model) is reused for every
+    * row — SURVEY §2.8's rule ("external-service ops via mapPartitions +
+    * trait injection, never row-per-connection UDFs"), same lifecycle as
+    * `Embedder.withEmbedding`. A per-row `udf` would give a real client
+    * no init point and no reuse.
+    */
+  private def withLlmColumn(df: DataFrame, llm: LlmClient, out: String,
+                            outType: org.apache.spark.sql.types.DataType)(
+      f: (LlmClient, org.apache.spark.sql.Row) => Any): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val outSchema = StructType(df.schema.fields :+ StructField(out, outType))
+    df.mapPartitions { rows =>
+      llm.open() // once per partition — connection-reuse contract
+      rows.map(r => Row.fromSeq(r.toSeq :+ f(llm, r)))
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
   /** Full batch QA: embed questions, retrieve top-k, answer with the LLM
     * boundary. Output: qid, question, answer, source_ids, n_context, success.
     * `success=false` ⇔ the fallback answer (reference `app.py:105-111`
@@ -47,15 +68,20 @@ object RagPipeline {
       k: Int = 5,
       dim: Int = TextEmbed.DefaultDim,
       llm: LlmClient = ExtractiveLlm): DataFrame = {
+    import org.apache.spark.sql.types.StringType
     val q = TextEmbed.withEmbed(questions, "question", "qv", dim)
     val hits = retrieveAll(q, collection, k)
-    val answerUdf = udf((question: String, ctx: Seq[String]) => llm.answer(question, ctx))
-    hits
+    val gathered = hits
       .groupBy(col("qid"), col("question"))
       .agg(sort_array(collect_list(struct(col("rnk"), col("id"), col("text")))).as("hits"))
       .withColumn("context", transform(col("hits"), h => h.getField("text")))
       .withColumn("source_ids", transform(col("hits"), h => h.getField("id")))
-      .withColumn("answer", answerUdf(col("question"), col("context")))
+      .select("qid", "question", "context", "source_ids")
+    val qIdx = gathered.schema.fieldIndex("question")
+    val cIdx = gathered.schema.fieldIndex("context")
+    withLlmColumn(gathered, llm, "answer", StringType) { (client, r) =>
+      client.answer(r.getString(qIdx), r.getSeq[String](cIdx))
+    }
       .withColumn("n_context", size(col("context")))
       .withColumn("success", col("answer") =!= lit(ExtractiveLlm.Fallback))
       .select("qid", "question", "answer", "source_ids", "n_context", "success")
@@ -68,9 +94,14 @@ object RagPipeline {
       k: Int = 5,
       dim: Int = TextEmbed.DefaultDim,
       llm: LlmClient = ExtractiveLlm): DataFrame = {
-    val judged = udf((q: String, e: String, p: String) => llm.judge(q, e, p))
-    answerBatch(qa.select(col("qid"), col("question")), collection, k, dim, llm)
+    import org.apache.spark.sql.types.DoubleType
+    val answered = answerBatch(qa.select(col("qid"), col("question")), collection, k, dim, llm)
       .join(qa.select(col("qid"), col("expected_answer")), Seq("qid"))
-      .withColumn("grade", judged(col("question"), col("expected_answer"), col("answer")))
+    val qIdx = answered.schema.fieldIndex("question")
+    val pIdx = answered.schema.fieldIndex("answer")
+    val eIdx = answered.schema.fieldIndex("expected_answer")
+    withLlmColumn(answered, llm, "grade", DoubleType) { (client, r) =>
+      client.judge(r.getString(qIdx), r.getString(eIdx), r.getString(pIdx))
+    }
   }
 }

@@ -71,16 +71,23 @@ class Collection private (
   private def rewriteSwap(op: String)(write: String => Unit): Unit = {
     requireNotStreamManaged(op)
     val tmp = s"$path.__rewrite"
-    write(tmp)
-    val live = new java.io.File(path)
-    val old = new java.io.File(s"$path.__old")
-    rmTree(old)
-    require(live.renameTo(old), s"$op: could not stage $path aside")
-    if (!new java.io.File(tmp).renameTo(live)) {
-      old.renameTo(live) // roll back
-      throw new IllegalStateException(s"$op: could not swap $tmp into place")
+    var installed = false
+    try {
+      write(tmp)
+      val live = new java.io.File(path)
+      val old = new java.io.File(s"$path.__old")
+      rmTree(old)
+      require(live.renameTo(old), s"$op: could not stage $path aside")
+      if (!new java.io.File(tmp).renameTo(live)) {
+        old.renameTo(live) // roll back
+        throw new IllegalStateException(s"$op: could not swap $tmp into place")
+      }
+      installed = true
+      rmTree(old)
+    } finally {
+      // a failed write or swap must not accrete orphan .__rewrite dirs
+      if (!installed) rmTree(new java.io.File(tmp))
     }
-    rmTree(old)
   }
 
   def delete(filter: String): Long = {

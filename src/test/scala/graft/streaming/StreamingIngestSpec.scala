@@ -116,6 +116,30 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window boundary: an exactly-30-minute gap MERGES; only > 30 min breaks") {
+    // Pins the cross-engine contract q59 relies on: Spark merges sessions
+    // whose windows touch ([t, t+30m] ∪ [t+30m, t+60m] → one session), so a
+    // session breaks only when the gap is STRICTLY greater than the gap
+    // duration — exactly the oracle's `epoch_us delta > 1800000000`. If a
+    // Spark upgrade flips this to end-exclusive merging, this test fails
+    // before the oracle silently diverges on an exact-gap event pair.
+    import spark.implicits._
+    val df = Seq(
+      (1L, 0L), (1L, 1800L),  // exactly 30:00.000 apart → same session
+      (2L, 0L), (2L, 1801L),  // 30:01 apart → two sessions
+      (3L, 0L), (3L, 1799L))  // 29:59 apart → same session
+      .toDF("user_id", "sec").withColumn("ts", timestamp_seconds(col("sec")))
+    val out = df.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("n"),
+        unix_timestamp(col("session_window.end")).as("end_sec"))
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(out === Seq(
+      (1L, 2L, 1800L + 1800L), // merged; end = last event + gap
+      (2L, 1L, 1800L), (2L, 1L, 1801L + 1800L),
+      (3L, 2L, 1799L + 1800L)))
+  }
+
   test("typed stateful sessions: counts match groupBy, sessions ≥ 1") {
     val got = StreamingIngest.userSessions(spark, sf)
     val counts = spark.read.schema(StreamingIngest.EventsRawSchema)
