@@ -35,6 +35,52 @@ object VectorQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Par(s.read.parquet(s"$dir/embeddings.parquet"))
 
+  // ── q67 constants + oracle generator (declared before `defs`, which
+  //    evaluates them eagerly) ──
+  private val KmK = 8
+  private val KmRounds = 2
+  /** Distances are over ×1e6-quantized vectors; /1e12 restores original
+    * units before the 6dp round. */
+  private val KmScale = 1e12
+
+  /** DuckDB twin of IvfKMeans's squared distance: same sequential
+    * index-order fold as Spark's aggregate(zip_with(...)). */
+  private def sqdistSql(a: String, b: String, dim: Int = 64): String =
+    s"list_sum(list_transform(range(1, ${dim + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+
+  /** Unrolled Lloyd's: c0 = seed centroids, then per round an assignment
+    * CTE (argmin via row_number over (dist6, cell)) and an update CTE
+    * (per-cell per-dim mean over the EXACT integer-valued sums). The
+    * final assignment (round rounds+1) is the output.
+    */
+  private def kmeansSql(k: Int, rounds: Int): String = {
+    def dist6(q: String, c: String) =
+      s"round(${sqdistSql(q, c)} / 1000000000000.0, 6)"
+    val stages = (1 to rounds + 1).map { i =>
+      val assign = s"""
+        a$i AS (SELECT vec_id, qv, cell, dist6 FROM (
+          SELECT q.vec_id AS vec_id, q.qv AS qv, c.cell AS cell,
+                 ${dist6("q.qv", "c.cv")} AS dist6,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${dist6("q.qv", "c.cv")} ASC, c.cell ASC) AS rn
+          FROM q CROSS JOIN c${i - 1} c) WHERE rn = 1)"""
+      val update = s"""
+        c$i AS (SELECT cell, list(sx / n ORDER BY pos) AS cv FROM (
+          SELECT a.cell AS cell, r.pos AS pos, sum(a.qv[r.pos]) AS sx, count(*) AS n
+          FROM a$i a CROSS JOIN (SELECT CAST(range AS INT) AS pos FROM range(1, 65)) r
+          GROUP BY a.cell, r.pos) GROUP BY cell)"""
+      if (i <= rounds) s"$assign,$update" else assign
+    }.mkString(",")
+    s"""
+      WITH q AS (SELECT vec_id,
+                   list_transform(embedding,
+                     v -> floor(CAST(v AS DOUBLE) * 1000000 + 0.5)) AS qv
+                 FROM embeddings),
+           c0 AS (SELECT vec_id AS cell, qv AS cv FROM q WHERE vec_id < $k),
+           $stages
+      SELECT vec_id, cell, dist6 FROM a${rounds + 1} ORDER BY vec_id"""
+  }
+
   // ── q46 constants: 16 sign-bit hyperplanes over the 64-dim space,
   //    4 bands × 4 bits. ±1 entries come from a fixed LCG (bit 32, the
   //    low bit of an LCG alternates) so the Scala side and the literal
@@ -339,6 +385,37 @@ object VectorQueries {
                round(avg(${normSql("embedding")}), 6) AS avg_norm,
                min(CAST(list_aggregate(embedding, 'min') AS DOUBLE)) AS min_elem,
                max(CAST(list_aggregate(embedding, 'max') AS DOUBLE)) AS max_elem
-        FROM embeddings GROUP BY label ORDER BY label"""))
+        FROM embeddings GROUP BY label ORDER BY label""")),
+
+    // ── q67: trained IVF coarse quantizer — full Lloyd's k-means (the
+    //   piece q15 stubbed with per-label centroids; reference trains
+    //   IVF_FLAT with nlist k-means centroids,
+    //   `src/archive/chunking_strategy_docker.py:161-171`). Both engines
+    //   run the IDENTICAL algorithm: vectors quantized to integer-valued
+    //   doubles (round-half-up ×1e6) so every centroid sum is EXACT (and
+    //   order-independent) below 2^53; seeds = the k smallest vec_ids;
+    //   per-round argmin on 6dp-rounded unscaled distances with cell-id
+    //   tiebreak. Spark drives the rounds (centroids broadcast as plan
+    //   literals, assignment map-only, update one nlist×dim aggregation
+    //   shuffle — see IvfKMeans); the oracle unrolls them as CTEs. ──
+    QueryDef("q67_ivf_kmeans",
+      (s, dir) => {
+        import graft.vector.IvfKMeans
+        val (k, rounds) = (KmK, KmRounds)
+        val q = emb(s, dir)
+          .select(col("vec_id"),
+            transform(col("embedding").cast("array<double>"),
+              v => floor(v * 1e6 + 0.5).cast("double")).as("qv"))
+          .localCheckpoint() // each round re-collects; don't re-scan+quantize
+        var cents: Seq[(Long, Seq[Double])] =
+          q.filter(col("vec_id") < k).orderBy("vec_id").collect()
+            .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
+        for (_ <- 1 to rounds)
+          cents = IvfKMeans.updateCents(IvfKMeans.assignCells(q, "qv", cents, KmScale), "qv")
+        IvfKMeans.assignCells(q, "qv", cents, KmScale)
+          .select(col("vec_id"), col("cell"), col("dist6"))
+          .orderBy(col("vec_id"))
+      },
+      Some(kmeansSql(KmK, KmRounds)))
   )
 }

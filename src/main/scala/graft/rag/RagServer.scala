@@ -1,0 +1,177 @@
+package graft.rag
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import graft.functions.TextEmbed
+import graft.model.QueryResponse
+import graft.store.Collection
+
+/** The reference's online serving surface (`app.py:113-138`): a
+  * `POST /query` endpoint binding QueryRequest → retrieve → LLM →
+  * QueryResponse, plus `GET /health` (`app.py:140-143`). Built on the
+  * JDK's bundled HttpServer — zero new dependencies — because the engine
+  * is the product; the HTTP layer is a thin adapter over the same
+  * Collection.search + LlmClient path the batch pipeline uses.
+  *
+  * Semantics preserved from the reference:
+  *   - search-then-get collapses into one search (the top-k rows already
+  *     carry `text`; the reference's two REST round trips,
+  *     `app.py:63-92`, are a Milvus artifact);
+  *   - source_ids are STRINGIFIED ids (`app.py:77`);
+  *   - failures collapse to `success:false` and the endpoint maps them
+  *     to HTTP 404 with a `detail` body exactly like FastAPI's
+  *     HTTPException (`app.py:105-111`, `:131-136`);
+  *   - `/health` reports the same shape with this engine's service list.
+  *
+  * Serving-at-scale note: one driver-side HTTP server fronting a Spark
+  * job per request is the DEV shape (it exists because the reference has
+  * it). The production path for high QPS is precomputing with
+  * `RagPipeline.answerBatch` or exporting the collection to a dedicated
+  * ANN server — documented here so nobody mistakes this for the scale
+  * tier.
+  */
+final class RagServer(
+    collection: Collection,
+    llm: LlmClient = ExtractiveLlm,
+    k: Int = 5,
+    dim: Int = TextEmbed.DefaultDim) {
+
+  private var server: Option[HttpServer] = None
+  llm.open() // server-lifetime client init (the per-partition contract's driver-side analogue)
+
+  /** The endpoint's logic, HTTP-free for direct testing (the reference
+    * tests `query_document_logic` the same way, `tests/test_app_v2.py:98`).
+    */
+  def processQuery(question: String): QueryResponse =
+    try {
+      val qv = TextEmbed.embedScala(question, dim)
+      val hits = collection.search(qv, k).select("id", "text").collect()
+      if (hits.isEmpty)
+        QueryResponse("No relevant information found.", Nil, Nil, success = false)
+      else {
+        val context = hits.map(r => Option(r.getString(1)).getOrElse("")).toSeq
+        val ids = hits.map(_.getLong(0).toString).toSeq
+        val answer = llm.answer(question, context)
+        QueryResponse(answer, context, ids, success = answer != ExtractiveLlm.Fallback)
+      }
+    } catch {
+      case e: Exception =>
+        QueryResponse(s"Error: ${e.getMessage}", Nil, Nil, success = false)
+    }
+
+  /** Bind and serve; port 0 picks a free port. Returns the bound port. */
+  def start(port: Int = 0): Int = {
+    val s = HttpServer.create(new InetSocketAddress(port), 0)
+    s.createContext("/query", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = RagServer.guard(x) {
+        if (x.getRequestMethod != "POST")
+          RagServer.reply(x, 405, """{"detail":"Method Not Allowed"}""")
+        else {
+          val body = new String(x.getRequestBody.readAllBytes(), UTF_8)
+          RagServer.parseQuestion(body) match {
+            case None =>
+              // FastAPI's 422 on a body failing the QueryRequest model
+              RagServer.reply(x, 422, """{"detail":"question field required"}""")
+            case Some(q) =>
+              val r = processQuery(q)
+              if (!r.success) // app.py:131-136: failure → 404 + detail
+                RagServer.reply(x, 404,
+                  s"""{"detail":${RagServer.jstr(r.response)}}""")
+              else RagServer.reply(x, 200, RagServer.toJson(r))
+          }
+        }
+      }
+    })
+    s.createContext("/health", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = RagServer.guard(x) {
+        RagServer.reply(x, 200,
+          """{"status":"healthy","services":["collection","embedding","llm"]}""")
+      }
+    })
+    s.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    s.start()
+    server = Some(s)
+    s.getAddress.getPort
+  }
+
+  def stop(): Unit = { server.foreach(_.stop(0)); server = None }
+}
+
+object RagServer {
+
+  private def guard(x: HttpExchange)(body: => Unit): Unit =
+    try body
+    catch {
+      case e: Exception =>
+        try reply(x, 500, s"""{"detail":${jstr("Error: " + e.getMessage)}}""")
+        catch { case _: Exception => () }
+    }
+    finally x.close()
+
+  private def reply(x: HttpExchange, code: Int, json: String): Unit = {
+    val bytes = json.getBytes(UTF_8)
+    x.getResponseHeaders.set("Content-Type", "application/json")
+    x.sendResponseHeaders(code, bytes.length.toLong)
+    x.getResponseBody.write(bytes)
+  }
+
+  /** JSON string literal with full control-char escaping (same table as
+    * Verify's oracle dump). */
+  def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  def toJson(r: QueryResponse): String =
+    s"""{"response":${jstr(r.response)},""" +
+      s""""context":${r.context.map(jstr).mkString("[", ",", "]")},""" +
+      s""""source_ids":${r.source_ids.map(jstr).mkString("[", ",", "]")},""" +
+      s""""success":${r.success}}"""
+
+  /** Minimal JSON body parse: the value of the top-level "question" key
+    * (string literal with standard escapes). Returns None when absent or
+    * malformed — the endpoint's 422 path.
+    */
+  def parseQuestion(body: String): Option[String] = {
+    val keyAt = body.indexOf("\"question\"")
+    if (keyAt < 0) return None
+    var i = keyAt + "\"question\"".length
+    while (i < body.length && (body(i) == ' ' || body(i) == '\t' ||
+      body(i) == '\n' || body(i) == '\r')) i += 1
+    if (i >= body.length || body(i) != ':') return None
+    i += 1
+    while (i < body.length && (body(i) == ' ' || body(i) == '\t' ||
+      body(i) == '\n' || body(i) == '\r')) i += 1
+    if (i >= body.length || body(i) != '"') return None
+    i += 1
+    val sb = new StringBuilder
+    while (i < body.length) {
+      body(i) match {
+        case '"' => return Some(sb.toString)
+        case '\\' if i + 1 < body.length =>
+          body(i + 1) match {
+            case '"'  => sb += '"';  i += 2
+            case '\\' => sb += '\\'; i += 2
+            case '/'  => sb += '/';  i += 2
+            case 'n'  => sb += '\n'; i += 2
+            case 'r'  => sb += '\r'; i += 2
+            case 't'  => sb += '\t'; i += 2
+            case 'b'  => sb += '\b'; i += 2
+            case 'f'  => sb += '\f'; i += 2
+            case 'u' if i + 5 < body.length =>
+              try { sb += Integer.parseInt(body.substring(i + 2, i + 6), 16).toChar; i += 6 }
+              catch { case _: NumberFormatException => return None }
+            case _ => return None
+          }
+        case c => sb += c; i += 1
+      }
+    }
+    None // unterminated literal
+  }
+}

@@ -145,6 +145,39 @@ class Collection private (
       .write.mode(SaveMode.Append).partitionBy(cellCol).parquet(path)
   }
 
+  /** Trained IVF index build (reference S11: IVF_FLAT with nlist k-means
+    * centroids, `src/archive/chunking_strategy_docker.py:161-171`): runs
+    * Lloyd's over the stored vectors, rewrites the collection into a
+    * hive-partitioned layout keyed by the learned cell, and persists the
+    * coarse quantizer in a `.__ivf` sibling directory (outside the data
+    * dir, so scans never see it). Returns the trained model. NOTE: like
+    * every rewrite, this drops any previous partition layout.
+    */
+  def buildIvf(nlist: Int, rounds: Int = 3): graft.vector.IvfKMeans.Model = {
+    val model = graft.vector.IvfKMeans.train(df, "id", "vector", nlist, rounds)
+    rewriteSwap("buildIvf") { tmp =>
+      graft.vector.IvfKMeans.assignCells(
+          Collection.conformVector(df), "vector",
+          model.cells.zip(model.centroids.map(_.toSeq)).toSeq, scale = 1.0)
+        .drop("dist6") // assignCells names the partition column "cell"
+        .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(tmp)
+    }
+    model.save(spark, s"$path.__ivf")
+    model
+  }
+
+  /** ANN search over a buildIvf'd collection: the query probes only the
+    * nprobe nearest cells (centroid table read from `.__ivf`, argmin on
+    * the driver — it is tiny by construction), and the cell predicate
+    * prunes at the DIRECTORY level via searchCells. Scan cost shrinks by
+    * ~nprobe/nlist — the IVF contract.
+    */
+  def searchIvf(queryVec: Array[Double], k: Int = 5, nprobe: Int = 2,
+                cellCol: String = "cell"): DataFrame = {
+    val model = graft.vector.IvfKMeans.load(spark, s"$path.__ivf")
+    searchCells(queryVec, cellCol, model.probe(queryVec, nprobe), k)
+  }
+
   /** Cosine top-k over only the given cells; the cell predicate becomes a
     * PartitionFilter (directory pruning), not a row filter. */
   def searchCells(queryVec: Array[Double], cellCol: String, cells: Seq[Long], k: Int = 5): DataFrame =

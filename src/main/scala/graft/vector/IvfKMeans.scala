@@ -1,0 +1,120 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF coarse-quantizer training: Lloyd's k-means over a vector column
+  * (reference S11 trains IVF_FLAT with nlist k-means centroids,
+  * `src/archive/chunking_strategy_docker.py:161-171`; Milvus does the
+  * training server-side — here it is a Spark job).
+  *
+  * Scale shape (the part that matters at 100 TB):
+  *   - centroids are TINY (nlist × dim doubles) and live on the driver,
+  *     broadcast into the plan as literals each round — the data side is
+  *     never shuffled for assignment (map-only argmin per row);
+  *   - the update step is one aggregation shuffle of nlist × dim partial
+  *     sums per round (posexplode → groupBy(cell, pos) with map-side
+  *     combine), i.e. O(centroid-table), not O(data);
+  *   - rounds are driver-side control flow (like q49's label propagation)
+  *     and each round's plan starts from the base scan — no lineage growth.
+  *
+  * Determinism contract (what lets q67 oracle-check the SAME algorithm in
+  * DuckDB): seeds are the nlist smallest ids; distances are computed by a
+  * sequential fold in array-index order in both engines; centroid sums
+  * run over INTEGER-VALUED doubles (the caller quantizes, q67 uses
+  * round-half-up ×1e6), which double-sums represent EXACTLY below 2^53,
+  * so the sums — and therefore sums/n — are order-independent and
+  * bit-identical across engines; argmin distances are rounded (6 dp after
+  * un-scaling) with the cell id as tiebreak, giving a total order.
+  * Empty cells simply drop out of the centroid table (both engines:
+  * group-by produces no row), exactly like FAISS's empty-list case.
+  */
+object IvfKMeans {
+
+  /** The trained coarse quantizer: parallel arrays sorted by cell id. */
+  final case class Model(cells: Array[Long], centroids: Array[Array[Double]]) {
+    require(cells.length == centroids.length, "cells/centroids must align")
+
+    /** The nprobe cells nearest to `qv` (driver-side — the centroid table
+      * is the small side by construction). Ties break on cell id. */
+    def probe(qv: Array[Double], nprobe: Int): Seq[Long] =
+      cells.zip(centroids)
+        .map { case (c, cv) =>
+          var d = 0.0
+          var i = 0
+          while (i < cv.length && i < qv.length) {
+            val t = cv(i) - qv(i); d += t * t; i += 1
+          }
+          (c, d)
+        }
+        .sortBy { case (c, d) => (d, c) }
+        .take(nprobe).map(_._1).toSeq
+
+    def save(spark: SparkSession, dir: String): Unit = {
+      import spark.implicits._
+      cells.zip(centroids).toSeq.map { case (c, v) => (c, v.toSeq) }
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir)
+    }
+  }
+
+  def load(spark: SparkSession, dir: String): Model = {
+    val rows = spark.read.parquet(dir).orderBy("cell").collect()
+    Model(rows.map(_.getLong(0)),
+      rows.map(_.getSeq[Double](1).toArray))
+  }
+
+  /** Adds `cell` (argmin centroid, ties → smallest cell) and `dist6`
+    * (squared distance to it, / `scale`, rounded 6 dp) for every row.
+    * `cents` MUST be sorted by cell id — array_position takes the FIRST
+    * minimum, so matrix order is the tiebreak order. The distance array
+    * is staged via withColumn (Catalyst does no CSE inside lambdas).
+    */
+  def assignCells(df: DataFrame, vecCol: String,
+                  cents: Seq[(Long, Seq[Double])], scale: Double): DataFrame = {
+    require(cents.nonEmpty, "assignCells: no centroids")
+    val matrix: Seq[Seq[Double]] = cents.map(_._2)
+    val cells: Seq[Long] = cents.map(_._1)
+    df.withColumn("dists", transform(typedLit(matrix), cv =>
+        round(
+          aggregate(
+            zip_with(col(vecCol).cast("array<double>"), cv,
+              (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, t) => acc + t) / lit(scale),
+          6)))
+      .withColumn("dist6", array_min(col("dists")))
+      .withColumn("cell",
+        element_at(typedLit(cells), expr("array_position(dists, dist6)").cast("int")))
+      .drop("dists")
+  }
+
+  /** One Lloyd's update: per-cell per-dimension mean, collected to the
+    * driver (nlist × dim rows — the centroid table is small by design).
+    * Exact when the vector column is integer-valued (see object doc).
+    */
+  def updateCents(assigned: DataFrame, vecCol: String): Seq[(Long, Seq[Double])] =
+    assigned.select(col("cell"), posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos").agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .collect()
+      .groupBy(_.getLong(0)).toSeq
+      .map { case (cell, rows) =>
+        cell -> rows.sortBy(_.getInt(1)).map(r => r.getDouble(2) / r.getLong(3)).toSeq
+      }
+      .sortBy(_._1)
+
+  /** Train a coarse quantizer: seeds = the nlist smallest ids' vectors,
+    * then `rounds` assign→update sweeps. The returned model may have
+    * fewer than nlist cells if some emptied out.
+    */
+  def train(vectors: DataFrame, idCol: String, vecCol: String,
+            nlist: Int, rounds: Int = 3): Model = {
+    val q = vectors
+      .select(col(idCol).cast("long").as("__id"), col(vecCol).cast("array<double>").as("__v"))
+    var cents: Seq[(Long, Seq[Double])] =
+      q.orderBy(col("__id")).limit(nlist).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
+    for (_ <- 1 to rounds)
+      cents = updateCents(assignCells(q, "__v", cents, scale = 1.0), "__v")
+    Model(cents.map(_._1).toArray, cents.map(_._2.toArray).toArray)
+  }
+}

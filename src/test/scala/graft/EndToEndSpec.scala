@@ -20,32 +20,14 @@ class EndToEndSpec extends SparkSpec {
   import spark.implicits._
 
   private val ref = "/root/reference"
-  private val Dim = 384 // reference contract: scripts/prepare_data.py:22
+  private val Dim = DiaryFixture.Dim // reference contract: scripts/prepare_data.py:22
 
-  private lazy val collectionDf = {
-    val lines = spark.read.option("multiLine", true)
-      .json(s"$ref/tests/diary_line_chunks.json")
-      .select(explode(col("chunks")).as("c"))
-      .select(lit(0L).as("doc_id"), col("c.line_number").cast("long").as("line_no"),
-        col("c.line_text").as("line"))
-    // Retrieval corpus: W7 sliding word windows (50 words, stride 40) over
-    // the reconstructed diary. The 3-break chunker (golden-parity-tested in
-    // GoldenFixtureSpec) emits 1-2-word remainder chunks whose tiny norms
-    // dominate cosine — the reference README's own "chunking too large /
-    // low accuracy" complaint; uniform windows are the W7 answer to it.
-    val diary = lines.orderBy("line_no")
-      .agg(concat_ws("\n", collect_list(col("line"))).as("text"))
-      .select(lit(0L).as("doc_id"), col("text"))
-    val chunks = diary
-      .withColumn("toks", split(col("text"), "\\s+"))
-      .withColumn("start", explode(expr(
-        "sequence(0L, greatest((size(toks) - 1) div 40, 0L) * 40, 40L)")))
-      .filter(col("start") === 0 || col("start") < size(col("toks")))
-      .withColumn("chunk_text", array_join(slice(col("toks"), col("start") + 1, lit(50)), " "))
-      .select(col("start").as("id"), col("chunk_text"))
-    TextEmbed.withEmbed(chunks, "chunk_text", "vector", Dim)
-      .select(col("id"), col("chunk_text").as("text"), col("vector"))
-  }
+  // Retrieval corpus: W7 sliding word windows (50 words, stride 40) over
+  // the reconstructed diary. The 3-break chunker (golden-parity-tested in
+  // GoldenFixtureSpec) emits 1-2-word remainder chunks whose tiny norms
+  // dominate cosine — the reference README's own "chunking too large /
+  // low accuracy" complaint; uniform windows are the W7 answer to it.
+  private lazy val collectionDf = DiaryFixture.windowedCollection(spark)
 
   test("ingest: diary chunks into a collection with the 384-d contract") {
     val root = java.nio.file.Files.createTempDirectory("e2e").toString

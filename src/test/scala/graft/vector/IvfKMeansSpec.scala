@@ -1,0 +1,78 @@
+package graft.vector
+
+import graft.SparkSpec
+import graft.store.Collection
+import org.apache.spark.sql.functions._
+
+class IvfKMeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val root = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+  private val dim = 8
+
+  /** 30 vectors in 3 well-separated clusters around axis points ×10,
+    * deterministic offsets — k-means must recover the clusters. */
+  private def clustered = {
+    val rows = for (i <- 0L until 30L) yield {
+      val cluster = (i % 3).toInt
+      val v = Array.fill(dim)(0.0)
+      v(cluster) = 10.0
+      v((cluster + 3) % dim) = 0.1 * (i / 3 % 5) // small within-cluster spread
+      (i, v.toSeq)
+    }
+    rows.toDF("id", "vector")
+  }
+
+  test("train recovers separated clusters; same input → same model") {
+    val m1 = IvfKMeans.train(clustered, "id", "vector", nlist = 3, rounds = 3)
+    val m2 = IvfKMeans.train(clustered, "id", "vector", nlist = 3, rounds = 3)
+    assert(m1.cells.toSeq === m2.cells.toSeq)
+    assert(m1.centroids.map(_.toSeq).toSeq === m2.centroids.map(_.toSeq).toSeq)
+    // members of one true cluster all land in the same learned cell
+    val assigned = IvfKMeans.assignCells(
+      clustered, "vector", m1.cells.zip(m1.centroids.map(_.toSeq)).toSeq, 1.0)
+      .select(col("id"), col("cell")).as[(Long, Long)].collect().toMap
+    for (c <- 0 until 3) {
+      val cells = (0L until 30L).filter(_ % 3 == c).map(assigned).distinct
+      assert(cells.size === 1, s"true cluster $c split across cells $cells")
+    }
+  }
+
+  test("assignCells ties break to the smallest cell id") {
+    val df = Seq((0L, Seq(0.0, 0.0))).toDF("id", "vector")
+    // two identical centroids → equal distance → cell 3 (smaller) wins
+    val got = IvfKMeans.assignCells(df, "vector",
+      Seq(3L -> Seq(1.0, 1.0), 7L -> Seq(1.0, 1.0)), 1.0)
+    assert(got.select("cell").as[Long].head() === 3L)
+  }
+
+  test("model save/load roundtrip") {
+    val m = IvfKMeans.train(clustered, "id", "vector", nlist = 3, rounds = 2)
+    val dir = s"$root/model_rt"
+    m.save(spark, dir)
+    val back = IvfKMeans.load(spark, dir)
+    assert(back.cells.toSeq === m.cells.toSeq)
+    assert(back.centroids.map(_.toSeq).toSeq === m.centroids.map(_.toSeq).toSeq)
+  }
+
+  test("buildIvf + searchIvf: full probe ≡ brute force; pruned probe hits the right cell") {
+    Collection.drop(root, "civf")
+    val c = Collection.create(spark, root, "civf", dim, overwrite = true)
+    c.insert(clustered.withColumn("text", concat(lit("doc "), col("id"))))
+    val model = c.buildIvf(nlist = 3, rounds = 3)
+    assert(model.cells.length === 3)
+
+    val qv = Array.fill(dim)(0.0); qv(1) = 10.0 // dead-center of cluster 1
+    // probing every cell must reproduce the brute-force top-k exactly
+    val brute = c.search(qv, k = 5).select("id").as[Long].collect().toSeq
+    val full = c.searchIvf(qv, k = 5, nprobe = 3).select("id").as[Long].collect().toSeq
+    assert(full === brute)
+    // nprobe=1 scans one cell only and still finds the true neighbors
+    // (query sits inside a cluster); every hit comes from cluster 1
+    val pruned = c.searchIvf(qv, k = 5, nprobe = 1)
+    assert(pruned.select("id").as[Long].collect().forall(_ % 3 == 1))
+    // and the cell predicate prunes at the scan, not as a row filter
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("cell"), plan)
+  }
+}
