@@ -614,6 +614,76 @@ object AdvancedQueries {
                         * CAST(l_quantity AS BIGINT)) AS DOUBLE)
                  / CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / 100.0
                  AS wavg_price
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ── q68: salted skew join through the gate — the SkewJoin operator
+    //   (spec-only until now) joined into an oracle-checked aggregate.
+    //   The big side takes a random salt, the dim side explodes ×8, the
+    //   join key becomes (user_id, __salt) so a hot user spreads over 8
+    //   tasks; the merge hint pins SMJ (broadcast would hide the shape
+    //   the operator exists for). Salt is aggregation-invariant, so the
+    //   oracle is the PLAIN join — salting must be invisible to results. ──
+    QueryDef("q68_skew_join",
+      (s, dir) => {
+        val e = events(s, dir)
+        val dim = e.select(col("user_id")).distinct()
+          .withColumn("tier", col("user_id") % 5)
+        graft.operators.SkewJoin.saltedJoin(
+            e.select(col("user_id"), col("value")).hint("merge"),
+            dim, "user_id", saltBuckets = 8)
+          .groupBy(col("tier"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .orderBy(col("tier"))
+      },
+      Some("""
+        WITH dim AS (SELECT DISTINCT user_id, user_id % 5 AS tier FROM events)
+        SELECT dim.tier AS tier, count(*) AS n,
+               CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events e JOIN dim ON e.user_id = dim.user_id
+        GROUP BY dim.tier ORDER BY tier""")),
+
+    // ── q69: bucketed co-located join through the gate — both sides are
+    //   written bucketed+sorted on the join key (the one-off layout cost,
+    //   like q15's centroid build), then the SMJ consumes the bucketed
+    //   scans with NO exchange on either side (plan-asserted in
+    //   SkewJoinSpec). At 100 TB this deletes the dominant shuffle of
+    //   every fact-fact join on the bucket key. ──
+    QueryDef("q69_bucketed_join",
+      (s, dir) => {
+        // per-sf table names: concurrent gates on different dirs can't
+        // collide, and overwrite-mode self-heals interrupted runs
+        val sfx = math.abs(dir.hashCode).toString
+        val (li, od) = (s"li_bkt_$sfx", s"o_bkt_$sfx")
+        // a fresh (in-memory) catalog doesn't know tables whose warehouse
+        // dirs a previous JVM left behind — CREATE would fail on the
+        // orphan location, so drop both the entry AND the directory
+        Seq(li, od).foreach { tbl =>
+          s.sql(s"DROP TABLE IF EXISTS $tbl")
+          val wh = s.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+          val root = if (wh.startsWith("file:")) new java.io.File(new java.net.URI(wh))
+                     else new java.io.File(wh)
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(); ()
+          }
+          rm(new java.io.File(root, tbl))
+        }
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+          .write.mode("overwrite").bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable(li)
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+          .write.mode("overwrite").bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable(od)
+        s.table(li).hint("merge")
+          .join(s.table(od), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }

@@ -35,6 +35,32 @@ class SkewJoinSpec extends SparkSpec {
     }
   }
 
+  test("q68 gate query joins on the salted key via SMJ") {
+    val df = graft.AdvancedQueries.defs.find(_.name == "q68_skew_join").get
+      .fn(spark, "/root/testdata/sf0.001")
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+    // the join must consume (user_id, __salt) — the spread-the-hot-key
+    // shape — and stay a sort-merge join (no broadcast hiding it)
+    assert(plan.contains("__salt"), plan.take(2000))
+    assert(plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
+  test("q69 gate query's SMJ consumes bucketed scans with no exchange below the join") {
+    val df = graft.AdvancedQueries.defs.find(_.name == "q69_bucketed_join").get
+      .fn(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    val plan = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i  => full.substring(0, i)
+    }
+    val joinIdx = plan.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0, plan.take(2000))
+    assert(!plan.substring(joinIdx).contains("Exchange"),
+      "bucketed join must not shuffle either side:\n" + plan.take(3000))
+  }
+
   test("keySkew surfaces the hot key with its share") {
     val big = ((1 to 90).map(_ => 1L) ++ (1 to 10).map(_ => 2L)).toDF("k")
     val top = SkewJoin.keySkew(big, "k", 1).head()
