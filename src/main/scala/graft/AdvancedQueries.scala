@@ -208,11 +208,20 @@ object AdvancedQueries {
     QueryDef("q48_approx_quantile",
       (s, dir) => {
         import ExactPercentiles._
-        ranked(t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice")
+        // the sketch runs on its OWN branch over a Par'd scan: fed from the
+        // window's output it inherits the 3-partition (one per key) shuffle
+        // and builds its QuantileSummaries on 3 tasks — measured 4.9 s vs
+        // ~1.2 s split out (the partial aggregate then uses every core and
+        // merges only 3 groups)
+        val li = Par(t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice")))
+        val approx = li.groupBy(col("l_returnflag"))
+          .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx"))
+        ranked(li, "l_returnflag", "l_extendedprice")
           .groupBy(col("l_returnflag"))
           .agg(max(col("n")).as("n"),
-               lo(0.5).as("lo"), hi(0.5).as("hi"),
-               percentile_approx(col("v"), lit(0.5), lit(1000)).as("approx"))
+               lo(0.5).as("lo"), hi(0.5).as("hi"))
+          .join(broadcast(approx), Seq("l_returnflag"))
           .select(col("l_returnflag"),
                   interp(0.5, "lo", "hi").as("p50_exact"),
                   (abs(col("approx") - col("lo")) <= (col("hi") - col("lo")) +

@@ -1,0 +1,234 @@
+package graft.sources
+
+import java.util.zip.Inflater
+import scala.collection.mutable
+
+/** A real (if minimal) PDF text extractor on nothing but the JDK —
+  * upgrading S1/S2 from the form-feed stand-in to actual PDF parsing
+  * (`extract_text_from_pdf`, `scripts/prepare_data.py:31-42` does this
+  * via PyPDF2; no PDF jar ships in this build, and `java.util.zip.
+  * Inflater` covers FlateDecode, the filter ~all text PDFs use).
+  *
+  * Supported: classic cross-reference layout (objects scanned directly,
+  * so a corrupt/absent xref table is fine), uncompressed and FlateDecode
+  * content streams, the page tree (/Root → /Pages → /Kids, nested), and
+  * the text-showing operators Tj / ' / " / TJ (with large negative
+  * kerning rendered as a space, like pdftotext) plus Td/TD/T* line
+  * breaks. Literal strings handle nesting + all escapes; hex strings
+  * decode as Latin-1.
+  *
+  * Out of scope (documented, falls back gracefully): object streams
+  * (/ObjStm-packed page dicts — pages then come from the BT-stream
+  * fallback below), font CMaps (/ToUnicode — bytes are read as
+  * PDFDocEncoding≈Latin-1, right for the ASCII diary corpus), and
+  * non-Flate filters (their streams extract empty). When no page tree
+  * resolves, every stream containing a BT text block becomes a page in
+  * document order, so partially-supported files degrade to "all text,
+  * approximate pagination" instead of nothing.
+  */
+object SimplePdfExtractor extends PdfExtractor {
+
+  private final case class Obj(num: Int, dict: String, stream: Option[Array[Byte]])
+
+  override def extractPages(bytes: Array[Byte]): Seq[String] = {
+    if (bytes == null || bytes.isEmpty) return Nil
+    val raw = new String(bytes, "ISO-8859-1")
+    val objs = parseObjects(raw, bytes)
+    val pages = pageDicts(objs)
+    if (pages.nonEmpty)
+      pages.map { pd =>
+        contentRefs(pd).flatMap(objs.get).flatMap(o => decodedStream(o))
+          .map(textOfContent).mkString("\n")
+      }
+    else // no resolvable page tree: every BT-bearing stream is a "page"
+      objs.values.toSeq.sortBy(_.num)
+        .flatMap(o => decodedStream(o))
+        .filter(_.contains("BT"))
+        .map(textOfContent)
+  }
+
+  // ── object layer ──
+
+  private val ObjStart = """(?s)(\d+)\s+\d+\s+obj\b""".r
+
+  private def parseObjects(raw: String, bytes: Array[Byte]): Map[Int, Obj] = {
+    val out = mutable.Map[Int, Obj]()
+    for (m <- ObjStart.findAllMatchIn(raw)) {
+      val num = m.group(1).toInt
+      val end = raw.indexOf("endobj", m.end)
+      val bodyEnd = if (end < 0) raw.length else end
+      val body = raw.substring(m.end, bodyEnd)
+      val streamAt = body.indexOf("stream")
+      if (streamAt < 0) out(num) = Obj(num, body, None)
+      else {
+        val dict = body.substring(0, streamAt)
+        // stream data starts after "stream" + EOL (CRLF or LF)
+        var s = m.end + streamAt + "stream".length
+        if (s < bytes.length && bytes(s) == '\r') s += 1
+        if (s < bytes.length && bytes(s) == '\n') s += 1
+        val e = raw.indexOf("endstream", s)
+        val data = if (e < 0) Array.empty[Byte]
+                   else java.util.Arrays.copyOfRange(bytes, s, trimEol(bytes, s, e))
+        out(num) = Obj(num, dict, Some(data))
+      }
+    }
+    out.toMap
+  }
+
+  /** endstream is preceded by an EOL that is not stream data. */
+  private def trimEol(bytes: Array[Byte], start: Int, end: Int): Int = {
+    var e = end
+    if (e > start && bytes(e - 1) == '\n') e -= 1
+    if (e > start && bytes(e - 1) == '\r') e -= 1
+    e
+  }
+
+  private def decodedStream(o: Obj): Option[String] = o.stream.map { data =>
+    if (o.dict.contains("/FlateDecode")) inflate(data) else new String(data, "ISO-8859-1")
+  }
+
+  private def inflate(data: Array[Byte]): String = {
+    val inf = new Inflater()
+    try {
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream(data.length * 4)
+      val buf = new Array[Byte](8192)
+      while (!inf.finished() && !inf.needsInput()) {
+        val n = inf.inflate(buf)
+        if (n > 0) out.write(buf, 0, n)
+        else if (n == 0 && !inf.finished()) return new String(out.toByteArray, "ISO-8859-1")
+      }
+      new String(out.toByteArray, "ISO-8859-1")
+    } catch { case _: Exception => "" }
+    finally inf.end()
+  }
+
+  // ── page tree ──
+
+  private val RefPat = """(\d+)\s+\d+\s+R""".r
+
+  private def refsIn(dict: String, key: String): Seq[Int] = {
+    val at = dict.indexOf(key)
+    if (at < 0) return Nil
+    val after = dict.substring(at + key.length)
+    // either a single "N 0 R" or an array "[N 0 R M 0 R ...]"
+    val trimmed = after.dropWhile(c => c == ' ' || c == '\n' || c == '\r' || c == '\t')
+    if (trimmed.startsWith("[")) {
+      val close = trimmed.indexOf(']')
+      RefPat.findAllMatchIn(trimmed.substring(0, math.max(close, 0))).map(_.group(1).toInt).toSeq
+    } else RefPat.findFirstMatchIn(trimmed.take(32)).map(_.group(1).toInt).toSeq
+  }
+
+  private def pageDicts(objs: Map[Int, Obj]): Seq[String] = {
+    def walk(num: Int, depth: Int): Seq[String] =
+      if (depth > 64) Nil // cycle guard
+      else objs.get(num).toSeq.flatMap { o =>
+        if (o.dict.contains("/Type") && o.dict.contains("/Pages"))
+          refsIn(o.dict, "/Kids").flatMap(walk(_, depth + 1))
+        else if (o.dict.contains("/Page")) Seq(o.dict)
+        else Nil
+      }
+    val fromCatalog = for {
+      cat <- objs.values.find(o => o.dict.contains("/Catalog"))
+      pagesRef <- refsIn(cat.dict, "/Pages").headOption
+    } yield walk(pagesRef, 0)
+    fromCatalog.getOrElse(Nil) match {
+      case Nil => // no catalog (or unresolvable): appearance order of /Type /Page
+        objs.values.toSeq.sortBy(_.num).map(_.dict)
+          .filter(d => d.contains("/Page") && !d.contains("/Pages"))
+      case found => found
+    }
+  }
+
+  private def contentRefs(pageDict: String): Seq[Int] = refsIn(pageDict, "/Contents")
+
+  // ── content-stream text operators ──
+
+  /** Text shown by Tj / ' / " / TJ, with Td, TD, T-star and ET as line
+    * breaks and TJ kerning ≤ -180 (thousandths of an em) rendered as a
+    * space.
+    */
+  private[sources] def textOfContent(content: String): String = {
+    val out = new StringBuilder
+    val pending = new StringBuilder // strings since the last operator
+    var i = 0
+    val n = content.length
+    def flushLine(): Unit =
+      if (out.nonEmpty && !out.endsWith("\n")) out += '\n'
+    while (i < n) {
+      content(i) match {
+        case '(' =>
+          val (s, next) = literalString(content, i)
+          pending ++= s; i = next
+        case '<' if i + 1 < n && content(i + 1) != '<' =>
+          val close = content.indexOf('>', i)
+          if (close < 0) i = n
+          else {
+            val hex = content.substring(i + 1, close).filterNot(_.isWhitespace)
+            val even = if (hex.length % 2 == 0) hex else hex + "0"
+            pending ++= even.grouped(2)
+              .map(h => Integer.parseInt(h, 16).toChar).mkString
+            i = close + 1
+          }
+        case '[' | ']' => i += 1 // TJ array brackets: strings+numbers flow through
+        case c if c.isWhitespace => i += 1
+        case '%' => i = { val e = content.indexOf('\n', i); if (e < 0) n else e + 1 }
+        case _ =>
+          val start = i
+          while (i < n && !content(i).isWhitespace &&
+            content(i) != '(' && content(i) != '[' && content(i) != ']' &&
+            content(i) != '<' && content(i) != '%') i += 1
+          content.substring(start, i) match {
+            case "Tj" | "TJ" => out ++= pending; pending.clear()
+            case "'" => flushLine(); out ++= pending; pending.clear()
+            case "\"" => flushLine(); out ++= pending; pending.clear()
+            case "Td" | "TD" | "T*" | "ET" => flushLine(); pending.clear()
+            case t =>
+              // inside a TJ array, kerning ≤ -180/1000 em reads as a space
+              if (pending.nonEmpty &&
+                t.matches("-?\\d+(\\.\\d+)?") && t.toDouble <= -180.0)
+                pending += ' '
+          }
+      }
+    }
+    out ++= pending
+    out.toString.trim
+  }
+
+  /** PDF literal string: balanced parens, backslash escapes, octal. */
+  private def literalString(s: String, open: Int): (String, Int) = {
+    val out = new StringBuilder
+    var depth = 1
+    var i = open + 1
+    while (i < s.length && depth > 0) {
+      s(i) match {
+        case '\\' if i + 1 < s.length =>
+          s(i + 1) match {
+            case 'n' => out += '\n'; i += 2
+            case 'r' => out += '\r'; i += 2
+            case 't' => out += '\t'; i += 2
+            case 'b' => out += '\b'; i += 2
+            case 'f' => out += '\f'; i += 2
+            case '(' => out += '('; i += 2
+            case ')' => out += ')'; i += 2
+            case '\\' => out += '\\'; i += 2
+            case '\n' => i += 2 // line continuation
+            case d if d >= '0' && d <= '7' =>
+              var j = i + 1; var v = 0
+              while (j < s.length && j < i + 4 && s(j) >= '0' && s(j) <= '7') {
+                v = v * 8 + (s(j) - '0'); j += 1
+              }
+              out += v.toChar; i = j
+            case other => out += other; i += 2
+          }
+        case '(' => depth += 1; out += '('; i += 1
+        case ')' =>
+          depth -= 1
+          if (depth > 0) out += ')'
+          i += 1
+        case c => out += c; i += 1
+      }
+    }
+    (out.toString, i)
+  }
+}
