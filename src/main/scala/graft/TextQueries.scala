@@ -551,6 +551,112 @@ object TextQueries {
                max(n_chars) AS max_chars,
                CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
                count(DISTINCT lang) AS n_langs
-        FROM documents GROUP BY source ORDER BY source"""))
+        FROM documents GROUP BY source ORDER BY source""")),
+
+    // ── q70: repetition signals (Gopher/MassiveText-style quality rules:
+    //   a doc whose most frequent 2-gram dominates, or whose words mostly
+    //   repeat, is boilerplate/spam). Per-doc duplicate-word fraction +
+    //   top-bigram share, thresholded. All counts are integers, fractions
+    //   are single divisions of identical operands — exact cross-engine.
+    //   Shape at scale: one explode + two aggregations, all map-side
+    //   combinable; no joins on the heavy side. ──
+    QueryDef("q70_repetition",
+      (s, dir) => {
+        val d = docs(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .withColumn("n_words", size(col("w")).cast("long"))
+          .withColumn("dup_word_frac", round(
+            lit(1.0) - size(array_distinct(col("w"))).cast("double") / col("n_words"), 6))
+        val top = d
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(2, size(w)), i -> concat_ws(' ', element_at(w, i-1), element_at(w, i)))"))
+            .as("g"))
+          .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
+          .groupBy(col("doc_id")).agg(max(col("n")).as("top_n"), sum(col("n")).as("n_bigrams"))
+        d.select("doc_id", "n_words", "dup_word_frac").join(top, Seq("doc_id"))
+          .withColumn("top_bigram_frac",
+            round(col("top_n").cast("double") / col("n_bigrams"), 6))
+          .select(col("doc_id"), col("n_words"), col("dup_word_frac"), col("top_bigram_frac"),
+            (col("dup_word_frac") > 0.5 || col("top_bigram_frac") > 0.18).as("flagged"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+                 round(1 - len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 6) AS dup_word_frac
+                 FROM w),
+        g AS (SELECT doc_id,
+              unnest(list_transform(range(2, len(w) + 1), i -> w[i-1] || ' ' || w[i])) AS g
+              FROM w),
+        cnt AS (SELECT doc_id, g, count(*) AS n FROM g GROUP BY doc_id, g),
+        top AS (SELECT doc_id, max(n) AS top_n, CAST(sum(n) AS BIGINT) AS n_bigrams
+                FROM cnt GROUP BY doc_id)
+        SELECT b.doc_id, n_words, dup_word_frac,
+               round(top_n / CAST(n_bigrams AS DOUBLE), 6) AS top_bigram_frac,
+               (dup_word_frac > 0.5 OR
+                round(top_n / CAST(n_bigrams AS DOUBLE), 6) > 0.18) AS flagged
+        FROM base b JOIN top USING (doc_id) ORDER BY doc_id""")),
+
+    // ── q71: benchmark decontamination — the pre-training hygiene join:
+    //   flag corpus docs sharing any verbatim 4-gram with a held-out
+    //   "benchmark" set (stand-in: every 97th doc; 4 words picked because
+    //   this corpus's ~30-word vocabulary makes longer grams vacuously
+    //   collision-free — real pipelines use 8-13-gram windows over a
+    //   50k-token vocabulary, same plan). The benchmark side is tiny by
+    //   nature → broadcast; the corpus side explodes to grams and joins
+    //   WITHOUT shuffling the documents themselves. At 100 TB you'd join
+    //   on XHash.hash60(gram) to shrink wire/memory bytes — same plan
+    //   shape, fewer bytes; strings keep the oracle exact here. ──
+    QueryDef("q71_contamination",
+      (s, dir) => {
+        val grams = docs(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= 4)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(4, size(w)), i -> concat_ws(' ', slice(w, i-3, 4)))")).as("g"))
+        val bench = grams.filter(col("doc_id") % 97 === 0).select(col("g")).distinct()
+        grams.filter(col("doc_id") % 97 =!= 0)
+          .join(broadcast(bench), Seq("g"))
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("g")).as("n_overlap"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        g AS (SELECT doc_id,
+              unnest(list_transform(range(4, len(w) + 1),
+                i -> array_to_string(w[i-3:i], ' '))) AS g
+              FROM w WHERE len(w) >= 4),
+        bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0)
+        SELECT doc_id, count(DISTINCT g.g) AS n_overlap
+        FROM g JOIN bench USING (g)
+        WHERE doc_id % 97 <> 0
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ── q72: text normalization + content fingerprint — the canonical
+    //   form (lowercase, punctuation → space, collapsed whitespace) that
+    //   exact dedup and CDC hash over; the fingerprint is the shared
+    //   md5-prefix primitive so it IS the dedup key (q20 composes with
+    //   this upstream in a real pipeline). Pure per-row map — zero
+    //   shuffles beyond the output sort. ──
+    QueryDef("q72_normalize",
+      (s, dir) =>
+        docs(s, dir)
+          .withColumn("norm", trim(regexp_replace(
+            regexp_replace(lower(col("text")), "[^a-z0-9 ]+", " "), " +", " ")))
+          .select(col("doc_id"),
+            length(col("text")).cast("long").as("n_chars_raw"),
+            length(col("norm")).cast("long").as("n_chars_norm"),
+            XHash.hash60(col("norm")).as("fp"))
+          .orderBy(col("doc_id")),
+      Some(s"""
+        WITH n AS (SELECT doc_id, text,
+               trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g')) AS norm
+               FROM documents)
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_raw,
+               CAST(length(norm) AS BIGINT) AS n_chars_norm,
+               ${XHash.hash60Sql("norm")} AS fp
+        FROM n ORDER BY doc_id"""))
   )
 }
