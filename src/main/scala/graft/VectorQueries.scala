@@ -48,21 +48,26 @@ object VectorQueries {
   private def sqdistSql(a: String, b: String, dim: Int = 64): String =
     s"list_sum(list_transform(range(1, ${dim + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
 
-  /** Unrolled Lloyd's: c0 = seed centroids, then per round an assignment
-    * CTE (argmin via row_number over (dist6, cell)) and an update CTE
-    * (per-cell per-dim mean over the EXACT integer-valued sums). The
-    * final assignment (round rounds+1) is the output.
+  /** 6dp-rounded unscaled distance in the quantized space — the argmin /
+    * probe ranking key in both the training and probe CTEs. */
+  private def kmDist6Sql(q: String, c: String): String =
+    s"round(${sqdistSql(q, c)} / 1000000000000.0, 6)"
+
+  /** Unrolled Lloyd's CTE chain: q = quantized vectors, c0 = seed
+    * centroids, then per round an assignment CTE (argmin via row_number
+    * over (dist6, cell)) and an update CTE (per-cell per-dim mean over
+    * the EXACT integer-valued sums). Final assignment = a{rounds+1},
+    * final centroids = c{rounds}. Shared by q67 (training output) and
+    * q73 (probe search over the trained index).
     */
-  private def kmeansSql(k: Int, rounds: Int): String = {
-    def dist6(q: String, c: String) =
-      s"round(${sqdistSql(q, c)} / 1000000000000.0, 6)"
+  private def kmeansCtes(k: Int, rounds: Int): String = {
     val stages = (1 to rounds + 1).map { i =>
       val assign = s"""
         a$i AS (SELECT vec_id, qv, cell, dist6 FROM (
           SELECT q.vec_id AS vec_id, q.qv AS qv, c.cell AS cell,
-                 ${dist6("q.qv", "c.cv")} AS dist6,
+                 ${kmDist6Sql("q.qv", "c.cv")} AS dist6,
                  row_number() OVER (PARTITION BY q.vec_id
-                   ORDER BY ${dist6("q.qv", "c.cv")} ASC, c.cell ASC) AS rn
+                   ORDER BY ${kmDist6Sql("q.qv", "c.cv")} ASC, c.cell ASC) AS rn
           FROM q CROSS JOIN c${i - 1} c) WHERE rn = 1)"""
       val update = s"""
         c$i AS (SELECT cell, list(sx / n ORDER BY pos) AS cv FROM (
@@ -71,15 +76,44 @@ object VectorQueries {
           GROUP BY a.cell, r.pos) GROUP BY cell)"""
       if (i <= rounds) s"$assign,$update" else assign
     }.mkString(",")
-    s"""
-      WITH q AS (SELECT vec_id,
+    s"""q AS (SELECT vec_id,
                    list_transform(embedding,
                      v -> floor(CAST(v AS DOUBLE) * 1000000 + 0.5)) AS qv
                  FROM embeddings),
            c0 AS (SELECT vec_id AS cell, qv AS cv FROM q WHERE vec_id < $k),
-           $stages
-      SELECT vec_id, cell, dist6 FROM a${rounds + 1} ORDER BY vec_id"""
+           $stages"""
   }
+
+  private def kmeansSql(k: Int, rounds: Int): String =
+    s"""
+      WITH ${kmeansCtes(k, rounds)}
+      SELECT vec_id, cell, dist6 FROM a${rounds + 1} ORDER BY vec_id"""
+
+  /** q73 oracle: train (shared CTEs) → per-query nprobe=2 nearest cells
+    * by centroid distance → exact cosine top-5 among the probed cells'
+    * members only.
+    */
+  private def ivfProbeSql(k: Int, rounds: Int): String =
+    s"""
+      WITH ${kmeansCtes(k, rounds)},
+      qq AS (SELECT vec_id AS qid, qv FROM q WHERE vec_id < 10),
+      probe AS (SELECT qid, cell FROM (
+        SELECT qq.qid, c.cell,
+               row_number() OVER (PARTITION BY qq.qid
+                 ORDER BY ${kmDist6Sql("qq.qv", "c.cv")} ASC, c.cell ASC) AS crnk
+        FROM qq CROSS JOIN c$rounds c) WHERE crnk <= 2),
+      members AS (SELECT vec_id AS nid, cell FROM a${rounds + 1}),
+      cand AS (SELECT p.qid, m.nid FROM probe p JOIN members m USING (cell)
+               WHERE p.qid <> m.nid),
+      scored AS (SELECT cand.qid, cand.nid,
+                        round(${cosSql("eq.embedding", "en.embedding")}, 6) AS score
+                 FROM cand JOIN embeddings eq ON eq.vec_id = cand.qid
+                           JOIN embeddings en ON en.vec_id = cand.nid),
+      ranked AS (SELECT qid, nid, score,
+                        row_number() OVER (PARTITION BY qid
+                          ORDER BY score DESC, nid ASC) AS rnk
+                 FROM scored)
+      SELECT qid, rnk, nid, score FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk"""
 
   // ── q46 constants: 16 sign-bit hyperplanes over the 64-dim space,
   //    4 bands × 4 bits. ±1 entries come from a fixed LCG (bit 32, the
@@ -400,22 +434,74 @@ object VectorQueries {
     //   shuffle — see IvfKMeans); the oracle unrolls them as CTEs. ──
     QueryDef("q67_ivf_kmeans",
       (s, dir) => {
-        import graft.vector.IvfKMeans
-        val (k, rounds) = (KmK, KmRounds)
-        val q = emb(s, dir)
-          .select(col("vec_id"),
-            transform(col("embedding").cast("array<double>"),
-              v => floor(v * 1e6 + 0.5).cast("double")).as("qv"))
-          .localCheckpoint() // each round re-collects; don't re-scan+quantize
-        var cents: Seq[(Long, Seq[Double])] =
-          q.filter(col("vec_id") < k).orderBy("vec_id").collect()
-            .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
-        for (_ <- 1 to rounds)
-          cents = IvfKMeans.updateCents(IvfKMeans.assignCells(q, "qv", cents, KmScale), "qv")
-        IvfKMeans.assignCells(q, "qv", cents, KmScale)
+        val (q, cents) = trainedKMeans(s, dir)
+        graft.vector.IvfKMeans.assignCells(q, "qv", cents, KmScale)
           .select(col("vec_id"), col("cell"), col("dist6"))
           .orderBy(col("vec_id"))
       },
-      Some(kmeansSql(KmK, KmRounds)))
+      Some(kmeansSql(KmK, KmRounds))),
+
+    // ── q73: IVF probe search over the q67-trained index — the complete
+    //   nlist/nprobe ANN the reference configures (IVF_FLAT, nprobe
+    //   probing, `src/archive/chunking_strategy_docker.py:161-171`), with
+    //   LEARNED cells end to end: train → per-query nprobe=2 nearest
+    //   centroids → exact cosine top-5 among only those cells' members.
+    //   The scan side shrinks by ~nprobe/nlist (here 2/8); at 100 TB the
+    //   cells are hive partitions (Collection.buildIvf/searchIvf is that
+    //   production path, partition-pruning spec-asserted). ──
+    QueryDef("q73_ivf_probe",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val (q, cents) = trainedKMeans(s, dir)
+        val assigned = graft.vector.IvfKMeans.assignCells(q, "qv", cents, KmScale)
+          .select(col("vec_id").as("nid"), col("cell"))
+        val centDf = cents.toDF("cell", "cv")
+        val queries = q.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("qv"))
+        val wq = Window.partitionBy(col("qid")).orderBy(col("cdist").asc, col("cell").asc)
+        val probed = queries.join(broadcast(centDf), lit(true))
+          .withColumn("cdist", round(
+            aggregate(zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
+              lit(0.0), (acc, t) => acc + t) / lit(KmScale), 6))
+          .withColumn("crnk", row_number().over(wq))
+          .filter(col("crnk") <= 2)
+          .select(col("qid"), col("cell"))
+        val e = emb(s, dir)
+        val qe = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv_orig"))
+        val ne = e.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid").asc)
+        probed.join(assigned, Seq("cell"))
+          .filter(col("qid") =!= col("nid"))
+          .join(broadcast(qe), Seq("qid"))
+          .join(ne, Seq("nid"))
+          .withColumn("score", score6(col("qv_orig"), col("nv")))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select(col("qid"), col("rnk").cast("long").as("rnk"), col("nid"), col("score"))
+          .orderBy(col("qid"), col("rnk"))
+      },
+      Some(ivfProbeSql(KmK, KmRounds)))
   )
+
+  /** Shared by q67/q73: ×1e6 round-half-up quantized embeddings +
+    * centroids after KmRounds Lloyd's rounds (see q67's determinism
+    * notes; localCheckpoint because each round re-collects).
+    */
+  private def trainedKMeans(s: SparkSession, dir: String)
+      : (DataFrame, Seq[(Long, Seq[Double])]) = {
+    import graft.vector.IvfKMeans
+    val q = emb(s, dir)
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          v => floor(v * 1e6 + 0.5).cast("double")).as("qv"))
+      .localCheckpoint()
+    var cents: Seq[(Long, Seq[Double])] =
+      q.filter(col("vec_id") < KmK).orderBy("vec_id").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
+    for (_ <- 1 to KmRounds)
+      cents = IvfKMeans.updateCents(IvfKMeans.assignCells(q, "qv", cents, KmScale), "qv")
+    (q, cents)
+  }
 }
