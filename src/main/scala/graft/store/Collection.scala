@@ -124,6 +124,25 @@ class Collection private (
     (before.size, parquetFiles(new java.io.File(path)).size)
   }
 
+  /** Data-layout clustering: rewrite the collection range-partitioned and
+    * sorted on `cols`, so every output file owns a disjoint key range and
+    * parquet row-group min/max stats turn point/range filters into
+    * whole-file skips (the zone-map effect; Delta/Iceberg's OPTIMIZE
+    * ZORDER for the single-column case). At 100 TB this is what makes
+    * `getByIds`/range scans touch O(files-with-matches) instead of every
+    * file. Same copy-on-write swap as compact. Returns the file count.
+    */
+  def clusterBy(nFiles: Int, cols: String*): Int = {
+    require(cols.nonEmpty, "clusterBy: at least one column")
+    rewriteSwap("clusterBy") { tmp =>
+      df.repartitionByRange(nFiles, cols.map(col): _*)
+        .sortWithinPartitions(cols.map(col): _*)
+        .write.mode(SaveMode.Overwrite).parquet(tmp)
+    }
+    Option(new java.io.File(path).listFiles()).map(_.count(f =>
+      f.isFile && f.getName.endsWith(".parquet"))).getOrElse(0)
+  }
+
   /** S7/S8: append entity rows. Expects id/vector/text(+metadata) columns.
     * Schema-on-write like the Milvus server (`scripts/milvus_db.py:61-68`
     * inserts are validated server-side): vectors conform to the declared

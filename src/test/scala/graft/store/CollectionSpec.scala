@@ -107,6 +107,32 @@ class CollectionSpec extends SparkSpec {
     assert(c.search(TextEmbed.embedScala("spark"), 1).count() === 1)
   }
 
+  test("clusterBy gives each file a disjoint key range (zone-map layout)") {
+    Collection.drop(root, "cclust")
+    val c = Collection.create(spark, root, "cclust", TextEmbed.DefaultDim, overwrite = true)
+    // 60 rows inserted in shuffled id order across several files
+    val docs = scala.util.Random.shuffle((0L until 60L).toList)
+      .map(i => (i, s"doc number $i")).toDF("id", "text")
+    c.insert(TextEmbed.withEmbed(docs.repartition(6), "text", "vector")
+      .select("id", "vector", "text"))
+    val nFiles = c.clusterBy(4, "id")
+    assert(nFiles === 4)
+    assert(c.df.count() === 60)
+    // every parquet file owns a disjoint id range — the property row-group
+    // min/max pruning needs
+    val ranges = new java.io.File(s"$root/cclust").listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map { f =>
+        val ids = spark.read.parquet(f.getAbsolutePath)
+          .select("id").as[Long].collect()
+        (ids.min, ids.max)
+      }.sortBy(_._1)
+    assert(ranges.length === 4)
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(hi < lo, s"overlapping file ranges: ${ranges.toSeq}")
+    }
+  }
+
   test("delete leaves NULL-predicate rows alone (they are not matches)") {
     Collection.drop(root, "cnull")
     val c = Collection.create(spark, root, "cnull", TextEmbed.DefaultDim, overwrite = true)
