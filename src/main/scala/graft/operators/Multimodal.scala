@@ -66,6 +66,36 @@ object Multimodal {
     }(RowEncoder.encoderFor(outSchema))
   }
 
+  /** Resize: payload → fixed-budget payload + updated meta dims. The STUB
+    * resamples bytes at a uniform stride down to targetW×targetH bytes (a
+    * real implementation decodes, bilinear-resamples pixels, re-encodes —
+    * same signature, same batch shape). Output meta carries the TARGET
+    * dims, the contract downstream batch embedders rely on (fixed tensor
+    * shapes per batch).
+    */
+  def resizeStub(df: DataFrame, payloadCol: String, mediaTypeCol: String,
+                 targetW: Int, targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0)
+    val outSchema = StructType(df.schema.fields :+
+      StructField("resized", BinaryType) :+ StructField("meta", MediaMetaSchema))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val typeIdx = df.schema.fieldIndex(mediaTypeCol)
+    val budget = targetW * targetH
+    df.mapPartitions { rows =>
+      // a real resampler (JNI image lib) would be constructed HERE
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val resized =
+          if (payload == null || payload.isEmpty) Array.emptyByteArray
+          else if (payload.length <= budget) payload
+          else Array.tabulate(budget)(i =>
+            payload((i.toLong * payload.length / budget).toInt))
+        val meta = Row(r.getString(typeIdx), targetW, targetH, 1)
+        Row.fromSeq(r.toSeq ++ Seq(resized, meta))
+      }
+    }(RowEncoder.encoderFor(outSchema))
+  }
+
   /** Frame sampling for video payloads: every nth 256-byte "frame" of the
     * binary payload becomes a row (stride pattern of real frame samplers).
     */

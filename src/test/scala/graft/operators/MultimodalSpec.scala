@@ -39,6 +39,24 @@ class MultimodalSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("resize stub: byte budget enforced, meta carries target dims, small payloads pass through") {
+    val out = Multimodal.resizeStub(media, "payload", "media_type", 16, 16)
+    assert(out.schema.fieldNames.toSeq ===
+      Seq("id", "payload", "media_type", "resized", "meta"))
+    val rows = out.orderBy("id").collect()
+    // 11-byte payload under the 256-byte budget passes through untouched
+    assert(rows(0).getAs[Array[Byte]]("resized").toSeq === "hello world".getBytes("UTF-8").toSeq)
+    // 1024 bytes downsample to exactly the 16×16 budget, uniform stride
+    val vid = rows(1).getAs[Array[Byte]]("resized")
+    assert(vid.length === 256)
+    assert(vid.forall(_ == 7))
+    // meta reports the TARGET dims (the fixed-tensor-shape contract)
+    val meta = rows(1).getStruct(rows(1).fieldIndex("meta"))
+    assert((meta.getInt(1), meta.getInt(2)) === ((16, 16)))
+    // null payload → empty bytes, never a crash
+    assert(rows(2).getAs[Array[Byte]]("resized").length === 0)
+  }
+
   test("frame sampling strides through the payload") {
     val out = Multimodal.frameSample(media.filter($"id" === 1), "payload", 2)
     val idx = out.select("frame_idx").as[Long].collect().sorted
