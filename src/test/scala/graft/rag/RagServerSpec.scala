@@ -56,6 +56,22 @@ class RagServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(r.statusCode() === 200, r.body())
   }
 
+  test("concurrent queries are served correctly (Spark driver actions are thread-safe)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val questions = Seq(
+      "What is the currency of Veridia called?",
+      "zzzz qqqq xyzzy plugh?",
+      "What is the currency of Veridia called?",
+      "zzzz qqqq xyzzy plugh?")
+    val codes = Await.result(
+      Future.sequence(questions.map(q => Future {
+        post(s"""{"question": ${RagServer.jstr(q)}}""").statusCode()
+      })), 2.minutes)
+    assert(codes === Seq(200, 404, 200, 404))
+  }
+
   test("GET /health reports healthy") {
     val r = http.send(
       HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/health")).GET().build(),
