@@ -197,6 +197,35 @@ class Collection private (
     searchCells(queryVec, cellCol, model.probe(queryVec, nprobe), k)
   }
 
+  /** Batch IVF search: many query vectors in ONE plan (the q73 shape).
+    * The centroid table broadcasts; each query ranks its nprobe nearest
+    * cells in-plan; candidates come from joining the cell-partitioned
+    * collection on the probed cells — at scale a hash join on the cell
+    * key, never a full cross product; scoring touches ~nprobe/nlist of
+    * the rows. `queries` needs (qid BIGINT, qv ARRAY<DOUBLE>).
+    */
+  def searchIvfBatch(queries: DataFrame, k: Int = 5, nprobe: Int = 2,
+                     cellCol: String = "cell"): DataFrame = {
+    import graft.vector.IvfKMeans
+    val model = IvfKMeans.load(spark, s"$path.__ivf")
+    import spark.implicits._
+    val centDf = model.cells.zip(model.centroids.map(_.toSeq)).toSeq.toDF(cellCol, "__cv")
+    val wc = Window.partitionBy(col("qid")).orderBy(col("__cdist").asc, col(cellCol).asc)
+    val probed = queries.join(broadcast(centDf), lit(true))
+      .withColumn("__cdist", aggregate(
+        zip_with(col("qv").cast("array<double>"), col("__cv"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, t) => acc + t))
+      .withColumn("__crnk", row_number().over(wc))
+      .filter(col("__crnk") <= nprobe)
+      .select(col("qid"), col("qv"), col(cellCol))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id").asc)
+    probed.join(df, Seq(cellCol))
+      .withColumn("score", VectorKernels.cosineFast(col("vector"), col("qv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .drop("qv")
+  }
+
   /** Cosine top-k over only the given cells; the cell predicate becomes a
     * PartitionFilter (directory pruning), not a row filter. */
   def searchCells(queryVec: Array[Double], cellCol: String, cells: Seq[Long], k: Int = 5): DataFrame =

@@ -75,4 +75,21 @@ class IvfKMeansSpec extends SparkSpec {
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [") && plan.contains("cell"), plan)
   }
+
+  test("searchIvfBatch: one plan, per-query ranks agree with single-query searchIvf") {
+    val c = Collection.open(spark, root, "civf") // built by the previous test
+    val qs = (0 until 3).map { cl =>
+      val v = Array.fill(dim)(0.0); v(cl) = 10.0
+      (100L + cl, v.toSeq)
+    }.toDF("qid", "qv")
+    val batch = c.searchIvfBatch(qs, k = 3, nprobe = 1)
+      .select(col("qid"), col("rnk"), col("id"))
+      .as[(Long, Int, Long)].collect().toSet
+    val single = (0 until 3).flatMap { cl =>
+      val v = Array.fill(dim)(0.0); v(cl) = 10.0
+      c.searchIvf(v, k = 3, nprobe = 1).select(col("id")).as[Long].collect()
+        .zipWithIndex.map { case (id, i) => (100L + cl, i + 1, id) }
+    }.toSet
+    assert(batch === single)
+  }
 }
