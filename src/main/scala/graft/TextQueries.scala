@@ -657,6 +657,36 @@ object TextQueries {
         SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_raw,
                CAST(length(norm) AS BIGINT) AS n_chars_norm,
                ${XHash.hash60Sql("norm")} AS fp
-        FROM n ORDER BY doc_id"""))
+        FROM n ORDER BY doc_id""")),
+
+    // ── q74: BPE-ish token counting — the GPT-2-style pre-tokenizer
+    //   shape (letter runs | digit runs | single punctuation) that
+    //   training pipelines budget datasets with, vs plain whitespace
+    //   words (q21). The pattern stays in the regex subset where Java
+    //   (Spark) and RE2 (DuckDB) agree: character classes + alternation,
+    //   leftmost-first in both. Per-row map, zero shuffles beyond the
+    //   output sort; ratios are single divisions of identical operands. ──
+    QueryDef("q74_bpe_tokens",
+      (s, dir) =>
+        docs(s, dir)
+          .withColumn("n_tokens",
+            size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+              .cast("long"))
+          .withColumn("n_words", size(split(col("text"), " ")).cast("long"))
+          .select(col("doc_id"), col("n_tokens"), col("n_words"),
+            round(col("n_tokens").cast("double") / col("n_words"), 6)
+              .as("tokens_per_word"),
+            round(length(col("text")).cast("double") / col("n_tokens"), 6)
+              .as("chars_per_token"))
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH t AS (SELECT doc_id, text,
+               CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+               FROM documents)
+        SELECT doc_id, n_tokens, n_words,
+               round(n_tokens / CAST(n_words AS DOUBLE), 6) AS tokens_per_word,
+               round(length(text) / CAST(n_tokens AS DOUBLE), 6) AS chars_per_token
+        FROM t ORDER BY doc_id"""))
   )
 }
