@@ -46,6 +46,23 @@ class IvfKMeansSpec extends SparkSpec {
     assert(got.select("cell").as[Long].head() === 3L)
   }
 
+  test("centroids are partitioning-invariant on integer-valued vectors (q67's exactness argument)") {
+    // The cross-engine oracle for q67/q73 rests on: sums of integer-valued
+    // doubles below 2^53 are EXACT, hence order- and partitioning-
+    // independent. Pin it mechanically: training over 1, 7, and 32
+    // partitions must give bit-identical centroids.
+    val rows = (0L until 40L).map { i =>
+      val v = Array.tabulate(dim)(d => ((i * 7 + d * 3) % 11).toDouble) // integer-valued
+      (i, v.toSeq)
+    }.toDF("id", "vector")
+    val models = Seq(1, 7, 32).map(p =>
+      IvfKMeans.train(rows.repartition(p), "id", "vector", nlist = 4, rounds = 3))
+    models.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.cells.toSeq === b.cells.toSeq)
+      assert(a.centroids.map(_.toSeq).toSeq === b.centroids.map(_.toSeq).toSeq)
+    }
+  }
+
   test("model save/load roundtrip") {
     val m = IvfKMeans.train(clustered, "id", "vector", nlist = 3, rounds = 2)
     val dir = s"$root/model_rt"
