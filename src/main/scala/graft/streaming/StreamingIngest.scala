@@ -47,9 +47,10 @@ object StreamingIngest {
     * every batch regardless of data volume; 32 shuffle partitions × (two
     * sides of a join + dedup/agg state) dominated sub-second queries. The
     * streaming queries run on a cloned session (shared SparkContext,
-    * private conf) with a smaller state partition count — on a real
-    * cluster you'd size this to executor count, and state is keyed, so
-    * capacity scales with active keys either way.
+    * private conf) with a smaller state partition count (4 — measured a
+    * further ~5% over 8 at sf0.1, mostly in the two-sided join state of
+    * q52) — on a real cluster you'd size this to executor count, and
+    * state is keyed, so capacity scales with active keys either way.
     *
     * State-store provider: measured RocksDB vs the default HDFS-backed
     * store at sf0.1 / 8 partitions (q50+q52+q53+q59, min-of-2): 9.07 s vs
@@ -61,7 +62,7 @@ object StreamingIngest {
     */
   private def streamSession(spark: SparkSession): SparkSession = {
     val s2 = spark.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
     s2 // nanosAsLong is owned by eventStream, the only reader needing it
   }
 
