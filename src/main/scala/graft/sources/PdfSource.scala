@@ -28,6 +28,20 @@ object SplitPagesExtractor extends PdfExtractor {
     else new String(bytes, "UTF-8").split("\f", -1).toSeq
 }
 
+/** Default: sniff the payload — a real `%PDF-` file goes through the
+  * actual parser (`SimplePdfExtractor`); anything else is treated as
+  * pdftotext-shaped form-feed text. A mixed document directory (the
+  * normal crawl case) extracts correctly file by file.
+  */
+object AutoExtractor extends PdfExtractor {
+  private val Magic = "%PDF-".getBytes("ISO-8859-1")
+  override def extractPages(bytes: Array[Byte]): Seq[String] =
+    if (bytes != null && bytes.length >= Magic.length &&
+      Magic.indices.forall(i => bytes(i) == Magic(i)))
+      SimplePdfExtractor.extractPages(bytes)
+    else SplitPagesExtractor.extractPages(bytes)
+}
+
 object PdfSource {
 
   /** Scan a directory of documents into (doc_id, page, page_text) rows.
@@ -37,7 +51,7 @@ object PdfSource {
     * SURVEY.md §2.7 flags).
     */
   def pages(spark: SparkSession, path: String,
-            extractor: PdfExtractor = SplitPagesExtractor): DataFrame = {
+            extractor: PdfExtractor = AutoExtractor): DataFrame = {
     import spark.implicits._
     val extractUdf = udf((bytes: Array[Byte]) => extractor.extractPages(bytes))
     spark.read.format("binaryFile").load(path)
@@ -51,7 +65,7 @@ object PdfSource {
     * reference concatenates page texts with a newline,
     * `scripts/prepare_data.py:37-40`). */
   def text(spark: SparkSession, path: String,
-           extractor: PdfExtractor = SplitPagesExtractor): DataFrame =
+           extractor: PdfExtractor = AutoExtractor): DataFrame =
     pages(spark, path, extractor)
       .groupBy(col("doc_id"))
       .agg(array_join(transform(

@@ -62,6 +62,26 @@ class SimplePdfSpec extends SparkSpec {
     assert(SimplePdfExtractor.extractPages("not a pdf at all".getBytes) === Nil)
   }
 
+  test("AutoExtractor routes by magic: real PDFs parse, plain text splits on form-feed") {
+    assert(AutoExtractor.extractPages(samplePdf).head.startsWith("Dr. Voss diary"))
+    assert(AutoExtractor.extractPages("page one\fpage two".getBytes("UTF-8")) ===
+      Seq("page one", "page two"))
+    assert(AutoExtractor.extractPages(null) === Nil)
+  }
+
+  test("a mixed directory extracts PDF and text files correctly side by side") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("pdfmixed")
+    java.nio.file.Files.write(dir.resolve("a.pdf"), samplePdf)
+    java.nio.file.Files.write(dir.resolve("b.txt"), "plain one\fplain two".getBytes("UTF-8"))
+    val got = PdfSource.pages(spark, dir.toString)
+      .select(col("doc_id"), col("page"), col("page_text")).collect()
+      .map(r => (r.getString(0).split('/').last, r.getInt(1), r.getString(2))).toSet
+    assert(got.exists { case (f, p, t) => f == "a.pdf" && p == 0 && t.startsWith("Dr. Voss") })
+    assert(got.contains(("b.txt", 0, "plain one")))
+    assert(got.contains(("b.txt", 1, "plain two")))
+  }
+
   test("PdfSource.pages drives the real extractor through the binaryFile scan") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("pdfsrc")
