@@ -568,6 +568,10 @@ object TextQueries {
           .withColumn("dup_word_frac", round(
             lit(1.0) - size(array_distinct(col("w"))).cast("double") / col("n_words"), 6))
         val top = d
+          // size(w)=1 would make sequence(2,1) DESCEND into element_at(w,0)
+          // (a runtime error); the guard mirrors the oracle's range(2,2)
+          // = empty — single-word docs drop out of both engines identically
+          .filter(size(col("w")) >= 2)
           .select(col("doc_id"), explode(expr(
             "transform(sequence(2, size(w)), i -> concat_ws(' ', element_at(w, i-1), element_at(w, i)))"))
             .as("g"))

@@ -7,6 +7,22 @@ package graft.model
   * `src/archive/new_milvus_schema.py:3-80` rich), and the API
   * request/response pair (`app.py:26-33`).
   */
+/** The one JSON string-literal escaper (backslash, quote, and ALL control
+  * chars < 0x20) — shared by Verify's oracle dump and RagServer's
+  * responses so the table can't drift between writers.
+  */
+object Json {
+  def str(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+}
+
 final case class DayMeta(
     full_date: String,
     title: String,

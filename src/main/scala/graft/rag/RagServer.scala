@@ -39,6 +39,11 @@ final class RagServer(
 
   private var server: Option[HttpServer] = None
   llm.open() // server-lifetime client init (the per-partition contract's driver-side analogue)
+  // LlmClient's contract is open-once-then-SEQUENTIAL calls (what the
+  // mapPartitions path guarantees per partition). The handler pool is
+  // 4-wide for retrieval concurrency, so LLM calls serialize on this
+  // lock to honor the contract for stateful clients.
+  private val llmLock = new Object
 
   /** The endpoint's logic, HTTP-free for direct testing (the reference
     * tests `query_document_logic` the same way, `tests/test_app_v2.py:98`).
@@ -52,7 +57,7 @@ final class RagServer(
       else {
         val context = hits.map(r => Option(r.getString(1)).getOrElse("")).toSeq
         val ids = hits.map(_.getLong(0).toString).toSeq
-        val answer = llm.answer(question, context)
+        val answer = llmLock.synchronized { llm.answer(question, context) }
         QueryResponse(answer, context, ids, success = answer != ExtractiveLlm.Fallback)
       }
     } catch {
@@ -116,17 +121,8 @@ object RagServer {
     x.getResponseBody.write(bytes)
   }
 
-  /** JSON string literal with full control-char escaping (same table as
-    * Verify's oracle dump). */
-  def jstr(s: String): String = "\"" + s.flatMap {
-    case '"'  => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  } + "\""
+  /** JSON string literal — the shared escaper (`model.Json.str`). */
+  def jstr(s: String): String = graft.model.Json.str(s)
 
   def toJson(r: QueryResponse): String =
     s"""{"response":${jstr(r.response)},""" +
@@ -134,22 +130,32 @@ object RagServer {
       s""""source_ids":${r.source_ids.map(jstr).mkString("[", ",", "]")},""" +
       s""""success":${r.success}}"""
 
-  /** Minimal JSON body parse: the value of the top-level "question" key
-    * (string literal with standard escapes). Returns None when absent or
-    * malformed — the endpoint's 422 path.
+  /** Minimal JSON body parse: the value of a "question" key (string
+    * literal with standard escapes). Scans EVERY occurrence of the key
+    * text until one is followed by `: "` — so the key being quoted inside
+    * an earlier string value doesn't cause a spurious 422. (A nested
+    * object's own "question" key can still win over a later top-level
+    * one — the documented limit of a parser this small; the reference
+    * body is always the flat {"question": ...}.) Returns None when
+    * absent or malformed — the endpoint's 422 path.
     */
   def parseQuestion(body: String): Option[String] = {
-    val keyAt = body.indexOf("\"question\"")
-    if (keyAt < 0) return None
-    var i = keyAt + "\"question\"".length
-    while (i < body.length && (body(i) == ' ' || body(i) == '\t' ||
-      body(i) == '\n' || body(i) == '\r')) i += 1
-    if (i >= body.length || body(i) != ':') return None
-    i += 1
-    while (i < body.length && (body(i) == ' ' || body(i) == '\t' ||
-      body(i) == '\n' || body(i) == '\r')) i += 1
-    if (i >= body.length || body(i) != '"') return None
-    i += 1
+    val Key = "\"question\""
+    var keyAt = body.indexOf(Key)
+    var i = -1
+    while (keyAt >= 0 && i < 0) {
+      var j = keyAt + Key.length
+      while (j < body.length && (body(j) == ' ' || body(j) == '\t' ||
+        body(j) == '\n' || body(j) == '\r')) j += 1
+      if (j < body.length && body(j) == ':') {
+        j += 1
+        while (j < body.length && (body(j) == ' ' || body(j) == '\t' ||
+          body(j) == '\n' || body(j) == '\r')) j += 1
+        if (j < body.length && body(j) == '"') i = j + 1
+      }
+      if (i < 0) keyAt = body.indexOf(Key, keyAt + 1)
+    }
+    if (i < 0) return None
     val sb = new StringBuilder
     while (i < body.length) {
       body(i) match {

@@ -160,16 +160,23 @@ object SimplePdfExtractor extends PdfExtractor {
         case '(' =>
           val (s, next) = literalString(content, i)
           pending ++= s; i = next
-        case '<' if i + 1 < n && content(i + 1) != '<' =>
+        case '<' if i + 1 < n && content(i + 1) == '<' =>
+          i += 2 // inline dictionary open (<< /MCID 0 >> etc.) — not a string
+        case '<' =>
           val close = content.indexOf('>', i)
           if (close < 0) i = n
           else {
-            val hex = content.substring(i + 1, close).filterNot(_.isWhitespace)
+            // keep only hex digits: corrupt bytes degrade to partial text
+            // instead of throwing out of the extractor (graceful-degradation
+            // contract)
+            val hex = content.substring(i + 1, close)
+              .filter(c => Character.digit(c, 16) >= 0)
             val even = if (hex.length % 2 == 0) hex else hex + "0"
             pending ++= even.grouped(2)
               .map(h => Integer.parseInt(h, 16).toChar).mkString
             i = close + 1
           }
+        case '>' => i += 1 // dictionary close (>>) — consumed char by char
         case '[' | ']' => i += 1 // TJ array brackets: strings+numbers flow through
         case c if c.isWhitespace => i += 1
         case '%' => i = { val e = content.indexOf('\n', i); if (e < 0) n else e + 1 }
@@ -178,6 +185,7 @@ object SimplePdfExtractor extends PdfExtractor {
           while (i < n && !content(i).isWhitespace &&
             content(i) != '(' && content(i) != '[' && content(i) != ']' &&
             content(i) != '<' && content(i) != '%') i += 1
+          if (i == start) i += 1 // never stall: unknown stop char advances
           content.substring(start, i) match {
             case "Tj" | "TJ" => out ++= pending; pending.clear()
             case "'" => flushLine(); out ++= pending; pending.clear()

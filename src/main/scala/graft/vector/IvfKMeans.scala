@@ -102,19 +102,30 @@ object IvfKMeans {
       }
       .sortBy(_._1)
 
-  /** Train a coarse quantizer: seeds = the nlist smallest ids' vectors,
-    * then `rounds` assign→update sweeps. The returned model may have
-    * fewer than nlist cells if some emptied out.
+  /** The Lloyd's loop shared by `train` (raw vectors, scale 1.0) and the
+    * q67/q73 oracle path (×1e6-quantized vectors, scale 1e12): seeds =
+    * the nlist smallest ids' vectors, then `rounds` assign→update
+    * sweeps. ONE implementation so a tie-break or seeding change cannot
+    * drift between the engine API and the oracle-checked queries.
     */
-  def train(vectors: DataFrame, idCol: String, vecCol: String,
-            nlist: Int, rounds: Int = 3): Model = {
+  def trainCents(vectors: DataFrame, idCol: String, vecCol: String,
+                 nlist: Int, rounds: Int, scale: Double = 1.0): Seq[(Long, Seq[Double])] = {
     val q = vectors
       .select(col(idCol).cast("long").as("__id"), col(vecCol).cast("array<double>").as("__v"))
     var cents: Seq[(Long, Seq[Double])] =
       q.orderBy(col("__id")).limit(nlist).collect()
         .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
     for (_ <- 1 to rounds)
-      cents = updateCents(assignCells(q, "__v", cents, scale = 1.0), "__v")
+      cents = updateCents(assignCells(q, "__v", cents, scale), "__v")
+    cents
+  }
+
+  /** Train a coarse quantizer over raw vectors. The returned model may
+    * have fewer than nlist cells if some emptied out.
+    */
+  def train(vectors: DataFrame, idCol: String, vecCol: String,
+            nlist: Int, rounds: Int = 3): Model = {
+    val cents = trainCents(vectors, idCol, vecCol, nlist, rounds)
     Model(cents.map(_._1).toArray, cents.map(_._2.toArray).toArray)
   }
 }

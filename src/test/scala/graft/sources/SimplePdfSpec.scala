@@ -56,6 +56,19 @@ class SimplePdfSpec extends SparkSpec {
     assert(pages === Seq("orphan text"))
   }
 
+  test("marked-content dictionaries and corrupt hex degrade, never hang or throw") {
+    // Word/Chrome-style tagged PDFs put << /MCID 0 >> BDC sequences inside
+    // content streams — must be skipped, not spin the tokenizer forever
+    val tagged = "1 0 obj << /Length 60 >> stream\n" +
+      "/P <</MCID 0>> BDC BT (tagged text) Tj ET EMC\nendstream endobj\n"
+    assert(SimplePdfExtractor.extractPages(("%PDF-1.7\n" + tagged).getBytes("ISO-8859-1"))
+      === Seq("tagged text"))
+    // non-hex bytes inside a hex string are dropped, not thrown on
+    val badHex = "1 0 obj << /Length 30 >> stream\nBT <4G2617ZZ3.65> Tj ET\nendstream endobj\n"
+    assert(SimplePdfExtractor.extractPages(("%PDF-1.7\n" + badHex).getBytes("ISO-8859-1"))
+      === Seq("Base")) // G/Z/. dropped -> hex pairs 42 61 73 65
+  }
+
   test("null/empty/garbage input extracts nothing, never throws") {
     assert(SimplePdfExtractor.extractPages(null) === Nil)
     assert(SimplePdfExtractor.extractPages(Array.emptyByteArray) === Nil)

@@ -94,7 +94,10 @@ class IvfKMeansSpec extends SparkSpec {
   }
 
   test("searchIvfBatch: one plan, per-query ranks agree with single-query searchIvf") {
-    val c = Collection.open(spark, root, "civf") // built by the previous test
+    Collection.drop(root, "civfb")
+    val c = Collection.create(spark, root, "civfb", dim, overwrite = true)
+    c.insert(clustered.withColumn("text", concat(lit("doc "), col("id"))))
+    c.buildIvf(nlist = 3, rounds = 3)
     val qs = (0 until 3).map { cl =>
       val v = Array.fill(dim)(0.0); v(cl) = 10.0
       (100L + cl, v.toSeq)
