@@ -488,22 +488,19 @@ object VectorQueries {
   /** Shared by q67/q73: ×1e6 round-half-up quantized embeddings +
     * centroids after KmRounds Lloyd's rounds of `IvfKMeans.trainCents`
     * (same loop the engine API uses — no drift; seeding by smallest ids
-    * ≡ the oracle's `vec_id < k` on these dense ids). Memoized per
-    * (session, dir): q67 and q73 in one gate run train ONCE.
-    * localCheckpoint because every round re-collects.
+    * ≡ the oracle's `vec_id < k` on these dense ids). Deliberately NOT
+    * memoized: each query pays its own training so the bench reports the
+    * true cost of both (a cache would make min-of-reps report the
+    * assignment-only path). localCheckpoint because every round
+    * re-collects.
     */
-  private val kmCache =
-    scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String), (DataFrame, Seq[(Long, Seq[Double])])]
-
   private def trainedKMeans(s: SparkSession, dir: String)
-      : (DataFrame, Seq[(Long, Seq[Double])]) =
-    kmCache.getOrElseUpdate((s, dir), {
-      val q = emb(s, dir)
-        .select(col("vec_id"),
-          transform(col("embedding").cast("array<double>"),
-            v => floor(v * 1e6 + 0.5).cast("double")).as("qv"))
-        .localCheckpoint()
-      (q, graft.vector.IvfKMeans.trainCents(q, "vec_id", "qv", KmK, KmRounds, KmScale))
-    })
+      : (DataFrame, Seq[(Long, Seq[Double])]) = {
+    val q = emb(s, dir)
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          v => floor(v * 1e6 + 0.5).cast("double")).as("qv"))
+      .localCheckpoint()
+    (q, graft.vector.IvfKMeans.trainCents(q, "vec_id", "qv", KmK, KmRounds, KmScale))
+  }
 }
