@@ -691,6 +691,38 @@ object TextQueries {
         SELECT doc_id, n_tokens, n_words,
                round(n_tokens / CAST(n_words AS DOUBLE), 6) AS tokens_per_word,
                round(length(text) / CAST(n_tokens AS DOUBLE), 6) AS chars_per_token
-        FROM t ORDER BY doc_id"""))
+        FROM t ORDER BY doc_id""")),
+
+    // ── q75: dedup keep-best — real pipelines don't just DETECT
+    //   duplicates (q20/q27), they keep the best copy per duplicate
+    //   group (longest here; a quality score in production) and drop the
+    //   rest. Blocking key: hash of the 4-word prefix (the crude
+    //   prefix-blocking stand-in; q72's normalized fingerprint or q27's
+    //   LSH key slots in identically). One shuffle on the blocking key;
+    //   rank + group-size from the same window partition. ──
+    QueryDef("q75_dedup_keep_best",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("fp")).orderBy(col("n_chars").desc, col("doc_id").asc)
+        val wg = Window.partitionBy(col("fp"))
+        docs(s, dir)
+          .withColumn("fp",
+            XHash.hash60(expr("concat_ws(' ', slice(split(text, ' '), 1, 4))")))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n_dupes", count(lit(1)).over(wg))
+          .filter(col("rn") === 1 && col("n_dupes") >= 2)
+          .select(col("fp"), col("doc_id").as("kept_doc_id"), col("n_dupes"))
+          .orderBy(col("fp"))
+      },
+      Some(s"""
+        WITH k AS (SELECT doc_id, n_chars,
+               ${XHash.hash60Sql("array_to_string(string_split(text, ' ')[1:4], ' ')")} AS fp
+               FROM documents),
+        r AS (SELECT doc_id, fp,
+              row_number() OVER (PARTITION BY fp ORDER BY n_chars DESC, doc_id ASC) AS rn,
+              count(*) OVER (PARTITION BY fp) AS n_dupes
+              FROM k)
+        SELECT fp, doc_id AS kept_doc_id, n_dupes FROM r
+        WHERE rn = 1 AND n_dupes >= 2 ORDER BY fp"""))
   )
 }

@@ -93,6 +93,33 @@ class IvfKMeansSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [") && plan.contains("cell"), plan)
   }
 
+  test("IVF recall@5 on real embeddings is reported and bounded") {
+    // ANN quality on the actual test corpus: nprobe=2 of nlist=8 learned
+    // cells vs brute force. The bound is deliberately conservative — the
+    // point is a REGRESSION tripwire (a broken trainer/probe collapses
+    // recall to ~0.1) plus a visible measurement, not a benchmark claim.
+    import org.apache.spark.sql.functions._
+    Collection.drop(root, "crecall")
+    val c = Collection.create(spark, root, "crecall", 64, overwrite = true)
+    c.insert(spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vector"),
+        col("label").cast("string").as("text")))
+    c.buildIvf(nlist = 8, rounds = 2)
+    val queries = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 10).select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val recalls = queries.map { case (qid, qv) =>
+      def ids(df: org.apache.spark.sql.DataFrame) =
+        df.filter(col("id") =!= qid).select("id").as[Long].collect().take(5).toSet
+      val brute = ids(c.search(qv, k = 6))
+      val ivf = ids(c.searchIvf(qv, k = 6, nprobe = 2))
+      brute.intersect(ivf).size.toDouble / brute.size
+    }
+    val mean = recalls.sum / recalls.length
+    info(f"IVF recall@5 (nprobe=2/8) = $mean%.2f over ${recalls.length} queries")
+    assert(mean >= 0.4, s"recall collapsed: $mean")
+  }
+
   test("searchIvfBatch: one plan, per-query ranks agree with single-query searchIvf") {
     Collection.drop(root, "civfb")
     val c = Collection.create(spark, root, "civfb", dim, overwrite = true)
