@@ -154,6 +154,25 @@ class Collection private (
     Collection.conformVector(rows).write.mode(SaveMode.Append).parquet(path)
   }
 
+  /** Upsert by primary key (Milvus's `upsert`): incoming rows REPLACE
+    * same-id rows and append otherwise — the CDC-ingestion primitive.
+    * Copy-on-write like delete: survivors = old rows whose id is absent
+    * from the batch (left_anti join — broadcast-sized by the nature of
+    * an upsert batch), then union the conformed new rows. Returns
+    * (replaced, inserted) counts.
+    */
+  def upsert(rows: DataFrame): (Long, Long) = {
+    val newRows = Collection.conformVector(rows)
+    val nNew = newRows.count()
+    val replaced = df.join(broadcast(newRows.select("id")), Seq("id"), "left_semi").count()
+    rewriteSwap("upsert") { tmp =>
+      df.join(broadcast(newRows.select("id")), Seq("id"), "left_anti")
+        .unionByName(newRows)
+        .write.mode(SaveMode.Overwrite).parquet(tmp)
+    }
+    (replaced, nNew - replaced)
+  }
+
   /** IVF-style layout: rows land in hive partitions keyed by `cellCol`
     * (e.g. a coarse-quantizer centroid id). `searchCells` then prunes to
     * the probed cells AT THE SCAN — the 100 TB shape where nprobe/nlist

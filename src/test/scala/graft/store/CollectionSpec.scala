@@ -107,6 +107,25 @@ class CollectionSpec extends SparkSpec {
     assert(c.search(TextEmbed.embedScala("spark"), 1).count() === 1)
   }
 
+  test("upsert replaces same-id rows and appends new ones") {
+    Collection.drop(root, "cups")
+    val c = Collection.create(spark, root, "cups", TextEmbed.DefaultDim, overwrite = true)
+    c.insert(seeded) // ids 0..3
+    val batch = TextEmbed.withEmbed(
+      Seq((2L, "vector search rewritten"), (9L, "a brand new row")).toDF("id", "text"),
+      "text", "vector").select("id", "vector", "text")
+    val (replaced, inserted) = c.upsert(batch)
+    assert((replaced, inserted) === ((1L, 1L)))
+    assert(c.df.count() === 5)
+    val texts = c.df.select("id", "text").as[(Long, String)].collect().toMap
+    assert(texts(2L) === "vector search rewritten") // replaced, not duplicated
+    assert(texts(9L) === "a brand new row")
+    assert(texts(0L) === "spark window aggregation engine") // untouched
+    // idempotent re-upsert: same batch replaces both, inserts none
+    assert(c.upsert(batch) === ((2L, 0L)))
+    assert(c.df.count() === 5)
+  }
+
   test("clusterBy gives each file a disjoint key range (zone-map layout)") {
     Collection.drop(root, "cclust")
     val c = Collection.create(spark, root, "cclust", TextEmbed.DefaultDim, overwrite = true)
