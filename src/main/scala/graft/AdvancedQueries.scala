@@ -693,6 +693,39 @@ object AdvancedQueries {
         SELECT o_orderpriority, count(*) AS n,
                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ── q76: per-user EWMA of purchase values — the temporal feature
+    //   primitive (recency-weighted spend) feature stores compute.
+    //   A recursive smoother isn't a plain window aggregate, so both
+    //   engines run the IDENTICAL sequential fold over the
+    //   (ts, event_id)-ordered value list: acc = acc/2 + x/2, seeded
+    //   with the first value. α = 0.5 on purpose — halving doubles is
+    //   EXACT, and a left fold's op order is pinned in both engines, so
+    //   the result is bit-identical before the 6dp round. One
+    //   aggregation shuffle; the fold is O(events-per-user) in memory —
+    //   bounded state, same shape at any scale. ──
+    QueryDef("q76_ewma",
+      (s, dir) => {
+        val v = events(s, dir).filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(sort_array(collect_list(
+            struct(col("ts"), col("event_id"), col("value")))).as("svs"))
+          .withColumn("vs", transform(col("svs"), x => x.getField("value")))
+        v.select(col("user_id"),
+            round(aggregate(
+              slice(col("vs"), lit(2), greatest(size(col("vs")) - 1, lit(0))),
+              element_at(col("vs"), 1),
+              (acc, x) => acc * 0.5 + x * 0.5), 6).as("ewma"),
+            size(col("vs")).cast("long").as("n"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        WITH v AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+                   FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+        SELECT user_id,
+               round(list_reduce(vs, (acc, x) -> acc * 0.5 + x * 0.5), 6) AS ewma,
+               CAST(len(vs) AS BIGINT) AS n
+        FROM v ORDER BY user_id"""))
   )
 }
