@@ -726,6 +726,48 @@ object AdvancedQueries {
         SELECT user_id,
                round(list_reduce(vs, (acc, x) -> acc * 0.5 + x * 0.5), 6) AS ewma,
                CAST(len(vs) AS BIGINT) AS n
-        FROM v ORDER BY user_id"""))
+        FROM v ORDER BY user_id""")),
+
+    // ── q77: conversion funnel — sequential pattern matching (view →
+    //   click within 48 h → purchase within 48 h of the click), the
+    //   product-analytics staple. Each stage is a per-user aggregate
+    //   joined to the next stage's events — keyed equi-joins against
+    //   small per-user stage tables (auto-broadcast), never a per-event
+    //   cross product, so the shape holds when events are 100 TB and
+    //   users are millions. Timestamps compare exactly — nothing to
+    //   round. ──
+    QueryDef("q77_funnel",
+      (s, dir) => {
+        val e = events(s, dir)
+        val v = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+        val c = e.filter(col("event_type") === "click").join(v, Seq("user_id"))
+          .filter(col("ts") >= col("v_ts") &&
+            col("ts") <= col("v_ts") + expr("INTERVAL 48 HOURS"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+        val p = e.filter(col("event_type") === "purchase").join(c, Seq("user_id"))
+          .filter(col("ts") >= col("c_ts") &&
+            col("ts") <= col("c_ts") + expr("INTERVAL 48 HOURS"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+        v.agg(count(lit(1)).as("n_view"))
+          .crossJoin(c.agg(count(lit(1)).as("n_click")))
+          .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+      },
+      Some("""
+        WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+                   WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+              JOIN v ON e.user_id = v.user_id
+              WHERE e.event_type = 'click' AND e.ts >= v.v_ts
+                AND e.ts <= v.v_ts + INTERVAL 48 HOUR
+              GROUP BY e.user_id),
+        p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+              JOIN c ON e.user_id = c.user_id
+              WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+                AND e.ts <= c.c_ts + INTERVAL 48 HOUR
+              GROUP BY e.user_id)
+        SELECT (SELECT count(*) FROM v) AS n_view,
+               (SELECT count(*) FROM c) AS n_click,
+               (SELECT count(*) FROM p) AS n_purchase"""))
   )
 }
