@@ -768,6 +768,37 @@ object AdvancedQueries {
               GROUP BY e.user_id)
         SELECT (SELECT count(*) FROM v) AS n_view,
                (SELECT count(*) FROM c) AS n_click,
-               (SELECT count(*) FROM p) AS n_purchase"""))
+               (SELECT count(*) FROM p) AS n_purchase""")),
+
+    // ── q78: cohort retention — users grouped by first-activity week,
+    //   counted per week-offset of later activity (the retention matrix
+    //   product analytics lives on). Two aggregations + one keyed join of
+    //   per-user tables; week arithmetic is exact (UTC Monday truncation
+    //   in both engines, epoch deltas divide 604800 cleanly). ──
+    QueryDef("q78_retention",
+      (s, dir) => {
+        val e = events(s, dir)
+        val firstWeek = e.groupBy(col("user_id"))
+          .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+        val active = e
+          .select(col("user_id"), date_trunc("week", col("ts")).as("week")).distinct()
+        firstWeek.join(active, Seq("user_id"))
+          .withColumn("week_offset",
+            ((unix_timestamp(col("week")) - unix_timestamp(col("cohort_week"))) / 604800)
+              .cast("long"))
+          .groupBy(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort"),
+            col("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("cohort"), col("week_offset"))
+      },
+      Some("""
+        WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+                   FROM events GROUP BY user_id),
+        a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events)
+        SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort,
+               CAST((epoch(a.week) - epoch(f.cohort_week)) / 604800 AS BIGINT) AS week_offset,
+               count(DISTINCT a.user_id) AS n_users
+        FROM f JOIN a USING (user_id)
+        GROUP BY 1, 2 ORDER BY cohort, week_offset"""))
   )
 }
