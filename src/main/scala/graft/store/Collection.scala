@@ -157,20 +157,36 @@ class Collection private (
   /** Upsert by primary key (Milvus's `upsert`): incoming rows REPLACE
     * same-id rows and append otherwise — the CDC-ingestion primitive.
     * Copy-on-write like delete: survivors = old rows whose id is absent
-    * from the batch (left_anti join — broadcast-sized by the nature of
-    * an upsert batch), then union the conformed new rows. Returns
-    * (replaced, inserted) counts.
+    * from the batch (left_anti join; Spark picks broadcast vs shuffle by
+    * its threshold — no forced hint, so backfill-sized batches don't
+    * OOM the driver), then union the conformed new rows. The batch is
+    * persisted so its plan (often an embedding computation) runs once,
+    * and the counts describe exactly what was written. Batch ids must be
+    * unique (a CDC reader compacts per key first); a collection whose
+    * layout carries extra columns (cell-partitioned) refuses with a
+    * rebuild hint rather than failing inside the union. Returns
+    * (replacedOldRows, insertedNewRows).
     */
   def upsert(rows: DataFrame): (Long, Long) = {
-    val newRows = Collection.conformVector(rows)
-    val nNew = newRows.count()
-    val replaced = df.join(broadcast(newRows.select("id")), Seq("id"), "left_semi").count()
-    rewriteSwap("upsert") { tmp =>
-      df.join(broadcast(newRows.select("id")), Seq("id"), "left_anti")
-        .unionByName(newRows)
-        .write.mode(SaveMode.Overwrite).parquet(tmp)
-    }
-    (replaced, nNew - replaced)
+    val newRows = Collection.conformVector(rows).persist()
+    try {
+      val extra = df.columns.toSet -- newRows.columns.toSet
+      require(extra.isEmpty,
+        s"upsert: collection carries columns [${extra.mkString(",")}] absent from the " +
+          "batch — a cell-partitioned layout is rebuilt (buildIvf), not upserted")
+      val nNew = newRows.count()
+      val batchIds = newRows.select("id").distinct()
+      require(batchIds.count() == nNew,
+        "upsert: duplicate ids within the batch — compact the batch per key first")
+      val replaced = df.join(batchIds, Seq("id"), "left_semi").count()
+      val matched = df.select("id").distinct().join(batchIds, Seq("id"), "left_semi").count()
+      rewriteSwap("upsert") { tmp =>
+        df.join(batchIds, Seq("id"), "left_anti")
+          .unionByName(newRows)
+          .write.mode(SaveMode.Overwrite).parquet(tmp)
+      }
+      (replaced, nNew - matched)
+    } finally { newRows.unpersist(); () }
   }
 
   /** IVF-style layout: rows land in hive partitions keyed by `cellCol`

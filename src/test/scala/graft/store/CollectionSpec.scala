@@ -124,6 +124,17 @@ class CollectionSpec extends SparkSpec {
     // idempotent re-upsert: same batch replaces both, inserts none
     assert(c.upsert(batch) === ((2L, 0L)))
     assert(c.df.count() === 5)
+    // duplicate ids within one batch violate the replace-by-key contract
+    intercept[IllegalArgumentException] {
+      c.upsert(batch.union(batch.limit(1)))
+    }
+    // a cell-partitioned collection refuses with a rebuild hint instead
+    // of failing inside the union (the batch has no cell column)
+    Collection.drop(root, "cupsp")
+    val cp = Collection.open(spark, root, "cupsp")
+    cp.insertPartitioned(seeded.withColumn("cell", col("id") % 2), "cell")
+    val err = intercept[IllegalArgumentException] { cp.upsert(batch) }
+    assert(err.getMessage.contains("cell"))
   }
 
   test("clusterBy gives each file a disjoint key range (zone-map layout)") {
