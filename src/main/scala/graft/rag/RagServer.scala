@@ -65,8 +65,14 @@ final class RagServer(
         QueryResponse(s"Error: ${e.getMessage}", Nil, Nil, success = false)
     }
 
-  /** Bind and serve; port 0 picks a free port. Returns the bound port. */
+  private var pool: Option[java.util.concurrent.ExecutorService] = None
+
+  /** Bind and serve; port 0 picks a free port. Returns the bound port.
+    * A second start() without stop() is refused — silently overwriting
+    * `server` leaked the old listener socket and its thread pool
+    * (ADVICE r3). */
   def start(port: Int = 0): Int = {
+    require(server.isEmpty, "start: server already running — stop() it first")
     val s = HttpServer.create(new InetSocketAddress(port), 0)
     s.createContext("/query", new HttpHandler {
       override def handle(x: HttpExchange): Unit = RagServer.guard(x) {
@@ -94,13 +100,20 @@ final class RagServer(
           """{"status":"healthy","services":["collection","embedding","llm"]}""")
       }
     })
-    s.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    val p = java.util.concurrent.Executors.newFixedThreadPool(4)
+    s.setExecutor(p)
     s.start()
     server = Some(s)
+    pool = Some(p)
     s.getAddress.getPort
   }
 
-  def stop(): Unit = { server.foreach(_.stop(0)); server = None }
+  def stop(): Unit = {
+    server.foreach(_.stop(0)); server = None
+    // the handler pool is ours, not HttpServer's — shut it down or each
+    // start/stop cycle strands 4 threads
+    pool.foreach(_.shutdown()); pool = None
+  }
 }
 
 object RagServer {

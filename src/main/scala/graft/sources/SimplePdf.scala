@@ -66,13 +66,42 @@ object SimplePdfExtractor extends PdfExtractor {
         var s = m.end + streamAt + "stream".length
         if (s < bytes.length && bytes(s) == '\r') s += 1
         if (s < bytes.length && bytes(s) == '\n') s += 1
-        val e = raw.indexOf("endstream", s)
-        val data = if (e < 0) Array.empty[Byte]
-                   else java.util.Arrays.copyOfRange(bytes, s, trimEol(bytes, s, e))
+        // Extent comes from the dict's /Length when it checks out (ADVICE
+        // r3: compressed bytes can legitimately contain the ASCII text
+        // "endstream", and scanning for it truncated such streams); the
+        // literal scan is only the fallback for a missing or inconsistent
+        // /Length. Consistent = "endstream" follows the claimed extent
+        // after at most EOL/space padding.
+        val byLen = streamLength(dict, raw).map(s + _).filter { e2 =>
+          e2 >= s && e2 <= bytes.length && {
+            var k = e2
+            while (k < raw.length &&
+              (raw(k) == '\r' || raw(k) == '\n' || raw(k) == ' ')) k += 1
+            raw.startsWith("endstream", k)
+          }
+        }
+        val data = byLen match {
+          case Some(e2) => java.util.Arrays.copyOfRange(bytes, s, e2)
+          case None =>
+            val e = raw.indexOf("endstream", s)
+            if (e < 0) Array.empty[Byte]
+            else java.util.Arrays.copyOfRange(bytes, s, trimEol(bytes, s, e))
+        }
         out(num) = Obj(num, dict, Some(data))
       }
     }
     out.toMap
+  }
+
+  /** The stream dict's /Length — direct (`/Length 44`) or resolved through
+    * a one-hop indirect ref (`/Length 12 0 R` → the plain-integer body of
+    * object 12). None when absent or unresolvable. */
+  private def streamLength(dict: String, raw: String): Option[Int] = {
+    """/Length\s+(\d+)(?:\s+(\d+)\s+R)?""".r.findFirstMatchIn(dict).flatMap { m =>
+      if (m.group(2) == null) Some(m.group(1).toInt)
+      else ("""(?s)(?<!\d)""" + m.group(1) + """\s+""" + m.group(2) +
+        """\s+obj\s*(\d+)""").r.findFirstMatchIn(raw).map(_.group(1).toInt)
+    }.filter(_ >= 0)
   }
 
   /** endstream is preceded by an EOL that is not stream data. */

@@ -209,15 +209,57 @@ class Collection private (
     */
   def buildIvf(nlist: Int, rounds: Int = 3): graft.vector.IvfKMeans.Model = {
     val model = graft.vector.IvfKMeans.train(df, "id", "vector", nlist, rounds)
+    val buildId = model.contentId
+    // Stage the quantizer BEFORE touching the data (ADVICE r3: saving it
+    // only after the swap left a crash window pairing new cell layout
+    // with a stale model — silently wrong recall). Both dirs carry the
+    // model's content hash; loadIvfModel refuses a mismatched pair, so
+    // even the one-rename promote window below fails LOUDLY.
+    val modelTmp = s"$path.__ivf.__new"
+    rmTree(new java.io.File(modelTmp))
+    model.save(spark, modelTmp)
+    writeMarker(s"$modelTmp/_build_id", buildId)
     rewriteSwap("buildIvf") { tmp =>
       graft.vector.IvfKMeans.assignCells(
           Collection.conformVector(df), "vector",
           model.cells.zip(model.centroids.map(_.toSeq)).toSeq, scale = 1.0)
         .drop("dist6") // assignCells names the partition column "cell"
         .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(tmp)
+      writeMarker(s"$tmp/_ivf_build", buildId) // underscore file: invisible to scans
     }
-    model.save(spark, s"$path.__ivf")
+    val live = new java.io.File(s"$path.__ivf")
+    rmTree(live)
+    require(new java.io.File(modelTmp).renameTo(live),
+      "buildIvf: could not install quantizer")
     model
+  }
+
+  private def writeMarker(file: String, content: String): Unit =
+    java.nio.file.Files.write(java.nio.file.Paths.get(file),
+      content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def readMarker(file: String): Option[String] = {
+    val p = java.nio.file.Paths.get(file)
+    if (java.nio.file.Files.exists(p))
+      Some(new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+    else None
+  }
+
+  /** Loads the coarse quantizer, validating the data/model build stamps
+    * written by `buildIvf` — a data dir stamped with a build the model
+    * dir does not match (interrupted build, manual copy) must not be
+    * probed: assignments and centroids would disagree. Pre-stamp layouts
+    * (no `_ivf_build` in the data dir) load unchecked for compatibility. */
+  private def loadIvfModel(): graft.vector.IvfKMeans.Model = {
+    readMarker(s"$path/_ivf_build").foreach { dataBuild =>
+      val modelBuild = readMarker(s"$path.__ivf/_build_id")
+      require(modelBuild.contains(dataBuild),
+        s"searchIvf: quantizer/layout mismatch for $name — data is from " +
+          s"build $dataBuild but model dir has ${modelBuild.getOrElse("no stamp")}; " +
+          "re-run buildIvf (an interrupted build can leave this state)")
+    }
+    graft.vector.IvfKMeans.load(spark, s"$path.__ivf")
   }
 
   /** ANN search over a buildIvf'd collection: the query probes only the
@@ -228,7 +270,7 @@ class Collection private (
     */
   def searchIvf(queryVec: Array[Double], k: Int = 5, nprobe: Int = 2,
                 cellCol: String = "cell"): DataFrame = {
-    val model = graft.vector.IvfKMeans.load(spark, s"$path.__ivf")
+    val model = loadIvfModel()
     searchCells(queryVec, cellCol, model.probe(queryVec, nprobe), k)
   }
 
@@ -242,14 +284,18 @@ class Collection private (
   def searchIvfBatch(queries: DataFrame, k: Int = 5, nprobe: Int = 2,
                      cellCol: String = "cell"): DataFrame = {
     import graft.vector.IvfKMeans
-    val model = IvfKMeans.load(spark, s"$path.__ivf")
+    val model = loadIvfModel()
     import spark.implicits._
     val centDf = model.cells.zip(model.centroids.map(_.toSeq)).toSeq.toDF(cellCol, "__cv")
+    // __cdist rounds to 6 dp so batch ranking shares the same total order
+    // as Model.probe and assignCells on near-tie cells (ADVICE r3: the
+    // three probe paths previously ranked raw doubles computed in
+    // different evaluation orders and could probe different cells)
     val wc = Window.partitionBy(col("qid")).orderBy(col("__cdist").asc, col(cellCol).asc)
     val probed = queries.join(broadcast(centDf), lit(true))
-      .withColumn("__cdist", aggregate(
+      .withColumn("__cdist", round(aggregate(
         zip_with(col("qv").cast("array<double>"), col("__cv"), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, t) => acc + t))
+        lit(0.0), (acc, t) => acc + t), 6))
       .withColumn("__crnk", row_number().over(wc))
       .filter(col("__crnk") <= nprobe)
       .select(col("qid"), col("qv"), col(cellCol))

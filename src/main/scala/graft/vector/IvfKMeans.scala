@@ -36,25 +36,45 @@ object IvfKMeans {
     require(cells.length == centroids.length, "cells/centroids must align")
 
     /** The nprobe cells nearest to `qv` (driver-side — the centroid table
-      * is the small side by construction). Ties break on cell id. */
-    def probe(qv: Array[Double], nprobe: Int): Seq[Long] =
+      * is the small side by construction). Distances round to 6 dp
+      * (HALF_UP, matching `assignCells`/`searchIvfBatch`) before ranking
+      * so every probe path shares ONE total order on near-tie cells;
+      * ties break on cell id. A wrong-dimension query fails loudly
+      * instead of ranking on a silently truncated partial distance. */
+    def probe(qv: Array[Double], nprobe: Int): Seq[Long] = {
+      require(centroids.isEmpty || qv.length == centroids.head.length,
+        s"probe: query dim ${qv.length} != centroid dim ${centroids.head.length}")
       cells.zip(centroids)
         .map { case (c, cv) =>
           var d = 0.0
           var i = 0
-          while (i < cv.length && i < qv.length) {
+          while (i < cv.length) {
             val t = cv(i) - qv(i); d += t * t; i += 1
           }
-          (c, d)
+          (c, BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
         }
         .sortBy { case (c, d) => (d, c) }
         .take(nprobe).map(_._1).toSeq
+    }
 
     def save(spark: SparkSession, dir: String): Unit = {
       import spark.implicits._
       cells.zip(centroids).toSeq.map { case (c, v) => (c, v.toSeq) }
         .toDF("cell", "centroid")
         .coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir)
+    }
+
+    /** Deterministic content hash of the quantizer — `Collection.buildIvf`
+      * stamps it into both the rewritten data dir and the model dir so a
+      * crash between the two installs is caught loudly at load time
+      * instead of silently probing cells with mismatched centroids. */
+    def contentId: String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val bb = java.nio.ByteBuffer.allocate(8)
+      def put(l: Long): Unit = { bb.clear(); bb.putLong(l); md.update(bb.array()) }
+      cells.foreach(put)
+      centroids.foreach(_.foreach(x => put(java.lang.Double.doubleToLongBits(x))))
+      md.digest().map("%02x".format(_)).mkString
     }
   }
 

@@ -79,4 +79,18 @@ class RagServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(r.statusCode() === 200)
     assert(r.body().contains("\"status\":\"healthy\""))
   }
+
+  test("double start() is refused; stop() releases the port for a fresh start()") {
+    val p = port // ensure the shared server is up
+    val e = intercept[IllegalArgumentException](server.start(0))
+    assert(e.getMessage.contains("already running"))
+    server.stop()
+    // the listener and its pool are gone — the same instance can rebind
+    val p2 = server.start(0)
+    assert(p2 > 0, s"rebind after stop failed (first port $p)")
+    val r = http.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$p2/health")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(r.statusCode() === 200)
+  }
 }

@@ -50,6 +50,45 @@ class SimplePdfSpec extends SparkSpec {
     assert(pages(1) === "Back\nBase\ncontinued")
   }
 
+  test("/Length governs stream extent: literal 'endstream' inside data does not truncate") {
+    // the content stream's BYTES contain the ASCII text "endstream" — the
+    // old literal scan cut the stream there and lost the tail
+    val c = "BT (before endstream after) Tj ET".getBytes("ISO-8859-1")
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    w(s"4 0 obj << /Length ${c.length} >> stream\n")
+    out.write(c); w("\nendstream endobj\n")
+    w("trailer << /Root 1 0 R >>\n%%EOF\n")
+    assert(SimplePdfExtractor.extractPages(out.toByteArray)
+      === Seq("before endstream after"))
+  }
+
+  test("/Length as a one-hop indirect ref resolves; a lying /Length falls back to the scan") {
+    val c = "BT (indirect length) Tj ET".getBytes("ISO-8859-1")
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    w("4 0 obj << /Length 7 0 R >> stream\n")
+    out.write(c); w("\nendstream endobj\n")
+    w(s"7 0 obj ${c.length} endobj\n")
+    w("trailer << /Root 1 0 R >>\n%%EOF\n")
+    assert(SimplePdfExtractor.extractPages(out.toByteArray) === Seq("indirect length"))
+
+    // /Length pointing past the real endstream is inconsistent → the scan
+    // fallback still extracts the page
+    val bad = new String(out.toByteArray, "ISO-8859-1")
+      .replace("7 0 obj " + c.length, "7 0 obj 9999")
+    assert(SimplePdfExtractor.extractPages(bad.getBytes("ISO-8859-1"))
+      === Seq("indirect length"))
+  }
+
   test("degrades to BT-stream fallback when the page tree is absent") {
     val body = "1 0 obj << /Length 20 >> stream\nBT (orphan text) Tj ET\nendstream endobj\n"
     val pages = SimplePdfExtractor.extractPages(("%PDF-1.4\n" + body).getBytes("ISO-8859-1"))

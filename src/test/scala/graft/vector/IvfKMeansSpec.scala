@@ -93,6 +93,35 @@ class IvfKMeansSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [") && plan.contains("cell"), plan)
   }
 
+  test("probe refuses a wrong-dimension query instead of ranking a truncated distance") {
+    val m = IvfKMeans.train(clustered, "id", "vector", nlist = 3, rounds = 2)
+    val short = Array.fill(dim - 2)(0.0)
+    val e = intercept[IllegalArgumentException](m.probe(short, 1))
+    assert(e.getMessage.contains("dim"))
+  }
+
+  test("buildIvf stamps data+model with one build id; a mismatched pair fails loudly at search") {
+    Collection.drop(root, "civf_stamp")
+    val c = Collection.create(spark, root, "civf_stamp", dim, overwrite = true)
+    c.insert(clustered.withColumn("text", concat(lit("doc "), col("id"))))
+    val model = c.buildIvf(nlist = 3, rounds = 2)
+    val dataStamp = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/civf_stamp/_ivf_build")), "UTF-8")
+    val modelStamp = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/civf_stamp.__ivf/_build_id")), "UTF-8")
+    assert(dataStamp === model.contentId && modelStamp === model.contentId)
+    val qv = Array.fill(dim)(0.0); qv(1) = 10.0
+    assert(c.searchIvf(qv, k = 1).count() === 1) // consistent pair searches fine
+
+    // simulate the interrupted-build state: data stamped by a NEWER build
+    // than the installed model — search must refuse, not probe wrong cells
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/civf_stamp/_ivf_build"),
+      "deadbeef".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException](c.searchIvf(qv, k = 1))
+    assert(e.getMessage.contains("mismatch"))
+  }
+
   test("IVF recall@5 on real embeddings is reported and bounded") {
     // ANN quality on the actual test corpus: nprobe=2 of nlist=8 learned
     // cells vs brute force. The bound is deliberately conservative — the
