@@ -173,7 +173,7 @@ class Collection private (
       val extra = df.columns.toSet -- newRows.columns.toSet
       require(extra.isEmpty,
         s"upsert: collection carries columns [${extra.mkString(",")}] absent from the " +
-          "batch — a cell-partitioned layout is rebuilt (buildIvf), not upserted")
+          "batch — upsert a cell-partitioned layout with upsertIvf (or rebuild via buildIvf)")
       val nNew = newRows.count()
       val batchIds = newRows.select("id").distinct()
       require(batchIds.count() == nNew,
@@ -187,6 +187,91 @@ class Collection private (
       }
       (replaced, nNew - matched)
     } finally { newRows.unpersist(); () }
+  }
+
+  /** Incremental IVF maintenance (Milvus's actual behavior for inserts
+    * into an IVF collection): batch rows are assigned to the nearest
+    * EXISTING centroid — no retrain, quantizer and cell layout untouched
+    * — and only the AFFECTED cell partitions rewrite (replaced ids
+    * removed, new assignments added). Partition pruning bounds IO at
+    * O(touched cells), not O(collection) — the property that makes churn
+    * affordable at 100 TB. Returns (replacedIds, insertedIds, movedIds):
+    * `moved` counts replaced ids whose updated vector landed in a
+    * different cell — per-call reassignment drift. The cumulative
+    * drifted-row count persists in `_ivf_drift`; when `ivfDrift` grows
+    * past ~0.2-0.3 the centroids no longer describe the data and the
+    * caller should retrain (`buildIvf`, which resets the counter by
+    * rewriting the directory).
+    */
+  def upsertIvf(rows: DataFrame): (Long, Long, Long) = {
+    requireNotStreamManaged("upsertIvf")
+    require(df.columns.contains("cell"),
+      s"upsertIvf: $name is not cell-partitioned — buildIvf first")
+    val model = loadIvfModel()
+    val cents = model.cells.zip(model.centroids.map(_.toSeq)).toSeq
+    val batch = graft.vector.IvfKMeans
+      .assignCells(Collection.conformVector(rows), "vector", cents, scale = 1.0)
+      .drop("dist6").persist()
+    try {
+      val nNew = batch.count()
+      val batchIds = batch.select("id").distinct()
+      require(batchIds.count() == nNew,
+        "upsertIvf: duplicate ids within the batch — compact the batch per key first")
+      val oldMatched = df.join(batchIds, Seq("id"), "left_semi")
+        .select(col("id"), col("cell").cast("long").as("old_cell")).persist()
+      val replaced = oldMatched.count()
+      val matched = oldMatched.select("id").distinct().count()
+      val moved = oldMatched
+        .join(batch.select(col("id"), col("cell")), Seq("id"))
+        .filter(col("old_cell") =!= col("cell")).select("id").distinct().count()
+      val affected: Seq[Long] = oldMatched.select(col("old_cell").as("c"))
+        .union(batch.select(col("cell").as("c")))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      oldMatched.unpersist()
+      // partition-pruning predicate typed to the INFERRED partition column
+      // (a cast on the column side would defeat pruning)
+      val cellIn: Column = df.schema("cell").dataType match {
+        case IntegerType => col("cell").isin(affected.map(_.toInt): _*)
+        case LongType    => col("cell").isin(affected: _*)
+        case _           => col("cell").isin(affected.map(_.toString): _*)
+      }
+      // survivors of the affected cells + the whole batch; staged to a
+      // sibling dir because Spark (correctly) refuses a write that reads
+      // from its own destination, then installed with dynamic partition
+      // overwrite so ONLY the affected cell dirs are replaced
+      val content = df.filter(cellIn)
+        .withColumn("cell", col("cell").cast("long"))
+        .join(batchIds, Seq("id"), "left_anti")
+        .unionByName(batch)
+      val stage = s"$path.__upsert"
+      rmTree(new java.io.File(stage))
+      try {
+        content.write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(stage)
+        spark.read.parquet(stage)
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("cell").parquet(path)
+        // a cell ALL of whose rows were replaced away writes no stage
+        // partition and dynamic overwrite leaves the stale dir — drop it,
+        // or the moved ids' old copies would resurface as duplicates
+        affected.foreach { c =>
+          if (!new java.io.File(s"$stage/cell=$c").exists)
+            rmTree(new java.io.File(s"$path/cell=$c"))
+        }
+      } finally rmTree(new java.io.File(stage))
+      val prior = readMarker(s"$path/_ivf_drift").map(_.toLong).getOrElse(0L)
+      writeMarker(s"$path/_ivf_drift",
+        (prior + moved + (nNew - matched)).toString)
+      (replaced, nNew - matched, moved)
+    } finally { batch.unpersist(); () }
+  }
+
+  /** Fraction of the collection that entered or changed cells since the
+    * last buildIvf — upsertIvf's cumulative retrain signal. */
+  def ivfDrift: Double = {
+    val drifted = readMarker(s"$path/_ivf_drift").map(_.toLong).getOrElse(0L)
+    val n = df.count()
+    if (n == 0) 0.0 else drifted.toDouble / n
   }
 
   /** IVF-style layout: rows land in hive partitions keyed by `cellCol`

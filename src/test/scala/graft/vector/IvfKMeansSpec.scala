@@ -122,6 +122,84 @@ class IvfKMeansSpec extends SparkSpec {
     assert(e.getMessage.contains("mismatch"))
   }
 
+  test("upsertIvf: assigns to existing centroids, rewrites only touched cells, counts drift") {
+    Collection.drop(root, "cups")
+    val c = Collection.create(spark, root, "cups", dim, overwrite = true)
+    c.insert(clustered.withColumn("text", concat(lit("doc "), col("id"))))
+    val model = c.buildIvf(nlist = 3, rounds = 3)
+
+    // batch: id 100 is new (cluster 0), id 1 keeps its vector (replaced,
+    // not moved), id 2 MOVES from cluster 2's cell to cluster 0's
+    val mkVec = (cl: Int) => { val v = Array.fill(dim)(0.0); v(cl) = 10.0; v.toSeq }
+    val batch = Seq(
+      (100L, mkVec(0), "new doc"),
+      (1L, mkVec(1), "doc 1 updated"),
+      (2L, mkVec(0), "doc 2 moved")
+    ).toDF("id", "vector", "text")
+    val (replaced, inserted, moved) = c.upsertIvf(batch)
+    assert((replaced, inserted, moved) === (2L, 1L, 1L))
+
+    // content is exact: 31 rows, unique ids, updated text visible, the
+    // moved id's old copy is gone and its new cell is the probe target
+    assert(c.df.count() === 31)
+    assert(c.df.select("id").distinct().count() === 31)
+    assert(c.df.filter(col("id") === 1L).select("text").as[String].collect()
+      === Array("doc 1 updated"))
+    val cellOf2 = c.df.filter(col("id") === 2L)
+      .select(col("cell").cast("long")).as[Long].collect()
+    assert(cellOf2.length === 1 &&
+      cellOf2(0) === model.probe(mkVec(0).toArray, 1).head)
+
+    // quantizer untouched, full probe ≡ brute force on the NEW content,
+    // and the cell predicate still prunes at the scan
+    val qv = Array.fill(dim)(0.0); qv(0) = 10.0
+    val brute = c.search(qv, k = 5).select("id").as[Long].collect().toSeq
+    val full = c.searchIvf(qv, k = 5, nprobe = 3).select("id").as[Long].collect().toSeq
+    assert(full === brute)
+    val plan = c.searchIvf(qv, k = 5, nprobe = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("cell"), plan)
+
+    // drift accumulates: 1 moved + 1 inserted over 31 rows
+    assert(math.abs(c.ivfDrift - 2.0 / 31) < 1e-9)
+    // retrain resets the counter with the fresh layout
+    c.buildIvf(nlist = 3, rounds = 3)
+    assert(c.ivfDrift === 0.0)
+  }
+
+  test("upsertIvf then searchIvf matches rebuild-then-searchIvf recall on sf0.001 embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vector"),
+        col("label").cast("string").as("text"))
+    val (initial, late) = (emb.filter(col("id") % 5 =!= 0), emb.filter(col("id") % 5 === 0))
+
+    Collection.drop(root, "cup_inc"); Collection.drop(root, "cup_reb")
+    val inc = Collection.create(spark, root, "cup_inc", 64, overwrite = true)
+    inc.insert(initial); inc.buildIvf(nlist = 8, rounds = 2)
+    val (_, insertedInc, _) = inc.upsertIvf(late)
+    assert(insertedInc === late.count())
+    val reb = Collection.create(spark, root, "cup_reb", 64, overwrite = true)
+    reb.insert(emb); reb.buildIvf(nlist = 8, rounds = 2)
+
+    val queries = emb.filter(col("id") < 10)
+      .select(col("id"), col("vector")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def recall(c: Collection) = {
+      val rs = queries.map { case (qid, qv) =>
+        def ids(df: org.apache.spark.sql.DataFrame) =
+          df.filter(col("id") =!= qid).select("id").as[Long].collect().take(5).toSet
+        val brute = ids(c.search(qv, k = 6))
+        brute.intersect(ids(c.searchIvf(qv, k = 6, nprobe = 2))).size.toDouble / brute.size
+      }
+      rs.sum / rs.length
+    }
+    val (rInc, rReb) = (recall(inc), recall(reb))
+    info(f"recall@5 incremental=$rInc%.2f rebuild=$rReb%.2f")
+    // same data either way; the quantizer differs only by the 20% the
+    // incremental path never trained on — recall must not collapse
+    assert(rInc >= rReb - 0.15, f"incremental recall $rInc%.2f vs rebuild $rReb%.2f")
+  }
+
   test("IVF recall@5 on real embeddings is reported and bounded") {
     // ANN quality on the actual test corpus: nprobe=2 of nlist=8 learned
     // cells vs brute force. The bound is deliberately conservative — the
