@@ -124,6 +124,59 @@ object StreamQueries {
         SELECT media_type, count(*) AS n, round(avg(width), 4) AS avg_width,
                CAST(sum(n_frames) AS BIGINT) AS total_frames,
                round(avg(bin0), 6) AS avg_bin0
-        FROM per GROUP BY media_type ORDER BY media_type"""))
+        FROM per GROUP BY media_type ORDER BY media_type""")),
+
+    // ── q79: REAL PNG decode through the multimodal pipeline. Each doc
+    //   derives deterministic pixels (doc_id·31 + i·7 mod 256) at varying
+    //   dims and channel counts (gray / gray+alpha / RGB / RGBA), encodes
+    //   them as an actual PNG (zlib IDAT; the encoder cycles all five
+    //   scanline filters), and Multimodal.decode parses it back with
+    //   SimplePng — real inflate + defilter, no stub. Output = decoded
+    //   IHDR dims + 16-bin pixel histogram. The oracle recomputes the
+    //   same arithmetic from first principles, so a decoder that misreads
+    //   dims, drops a filter case, or corrupts a byte hash-mismatches.
+    //   decode(encode(x)) = x is the strongest oracle-expressible check
+    //   of a binary codec. ──
+    QueryDef("q79_png_decode",
+      (s, dir) => {
+        val mkPng = udf { (docId: Long, w: Int, h: Int, ch: Int) =>
+          val px = Array.tabulate(w * h * ch)(i => ((docId * 31 + i * 7) % 256).toByte)
+          graft.operators.SimplePng.encode(graft.operators.SimplePng.Image(w, h, ch, px))
+        }
+        val media = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"),
+            (lit(4) + col("doc_id") % 5).cast("int").as("w"),
+            (lit(4) + col("doc_id") % 3).cast("int").as("h"),
+            (lit(1) + col("doc_id") % 4).cast("int").as("ch"))
+          .withColumn("payload", mkPng(col("doc_id"), col("w"), col("h"), col("ch")))
+          .withColumn("media_type", lit("image"))
+          .select("doc_id", "payload", "media_type")
+        Multimodal.decode(media, "payload", "media_type")
+          .select(col("doc_id"),
+            col("meta.width").cast("long").as("width"),
+            col("meta.height").cast("long").as("height"),
+            posexplode(col("features")))
+          .select(col("doc_id"), col("width"), col("height"),
+            col("pos").cast("long").as("bin"),
+            round(col("col"), 6).as("frac"))
+          .orderBy(col("doc_id"), col("bin"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id, 4 + doc_id % 5 AS w, 4 + doc_id % 3 AS h,
+                 1 + doc_id % 4 AS ch
+          FROM documents),
+        cnt AS (
+          SELECT p.doc_id, ((p.doc_id * 31 + t.i * 7) % 256) // 16 AS bin,
+                 count(*) AS c
+          FROM p, unnest(range(0, p.w * p.h * p.ch)) AS t(i)
+          GROUP BY 1, 2),
+        bins AS (
+          SELECT p.doc_id, p.w, p.h, p.ch, b.bin
+          FROM p, unnest(range(0, 16)) AS b(bin))
+        SELECT bins.doc_id, bins.w AS width, bins.h AS height, bins.bin,
+               round(COALESCE(cnt.c, 0)::DOUBLE / (bins.w * bins.h * bins.ch), 6) AS frac
+        FROM bins LEFT JOIN cnt ON bins.doc_id = cnt.doc_id AND bins.bin = cnt.bin
+        ORDER BY bins.doc_id, bins.bin"""))
   )
 }

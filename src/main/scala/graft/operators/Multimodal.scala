@@ -11,12 +11,16 @@ import org.apache.spark.sql.types._
   * typed metadata struct; decode / feature-extract / frame-sample run as
   * `mapPartitions` batch operators so a real decoder (JNI/FFI image or
   * audio lib) initializes once per partition — the exact executor-lifetime
-  * pattern the Embedder uses. No media libraries exist in this container,
-  * so `decodeStub` is a clearly-marked DETERMINISTIC FAKE: it derives
-  * pseudo-dimensions and a 16-bin byte histogram from the payload bytes.
-  * The Spark-side contract — schema, batching, partitioning, column
-  * shapes — is real and tested; swapping in a true decoder changes only
-  * the per-row body.
+  * pattern the Embedder uses.
+  *
+  * Image payloads carrying PNG magic decode FOR REAL via [[SimplePng]]
+  * (pure-JVM inflate + defilter): true width/height and a histogram over
+  * actual pixel bytes. Audio/video payloads still hit the clearly-marked
+  * DETERMINISTIC STUB (no audio/video lib exists in this container): it
+  * derives pseudo-dimensions and a 16-bin byte histogram from the payload
+  * bytes. The Spark-side contract — schema, batching, partitioning,
+  * column shapes — is identical on both paths, so swapping a true
+  * audio/video decoder in changes only the per-row body.
   */
 object Multimodal {
 
@@ -31,16 +35,29 @@ object Multimodal {
       StructField("meta", MediaMetaSchema),
       StructField("features", ArrayType(DoubleType, containsNull = false))))
 
-  /** STUB decode — stands in for pdfbox/javacv/librosa-style decoding.
-    * Deterministic from bytes: byte-histogram features (16 bins,
-    * L1-normalized) + fake dimensions. Real implementation would parse
-    * the container format here.
+  /** 16-bin L1-normalized histogram — the shared feature contract of the
+    * real PNG path (over decoded PIXEL bytes) and the stub path (over
+    * raw payload bytes). */
+  private def hist16(bytes: Array[Byte]): Array[Double] = {
+    val hist = new Array[Double](16)
+    if (bytes != null) bytes.foreach(b => hist((b & 0xFF) / 16) += 1.0)
+    val total = hist.sum
+    if (total == 0) hist else hist.map(_ / total)
+  }
+
+  /** Decode one payload. PNG image bytes parse for real (dims and
+    * histogram from decoded pixels); everything else is the documented
+    * deterministic stub — pseudo-dimensions + histogram of payload
+    * bytes (a real audio/video decoder would replace only this branch).
     */
   private def decodeBytes(payload: Array[Byte], mediaType: String): (Row, Array[Double]) = {
-    val hist = new Array[Double](16)
-    if (payload != null) payload.foreach(b => hist((b & 0xFF) / 16) += 1.0)
-    val total = hist.sum
-    val feats = if (total == 0) hist else hist.map(_ / total)
+    if (mediaType == "image" && SimplePng.isPng(payload)) {
+      SimplePng.decode(payload) match {
+        case Some(img) => return (Row(mediaType, img.width, img.height, 1), hist16(img.pixels))
+        case None => () // corrupt/unsupported PNG: stub fallback below
+      }
+    }
+    val feats = hist16(payload)
     val w = if (payload == null) 0 else 64 + (payload.length % 64)
     val h = if (payload == null) 0 else 64 + ((payload.length / 64) % 64)
     val frames = mediaType match {
@@ -51,9 +68,10 @@ object Multimodal {
   }
 
   /** Decode + feature-extract: binary column → (meta struct, features).
-    * mapPartitions so a real decoder would init once per partition.
+    * mapPartitions so per-partition decoder state inits once. PNG images
+    * take the real [[SimplePng]] path; see `decodeBytes`.
     */
-  def decodeStub(df: DataFrame, payloadCol: String, mediaTypeCol: String): DataFrame = {
+  def decode(df: DataFrame, payloadCol: String, mediaTypeCol: String): DataFrame = {
     val outSchema = featureSchema(df.schema)
     val payloadIdx = df.schema.fieldIndex(payloadCol)
     val typeIdx = df.schema.fieldIndex(mediaTypeCol)
@@ -65,6 +83,11 @@ object Multimodal {
       }
     }(RowEncoder.encoderFor(outSchema))
   }
+
+  /** Former name of [[decode]], kept while the only real branch was the
+    * stub; audio/video still stub (documented above). */
+  def decodeStub(df: DataFrame, payloadCol: String, mediaTypeCol: String): DataFrame =
+    decode(df, payloadCol, mediaTypeCol)
 
   /** Resize: payload → fixed-budget payload + updated meta dims. The STUB
     * resamples bytes at a uniform stride down to targetW×targetH bytes (a

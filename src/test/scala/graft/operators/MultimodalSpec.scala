@@ -31,6 +31,44 @@ class MultimodalSpec extends SparkSpec {
     assert(aud.getSeq[Double](aud.fieldIndex("features")).sum === 0.0)
   }
 
+  test("PNG image payloads decode for REAL: exact dims and pixels through all five filters") {
+    // 3×7 RGB with every byte value distinct-ish: 7 rows ⇒ the encoder
+    // cycles scanline filters None/Sub/Up/Average/Paeth (+ wrap), so a
+    // pixel-exact roundtrip proves every defilter path
+    val (w, h, ch) = (3, 7, 3)
+    val px = Array.tabulate(w * h * ch)(i => ((i * 37 + 11) % 256).toByte)
+    val png = SimplePng.encode(SimplePng.Image(w, h, ch, px))
+    assert(SimplePng.isPng(png))
+    val img = SimplePng.decode(png).get
+    assert((img.width, img.height, img.channels) === ((w, h, ch)))
+    assert(img.pixels.toSeq === px.toSeq)
+
+    // gray and RGBA roundtrip too (color types 0 and 6)
+    for (c <- Seq(1, 2, 4)) {
+      val p2 = Array.tabulate(5 * 6 * c)(i => ((i * 13 + c) % 256).toByte)
+      val back = SimplePng.decode(SimplePng.encode(SimplePng.Image(5, 6, c, p2))).get
+      assert(back.channels === c && back.pixels.toSeq === p2.toSeq)
+    }
+
+    // through the DataFrame operator: meta carries the true IHDR dims and
+    // features histogram the decoded pixels, not the compressed payload
+    val df = Seq((0L, png, "image")).toDF("id", "payload", "media_type")
+    val row = Multimodal.decode(df, "payload", "media_type").collect()(0)
+    val meta = row.getStruct(row.fieldIndex("meta"))
+    assert((meta.getInt(1), meta.getInt(2)) === ((w, h)))
+    val feats = row.getSeq[Double](row.fieldIndex("features"))
+    val expected = {
+      val hist = new Array[Double](16)
+      px.foreach(b => hist((b & 0xFF) / 16) += 1.0)
+      hist.map(_ / px.length).toSeq
+    }
+    assert(feats === expected)
+
+    // truncated PNG bytes fall back to the stub, never throw
+    val corrupt = Seq((1L, png.take(20), "image")).toDF("id", "payload", "media_type")
+    assert(Multimodal.decode(corrupt, "payload", "media_type").count() === 1)
+  }
+
   test("decode is deterministic") {
     val a = Multimodal.decodeStub(media, "payload", "media_type")
       .drop("payload").collect().map(_.toString).sorted
