@@ -34,7 +34,25 @@ class Collection private (
 
   private def path = s"$root/$name"
 
-  def df: DataFrame = spark.read.parquet(path)
+  /** Snapshot versioning (the minimal Delta/Iceberg shape): each rewrite
+    * installs a complete new data directory `v<N>` INSIDE the collection
+    * dir and then commits by atomically renaming a one-line `_current`
+    * pointer file over the old one. Readers resolve the pointer first,
+    * so they observe either the old snapshot or the new one — never a
+    * missing directory (the old two-rename swap had exactly that window,
+    * and on an object store directory renames are not atomic at all).
+    * One superseded snapshot is retained for readers planned against it
+    * (vacuum horizon 1); older ones are removed at the next commit.
+    * A collection with no pointer reads the root dir itself — the legacy
+    * layout that `create`, plain `insert` and the streaming sink produce.
+    */
+  private def currentVersion: Option[Int] =
+    readMarker(s"$path/_current").map(_.stripPrefix("v").trim.toInt)
+
+  /** The live data directory — root (legacy) or the committed `v<N>`. */
+  def dataDir: String = currentVersion.map(v => s"$path/v$v").getOrElse(path)
+
+  def df: DataFrame = spark.read.parquet(dataDir)
 
   /** Delete by predicate (the Milvus client's `delete(expr)`): parquet is
     * immutable, so this is copy-on-write — survivors rewrite to a fresh
@@ -61,32 +79,58 @@ class Collection private (
         "batch mutations would write rows the sink log hides or destroy " +
         "log-tracked files — stop the stream and copy to a new collection first")
 
-  /** Copy-on-write rewrite: `write` produces the replacement directory,
-    * then a trash-first rename swap installs it — a crash between the two
-    * renames leaves the data recoverable under `.__old`, never deleted
-    * before its replacement is in place. NOTE: rewrites do not preserve
-    * an insertPartitioned hive layout — re-partition afterwards if the
-    * collection was cell-partitioned.
+  /** Copy-on-write rewrite with an ATOMIC commit: `write` produces the
+    * replacement snapshot in a dot-prefixed building dir (invisible to
+    * scans), which is renamed to `v<N>` and then committed by the atomic
+    * `_current` pointer flip. A crash before the flip leaves the old
+    * snapshot live and intact; a concurrent reader sees old-or-new,
+    * never neither. NOTE: rewrites do not preserve an insertPartitioned
+    * hive layout — re-partition afterwards if the collection was
+    * cell-partitioned (buildIvf's own rewrite of course does).
     */
   private def rewriteSwap(op: String)(write: String => Unit): Unit = {
     requireNotStreamManaged(op)
-    val tmp = s"$path.__rewrite"
+    val next = currentVersion.getOrElse(0) + 1
+    val tmp = s"$path/.v${next}__building"
+    rmTree(new java.io.File(tmp))
     var installed = false
     try {
       write(tmp)
-      val live = new java.io.File(path)
-      val old = new java.io.File(s"$path.__old")
-      rmTree(old)
-      require(live.renameTo(old), s"$op: could not stage $path aside")
-      if (!new java.io.File(tmp).renameTo(live)) {
-        old.renameTo(live) // roll back
-        throw new IllegalStateException(s"$op: could not swap $tmp into place")
-      }
+      val nextDir = new java.io.File(s"$path/v$next")
+      rmTree(nextDir) // a dead JVM's uncommitted install is garbage
+      require(new java.io.File(tmp).renameTo(nextDir),
+        s"$op: could not install ${nextDir.getPath}")
+      commitPointer(next)
       installed = true
-      rmTree(old)
+      vacuum(next)
     } finally {
-      // a failed write or swap must not accrete orphan .__rewrite dirs
+      // a failed write or install must not accrete orphan building dirs
       if (!installed) rmTree(new java.io.File(tmp))
+    }
+  }
+
+  /** The commit: write the pointer beside its target and rename it over
+    * `_current` — POSIX-atomic, and the only mutation readers race with. */
+  private def commitPointer(v: Int): Unit = {
+    val tmp = java.nio.file.Paths.get(s"$path/._current.tmp")
+    java.nio.file.Files.write(tmp,
+      s"v$v".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(s"$path/_current"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Retain the immediately superseded snapshot (readers may be planned
+    * against it); drop everything older, including the legacy root-file
+    * layout once it is two commits behind. */
+  private def vacuum(committed: Int): Unit = {
+    val dir = new java.io.File(path)
+    Option(dir.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { f =>
+      val n = f.getName
+      if (n.matches("v\\d+") && n.stripPrefix("v").toInt < committed - 1) rmTree(f)
+      // legacy v0 = loose files/cell dirs at the root: clear at v2+
+      else if (committed >= 2 && !n.matches("v\\d+") &&
+        !n.startsWith("_") && !n.startsWith(".")) rmTree(f)
     }
   }
 
@@ -115,13 +159,13 @@ class Collection private (
       fs.filter(_.isFile).filter(_.getName.endsWith(".parquet")) ++
         fs.filter(_.isDirectory).flatMap(parquetFiles)
     }
-    val before = parquetFiles(new java.io.File(path))
+    val before = parquetFiles(new java.io.File(dataDir))
     val bytes = before.map(_.length()).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     rewriteSwap("compact") { tmp =>
       df.repartition(nOut).write.mode(SaveMode.Overwrite).parquet(tmp)
     }
-    (before.size, parquetFiles(new java.io.File(path)).size)
+    (before.size, parquetFiles(new java.io.File(dataDir)).size)
   }
 
   /** Data-layout clustering: rewrite the collection range-partitioned and
@@ -139,7 +183,7 @@ class Collection private (
         .sortWithinPartitions(cols.map(col): _*)
         .write.mode(SaveMode.Overwrite).parquet(tmp)
     }
-    Option(new java.io.File(path).listFiles()).map(_.count(f =>
+    Option(new java.io.File(dataDir).listFiles()).map(_.count(f =>
       f.isFile && f.getName.endsWith(".parquet"))).getOrElse(0)
   }
 
@@ -151,7 +195,7 @@ class Collection private (
     */
   def insert(rows: DataFrame): Unit = {
     requireNotStreamManaged("insert")
-    Collection.conformVector(rows).write.mode(SaveMode.Append).parquet(path)
+    Collection.conformVector(rows).write.mode(SaveMode.Append).parquet(dataDir)
   }
 
   /** Upsert by primary key (Milvus's `upsert`): incoming rows REPLACE
@@ -250,17 +294,17 @@ class Collection private (
         spark.read.parquet(stage)
           .write.mode(SaveMode.Overwrite)
           .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("cell").parquet(path)
+          .partitionBy("cell").parquet(dataDir)
         // a cell ALL of whose rows were replaced away writes no stage
         // partition and dynamic overwrite leaves the stale dir — drop it,
         // or the moved ids' old copies would resurface as duplicates
         affected.foreach { c =>
           if (!new java.io.File(s"$stage/cell=$c").exists)
-            rmTree(new java.io.File(s"$path/cell=$c"))
+            rmTree(new java.io.File(s"$dataDir/cell=$c"))
         }
       } finally rmTree(new java.io.File(stage))
-      val prior = readMarker(s"$path/_ivf_drift").map(_.toLong).getOrElse(0L)
-      writeMarker(s"$path/_ivf_drift",
+      val prior = readMarker(s"$dataDir/_ivf_drift").map(_.toLong).getOrElse(0L)
+      writeMarker(s"$dataDir/_ivf_drift",
         (prior + moved + (nNew - matched)).toString)
       (replaced, nNew - matched, moved)
     } finally { batch.unpersist(); () }
@@ -269,7 +313,7 @@ class Collection private (
   /** Fraction of the collection that entered or changed cells since the
     * last buildIvf — upsertIvf's cumulative retrain signal. */
   def ivfDrift: Double = {
-    val drifted = readMarker(s"$path/_ivf_drift").map(_.toLong).getOrElse(0L)
+    val drifted = readMarker(s"$dataDir/_ivf_drift").map(_.toLong).getOrElse(0L)
     val n = df.count()
     if (n == 0) 0.0 else drifted.toDouble / n
   }
@@ -281,7 +325,7 @@ class Collection private (
   def insertPartitioned(rows: DataFrame, cellCol: String): Unit = {
     requireNotStreamManaged("insertPartitioned")
     Collection.conformVector(rows)
-      .write.mode(SaveMode.Append).partitionBy(cellCol).parquet(path)
+      .write.mode(SaveMode.Append).partitionBy(cellCol).parquet(dataDir)
   }
 
   /** Trained IVF index build (reference S11: IVF_FLAT with nlist k-means
@@ -337,7 +381,7 @@ class Collection private (
     * probed: assignments and centroids would disagree. Pre-stamp layouts
     * (no `_ivf_build` in the data dir) load unchecked for compatibility. */
   private def loadIvfModel(): graft.vector.IvfKMeans.Model = {
-    readMarker(s"$path/_ivf_build").foreach { dataBuild =>
+    readMarker(s"$dataDir/_ivf_build").foreach { dataBuild =>
       val modelBuild = readMarker(s"$path.__ivf/_build_id")
       require(modelBuild.contains(dataBuild),
         s"searchIvf: quantizer/layout mismatch for $name — data is from " +

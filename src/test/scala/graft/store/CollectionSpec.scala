@@ -150,7 +150,7 @@ class CollectionSpec extends SparkSpec {
     assert(c.df.count() === 60)
     // every parquet file owns a disjoint id range — the property row-group
     // min/max pruning needs
-    val ranges = new java.io.File(s"$root/cclust").listFiles()
+    val ranges = new java.io.File(c.dataDir).listFiles()
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
       .map { f =>
         val ids = spark.read.parquet(f.getAbsolutePath)
@@ -161,6 +161,45 @@ class CollectionSpec extends SparkSpec {
     ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
       assert(hi < lo, s"overlapping file ranges: ${ranges.toSeq}")
     }
+  }
+
+  test("rewrites commit atomically: concurrent readers see old or new snapshot, never neither") {
+    Collection.drop(root, "catomic")
+    val c = Collection.create(spark, root, "catomic", TextEmbed.DefaultDim, overwrite = true)
+    // 40 rows; each delete removes a disjoint 10-row slice, so the live
+    // row count identifies the snapshot: 40 → 30 → 20 → 10
+    val rows = (0L until 40L).map(i => (i, s"doc number $i")).toDF("id", "text")
+    c.insert(TextEmbed.withEmbed(rows, "text", "vector").select("id", "vector", "text"))
+    val legalCounts = Set(40L, 30L, 20L, 10L)
+
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    @volatile var writing = true
+    val reader = Future {
+      val seen = scala.collection.mutable.Set[Long]()
+      var errors = List.empty[Throwable]
+      while (writing) {
+        try seen += Collection.open(spark, root, "catomic").df.count()
+        catch { case e: Throwable => errors ::= e }
+      }
+      (seen.toSet, errors)
+    }
+    for (slice <- 0 until 3) {
+      c.delete(s"id >= ${30 - slice * 10} and id < ${40 - slice * 10}")
+      Thread.sleep(50) // give the reader a beat on each snapshot
+    }
+    writing = false
+    val (seen, errors) = Await.result(reader, 2.minutes)
+    assert(errors.isEmpty, s"reader hit ${errors.headOption}")
+    assert(seen.subsetOf(legalCounts), s"phantom snapshot counts: $seen")
+    assert(seen.contains(10L)) // the final snapshot was observed
+    assert(c.df.count() === 10)
+
+    // vacuum horizon: exactly the superseded snapshot remains on disk
+    val vdirs = new java.io.File(s"$root/catomic").listFiles()
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+")).map(_.getName).sorted
+    assert(vdirs.toSeq === Seq("v2", "v3"))
   }
 
   test("delete leaves NULL-predicate rows alone (they are not matches)") {

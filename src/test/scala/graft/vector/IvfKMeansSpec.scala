@@ -106,7 +106,7 @@ class IvfKMeansSpec extends SparkSpec {
     c.insert(clustered.withColumn("text", concat(lit("doc "), col("id"))))
     val model = c.buildIvf(nlist = 3, rounds = 2)
     val dataStamp = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$root/civf_stamp/_ivf_build")), "UTF-8")
+      java.nio.file.Paths.get(s"${c.dataDir}/_ivf_build")), "UTF-8")
     val modelStamp = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$root/civf_stamp.__ivf/_build_id")), "UTF-8")
     assert(dataStamp === model.contentId && modelStamp === model.contentId)
@@ -116,7 +116,7 @@ class IvfKMeansSpec extends SparkSpec {
     // simulate the interrupted-build state: data stamped by a NEWER build
     // than the installed model — search must refuse, not probe wrong cells
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$root/civf_stamp/_ivf_build"),
+      java.nio.file.Paths.get(s"${c.dataDir}/_ivf_build"),
       "deadbeef".getBytes("UTF-8"))
     val e = intercept[IllegalArgumentException](c.searchIvf(qv, k = 1))
     assert(e.getMessage.contains("mismatch"))
