@@ -66,8 +66,10 @@ class EndToEndSpec extends SparkSpec {
     val answered = grades.getLong(1)
     info(s"mean grade = $mean, answered = $answered/55 (reference: 0.216, 9/55 non-fallback)")
     // the reference's k=1 + weak chunking scored 0.216 with 46/55 fallbacks;
-    // k=5 retrieval + paragraph chunks should answer most questions
-    assert(answered > 40)
-    assert(mean > 0.216)
+    // our pinned run scores 0.444 answering 55/55 — assert a tight floor
+    // (>= 0.40) so a retrieval- or extraction-quality regression trips
+    // NUMERICALLY, not just on row counts (VERDICT r3 #7)
+    assert(answered === 55L)
+    assert(mean >= 0.40, f"quality regression: mean grade $mean%.3f < 0.40 (pinned run: 0.444)")
   }
 }
