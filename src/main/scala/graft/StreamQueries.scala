@@ -177,6 +177,68 @@ object StreamQueries {
         SELECT bins.doc_id, bins.w AS width, bins.h AS height, bins.bin,
                round(COALESCE(cnt.c, 0)::DOUBLE / (bins.w * bins.h * bins.ch), 6) AS frac
         FROM bins LEFT JOIN cnt ON bins.doc_id = cnt.doc_id AND bins.bin = cnt.bin
+        ORDER BY bins.doc_id, bins.bin""")),
+
+    // ── q80: REAL WAV (RIFF/PCM) decode through the multimodal pipeline —
+    //   the audio twin of q79. Each doc derives a deterministic 16-bit
+    //   PCM signal (unsigned sample i = (doc_id·37 + i·11) mod 65536,
+    //   stored signed) at varying rate / channel count / length, encodes
+    //   it as an actual WAV container (RIFF chunks, little-endian, fmt +
+    //   data), and Multimodal.decode parses it back with SimpleWav — real
+    //   chunk scan + PCM sample decode, no stub. Output = decoded meta
+    //   (rate, channels, frames, integer-exact duration) + the 16-bin
+    //   amplitude histogram (bin = unsigned16 >> 12). The oracle
+    //   recomputes the same arithmetic from first principles, so a
+    //   decoder that misreads the fmt chunk, drops frames, or flips
+    //   endianness hash-mismatches. ──
+    QueryDef("q80_wav_decode",
+      (s, dir) => {
+        val mkWav = udf { (docId: Long, rate: Int, ch: Int, frames: Int) =>
+          val samples = Array.tabulate(frames * ch)(i =>
+            (((docId * 37 + i * 11) % 65536) - 32768).toInt)
+          graft.operators.SimpleWav.encode(
+            graft.operators.SimpleWav.Audio(rate, ch, 16, samples))
+        }
+        val media = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"),
+            (lit(8000) + (col("doc_id") % 3) * 4000).cast("int").as("rate"),
+            (lit(1) + col("doc_id") % 2).cast("int").as("ch"),
+            (lit(16) + col("doc_id") % 33).cast("int").as("frames"))
+          .withColumn("payload", mkWav(col("doc_id"), col("rate"), col("ch"), col("frames")))
+          .withColumn("media_type", lit("audio"))
+          .select("doc_id", "payload", "media_type")
+        Multimodal.decode(media, "payload", "media_type")
+          .select(col("doc_id"),
+            col("meta.width").cast("long").as("sample_rate"),
+            col("meta.height").cast("long").as("channels"),
+            col("meta.n_frames").cast("long").as("n_frames"),
+            (col("meta.n_frames").cast("long") * 1000 / col("meta.width").cast("long"))
+              .cast("long").as("duration_ms"),
+            posexplode(col("features")))
+          .select(col("doc_id"), col("sample_rate"), col("channels"),
+            col("n_frames"), col("duration_ms"),
+            col("pos").cast("long").as("bin"),
+            round(col("col"), 6).as("frac"))
+          .orderBy(col("doc_id"), col("bin"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id, 8000 + (doc_id % 3) * 4000 AS rate,
+                 1 + doc_id % 2 AS ch, 16 + doc_id % 33 AS frames
+          FROM documents),
+        cnt AS (
+          SELECT p.doc_id, ((p.doc_id * 37 + t.i * 11) % 65536) // 4096 AS bin,
+                 count(*) AS c
+          FROM p, unnest(range(0, p.frames * p.ch)) AS t(i)
+          GROUP BY 1, 2),
+        bins AS (
+          SELECT p.doc_id, p.rate, p.ch, p.frames, b.bin
+          FROM p, unnest(range(0, 16)) AS b(bin))
+        SELECT bins.doc_id, bins.rate AS sample_rate, bins.ch AS channels,
+               bins.frames AS n_frames,
+               bins.frames * 1000 // bins.rate AS duration_ms, bins.bin,
+               round(COALESCE(cnt.c, 0)::DOUBLE / (bins.frames * bins.ch), 6) AS frac
+        FROM bins LEFT JOIN cnt ON bins.doc_id = cnt.doc_id AND bins.bin = cnt.bin
         ORDER BY bins.doc_id, bins.bin"""))
   )
 }

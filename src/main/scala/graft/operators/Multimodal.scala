@@ -15,12 +15,15 @@ import org.apache.spark.sql.types._
   *
   * Image payloads carrying PNG magic decode FOR REAL via [[SimplePng]]
   * (pure-JVM inflate + defilter): true width/height and a histogram over
-  * actual pixel bytes. Audio/video payloads still hit the clearly-marked
-  * DETERMINISTIC STUB (no audio/video lib exists in this container): it
-  * derives pseudo-dimensions and a 16-bin byte histogram from the payload
-  * bytes. The Spark-side contract — schema, batching, partitioning,
-  * column shapes — is identical on both paths, so swapping a true
-  * audio/video decoder in changes only the per-row body.
+  * actual pixel bytes. Audio payloads carrying RIFF/WAVE magic decode
+  * FOR REAL via [[SimpleWav]] (pure-JVM PCM parse): true sample rate /
+  * channels / frame count and an amplitude histogram over actual decoded
+  * samples. Video payloads still hit the clearly-marked DETERMINISTIC
+  * STUB (no video lib exists in this container): it derives
+  * pseudo-dimensions and a 16-bin byte histogram from the payload bytes.
+  * The Spark-side contract — schema, batching, partitioning, column
+  * shapes — is identical on all paths, so swapping a true video decoder
+  * in changes only the per-row body.
   */
 object Multimodal {
 
@@ -46,15 +49,36 @@ object Multimodal {
   }
 
   /** Decode one payload. PNG image bytes parse for real (dims and
-    * histogram from decoded pixels); everything else is the documented
+    * histogram from decoded pixels); WAV audio bytes parse for real
+    * (meta = (sampleRate, channels, frames) in the shared (width,
+    * height, n_frames) slots; features = 16-bin amplitude histogram of
+    * decoded samples — each sample's top 4 bits after unsigned
+    * normalization, so bin = unsigned16 >> 12 at 16-bit depth and
+    * byte >> 4 at 8-bit). Everything else is the documented
     * deterministic stub — pseudo-dimensions + histogram of payload
-    * bytes (a real audio/video decoder would replace only this branch).
+    * bytes (a real video decoder would replace only this branch).
     */
   private def decodeBytes(payload: Array[Byte], mediaType: String): (Row, Array[Double]) = {
     if (mediaType == "image" && SimplePng.isPng(payload)) {
       SimplePng.decode(payload) match {
         case Some(img) => return (Row(mediaType, img.width, img.height, 1), hist16(img.pixels))
         case None => () // corrupt/unsupported PNG: stub fallback below
+      }
+    }
+    if (mediaType == "audio" && SimpleWav.isWav(payload)) {
+      SimpleWav.decode(payload) match {
+        case Some(a) =>
+          val ampBytes = new Array[Byte](a.samples.length)
+          var i = 0
+          while (i < a.samples.length) {
+            // unsigned high byte: 16-bit signed → offset-binary; 8-bit is already unsigned
+            ampBytes(i) =
+              if (a.bitsPerSample == 16) (((a.samples(i) + 32768) >> 8) & 0xFF).toByte
+              else (a.samples(i) & 0xFF).toByte
+            i += 1
+          }
+          return (Row(mediaType, a.sampleRate, a.channels, a.frames), hist16(ampBytes))
+        case None => () // corrupt/unsupported WAV: stub fallback below
       }
     }
     val feats = hist16(payload)

@@ -69,6 +69,62 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decode(corrupt, "payload", "media_type").count() === 1)
   }
 
+  test("WAV audio payloads decode for REAL: exact fmt fields and samples, chunk padding, ancillary skip") {
+    // 16-bit stereo with a full-range sample sweep
+    val samples = Array.tabulate(2 * 37)(i => ((i * 1789 + 17) % 65536) - 32768)
+    val wav = SimpleWav.encode(SimpleWav.Audio(44100, 2, 16, samples))
+    assert(SimpleWav.isWav(wav))
+    val a = SimpleWav.decode(wav).get
+    assert((a.sampleRate, a.channels, a.bitsPerSample, a.frames) === ((44100, 2, 16, 37)))
+    assert(a.samples.toSeq === samples.toSeq)
+
+    // 8-bit mono with ODD data length: the RIFF pad byte must not leak
+    // into the samples or derail the chunk walk
+    val s8 = Array.tabulate(33)(i => (i * 7 + 3) % 256)
+    val wav8 = SimpleWav.encode(SimpleWav.Audio(8000, 1, 8, s8))
+    assert(wav8.length % 2 === 0) // padded container
+    val a8 = SimpleWav.decode(wav8).get
+    assert((a8.sampleRate, a8.channels, a8.bitsPerSample) === ((8000, 1, 8)))
+    assert(a8.samples.toSeq === s8.toSeq)
+
+    // ancillary chunk BEFORE fmt/data is skipped (LIST is common in the wild)
+    val list = "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val withList = wav.take(12) ++ list ++ wav.drop(12)
+    // patch RIFF size for the inserted chunk
+    val bb = java.nio.ByteBuffer.wrap(withList).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, withList.length - 8)
+    assert(SimpleWav.decode(withList).get.samples.toSeq === samples.toSeq)
+
+    // non-PCM format tag → None (caller falls back to the stub)
+    val floatWav = wav.clone()
+    java.nio.ByteBuffer.wrap(floatWav).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(20, 3.toShort) // fmt tag at offset 12+8
+    assert(SimpleWav.decode(floatWav).isEmpty)
+
+    // truncated data decodes the whole frames present, never throws
+    val trunc = wav.take(wav.length - 3)
+    assert(SimpleWav.decode(trunc).get.frames === 36)
+
+    // through the DataFrame operator: meta carries (rate, channels, frames)
+    // in the shared slots; features histogram the DECODED samples
+    val df = Seq((0L, wav, "audio")).toDF("id", "payload", "media_type")
+    val row = Multimodal.decode(df, "payload", "media_type").collect()(0)
+    val meta = row.getStruct(row.fieldIndex("meta"))
+    assert((meta.getInt(1), meta.getInt(2), meta.getInt(3)) === ((44100, 2, 37)))
+    val feats = row.getSeq[Double](row.fieldIndex("features"))
+    val expected = {
+      val hist = new Array[Double](16)
+      samples.foreach(s => hist((s + 32768) >> 12) += 1.0)
+      hist.map(_ / samples.length).toSeq
+    }
+    assert(feats === expected)
+
+    // WAV magic on an image-typed row does NOT take the audio path
+    val crossTyped = Seq((1L, wav, "image")).toDF("id", "payload", "media_type")
+    val ct = Multimodal.decode(crossTyped, "payload", "media_type").collect()(0)
+    assert(ct.getStruct(ct.fieldIndex("meta")).getInt(1) === 64 + wav.length % 64) // stub dims
+  }
+
   test("decode is deterministic") {
     val a = Multimodal.decodeStub(media, "payload", "media_type")
       .drop("payload").collect().map(_.toString).sorted
