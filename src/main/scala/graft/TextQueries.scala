@@ -751,6 +751,158 @@ object TextQueries {
               count(*) OVER (PARTITION BY fp) AS n_dupes
               FROM k)
         SELECT fp, doc_id AS kept_doc_id, n_dupes FROM r
-        WHERE rn = 1 AND n_dupes >= 2 ORDER BY fp"""))
+        WHERE rn = 1 AND n_dupes >= 2 ORDER BY fp""")),
+
+    // ── q81: PII detection + redaction — the hygiene pass every
+    //   training-data pipeline runs before anything else (emails, IPv4s,
+    //   phone numbers → typed placeholders). The corpus is synthetic word
+    //   soup with no real PII, so the query plants deterministic PII spans
+    //   first (same concat arithmetic in both engines — presence varies by
+    //   doc_id so zero-count rows are exercised), then counts and redacts
+    //   with patterns written in the Java∩RE2 common subset (ASCII
+    //   classes, bounded repeats, \b — same rules as q74's tokenizer).
+    //   The redacted text is fingerprinted with the shared md5-prefix
+    //   hash, so a single surviving or over-eaten byte hash-mismatches.
+    //   100 TB shape: pure per-row map — no shuffle at all; counts and
+    //   replacement happen in one codegen'd projection. ──
+    QueryDef("q81_pii_redact",
+      (s, dir) => {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+        docs(s, dir)
+          .withColumn("aug", concat(col("text"),
+            when(col("doc_id") % 3 =!= 0,
+              concat(lit(" reach user"), col("doc_id").cast("string"),
+                lit("@mail"), (col("doc_id") % 7).cast("string"), lit(".com")))
+              .otherwise(lit("")),
+            when(col("doc_id") % 2 === 0,
+              concat(lit(" from 10."), (col("doc_id") % 200).cast("string"),
+                lit(".3."), (col("doc_id") % 250).cast("string")))
+              .otherwise(lit("")),
+            when(col("doc_id") % 5 =!= 0,
+              concat(lit(" call 555-"), (lit(100) + col("doc_id") % 900).cast("string"),
+                lit("-"), (lit(1000) + col("doc_id") % 9000).cast("string")))
+              .otherwise(lit(""))))
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("aug"), lit(email), lit(0))).cast("long").as("n_emails"),
+            size(regexp_extract_all(col("aug"), lit(ip), lit(0))).cast("long").as("n_ips"),
+            size(regexp_extract_all(col("aug"), lit(phone), lit(0))).cast("long").as("n_phones"),
+            XHash.hash60(
+              regexp_replace(regexp_replace(regexp_replace(col("aug"),
+                email, "[EMAIL]"), ip, "[IP]"), phone, "[PHONE]")).as("redacted_fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH aug AS (
+          SELECT doc_id, text ||
+            CASE WHEN doc_id % 3 <> 0 THEN ' reach user' || doc_id::VARCHAR ||
+                 '@mail' || (doc_id % 7)::VARCHAR || '.com' ELSE '' END ||
+            CASE WHEN doc_id % 2 = 0 THEN ' from 10.' || (doc_id % 200)::VARCHAR ||
+                 '.3.' || (doc_id % 250)::VARCHAR ELSE '' END ||
+            CASE WHEN doc_id % 5 <> 0 THEN ' call 555-' || (100 + doc_id % 900)::VARCHAR ||
+                 '-' || (1000 + doc_id % 9000)::VARCHAR ELSE '' END AS aug
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+          CAST(len(regexp_extract_all(aug, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ips,
+          CAST(len(regexp_extract_all(aug, '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS BIGINT) AS n_phones,
+          ${XHash.hash60Sql(
+            "regexp_replace(regexp_replace(regexp_replace(aug, " +
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'), " +
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g'), " +
+            "'\\b\\d{3}-\\d{3}-\\d{4}\\b', '[PHONE]', 'g')")} AS redacted_fp
+        FROM aug ORDER BY doc_id""")),
+
+    // ── q82: cross-document duplicate-SPAN accounting — the n-gram-
+    //   granularity approximation of exact-substring training-data dedup
+    //   (Lee et al., "Deduplicating Training Data Makes Language Models
+    //   Better", ACL'22): every word-8-gram occurrence after the corpus-
+    //   global first (ordered by doc_id, then position) is a duplicated
+    //   span; per doc, report the span count and duplicated fraction.
+    //   Distinct from q70 (WITHIN-doc repetition) and q71 (overlap vs a
+    //   held-out set): this is corpus-global span-level lineage.
+    //   100 TB shape: spans carry a 60-bit hash, not text; the only
+    //   shuffle is the hash-partitioned window on span_hash (same key
+    //   strategy as q24/q27 banding); per-doc rollup is a map-side-
+    //   combinable groupBy. ──
+    QueryDef("q82_span_dedup",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val spans = docs(s, dir)
+          .withColumn("words", split(col("text"), " "))
+          .filter(size(col("words")) >= 8)
+          .withColumn("pos", explode(expr("sequence(1, size(words) - 7)")))
+          .withColumn("sh", XHash.hash60(expr("concat_ws(' ', slice(words, pos, 8))")))
+        val ranked = spans
+          .withColumn("occ", row_number().over(
+            Window.partitionBy(col("sh")).orderBy(col("doc_id"), col("pos"))))
+        ranked.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_spans"),
+            sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+          .withColumn("dup_frac",
+            round(col("n_dup_spans").cast("double") / col("n_spans"), 6))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS words FROM documents
+          WHERE len(string_split(text, ' ')) >= 8),
+        spans AS (
+          SELECT doc_id, t.pos,
+                 ${XHash.hash60Sql("array_to_string(words[t.pos:t.pos+7], ' ')")} AS sh
+          FROM w, unnest(range(1, len(words) - 7 + 1)) AS t(pos)),
+        ranked AS (
+          SELECT doc_id, sh,
+                 row_number() OVER (PARTITION BY sh ORDER BY doc_id, pos) AS occ
+          FROM spans)
+        SELECT doc_id, count(*) AS n_spans,
+               CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+               round(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS dup_frac
+        FROM ranked GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ── q83: domain-mixture rebalancing — deterministic stratified
+    //   downsampling to a uniform language mix (the "data mixing" step of
+    //   training-corpus assembly). Every language keeps exactly
+    //   min-group-size docs, chosen by hash order (reproducible across
+    //   runs AND engines — no RNG), and the kept set is fingerprinted by
+    //   an order-independent integer sum of 31-bit id hashes so the
+    //   oracle checks WHICH docs survive, not just how many.
+    //   100 TB shape: one count aggregate (tree-reduced to 5 rows, then
+    //   broadcast back), one window partitioned by lang — the same
+    //   per-stratum shuffle any stratified sampler pays; no global sort,
+    //   no collect. ──
+    QueryDef("q83_domain_mix",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = docs(s, dir)
+          .withColumn("h", XHash.hash60(col("doc_id").cast("string")))
+        val target = d.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+          .agg(min(col("c")).as("target"))
+        val ranked = d.crossJoin(broadcast(target))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))))
+        ranked.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_before"),
+            sum(when(col("rn") <= col("target"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("rn") <= col("target"), col("h") % 2147483647L)
+              .otherwise(0L)).as("kept_fp"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""
+        WITH h AS (
+          SELECT lang, doc_id, ${XHash.hash60Sql("doc_id::VARCHAR")} AS h
+          FROM documents),
+        t AS (SELECT min(c) AS target FROM (
+          SELECT count(*) AS c FROM documents GROUP BY lang)),
+        r AS (
+          SELECT lang, h,
+                 row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn,
+                 (SELECT target FROM t) AS target
+          FROM h)
+        SELECT lang, count(*) AS n_before,
+               CAST(sum(CASE WHEN rn <= target THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN rn <= target THEN h % 2147483647 ELSE 0 END) AS BIGINT) AS kept_fp
+        FROM r GROUP BY lang ORDER BY lang"""))
   )
 }
