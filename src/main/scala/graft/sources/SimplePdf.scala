@@ -17,14 +17,22 @@ import scala.collection.mutable
   * breaks. Literal strings handle nesting + all escapes; hex strings
   * decode as Latin-1.
   *
-  * Out of scope (documented, falls back gracefully): object streams
-  * (/ObjStm-packed page dicts — pages then come from the BT-stream
-  * fallback below), font CMaps (/ToUnicode — bytes are read as
-  * PDFDocEncoding≈Latin-1, right for the ASCII diary corpus), and
-  * non-Flate filters (their streams extract empty). When no page tree
-  * resolves, every stream containing a BT text block becomes a page in
-  * document order, so partially-supported files degrade to "all text,
-  * approximate pagination" instead of nothing.
+  * Also supported: PDF 1.5 object streams (/Type /ObjStm) — the
+  * compressed container most modern writers pack page/catalog dicts
+  * into. The stream inflates to `N` (objnum, offset) header pairs
+  * followed by the serialized objects; each is spliced into the object
+  * map (a directly-scanned `N 0 obj` wins on collision, matching the
+  * spec's rule that an ObjStm entry is only live when the xref points
+  * at it). Streams cannot nest inside an ObjStm, so spliced objects
+  * are dict-only.
+  *
+  * Out of scope (documented, falls back gracefully): font CMaps
+  * (/ToUnicode — bytes are read as PDFDocEncoding≈Latin-1, right for
+  * the ASCII diary corpus) and non-Flate filters (their streams
+  * extract empty). When no page tree resolves, every stream containing
+  * a BT text block becomes a page in document order, so
+  * partially-supported files degrade to "all text, approximate
+  * pagination" instead of nothing.
   */
 object SimplePdfExtractor extends PdfExtractor {
 
@@ -90,7 +98,32 @@ object SimplePdfExtractor extends PdfExtractor {
         out(num) = Obj(num, dict, Some(data))
       }
     }
+    spliceObjectStreams(out)
     out.toMap
+  }
+
+  /** PDF 1.5 /ObjStm: inflate, read the `/N` header pairs
+    * (objnum, offset-from-/First), splice each packed object into the
+    * map. Direct `N 0 obj` definitions win on collision. */
+  private def spliceObjectStreams(out: mutable.Map[Int, Obj]): Unit = {
+    val IntPair = """(\d+)\s+(\d+)""".r
+    for (o <- out.values.toSeq if o.dict.contains("/ObjStm") && o.stream.isDefined) {
+      val content = decodedStream(o).getOrElse("")
+      val nOpt = """/N\s+(\d+)""".r.findFirstMatchIn(o.dict).map(_.group(1).toInt)
+      val firstOpt = """/First\s+(\d+)""".r.findFirstMatchIn(o.dict).map(_.group(1).toInt)
+      for (n <- nOpt; first <- firstOpt if first <= content.length) {
+        val pairs = IntPair.findAllMatchIn(content.substring(0, first))
+          .map(m => (m.group(1).toInt, m.group(2).toInt)).take(n).toVector
+        for (((num, off), idx) <- pairs.zipWithIndex if !out.contains(num)) {
+          val start = first + off
+          val end =
+            if (idx + 1 < pairs.length) math.min(first + pairs(idx + 1)._2, content.length)
+            else content.length
+          if (start >= 0 && start <= end)
+            out(num) = Obj(num, content.substring(start, end), None)
+        }
+      }
+    }
   }
 
   /** The stream dict's /Length — direct (`/Length 44`) or resolved through

@@ -134,6 +134,60 @@ class SimplePdfSpec extends SparkSpec {
     assert(got.contains(("b.txt", 1, "plain two")))
   }
 
+  test("ObjStm-packed page tree resolves: modern-writer layout extracts in tree order") {
+    // catalog + pages node + both page dicts live inside one FlateDecode
+    // /Type /ObjStm (the PDF 1.5 layout every modern writer emits);
+    // only the content streams are regular top-level objects
+    val packed = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>",
+      3 -> "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+      5 -> "<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>")
+    val offsets = packed.map(_._2.length + 1).scanLeft(0)(_ + _)
+    val header = packed.zip(offsets).map { case ((n, _), o) => s"$n $o" }.mkString(" ") + " "
+    val body = packed.map(_._2).mkString("\n") + "\n"
+    val objStm = deflate(header + body)
+    val c1 = "BT (packed page one) Tj ET".getBytes("ISO-8859-1")
+    val c2 = "BT (packed page two) Tj ET".getBytes("ISO-8859-1")
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.5\n")
+    w(s"7 0 obj << /Type /ObjStm /N ${packed.length} /First ${header.length} " +
+      s"/Length ${objStm.length} /Filter /FlateDecode >> stream\n")
+    out.write(objStm); w("\nendstream endobj\n")
+    w(s"4 0 obj << /Length ${c1.length} >> stream\n")
+    out.write(c1); w("\nendstream endobj\n")
+    w(s"6 0 obj << /Length ${c2.length} >> stream\n")
+    out.write(c2); w("\nendstream endobj\n")
+    w("%%EOF\n")
+    assert(SimplePdfExtractor.extractPages(out.toByteArray)
+      === Seq("packed page one", "packed page two"))
+  }
+
+  test("a direct object definition wins over an ObjStm entry with the same number") {
+    // same layout, but object 3 ALSO exists top-level pointing at different
+    // content — the direct definition must shadow the packed one
+    val packed = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> "<< /Type /Page /Parent 2 0 R /Contents 9 0 R >>")
+    val offsets = packed.map(_._2.length + 1).scanLeft(0)(_ + _)
+    val header = packed.zip(offsets).map { case ((n, _), o) => s"$n $o" }.mkString(" ") + " "
+    val objStm = deflate(header + packed.map(_._2).mkString("\n") + "\n")
+    val c = "BT (direct wins) Tj ET".getBytes("ISO-8859-1")
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.5\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    w(s"7 0 obj << /Type /ObjStm /N ${packed.length} /First ${header.length} " +
+      s"/Length ${objStm.length} /Filter /FlateDecode >> stream\n")
+    out.write(objStm); w("\nendstream endobj\n")
+    w(s"4 0 obj << /Length ${c.length} >> stream\n")
+    out.write(c); w("\nendstream endobj\n")
+    w("%%EOF\n")
+    assert(SimplePdfExtractor.extractPages(out.toByteArray) === Seq("direct wins"))
+  }
+
   test("PdfSource.pages drives the real extractor through the binaryFile scan") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("pdfsrc")
