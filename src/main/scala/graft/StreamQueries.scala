@@ -239,6 +239,66 @@ object StreamQueries {
                bins.frames * 1000 // bins.rate AS duration_ms, bins.bin,
                round(COALESCE(cnt.c, 0)::DOUBLE / (bins.frames * bins.ch), 6) AS frac
         FROM bins LEFT JOIN cnt ON bins.doc_id = cnt.doc_id AND bins.bin = cnt.bin
+        ORDER BY bins.doc_id, bins.bin""")),
+
+    // ── q84: REAL animated-GIF decode through the multimodal pipeline —
+    //   the video leg, completing q79 (image) and q80 (audio). Each doc
+    //   derives per-frame palette indices ((doc_id·13 + f·5 + i·3) mod 4)
+    //   at varying dims and frame counts, encodes them as an actual
+    //   animated GIF (global color table, per-frame graphics-control
+    //   extensions, LZW image data), and Multimodal.decode parses it back
+    //   with SimpleGif — real LZW decompression + palette-luminance
+    //   mapping, no stub. The 4-entry gray palette is built so color k's
+    //   luminance lands exactly in histogram bin k, making the 16-bin
+    //   feature histogram a direct count of decoded palette indices the
+    //   oracle recomputes from first principles. A decoder that misreads
+    //   the screen descriptor, drops a frame, or corrupts one LZW code
+    //   hash-mismatches. ──
+    QueryDef("q84_gif_decode",
+      (s, dir) => {
+        val mkGif = udf { (docId: Long, w: Int, h: Int, nf: Int) =>
+          val palette = Array(0x080808, 0x181818, 0x282828, 0x383838) // lum = 8,24,40,56 → bins 0-3
+          val frames = (0 until nf).map(f =>
+            Array.tabulate(w * h)(i => ((docId * 13 + f * 5 + i * 3) % 4).toByte))
+          graft.operators.SimpleGif.encode(w, h, palette, frames)
+        }
+        val media = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"),
+            (lit(4) + col("doc_id") % 4).cast("int").as("w"),
+            (lit(3) + col("doc_id") % 3).cast("int").as("h"),
+            (lit(2) + col("doc_id") % 3).cast("int").as("nf"))
+          .withColumn("payload", mkGif(col("doc_id"), col("w"), col("h"), col("nf")))
+          .withColumn("media_type", lit("video"))
+          .select("doc_id", "payload", "media_type")
+        Multimodal.decode(media, "payload", "media_type")
+          .select(col("doc_id"),
+            col("meta.width").cast("long").as("width"),
+            col("meta.height").cast("long").as("height"),
+            col("meta.n_frames").cast("long").as("n_frames"),
+            posexplode(col("features")))
+          .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+            col("pos").cast("long").as("bin"),
+            round(col("col"), 6).as("frac"))
+          .orderBy(col("doc_id"), col("bin"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id, 4 + doc_id % 4 AS w, 3 + doc_id % 3 AS h,
+                 2 + doc_id % 3 AS nf
+          FROM documents),
+        cnt AS (
+          SELECT p.doc_id, (p.doc_id * 13 + f.f * 5 + t.i * 3) % 4 AS bin,
+                 count(*) AS c
+          FROM p, unnest(range(0, p.nf)) AS f(f),
+               unnest(range(0, p.w * p.h)) AS t(i)
+          GROUP BY 1, 2),
+        bins AS (
+          SELECT p.doc_id, p.w, p.h, p.nf, b.bin
+          FROM p, unnest(range(0, 16)) AS b(bin))
+        SELECT bins.doc_id, bins.w AS width, bins.h AS height,
+               bins.nf AS n_frames, bins.bin,
+               round(COALESCE(cnt.c, 0)::DOUBLE / (bins.nf * bins.w * bins.h), 6) AS frac
+        FROM bins LEFT JOIN cnt ON bins.doc_id = cnt.doc_id AND bins.bin = cnt.bin
         ORDER BY bins.doc_id, bins.bin"""))
   )
 }

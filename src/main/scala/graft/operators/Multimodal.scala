@@ -18,12 +18,15 @@ import org.apache.spark.sql.types._
   * actual pixel bytes. Audio payloads carrying RIFF/WAVE magic decode
   * FOR REAL via [[SimpleWav]] (pure-JVM PCM parse): true sample rate /
   * channels / frame count and an amplitude histogram over actual decoded
-  * samples. Video payloads still hit the clearly-marked DETERMINISTIC
-  * STUB (no video lib exists in this container): it derives
-  * pseudo-dimensions and a 16-bin byte histogram from the payload bytes.
-  * The Spark-side contract — schema, batching, partitioning, column
-  * shapes — is identical on all paths, so swapping a true video decoder
-  * in changes only the per-row body.
+  * samples. Video payloads carrying GIF magic decode FOR REAL via
+  * [[SimpleGif]] (pure-JVM LZW + palette): true screen dims, true frame
+  * count, and a histogram over decoded per-frame luminance. Only video
+  * bytes in container formats that need a codec library (mp4/webm — none
+  * ships in this build) hit the clearly-marked DETERMINISTIC STUB, which
+  * derives pseudo-dimensions and a 16-bin byte histogram from the
+  * payload bytes. The Spark-side contract — schema, batching,
+  * partitioning, column shapes — is identical on all paths, so swapping
+  * a true codec in changes only the per-row body.
   */
 object Multimodal {
 
@@ -63,6 +66,18 @@ object Multimodal {
       SimplePng.decode(payload) match {
         case Some(img) => return (Row(mediaType, img.width, img.height, 1), hist16(img.pixels))
         case None => () // corrupt/unsupported PNG: stub fallback below
+      }
+    }
+    if (mediaType == "video" && SimpleGif.isGif(payload)) {
+      SimpleGif.decode(payload) match {
+        case Some(gif) =>
+          val lum = new Array[Byte](gif.frames.iterator.map(_.lum.length).sum)
+          var o = 0
+          gif.frames.foreach { f =>
+            System.arraycopy(f.lum, 0, lum, o, f.lum.length); o += f.lum.length
+          }
+          return (Row(mediaType, gif.width, gif.height, gif.frames.length), hist16(lum))
+        case None => () // corrupt/unsupported GIF: stub fallback below
       }
     }
     if (mediaType == "audio" && SimpleWav.isWav(payload)) {

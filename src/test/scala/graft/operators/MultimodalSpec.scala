@@ -125,6 +125,63 @@ class MultimodalSpec extends SparkSpec {
     assert(ct.getStruct(ct.fieldIndex("meta")).getInt(1) === 64 + wav.length % 64) // stub dims
   }
 
+  test("GIF video payloads decode for REAL: exact dims, frame count, and palette luminance") {
+    // 4-color gray palette whose luminance lands in bins 0..3; three
+    // frames with known index patterns ⇒ exact histogram is predictable
+    val (w, h) = (5, 4)
+    val palette = Array(0x080808, 0x181818, 0x282828, 0x383838) // lum 8, 24, 40, 56
+    val frames = (0 until 3).map(f =>
+      Array.tabulate(w * h)(i => ((f * 5 + i * 3) % 4).toByte))
+    val gif = SimpleGif.encode(w, h, palette, frames)
+    assert(SimpleGif.isGif(gif))
+    val dec = SimpleGif.decode(gif).get
+    assert((dec.width, dec.height, dec.frames.length) === ((w, h, 3)))
+    for (f <- 0 until 3)
+      assert(dec.frames(f).lum.toSeq ===
+        frames(f).map(ix => (ix * 16 + 8).toByte).toSeq)
+
+    // through the DataFrame operator: true meta + histogram over decoded
+    // luminance of ALL frames (bins 0-3 only, by palette construction)
+    val df = Seq((0L, gif, "video")).toDF("id", "payload", "media_type")
+    val row = Multimodal.decode(df, "payload", "media_type").collect()(0)
+    val meta = row.getStruct(row.fieldIndex("meta"))
+    assert((meta.getInt(1), meta.getInt(2), meta.getInt(3)) === ((w, h, 3)))
+    val feats = row.getSeq[Double](row.fieldIndex("features"))
+    val all = frames.flatten
+    val expected = (0 until 16).map(b => all.count(_ == b).toDouble / all.length)
+    assert(feats === expected)
+    assert(feats.drop(4).forall(_ == 0.0))
+
+    // a REAL compressing LZW stream (not the clear-per-literal encoder
+    // shape) decodes too: dictionary entries + code-width growth.
+    // 2-bit palette, pixels 0,0,0,0... emitted as literal 0 then code 6
+    // (= "00"), 7 (= "000") by a hand-packed stream
+    val handPacked = { // pack codes LSB-first: CLEAR(4) 0 6 7 END(5), 3-bit codes
+      val codes = Seq(4, 0, 6, 7, 5)
+      var acc = 0L; var bits = 0
+      val bb = new scala.collection.mutable.ArrayBuffer[Byte]()
+      codes.foreach { c => acc |= c.toLong << bits; bits += 3
+        while (bits >= 8) { bb += (acc & 0xFF).toByte; acc >>>= 8; bits -= 8 } }
+      if (bits > 0) bb += (acc & 0xFF).toByte
+      bb.toArray
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(Array[Byte](6, 0, 1, 0, 0x91.toByte, 0, 0)) // 6×1 screen, gct 4 entries
+    out.write(Array[Byte](8, 8, 8, 24, 24, 24, 40, 40, 40, 56, 56, 56))
+    out.write(0x2C); out.write(Array[Byte](0, 0, 0, 0, 6, 0, 1, 0, 0)) // 6×1 image
+    out.write(2) // min LZW code size
+    out.write(handPacked.length); out.write(handPacked); out.write(0)
+    out.write(0x3B)
+    val real = SimpleGif.decode(out.toByteArray).get
+    // 0, then "00" (entry 6 = prev 0 + first-of-current), then "000" (KwKwK)
+    assert(real.frames(0).lum.toSeq === Seq.fill(6)((8).toByte))
+
+    // truncated GIF bytes fall back to the stub, never throw
+    val corrupt = Seq((1L, gif.take(16), "video")).toDF("id", "payload", "media_type")
+    assert(Multimodal.decode(corrupt, "payload", "media_type").count() === 1)
+  }
+
   test("decode is deterministic") {
     val a = Multimodal.decodeStub(media, "payload", "media_type")
       .drop("payload").collect().map(_.toString).sorted
