@@ -89,6 +89,70 @@ object VectorQueries {
       WITH ${kmeansCtes(k, rounds)}
       SELECT vec_id, cell, dist6 FROM a${rounds + 1} ORDER BY vec_id"""
 
+  // ── q86 constants + oracle: M subspaces × k codes, same quantize→
+  //    Lloyd's→6dp-argmin recipe as q67 applied per 16-dim slice ──
+  private val PqM = 4
+  private val PqSubDim = 16
+  private val PqK = 4
+  private val PqRounds = 1
+
+  /** One Lloyd's round per subspace, unrolled like kmeansCtes but grouped
+    * by (sub, code); distance tables and the fixed-order ADC sum mirror
+    * the Spark side exactly (see the q86 comment). */
+  private def pqAdcSql: String = {
+    def sq(a: String, b: String): String = sqdistSql(a, b, PqSubDim)
+    def d6(a: String, b: String): String =
+      s"round(${sq(a, b)} / 1000000000000.0, 6)"
+    s"""
+      WITH q AS (SELECT vec_id,
+             list_transform(embedding,
+               v -> floor(CAST(v AS DOUBLE) * 1000000 + 0.5)) AS qv
+           FROM embeddings),
+      sub AS (SELECT vec_id, m.m AS sub,
+              list_transform(range(1, ${PqSubDim + 1}), i -> qv[m.m * $PqSubDim + i]) AS sv
+              FROM q, (SELECT unnest(range(0, $PqM)) AS m) m),
+      c0 AS (SELECT sub, vec_id AS code, sv AS cv FROM sub WHERE vec_id < $PqK),
+      a1 AS (SELECT vec_id, sub, sv, code FROM (
+        SELECT s.vec_id, s.sub, s.sv, c.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub
+                 ORDER BY ${d6("s.sv", "c.cv")} ASC, c.code ASC) AS rn
+        FROM sub s JOIN c0 c ON c.sub = s.sub) WHERE rn = 1),
+      c1 AS (SELECT sub, code, list(sx / n ORDER BY pos) AS cv FROM (
+        SELECT a.sub AS sub, a.code AS code, r.pos AS pos,
+               sum(a.sv[r.pos]) AS sx, count(*) AS n
+        FROM a1 a CROSS JOIN (SELECT CAST(range AS INT) AS pos
+                              FROM range(1, ${PqSubDim + 1})) r
+        GROUP BY 1, 2, 3) GROUP BY sub, code),
+      a2 AS (SELECT vec_id, sub, code FROM (
+        SELECT s.vec_id, s.sub, c.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub
+                 ORDER BY ${d6("s.sv", "c.cv")} ASC, c.code ASC) AS rn
+        FROM sub s JOIN c1 c ON c.sub = s.sub) WHERE rn = 1),
+      wide AS (SELECT vec_id AS nid,
+               max(CASE WHEN sub = 0 THEN code END) AS code0,
+               max(CASE WHEN sub = 1 THEN code END) AS code1,
+               max(CASE WHEN sub = 2 THEN code END) AS code2,
+               max(CASE WHEN sub = 3 THEN code END) AS code3
+               FROM a2 GROUP BY vec_id),
+      dt AS (SELECT qs.vec_id AS qid, qs.sub, c.code,
+                    ${d6("qs.sv", "c.cv")} AS d
+             FROM sub qs JOIN c1 c ON c.sub = qs.sub WHERE qs.vec_id < 10),
+      adc AS (SELECT d0.qid AS qid, w.nid AS nid,
+                     round(((d0.d + d1.d) + d2.d) + d3.d, 6) AS adist
+              FROM wide w
+              JOIN dt d0 ON d0.sub = 0 AND d0.code = w.code0
+              JOIN dt d1 ON d1.sub = 1 AND d1.code = w.code1 AND d1.qid = d0.qid
+              JOIN dt d2 ON d2.sub = 2 AND d2.code = w.code2 AND d2.qid = d0.qid
+              JOIN dt d3 ON d3.sub = 3 AND d3.code = w.code3 AND d3.qid = d0.qid
+              WHERE d0.qid <> w.nid),
+      ranked AS (SELECT qid, nid, adist,
+                        row_number() OVER (PARTITION BY qid
+                          ORDER BY adist ASC, nid ASC) AS rnk
+                 FROM adc)
+      SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid, adist FROM ranked
+      WHERE rnk <= 5 ORDER BY qid, rnk"""
+  }
+
   /** q73 oracle: train (shared CTEs) → per-query nprobe=2 nearest cells
     * by centroid distance → exact cosine top-5 among the probed cells'
     * members only.
@@ -482,7 +546,110 @@ object VectorQueries {
           .select(col("qid"), col("rnk").cast("long").as("rnk"), col("nid"), col("score"))
           .orderBy(col("qid"), col("rnk"))
       },
-      Some(ivfProbeSql(KmK, KmRounds)))
+      Some(ivfProbeSql(KmK, KmRounds))),
+
+    // ── q85: SemDeDup — semantic deduplication by k-means clustering +
+    //   intra-cluster cosine pruning (Abbas et al., "SemDeDup: Data-
+    //   efficient learning at web-scale through semantic deduplication",
+    //   2023 — the embedding-space dedup LAION/DataComp pipelines run).
+    //   Reuses the q67 trained coarse quantizer: pairwise similarity is
+    //   computed ONLY within a learned cluster, never globally — the
+    //   cluster count grows with the corpus so per-cluster work stays
+    //   bounded, which is the paper's entire scale argument (vs q13's
+    //   given-label blocking: here the blocking is LEARNED). A doc is
+    //   removed when a lower-id doc in its cluster is ≥ τ cosine-similar;
+    //   the keeper is the smallest such id, so output is deterministic.
+    //   100 TB shape: one nlist×dim training shuffle + one hash-partition
+    //   on cell for the self-join; no global pair enumeration. ──
+    QueryDef("q85_semdedup",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val (q, cents) = trainedKMeans(s, dir)
+        val assigned = graft.vector.IvfKMeans.assignCells(q, "qv", cents, KmScale)
+          .select(col("vec_id"), col("cell"))
+        val m = assigned.join(emb(s, dir).select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        val a = m.select(col("cell"), col("vec_id").as("keeper_id"), col("embedding").as("av"))
+        val b = m.select(col("cell"), col("vec_id").as("removed_id"), col("embedding").as("bv"))
+        val w = Window.partitionBy(col("removed_id")).orderBy(col("keeper_id").asc)
+        a.join(b, Seq("cell")).filter(col("keeper_id") < col("removed_id"))
+          .withColumn("score", score6(col("av"), col("bv")))
+          .filter(col("score") >= 0.4)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("cell"), col("removed_id"), col("keeper_id"), col("score"))
+          .orderBy(col("removed_id"))
+      },
+      Some(s"""
+        WITH ${kmeansCtes(KmK, KmRounds)},
+        m AS (SELECT a.vec_id AS vid, a.cell AS cell, e.embedding AS v
+              FROM a${KmRounds + 1} a JOIN embeddings e ON e.vec_id = a.vec_id),
+        pairs AS (
+          SELECT x.cell AS cell, x.vid AS keeper_id, y.vid AS removed_id,
+                 round(${cosSql("x.v", "y.v")}, 6) AS score
+          FROM m x JOIN m y ON x.cell = y.cell AND x.vid < y.vid
+          WHERE round(${cosSql("x.v", "y.v")}, 6) >= 0.4),
+        r AS (SELECT cell, removed_id, keeper_id, score,
+                     row_number() OVER (PARTITION BY removed_id
+                       ORDER BY keeper_id ASC) AS rn
+              FROM pairs)
+        SELECT cell, removed_id, keeper_id, score FROM r
+        WHERE rn = 1 ORDER BY removed_id""")),
+
+    // ── q86: product quantization + ADC scan — the FAISS/Milvus PQ index
+    //   (Jégou et al., "Product Quantization for Nearest Neighbor
+    //   Search", TPAMI 2011) re-expressed. The 64-dim space splits into
+    //   M=4 16-dim subspaces; each trains its own k=4 codebook (the SAME
+    //   quantize→Lloyd's→6dp-argmin recipe as q67, reusing
+    //   IvfKMeans.trainCents verbatim), so every vector compresses to 4
+    //   codes. A query builds one 4×4 distance TABLE per subspace and
+    //   scores all candidates by table lookups only — the asymmetric
+    //   distance computation that makes PQ memory-bound instead of
+    //   compute-bound. Cross-engine determinism: each table entry is a
+    //   6dp-rounded double computed by the identical op sequence, and the
+    //   ADC sum adds the four entries in FIXED subspace order (d0+d1)+d2
+    //   +d3 — bit-identical, so ranks can't flip. 100 TB shape: codes are
+    //   4 bytes/vector (16× compression of the scan set); the ADC scan
+    //   broadcasts 10 rows of tables and never shuffles the big side. ──
+    QueryDef("q86_pq_adc",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val q = emb(s, dir)
+          .select(col("vec_id"),
+            transform(col("embedding").cast("array<double>"),
+              v => floor(v * 1e6 + 0.5).cast("double")).as("qv"))
+          .localCheckpoint() // 4 subspace trainings each re-collect
+        val (subs, dts) = (0 until PqM).map { m =>
+          val sub = q.select(col("vec_id"), expr(s"slice(qv, ${m * PqSubDim + 1}, $PqSubDim)").as("sv"))
+          val cb = graft.vector.IvfKMeans.trainCents(sub, "vec_id", "sv", PqK, PqRounds, KmScale)
+          val codes = graft.vector.IvfKMeans.assignCells(sub, "sv", cb, KmScale)
+            .select(col("vec_id"), col("cell").as(s"code$m"))
+          val dt = sub.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("qid"), col("sv"))
+            .join(broadcast(cb.toDF(s"code$m", "cv")), lit(true))
+            .withColumn(s"d$m", round(
+              aggregate(zip_with(col("sv").cast("array<double>"), col("cv"),
+                (x, y) => (x - y) * (x - y)),
+                lit(0.0), (acc, t) => acc + t) / lit(KmScale), 6))
+            .select(col("qid"), col(s"code$m"), col(s"d$m"))
+          (codes, dt)
+        }.unzip
+        val wide = subs.reduce((a, b) => a.join(b, Seq("vec_id")))
+          .withColumnRenamed("vec_id", "nid")
+        val qids = q.filter(col("vec_id") < 10).select(col("vec_id").as("qid"))
+        val looked = (0 until PqM).foldLeft(wide.crossJoin(broadcast(qids))) {
+          (acc, m) => acc.join(broadcast(dts(m)), Seq("qid", s"code$m"))
+        }
+        val w = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("nid").asc)
+        looked
+          .withColumn("adist", round(col("d0") + col("d1") + col("d2") + col("d3"), 6))
+          .filter(col("qid") =!= col("nid"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select(col("qid"), col("rnk").cast("long").as("rnk"), col("nid"), col("adist"))
+          .orderBy(col("qid"), col("rnk"))
+      },
+      Some(pqAdcSql))
   )
 
   /** Shared by q67/q73: ×1e6 round-half-up quantized embeddings +
