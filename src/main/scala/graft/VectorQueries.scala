@@ -93,8 +93,8 @@ object VectorQueries {
   //    Lloyd's→6dp-argmin recipe as q67 applied per 16-dim slice ──
   private val PqM = 4
   private val PqSubDim = 16
-  private val PqK = 4
-  private val PqRounds = 1
+  private val PqK = 16
+  private val PqRounds = 1 // the oracle CTE chain is unrolled for exactly one round
 
   /** One Lloyd's round per subspace, unrolled like kmeansCtes but grouped
     * by (sub, code); distance tables and the fixed-order ADC sum mirror

@@ -53,4 +53,42 @@ class VectorQueriesSpec extends SparkSpec {
     // always; deterministic data makes this a fixed, not flaky, number
     assert(agree >= total * 8 / 10, s"SQ8 top-1 recall too low: $agree/$total")
   }
+
+  test("q86: PQ/ADC recall@5 vs exact L2 is reported and bounded") {
+    // Regression tripwire for the PQ pipeline (Jégou TPAMI'11): ADC ranks
+    // by table-lookup distance over 4 per-subspace codebooks; compare
+    // against exact squared L2 in the same quantized space. Context for
+    // the bound: this corpus is IID random — the documented WORST case
+    // for PQ (no correlation structure for subspace codebooks to exploit,
+    // so quantization residual dominates; measured 0.26 at k=16, and
+    // k=32 does not improve it). Chance recall is 5/49 ≈ 0.10 and a
+    // broken codebook/code/table path measures at or below that, so the
+    // tripwire detects COLLAPSE, not quality — real embedding corpora
+    // with low intrinsic dimension are where PQ earns its 16× memory
+    // win. The oracle-checked gate already pins exact arithmetic.
+    val sf = "/root/testdata/sf0.001"
+    val pq = VectorQueries.defs.find(_.name == "q86_pq_adc").get.fn(spark, sf)
+      .select($"qid", $"nid").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(v => math.floor(v.toDouble * 1e6 + 0.5)).toArray)
+    val byId = vecs.toMap
+    def sqdist(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }; s
+    }
+    val recalls = pq.map { case (qid, pqTop) =>
+      val qv = byId(qid)
+      val exact = vecs.filter(_._1 != qid)
+        .sortBy { case (nid, nv) => (sqdist(qv, nv), nid) }
+        .take(5).map(_._1).toSet
+      exact.intersect(pqTop).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"PQ/ADC recall@5 (4 subspaces × 16 codes, IID-random corpus) = $mean%.2f over ${recalls.size} queries (chance ≈ 0.10)")
+    assert(recalls.size === 10)
+    assert(mean >= 0.15, f"PQ recall collapsed to chance: $mean%.2f")
+  }
 }
