@@ -619,7 +619,13 @@ object VectorQueries {
             transform(col("embedding").cast("array<double>"),
               v => floor(v * 1e6 + 0.5).cast("double")).as("qv"))
           .localCheckpoint() // 4 subspace trainings each re-collect
-        val (subs, dts) = (0 until PqM).map { m =>
+        // the M trainings are independent Spark jobs — run them
+        // concurrently from the driver (the scheduler interleaves their
+        // stages; q is localCheckpoint'd so they share one materialization)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val (subs, dts) = Await.result(Future.traverse((0 until PqM).toList) { m => Future {
           val sub = q.select(col("vec_id"), expr(s"slice(qv, ${m * PqSubDim + 1}, $PqSubDim)").as("sv"))
           val cb = graft.vector.IvfKMeans.trainCents(sub, "vec_id", "sv", PqK, PqRounds, KmScale)
           val codes = graft.vector.IvfKMeans.assignCells(sub, "sv", cb, KmScale)
@@ -633,7 +639,7 @@ object VectorQueries {
                 lit(0.0), (acc, t) => acc + t) / lit(KmScale), 6))
             .select(col("qid"), col(s"code$m"), col(s"d$m"))
           (codes, dt)
-        }.unzip
+        } }, Duration.Inf).unzip
         val wide = subs.reduce((a, b) => a.join(b, Seq("vec_id")))
           .withColumnRenamed("vec_id", "nid")
         val qids = q.filter(col("vec_id") < 10).select(col("vec_id").as("qid"))
