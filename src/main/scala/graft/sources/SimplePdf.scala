@@ -45,14 +45,15 @@ object SimplePdfExtractor extends PdfExtractor {
     val pages = pageDicts(objs)
     if (pages.nonEmpty)
       pages.map { pd =>
+        val fonts = fontCMaps(pd, objs)
         contentRefs(pd).flatMap(objs.get).flatMap(o => decodedStream(o))
-          .map(textOfContent).mkString("\n")
+          .map(textOfContent(_, fonts)).mkString("\n")
       }
     else // no resolvable page tree: every BT-bearing stream is a "page"
       objs.values.toSeq.sortBy(_.num)
         .flatMap(o => decodedStream(o))
         .filter(_.contains("BT"))
-        .map(textOfContent)
+        .map(textOfContent(_))
   }
 
   // ── object layer ──
@@ -204,24 +205,132 @@ object SimplePdfExtractor extends PdfExtractor {
 
   private def contentRefs(pageDict: String): Seq[Int] = refsIn(pageDict, "/Contents")
 
+  // ── /ToUnicode CMaps ──
+
+  /** A font's code→text map: `codeBytes` (1 or 2) comes from the
+    * codespacerange / source-code width, `map` from bfchar + bfrange. */
+  private[sources] final case class CMap(codeBytes: Int, map: Map[Int, String])
+
+  private val HexTok = """<([0-9A-Fa-f]+)>""".r
+
+  /** bfchar pairs, bfrange increments and arrays, codespacerange width.
+    * Destination hex is UTF-16BE code units (2-hex single-byte forms some
+    * writers emit are accepted too). */
+  private[sources] def parseCMap(text: String): CMap = {
+    val map = mutable.Map[Int, String]()
+    var codeBytes = 1
+    def dstString(hex: String): String =
+      if (hex.length % 4 == 0)
+        hex.grouped(4).map(h => Integer.parseInt(h, 16).toChar).mkString
+      else Integer.parseInt(hex, 16).toChar.toString
+    for (m <- """(?s)begincodespacerange(.*?)endcodespacerange""".r.findAllMatchIn(text);
+         h <- HexTok.findFirstMatchIn(m.group(1)))
+      codeBytes = math.max(codeBytes, h.group(1).length / 2)
+    for (m <- """(?s)beginbfchar(.*?)endbfchar""".r.findAllMatchIn(text))
+      HexTok.findAllMatchIn(m.group(1)).map(_.group(1)).grouped(2).foreach {
+        case Seq(src, dst) =>
+          codeBytes = math.max(codeBytes, src.length / 2)
+          map(Integer.parseInt(src, 16)) = dstString(dst)
+        case _ => ()
+      }
+    val RangeEntry =
+      """<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(\[[^\]]*\]|<[0-9A-Fa-f]+>)""".r
+    for (m <- """(?s)beginbfrange(.*?)endbfrange""".r.findAllMatchIn(text);
+         e <- RangeEntry.findAllMatchIn(m.group(1))) {
+      val lo = Integer.parseInt(e.group(1), 16)
+      val hi = Integer.parseInt(e.group(2), 16)
+      codeBytes = math.max(codeBytes, e.group(1).length / 2)
+      if (e.group(3).startsWith("[")) // explicit per-code destinations
+        HexTok.findAllMatchIn(e.group(3)).map(_.group(1)).zipWithIndex.foreach {
+          case (d, i) => if (lo + i <= hi) map(lo + i) = dstString(d)
+        }
+      else { // incrementing range: the destination's last code unit steps
+        val units = dstString(e.group(3).drop(1).dropRight(1)).toCharArray
+        for (c <- lo to math.min(hi, lo + 0xFFFF)) {
+          val u = units.clone()
+          if (u.nonEmpty) u(u.length - 1) = (u(u.length - 1) + (c - lo)).toChar
+          map(c) = new String(u)
+        }
+      }
+    }
+    CMap(math.min(codeBytes, 2), map.toMap)
+  }
+
+  /** Per-page font name → ToUnicode CMap: /Resources (inline or ref) →
+    * /Font (inline or ref) → each font object's /ToUnicode stream.
+    * Fonts without one simply don't appear (bytes then read as Latin-1,
+    * the pre-CMap behavior). */
+  private def fontCMaps(pageDict: String, objs: Map[Int, Obj]): Map[String, CMap] = {
+    def sub(dict: String, key: String): String = {
+      val refs = refsIn(dict, key)
+      if (refs.nonEmpty) objs.get(refs.head).map(_.dict).getOrElse("")
+      else {
+        val at = dict.indexOf(key)
+        if (at < 0) "" else dict.substring(at + key.length)
+      }
+    }
+    val fontDict = sub(sub(pageDict, "/Resources"), "/Font")
+    """/(\w+)\s+(\d+)\s+\d+\s+R""".r.findAllMatchIn(fontDict).flatMap { fm =>
+      for {
+        fobj <- objs.get(fm.group(2).toInt)
+        if fobj.dict.contains("/Font") || fobj.dict.contains("/Type0") ||
+          fobj.dict.contains("/ToUnicode")
+        tuRef <- refsIn(fobj.dict, "/ToUnicode").headOption
+        tuObj <- objs.get(tuRef)
+        text <- decodedStream(tuObj)
+      } yield fm.group(1) -> parseCMap(text)
+    }.toMap
+  }
+
+  /** Map a raw (Latin-1-decoded) string's bytes through the current
+    * font's CMap; unmapped codes fall through as their raw chars
+    * (graceful-degradation contract). */
+  private def applyCMap(raw: String, cm: CMap): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < raw.length) {
+      if (cm.codeBytes == 2 && i + 1 < raw.length) {
+        val code = ((raw(i) & 0xFF) << 8) | (raw(i + 1) & 0xFF)
+        cm.map.get(code) match {
+          case Some(s) => sb ++= s
+          case None => sb += raw(i) += raw(i + 1)
+        }
+        i += 2
+      } else {
+        sb ++= cm.map.getOrElse(raw(i) & 0xFF, raw(i).toString)
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
   // ── content-stream text operators ──
 
   /** Text shown by Tj / ' / " / TJ, with Td, TD, T-star and ET as line
     * breaks and TJ kerning ≤ -180 (thousandths of an em) rendered as a
-    * space.
+    * space. `fonts` carries the page's ToUnicode CMaps; `Tf` switches the
+    * active one and strings map through it (absent a CMap, bytes read as
+    * Latin-1 — the ASCII-diary-correct default).
     */
-  private[sources] def textOfContent(content: String): String = {
+  private[sources] def textOfContent(content: String,
+                                     fonts: Map[String, CMap] = Map.empty): String = {
     val out = new StringBuilder
     val pending = new StringBuilder // strings since the last operator
     var i = 0
     val n = content.length
+    var lastName = "" // most recent /Name token (the Tf operand)
+    var curFont: Option[CMap] = None
+    def mapped(s: String): String = curFont match {
+      case Some(cm) => applyCMap(s, cm)
+      case None => s
+    }
     def flushLine(): Unit =
       if (out.nonEmpty && !out.endsWith("\n")) out += '\n'
     while (i < n) {
       content(i) match {
         case '(' =>
           val (s, next) = literalString(content, i)
-          pending ++= s; i = next
+          pending ++= mapped(s); i = next
         case '<' if i + 1 < n && content(i + 1) == '<' =>
           i += 2 // inline dictionary open (<< /MCID 0 >> etc.) — not a string
         case '<' =>
@@ -234,8 +343,8 @@ object SimplePdfExtractor extends PdfExtractor {
             val hex = content.substring(i + 1, close)
               .filter(c => Character.digit(c, 16) >= 0)
             val even = if (hex.length % 2 == 0) hex else hex + "0"
-            pending ++= even.grouped(2)
-              .map(h => Integer.parseInt(h, 16).toChar).mkString
+            pending ++= mapped(even.grouped(2)
+              .map(h => Integer.parseInt(h, 16).toChar).mkString)
             i = close + 1
           }
         case '>' => i += 1 // dictionary close (>>) — consumed char by char
@@ -253,6 +362,8 @@ object SimplePdfExtractor extends PdfExtractor {
             case "'" => flushLine(); out ++= pending; pending.clear()
             case "\"" => flushLine(); out ++= pending; pending.clear()
             case "Td" | "TD" | "T*" | "ET" => flushLine(); pending.clear()
+            case "Tf" => curFont = fonts.get(lastName)
+            case t if t.startsWith("/") => lastName = t.substring(1)
             case t =>
               // inside a TJ array, kerning ≤ -180/1000 em reads as a space
               if (pending.nonEmpty &&
