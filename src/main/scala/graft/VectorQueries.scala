@@ -598,10 +598,11 @@ object VectorQueries {
     // ── q86: product quantization + ADC scan — the FAISS/Milvus PQ index
     //   (Jégou et al., "Product Quantization for Nearest Neighbor
     //   Search", TPAMI 2011) re-expressed. The 64-dim space splits into
-    //   M=4 16-dim subspaces; each trains its own k=4 codebook (the SAME
-    //   quantize→Lloyd's→6dp-argmin recipe as q67, reusing
-    //   IvfKMeans.trainCents verbatim), so every vector compresses to 4
-    //   codes. A query builds one 4×4 distance TABLE per subspace and
+    //   M=PqM (4) PqSubDim-dim subspaces; each trains its own k=PqK (16)
+    //   codebook (the SAME quantize→Lloyd's→6dp-argmin recipe as q67,
+    //   reusing IvfKMeans.trainCents verbatim), so every vector
+    //   compresses to PqM codes. A query builds one PqK-entry distance
+    //   TABLE per subspace (PqM×PqK = 4×16 entries total) and
     //   scores all candidates by table lookups only — the asymmetric
     //   distance computation that makes PQ memory-bound instead of
     //   compute-bound. Cross-engine determinism: each table entry is a

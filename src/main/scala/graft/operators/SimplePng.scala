@@ -182,7 +182,11 @@ object SimplePng {
           case 2 => enc + up
           case 3 => enc + (left + up) / 2
           case 4 => enc + paeth(left, up, ul)
-          case _ => enc // unknown filter: pass through rather than throw
+          // filter bytes outside 0..4 mean a corrupt stream: decoding
+          // them as filter 0 would yield silently wrong pixels — throw
+          // (decode catches) so the caller takes the documented stub path
+          case other => throw new IllegalArgumentException(
+            s"unknown PNG scanline filter $other")
         }
         px(y * stride + x) = (dec & 0xFF).toByte
         x += 1

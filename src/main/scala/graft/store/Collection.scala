@@ -233,13 +233,41 @@ class Collection private (
     } finally { newRows.unpersist(); () }
   }
 
+  /** Hard-link `src`'s files into `dst` (directories re-created, files
+    * linked — O(metadata) not O(bytes)); copies when the filesystem
+    * refuses links. Lets a new snapshot version share untouched cell
+    * data with its predecessor, keeping upsertIvf's write IO at
+    * O(touched cells) while still committing through the atomic
+    * `_current` pointer like every other rewrite. */
+  private def linkTree(src: java.io.File, dst: java.io.File): Unit = {
+    if (src.isDirectory) {
+      dst.mkdirs()
+      Option(src.listFiles()).getOrElse(Array.empty[java.io.File])
+        .foreach(f => linkTree(f, new java.io.File(dst, f.getName)))
+    } else {
+      try java.nio.file.Files.createLink(dst.toPath, src.toPath)
+      catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+        java.nio.file.Files.copy(src.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING); ()
+      }
+    }
+  }
+
   /** Incremental IVF maintenance (Milvus's actual behavior for inserts
     * into an IVF collection): batch rows are assigned to the nearest
     * EXISTING centroid — no retrain, quantizer and cell layout untouched
     * — and only the AFFECTED cell partitions rewrite (replaced ids
     * removed, new assignments added). Partition pruning bounds IO at
     * O(touched cells), not O(collection) — the property that makes churn
-    * affordable at 100 TB. Returns (replacedIds, insertedIds, movedIds):
+    * affordable at 100 TB. Commits ATOMICALLY like every other rewrite
+    * (ADVICE r4: the previous dynamic-partition overwrite + stale-cell
+    * cleanup mutated the live snapshot in place, so a crash between the
+    * two steps could leave a moved id duplicated in its old cell): the
+    * next version dir hard-links every untouched cell and takes the
+    * rewritten cells from the stage, then the `_current` pointer flips —
+    * readers see the old snapshot or the new one, never a half-replaced
+    * cell, and the write IO stays O(touched cells). Returns
+    * (replacedIds, insertedIds, movedIds):
     * `moved` counts replaced ids whose updated vector landed in a
     * different cell — per-call reassignment drift. The cumulative
     * drifted-row count persists in `_ivf_drift`; when `ivfDrift` grows
@@ -281,31 +309,42 @@ class Collection private (
       }
       // survivors of the affected cells + the whole batch; staged to a
       // sibling dir because Spark (correctly) refuses a write that reads
-      // from its own destination, then installed with dynamic partition
-      // overwrite so ONLY the affected cell dirs are replaced
+      // from its own destination
       val content = df.filter(cellIn)
         .withColumn("cell", col("cell").cast("long"))
         .join(batchIds, Seq("id"), "left_anti")
         .unionByName(batch)
       val stage = s"$path.__upsert"
       rmTree(new java.io.File(stage))
+      val src = dataDir // capture: dataDir advances at the pointer flip
+      val affectedNames = affected.map(c => s"cell=$c").toSet
+      val prior = readMarker(s"$src/_ivf_drift").map(_.toLong).getOrElse(0L)
       try {
         content.write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(stage)
-        spark.read.parquet(stage)
-          .write.mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("cell").parquet(dataDir)
-        // a cell ALL of whose rows were replaced away writes no stage
-        // partition and dynamic overwrite leaves the stale dir — drop it,
-        // or the moved ids' old copies would resurface as duplicates
-        affected.foreach { c =>
-          if (!new java.io.File(s"$stage/cell=$c").exists)
-            rmTree(new java.io.File(s"$dataDir/cell=$c"))
+        rewriteSwap("upsertIvf") { tmp =>
+          val tmpDir = new java.io.File(tmp); tmpDir.mkdirs()
+          // untouched cells ride along as hard links (no data rewrite)
+          Option(new java.io.File(src).listFiles())
+            .getOrElse(Array.empty[java.io.File]).foreach { f =>
+              if (f.isDirectory && f.getName.startsWith("cell=") &&
+                  !affectedNames(f.getName))
+                linkTree(f, new java.io.File(tmpDir, f.getName))
+            }
+          // rewritten cells move in from the stage; a cell ALL of whose
+          // rows were replaced away has no stage partition and simply
+          // does not exist in the new version — no stale-dir cleanup race
+          Option(new java.io.File(stage).listFiles())
+            .getOrElse(Array.empty[java.io.File]).foreach { f =>
+              if (f.isDirectory && f.getName.startsWith("cell="))
+                require(f.renameTo(new java.io.File(tmpDir, f.getName)),
+                  s"upsertIvf: could not install ${f.getName}")
+            }
+          readMarker(s"$src/_ivf_build")
+            .foreach(b => writeMarker(s"$tmp/_ivf_build", b))
+          writeMarker(s"$tmp/_ivf_drift",
+            (prior + moved + (nNew - matched)).toString)
         }
       } finally rmTree(new java.io.File(stage))
-      val prior = readMarker(s"$dataDir/_ivf_drift").map(_.toLong).getOrElse(0L)
-      writeMarker(s"$dataDir/_ivf_drift",
-        (prior + moved + (nNew - matched)).toString)
       (replaced, nNew - matched, moved)
     } finally { batch.unpersist(); () }
   }

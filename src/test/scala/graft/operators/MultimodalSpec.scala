@@ -69,6 +69,41 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decode(corrupt, "payload", "media_type").count() === 1)
   }
 
+  test("PNG with an unknown scanline filter byte returns None, not silently wrong pixels") {
+    // hand-build a structurally valid 2×1 gray PNG whose single scanline
+    // claims filter type 5 (outside the spec's 0..4) — decode must refuse
+    // (ADVICE r4: it previously fell through to filter 0 and produced a
+    // wrong histogram instead of taking the documented stub path)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(data.length).array())
+      val t = typ.getBytes("US-ASCII"); out.write(t); out.write(data)
+      val crc = new java.util.zip.CRC32(); crc.update(t); crc.update(data)
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+      out.toByteArray
+    }
+    def deflate(data: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(); d.setInput(data); d.finish()
+      val out = new java.io.ByteArrayOutputStream(); val buf = new Array[Byte](256)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    val magic = Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte)
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(2).putInt(1)
+      .put(8.toByte).put(0.toByte).put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val bad = magic ++ chunk("IHDR", ihdr) ++
+      chunk("IDAT", deflate(Array[Byte](5, 10, 20))) ++
+      chunk("IEND", Array.emptyByteArray)
+    assert(SimplePng.decode(bad).isEmpty)
+    // the same bytes with a legal filter byte DO decode — the refusal
+    // above is the filter check, not some other structural rejection
+    val good = magic ++ chunk("IHDR", ihdr) ++
+      chunk("IDAT", deflate(Array[Byte](0, 10, 20))) ++
+      chunk("IEND", Array.emptyByteArray)
+    val img = SimplePng.decode(good).get
+    assert((img.width, img.height, img.pixels.toSeq) === ((2, 1, Seq[Byte](10, 20))))
+  }
+
   test("WAV audio payloads decode for REAL: exact fmt fields and samples, chunk padding, ancillary skip") {
     // 16-bit stereo with a full-range sample sweep
     val samples = Array.tabulate(2 * 37)(i => ((i * 1789 + 17) % 65536) - 32768)
