@@ -96,62 +96,100 @@ object VectorQueries {
   private val PqK = 16
   private val PqRounds = 1 // the oracle CTE chain is unrolled for exactly one round
 
-  /** One Lloyd's round per subspace, unrolled like kmeansCtes but grouped
-    * by (sub, code); distance tables and the fixed-order ADC sum mirror
-    * the Spark side exactly (see the q86 comment). */
-  private def pqAdcSql: String = {
+  /** PQ CTE block shared by q86 (flat PQ+ADC) and q88 (IVF_PQ): one
+    * Lloyd's round per subspace, unrolled like kmeansCtes but grouped by
+    * (sub, code). Expects a `q` CTE of (vec_id, qv) quantized vectors in
+    * scope; names are p-prefixed so the block composes with the coarse
+    * kmeansCtes chain without collisions. Produces `pwide` (nid,
+    * code0..code3) and `pdt` (qid, sub, code, d) — distance tables for
+    * query ids < 10. Mirrors the Spark side exactly (see q86 comment). */
+  private def pqCtes: String = {
     def sq(a: String, b: String): String = sqdistSql(a, b, PqSubDim)
     def d6(a: String, b: String): String =
       s"round(${sq(a, b)} / 1000000000000.0, 6)"
     s"""
-      WITH q AS (SELECT vec_id,
-             list_transform(embedding,
-               v -> floor(CAST(v AS DOUBLE) * 1000000 + 0.5)) AS qv
-           FROM embeddings),
-      sub AS (SELECT vec_id, m.m AS sub,
+      psub AS (SELECT vec_id, m.m AS sub,
               list_transform(range(1, ${PqSubDim + 1}), i -> qv[m.m * $PqSubDim + i]) AS sv
               FROM q, (SELECT unnest(range(0, $PqM)) AS m) m),
-      c0 AS (SELECT sub, vec_id AS code, sv AS cv FROM sub WHERE vec_id < $PqK),
-      a1 AS (SELECT vec_id, sub, sv, code FROM (
+      pc0 AS (SELECT sub, vec_id AS code, sv AS cv FROM psub WHERE vec_id < $PqK),
+      pa1 AS (SELECT vec_id, sub, sv, code FROM (
         SELECT s.vec_id, s.sub, s.sv, c.code,
                row_number() OVER (PARTITION BY s.vec_id, s.sub
                  ORDER BY ${d6("s.sv", "c.cv")} ASC, c.code ASC) AS rn
-        FROM sub s JOIN c0 c ON c.sub = s.sub) WHERE rn = 1),
-      c1 AS (SELECT sub, code, list(sx / n ORDER BY pos) AS cv FROM (
+        FROM psub s JOIN pc0 c ON c.sub = s.sub) WHERE rn = 1),
+      pc1 AS (SELECT sub, code, list(sx / n ORDER BY pos) AS cv FROM (
         SELECT a.sub AS sub, a.code AS code, r.pos AS pos,
                sum(a.sv[r.pos]) AS sx, count(*) AS n
-        FROM a1 a CROSS JOIN (SELECT CAST(range AS INT) AS pos
+        FROM pa1 a CROSS JOIN (SELECT CAST(range AS INT) AS pos
                               FROM range(1, ${PqSubDim + 1})) r
         GROUP BY 1, 2, 3) GROUP BY sub, code),
-      a2 AS (SELECT vec_id, sub, code FROM (
+      pa2 AS (SELECT vec_id, sub, code FROM (
         SELECT s.vec_id, s.sub, c.code,
                row_number() OVER (PARTITION BY s.vec_id, s.sub
                  ORDER BY ${d6("s.sv", "c.cv")} ASC, c.code ASC) AS rn
-        FROM sub s JOIN c1 c ON c.sub = s.sub) WHERE rn = 1),
-      wide AS (SELECT vec_id AS nid,
+        FROM psub s JOIN pc1 c ON c.sub = s.sub) WHERE rn = 1),
+      pwide AS (SELECT vec_id AS nid,
                max(CASE WHEN sub = 0 THEN code END) AS code0,
                max(CASE WHEN sub = 1 THEN code END) AS code1,
                max(CASE WHEN sub = 2 THEN code END) AS code2,
                max(CASE WHEN sub = 3 THEN code END) AS code3
-               FROM a2 GROUP BY vec_id),
-      dt AS (SELECT qs.vec_id AS qid, qs.sub, c.code,
+               FROM pa2 GROUP BY vec_id),
+      pdt AS (SELECT qs.vec_id AS qid, qs.sub, c.code,
                     ${d6("qs.sv", "c.cv")} AS d
-             FROM sub qs JOIN c1 c ON c.sub = qs.sub WHERE qs.vec_id < 10),
-      adc AS (SELECT d0.qid AS qid, w.nid AS nid,
+             FROM psub qs JOIN pc1 c ON c.sub = qs.sub WHERE qs.vec_id < 10)"""
+  }
+
+  /** The shared ADC + rank tail: table lookups per subspace joined in
+    * FIXED order, 6dp-rounded fixed-order sum, rank ascending with nid
+    * tiebreak. `candFrom` supplies the (qid, nid) candidate pairs —
+    * q86 scans everything (flat PQ), q88 only probed cells' members. */
+  private def adcRankSql(candSql: String): String =
+    s"""
+      cand AS ($candSql),
+      adc AS (SELECT c.qid AS qid, c.nid AS nid,
                      round(((d0.d + d1.d) + d2.d) + d3.d, 6) AS adist
-              FROM wide w
-              JOIN dt d0 ON d0.sub = 0 AND d0.code = w.code0
-              JOIN dt d1 ON d1.sub = 1 AND d1.code = w.code1 AND d1.qid = d0.qid
-              JOIN dt d2 ON d2.sub = 2 AND d2.code = w.code2 AND d2.qid = d0.qid
-              JOIN dt d3 ON d3.sub = 3 AND d3.code = w.code3 AND d3.qid = d0.qid
-              WHERE d0.qid <> w.nid),
+              FROM cand c
+              JOIN pwide w ON w.nid = c.nid
+              JOIN pdt d0 ON d0.qid = c.qid AND d0.sub = 0 AND d0.code = w.code0
+              JOIN pdt d1 ON d1.qid = c.qid AND d1.sub = 1 AND d1.code = w.code1
+              JOIN pdt d2 ON d2.qid = c.qid AND d2.sub = 2 AND d2.code = w.code2
+              JOIN pdt d3 ON d3.qid = c.qid AND d3.sub = 3 AND d3.code = w.code3),
       ranked AS (SELECT qid, nid, adist,
                         row_number() OVER (PARTITION BY qid
                           ORDER BY adist ASC, nid ASC) AS rnk
                  FROM adc)
       SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid, adist FROM ranked
       WHERE rnk <= 5 ORDER BY qid, rnk"""
-  }
+
+  private def pqAdcSql: String =
+    s"""
+      WITH q AS (SELECT vec_id,
+             list_transform(embedding,
+               v -> floor(CAST(v AS DOUBLE) * 1000000 + 0.5)) AS qv
+           FROM embeddings),
+      $pqCtes,
+      ${adcRankSql(
+        s"""SELECT qs.vec_id AS qid, n.vec_id AS nid
+            FROM q qs CROSS JOIN q n
+            WHERE qs.vec_id < 10 AND qs.vec_id <> n.vec_id""")}"""
+
+  /** q88 oracle: coarse k-means (shared q67 CTEs) + per-query nprobe=2
+    * probe (shared q73 shape) + PQ codebooks and ADC tables (shared q86
+    * CTEs) — candidates are ONLY the probed cells' members. */
+  private def ivfPqSql(k: Int, rounds: Int): String =
+    s"""
+      WITH ${kmeansCtes(k, rounds)},
+      members AS (SELECT vec_id AS nid, cell FROM a${rounds + 1}),
+      qq AS (SELECT vec_id AS qid, qv FROM q WHERE vec_id < 10),
+      probe AS (SELECT qid, cell FROM (
+        SELECT qq.qid, c.cell,
+               row_number() OVER (PARTITION BY qq.qid
+                 ORDER BY ${kmDist6Sql("qq.qv", "c.cv")} ASC, c.cell ASC) AS crnk
+        FROM qq CROSS JOIN c$rounds c) WHERE crnk <= 2),
+      $pqCtes,
+      ${adcRankSql(
+        """SELECT p.qid, m.nid FROM probe p JOIN members m USING (cell)
+           WHERE p.qid <> m.nid""")}"""
 
   /** q73 oracle: train (shared CTEs) → per-query nprobe=2 nearest cells
     * by centroid distance → exact cosine top-5 among the probed cells'
@@ -613,51 +651,110 @@ object VectorQueries {
     //   broadcasts 10 rows of tables and never shuffles the big side. ──
     QueryDef("q86_pq_adc",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         import s.implicits._
         val q = emb(s, dir)
           .select(col("vec_id"),
             transform(col("embedding").cast("array<double>"),
               v => floor(v * 1e6 + 0.5).cast("double")).as("qv"))
           .localCheckpoint() // 4 subspace trainings each re-collect
-        // the M trainings are independent Spark jobs — run them
-        // concurrently from the driver (the scheduler interleaves their
-        // stages; q is localCheckpoint'd so they share one materialization)
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.ExecutionContext.Implicits.global
-        import scala.concurrent.duration.Duration
-        val (subs, dts) = Await.result(Future.traverse((0 until PqM).toList) { m => Future {
-          val sub = q.select(col("vec_id"), expr(s"slice(qv, ${m * PqSubDim + 1}, $PqSubDim)").as("sv"))
-          val cb = graft.vector.IvfKMeans.trainCents(sub, "vec_id", "sv", PqK, PqRounds, KmScale)
-          val codes = graft.vector.IvfKMeans.assignCells(sub, "sv", cb, KmScale)
-            .select(col("vec_id"), col("cell").as(s"code$m"))
-          val dt = sub.filter(col("vec_id") < 10)
-            .select(col("vec_id").as("qid"), col("sv"))
-            .join(broadcast(cb.toDF(s"code$m", "cv")), lit(true))
-            .withColumn(s"d$m", round(
-              aggregate(zip_with(col("sv").cast("array<double>"), col("cv"),
-                (x, y) => (x - y) * (x - y)),
-                lit(0.0), (acc, t) => acc + t) / lit(KmScale), 6))
-            .select(col("qid"), col(s"code$m"), col(s"d$m"))
-          (codes, dt)
-        } }, Duration.Inf).unzip
-        val wide = subs.reduce((a, b) => a.join(b, Seq("vec_id")))
-          .withColumnRenamed("vec_id", "nid")
+        val (wide, dts) = pqTrained(s, q)
         val qids = q.filter(col("vec_id") < 10).select(col("vec_id").as("qid"))
-        val looked = (0 until PqM).foldLeft(wide.crossJoin(broadcast(qids))) {
-          (acc, m) => acc.join(broadcast(dts(m)), Seq("qid", s"code$m"))
-        }
-        val w = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("nid").asc)
-        looked
-          .withColumn("adist", round(col("d0") + col("d1") + col("d2") + col("d3"), 6))
+        val cand = wide.crossJoin(broadcast(qids))
           .filter(col("qid") =!= col("nid"))
-          .withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") <= 5)
-          .select(col("qid"), col("rnk").cast("long").as("rnk"), col("nid"), col("adist"))
-          .orderBy(col("qid"), col("rnk"))
+        adcRank(s, cand, dts)
       },
-      Some(pqAdcSql))
+      Some(pqAdcSql)),
+
+    // ── q88: IVF_PQ — the composition FAISS defaults to and Milvus ships
+    //   as its scale index (Jégou TPAMI'11 §V.B "IVFADC"): the q67 coarse
+    //   quantizer narrows the search to nprobe probed cells, and within
+    //   them candidates are scored by q86's PQ distance-table lookups
+    //   instead of full vectors. Both trainings reuse the exact q67/q86
+    //   recipes (quantize→Lloyd's→6dp-argmin), so the oracle is the two
+    //   CTE chains composed; PQ here encodes RAW quantized vectors
+    //   (FAISS by_residual=false) because residuals v−centroid are not
+    //   integer-valued, so their sums would not be cross-engine exact —
+    //   the residual-encoding variant (FAISS's default) is the engine
+    //   API, Collection.buildIvfPq/searchIvfPq, recall-pinned in
+    //   IvfKMeansSpec. 100 TB shape: candidates shrink by ~nprobe/nlist
+    //   AND the scan reads 4-byte codes instead of vectors — the scan
+    //   set compresses 16× and never shuffles; centroid + code tables
+    //   broadcast. ──
+    QueryDef("q88_ivfpq",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val (q, cents) = trainedKMeans(s, dir)
+        val members = graft.vector.IvfKMeans.assignCells(q, "qv", cents, KmScale)
+          .select(col("vec_id").as("nid"), col("cell"))
+        val centDf = cents.toDF("cell", "cv")
+        val queries = q.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("qv"))
+        val wq = Window.partitionBy(col("qid")).orderBy(col("cdist").asc, col("cell").asc)
+        val probed = queries.join(broadcast(centDf), lit(true))
+          .withColumn("cdist", round(
+            aggregate(zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
+              lit(0.0), (acc, t) => acc + t) / lit(KmScale), 6))
+          .withColumn("crnk", row_number().over(wq))
+          .filter(col("crnk") <= 2)
+          .select(col("qid"), col("cell"))
+        val (wide, dts) = pqTrained(s, q)
+        val cand = probed.join(members, Seq("cell"))
+          .filter(col("qid") =!= col("nid"))
+          .select(col("qid"), col("nid"))
+        adcRank(s, cand.join(wide, Seq("nid")), dts)
+      },
+      Some(ivfPqSql(KmK, KmRounds)))
   )
+
+  /** PQ subspace training shared by q86 and q88: trains the PqM
+    * codebooks CONCURRENTLY from the driver (independent Spark jobs; the
+    * caller localCheckpoints `q` so they share one materialization) and
+    * returns (`wide`: nid, code0..code{M-1}; per-subspace ADC distance
+    * tables for query ids < 10: qid, codeM, dM). */
+  private def pqTrained(s: SparkSession, q: DataFrame): (DataFrame, Seq[DataFrame]) = {
+    import s.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val (subs, dts) = Await.result(Future.traverse((0 until PqM).toList) { m => Future {
+      val sub = q.select(col("vec_id"), expr(s"slice(qv, ${m * PqSubDim + 1}, $PqSubDim)").as("sv"))
+      val cb = graft.vector.IvfKMeans.trainCents(sub, "vec_id", "sv", PqK, PqRounds, KmScale)
+      val codes = graft.vector.IvfKMeans.assignCells(sub, "sv", cb, KmScale)
+        .select(col("vec_id"), col("cell").as(s"code$m"))
+      val dt = sub.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("sv"))
+        .join(broadcast(cb.toDF(s"code$m", "cv")), lit(true))
+        .withColumn(s"d$m", round(
+          aggregate(zip_with(col("sv").cast("array<double>"), col("cv"),
+            (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, t) => acc + t) / lit(KmScale), 6))
+        .select(col("qid"), col(s"code$m"), col(s"d$m"))
+      (codes, dt)
+    } }, Duration.Inf).unzip
+    val wide = subs.reduce((a, b) => a.join(b, Seq("vec_id")))
+      .withColumnRenamed("vec_id", "nid")
+    (wide, dts)
+  }
+
+  /** The shared ADC tail: join each subspace's broadcast distance table
+    * in FIXED order, sum d0..d3 in fixed order (bit-identical with the
+    * oracle), rank ascending with nid tiebreak, top-5 per query.
+    * `withCodes` must carry (qid, nid, code0..code{M-1}). */
+  private def adcRank(s: SparkSession, withCodes: DataFrame,
+                      dts: Seq[DataFrame]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val looked = (0 until PqM).foldLeft(withCodes) {
+      (acc, m) => acc.join(broadcast(dts(m)), Seq("qid", s"code$m"))
+    }
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("nid").asc)
+    looked
+      .withColumn("adist", round(col("d0") + col("d1") + col("d2") + col("d3"), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("rnk").cast("long").as("rnk"), col("nid"), col("adist"))
+      .orderBy(col("qid"), col("rnk"))
+  }
 
   /** Shared by q67/q73: ×1e6 round-half-up quantized embeddings +
     * centroids after KmRounds Lloyd's rounds of `IvfKMeans.trainCents`

@@ -344,6 +344,11 @@ class Collection private (
           writeMarker(s"$tmp/_ivf_drift",
             (prior + moved + (nNew - matched)).toString)
         }
+        // the coarse quantizer survives an upsert but a PQ codes sidecar
+        // does not (row membership changed): invalidate it so searchIvfPq
+        // refuses loudly instead of serving stale codes
+        val pqStamp = new java.io.File(s"$path.__pq/_build_id")
+        if (pqStamp.exists) { pqStamp.delete(); () }
       } finally rmTree(new java.io.File(stage))
       (replaced, nNew - matched, moved)
     } finally { batch.unpersist(); () }
@@ -400,6 +405,138 @@ class Collection private (
     require(new java.io.File(modelTmp).renameTo(live),
       "buildIvf: could not install quantizer")
     model
+  }
+
+  /** IVF_PQ index build — the composition FAISS defaults to ("IVFADC",
+    * Jégou et al. TPAMI 2011 §V.B) and Milvus ships as its scale index:
+    * `buildIvf` trains the coarse quantizer and rewrites the collection
+    * cell-partitioned, then M subspace codebooks are trained over the
+    * RESIDUALS v − centroid(cell) (FAISS by_residual=true; residuals
+    * concentrate around 0 so the codebooks spend their k codes on the
+    * within-cell detail) and every row's M codes land in a `.__pqcodes`
+    * sidecar partitioned by the same cell key. The M trainings run
+    * concurrently from the driver over one persisted residual frame.
+    * Codebooks + codes are stamped with the coarse model's content id —
+    * `searchIvfPq` refuses a codes/quantizer mismatch loudly. At scale:
+    * codes are M small ints per row (~M bytes once dictionary-encoded)
+    * vs dim floats — a 16× scan-set compression; training shuffles are
+    * O(centroid table) per round like buildIvf.
+    */
+  def buildIvfPq(nlist: Int, m: Int = 4, pqK: Int = 16,
+                 rounds: Int = 3, pqRounds: Int = 2): graft.vector.IvfKMeans.Model = {
+    val model = buildIvf(nlist, rounds)
+    val dim = model.centroids.headOption.map(_.length).getOrElse(0)
+    require(dim > 0 && dim % m == 0, s"buildIvfPq: dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    import spark.implicits._
+    val centDf = model.cells.zip(model.centroids.map(_.toSeq)).toSeq.toDF("cell", "__cv")
+    val resid = df.select(col("id"), col("cell").cast("long").as("cell"), col("vector"))
+      .join(broadcast(centDf), Seq("cell"))
+      .withColumn("__r", zip_with(col("vector").cast("array<double>"), col("__cv"),
+        (x, y) => x - y))
+      .select(col("id"), col("cell"), col("__r"))
+      .persist() // M subspace trainings share one materialization
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val codeDfs = Await.result(Future.traverse((0 until m).toList) { i => Future {
+        val sub = resid.select(col("id"), col("cell").as("__c"),
+          expr(s"slice(__r, ${i * subDim + 1}, $subDim)").as("sv"))
+        val cb = graft.vector.IvfKMeans.trainCents(sub, "id", "sv", pqK, pqRounds)
+        // codes re-keyed to dense 0..k-1 (trainCents keys by seed id)
+        val cb0 = cb.zipWithIndex.map { case ((_, v), j) => (j.toLong, v) }
+        val codes = graft.vector.IvfKMeans.assignCells(sub, "sv", cb0, 1.0)
+          .select(col("id"), col("__c"), col("cell").cast("int").as(s"code$i"))
+        (cb0, codes)
+      } }, Duration.Inf)
+      val wide = codeDfs.map(_._2).reduce((a, b) => a.join(b, Seq("id", "__c")))
+        .select(col("id"), col("__c").as("cell"),
+          array((0 until m).map(i => col(s"code$i")): _*).as("codes"))
+      val cbRows = codeDfs.map(_._1).zipWithIndex.flatMap { case (cb, sub) =>
+        cb.map { case (code, v) => (sub, code, v) }
+      }
+      // install codes + codebooks staged-then-renamed, both stamped with
+      // the coarse build id (same crash discipline as buildIvf's model dir)
+      val codesTmp = s"$path.__pqcodes.__new"
+      val pqTmp = s"$path.__pq.__new"
+      rmTree(new java.io.File(codesTmp)); rmTree(new java.io.File(pqTmp))
+      wide.write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(codesTmp)
+      writeMarker(s"$codesTmp/_build_id", model.contentId)
+      cbRows.toDF("sub", "code", "cv").coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(pqTmp)
+      writeMarker(s"$pqTmp/_build_id", model.contentId)
+      writeMarker(s"$pqTmp/_meta", s"$m $pqK $subDim")
+      for ((tmp, live) <- Seq(codesTmp -> s"$path.__pqcodes", pqTmp -> s"$path.__pq")) {
+        val liveF = new java.io.File(live)
+        rmTree(liveF)
+        require(new java.io.File(tmp).renameTo(liveF),
+          s"buildIvfPq: could not install $live")
+      }
+      model
+    } finally { resid.unpersist(); () }
+  }
+
+  /** ANN search over a buildIvfPq'd collection: probe the nprobe nearest
+    * cells (coarse centroids, driver-side — tiny by construction), build
+    * the per-cell ADC distance tables there (nprobe × M × k doubles:
+    * residual query vs each codebook entry), then scan ONLY the probed
+    * cells of the CODES sidecar — directory-pruned like searchIvf, but
+    * reading M-byte codes instead of full vectors — and score each row
+    * by M table lookups summed in fixed subspace order. Plans as scan →
+    * project → TakeOrdered: no shuffle, no vector reads. Returns
+    * (id, cell, adist) with adist = approximate squared L2 distance,
+    * ascending.
+    */
+  def searchIvfPq(queryVec: Array[Double], k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val model = loadIvfModel()
+    val pqDir = s"$path.__pq"
+    val buildId = readMarker(s"$pqDir/_build_id")
+    require(buildId.contains(model.contentId),
+      s"searchIvfPq: PQ index for $name was built for quantizer " +
+        s"${buildId.getOrElse("(missing)")} but the live coarse model is " +
+        s"${model.contentId} — re-run buildIvfPq")
+    // codes reference rows by id: a rewrite since the build (delete/
+    // compact/upsert drop the _ivf_build stamp) would leave removed ids
+    // resurfacing from the sidecar — refuse rather than answer stale
+    require(readMarker(s"$dataDir/_ivf_build").contains(model.contentId),
+      s"searchIvfPq: $name was rewritten since buildIvfPq — the codes " +
+        "sidecar no longer describes the data; re-run buildIvfPq")
+    val Array(m, pqK, subDim) =
+      readMarker(s"$pqDir/_meta").get.split(" ").map(_.toInt)
+    require(queryVec.length == m * subDim,
+      s"searchIvfPq: query dim ${queryVec.length} != ${m * subDim}")
+    val cbs = spark.read.parquet(pqDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2).toArray).toMap
+    val cells = model.probe(queryVec, nprobe)
+    val centByCell = model.cells.zip(model.centroids).toMap
+    // per probed cell: flatten the M×k table as [sub*k + code] → distance
+    val tables: Map[Long, Seq[Double]] = cells.map { c =>
+      val cent = centByCell(c)
+      val rq = Array.tabulate(queryVec.length)(i => queryVec(i) - cent(i))
+      c -> (for (s <- 0 until m; code <- 0 until pqK) yield {
+        val cv = cbs((s, code.toLong))
+        var d = 0.0; var i = 0
+        while (i < subDim) { val t = rq(s * subDim + i) - cv(i); d += t * t; i += 1 }
+        d
+      })
+    }.toMap
+    val codes = spark.read.parquet(s"$path.__pqcodes")
+    val cellIn: Column = codes.schema("cell").dataType match {
+      case IntegerType => col("cell").isin(cells.map(_.toInt): _*)
+      case LongType    => col("cell").isin(cells: _*)
+      case _           => col("cell").isin(cells.map(_.toString): _*)
+    }
+    val tbl = element_at(typedLit(tables), col("cell").cast("long"))
+    val adist = (0 until m).map(s =>
+        element_at(col("__tbl"), lit(s * pqK + 1) + element_at(col("codes"), s + 1)))
+      .reduce(_ + _)
+    codes.filter(cellIn)
+      .withColumn("__tbl", tbl)
+      .withColumn("adist", adist)
+      .select(col("id"), col("cell").cast("long").as("cell"), col("adist"))
+      .orderBy(col("adist").asc, col("id").asc)
+      .limit(k)
   }
 
   private def writeMarker(file: String, content: String): Unit =

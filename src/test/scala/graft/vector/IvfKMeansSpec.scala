@@ -227,6 +227,62 @@ class IvfKMeansSpec extends SparkSpec {
     assert(mean >= 0.4, s"recall collapsed: $mean")
   }
 
+  test("buildIvfPq + searchIvfPq: ADC recall bounded vs exact L2 top-k; codes-only pruned scan; stale index refused") {
+    Collection.drop(root, "civfpq")
+    val c = Collection.create(spark, root, "civfpq", 64, overwrite = true)
+    c.insert(spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vector"),
+        col("label").cast("string").as("text")))
+    c.buildIvfPq(nlist = 8, m = 4, pqK = 16, rounds = 2, pqRounds = 2)
+
+    val queries = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 10).select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    // recall@5 of the ADC ranking vs exact L2 (the metric PQ approximates),
+    // self excluded. Context for the bound (same framing as the q86 flat-PQ
+    // tripwire): this corpus is IID random — PQ's documented WORST case —
+    // where flat PQ measures 0.26; composing the nprobe=4/8 coarse filter
+    // multiplies in its own ~0.8 overlap, measured 0.20 here. Chance is
+    // top-5 of ~250 probed candidates ≈ 0.02, and a broken codebook /
+    // residual / table path measures at or near that — the tripwire
+    // detects COLLAPSE, not quality (real low-intrinsic-dim corpora are
+    // where IVF_PQ earns its keep; exact arithmetic is gate-pinned by q88).
+    val recalls = queries.map { case (qid, qv) =>
+      val exact = c.df.filter(col("id") =!= qid)
+        .withColumn("d", aggregate(
+          zip_with(col("vector").cast("array<double>"), typedLit(qv.toSeq),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, t) => acc + t))
+        .orderBy(col("d").asc, col("id").asc).limit(5)
+        .select("id").as[Long].collect().toSet
+      val pq = c.searchIvfPq(qv, k = 6, nprobe = 4)
+        .filter(col("id") =!= qid)
+        .select("id").as[Long].collect().take(5).toSet
+      exact.intersect(pq).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.length
+    info(f"IVF_PQ ADC recall@5 (nprobe=4/8, m=4 k=16 residual codebooks, " +
+      f"IID-random corpus) = $mean%.2f (chance ≈ 0.02)")
+    assert(mean >= 0.12, s"IVF_PQ recall collapsed toward chance: $mean")
+
+    // the ADC scan prunes to probed cells AND reads only the codes
+    // sidecar — no vector column anywhere in the plan
+    val plan = c.searchIvfPq(queries.head._2, k = 5, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("cell"), plan)
+    assert(!plan.contains("vector"), "ADC scan must not read vectors")
+
+    // an upsert changes row membership: the codes sidecar is invalidated
+    // and search refuses loudly instead of serving stale codes
+    val one = Seq((9999L, queries.head._2.toSeq, "late row")).toDF("id", "vector", "text")
+    c.upsertIvf(one)
+    val e = intercept[IllegalArgumentException](c.searchIvfPq(queries.head._2, 5, 2))
+    assert(e.getMessage.contains("buildIvfPq"))
+    // rebuild restores search and indexes the new row
+    c.buildIvfPq(nlist = 8, m = 4, pqK = 16, rounds = 2, pqRounds = 2)
+    assert(c.searchIvfPq(queries.head._2, k = 600, nprobe = 8).count() === 501)
+  }
+
   test("searchIvfBatch: one plan, per-query ranks agree with single-query searchIvf") {
     Collection.drop(root, "civfb")
     val c = Collection.create(spark, root, "civfb", dim, overwrite = true)
