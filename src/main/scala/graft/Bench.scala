@@ -1,6 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Contention canary: a fixed-size in-memory aggregation — no IO, no
+    * data dependence, constant work — timed before and after the suite.
+    * The two numbers measure the BOX, not the engine: on an idle machine
+    * they agree within noise, so canary_after/canary_before ≳ 1.3 means
+    * an external load grew underneath the run and the suite's timings
+    * carry contention drift (the r3/r4 phantom-regression signature,
+    * SCALE.md:75-115). Min-of-2 so a single scheduler hiccup doesn't
+    * false-flag; one untimed warmup so codegen/JIT isn't billed to it. */
+  private def canary(spark: SparkSession): Double = {
+    def run(): Double = {
+      val t0 = System.nanoTime()
+      // bit_xor, not sum: a 20M-term long sum overflows under ANSI
+      spark.range(0L, 20000000L, 1L, 32)
+        .selectExpr("bit_xor(id * 2654435761) AS s").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    math.min(run(), run())
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to every core: an unset env must not quietly run local[4]
@@ -28,6 +47,8 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val selected = SparkEntry.benchQueries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+    canary(spark); canary(spark) // untimed warmups (codegen + JIT settle)
+    val canaryBefore = canary(spark)
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
@@ -46,10 +67,11 @@ object Bench {
       // all-reps-failed → an unmissable sentinel in the profile
       name -> (if (times.nonEmpty) times.min else 9999.0)
     }
+    val canaryAfter = canary(spark)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"canary_before":$canaryBefore,"canary_after":$canaryAfter,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
