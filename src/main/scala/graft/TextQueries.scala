@@ -903,6 +903,96 @@ object TextQueries {
         SELECT lang, count(*) AS n_before,
                CAST(sum(CASE WHEN rn <= target THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
                CAST(sum(CASE WHEN rn <= target THEN h % 2147483647 ELSE 0 END) AS BIGINT) AS kept_fp
-        FROM r GROUP BY lang ORDER BY lang"""))
+        FROM r GROUP BY lang ORDER BY lang""")),
+
+    // ── q87: BM25 ranked retrieval (Robertson/Spärck Jones; the Lucene
+    //   idf variant ln(1 + (N−df+0.5)/(df+0.5)), k1=1.2 b=0.75) — the
+    //   lexical half of hybrid retrieval (RagPipeline.retrieveHybrid
+    //   fuses it with cosine by RRF). Same inverted-index shape as q54
+    //   with the length normalization BM25 adds. Cross-engine
+    //   determinism: every per-term score is computed by the IDENTICAL
+    //   op sequence in both engines, rounded to 6dp, then lifted to an
+    //   exact integer (×1e6 round-half-up) so the per-document SUM is
+    //   order-independent (integer-valued doubles are exact below 2^53 —
+    //   the q67 argument); ranking is on that exact integer with doc_id
+    //   tiebreak. 100 TB shape: the corpus explodes to (doc, term) once,
+    //   immediately semi-joined against the broadcast query-term set —
+    //   df/tf aggregations and the final per-query sum are the only wide
+    //   edges, all on pre-shrunk data; queries never shuffle the corpus. ──
+    QueryDef("q87_bm25",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val toks = docs(s, dir)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+          .withColumn("dl", size(col("toks")).cast("double"))
+        val st = toks.agg(count(lit(1)).cast("double").as("n"),
+          (sum(col("dl")) / count(lit(1))).as("avgdl")).head()
+        val (n, avgdl) = (st.getDouble(0), st.getDouble(1))
+        val qrows = Seq(
+          (0L, "spark window join"), (1L, "vector hash group"),
+          (2L, "customer order value"), (3L, "stream batch filter"),
+          (4L, "scan slow table")).toDF("qid", "qtext")
+        val qterms = qrows
+          .select(col("qid"), explode(TextOps.tokens(col("qtext"))).as("term"))
+          .distinct()
+        val tf = toks
+          .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+          .groupBy(col("doc_id"), col("dl"), col("term"))
+          .agg(count(lit(1)).cast("double").as("tf"))
+          .join(broadcast(qterms.select("term").distinct()), Seq("term"), "left_semi")
+        val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+        val scored = tf
+          .join(broadcast(dfreq), Seq("term"))
+          .join(broadcast(qterms), Seq("term"))
+          .withColumn("sterm", floor(round(
+            log((lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+              (col("tf") * lit(2.2) /
+                (col("tf") + lit(1.2) *
+                  (lit(1.0) - lit(0.75) + lit(0.75) * (col("dl") / lit(avgdl))))),
+            6) * lit(1e6) + lit(0.5)).cast("long"))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("s_int").desc, col("doc_id").asc)
+        scored.groupBy(col("qid"), col("doc_id"))
+          .agg(sum(col("sterm")).as("s_int"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 5)
+          .withColumn("score", round(col("s_int") / lit(1e6), 6))
+          .select(col("qid"), col("rnk"), col("doc_id"), col("score"))
+          .orderBy(col("qid"), col("rnk"))
+      },
+      Some(s"""
+        WITH qr AS (SELECT * FROM (VALUES
+            (0, 'spark window join'), (1, 'vector hash group'),
+            (2, 'customer order value'), (3, 'stream batch filter'),
+            (4, 'scan slow table')) AS v(qid, qtext)),
+        qt AS (SELECT DISTINCT qid, unnest(${TextOps.tokensSql("qtext")}) AS term FROM qr),
+        tk AS (SELECT doc_id, ${TextOps.tokensSql("text")} AS toks FROM documents),
+        stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                         CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl FROM tk),
+        dls AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+                       unnest(toks) AS term FROM tk),
+        tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+               FROM dls GROUP BY doc_id, dl, term
+               HAVING term IN (SELECT term FROM qt)),
+        dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+        scored AS (
+          SELECT q.qid AS qid, t.doc_id AS doc_id,
+                 CAST(floor(round(
+                   ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0) *
+                     (t.tf * 2.2 /
+                       (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * (t.dl / s.avgdl)))),
+                   6) * 1000000.0 + 0.5) AS BIGINT) AS sterm
+          FROM tf t JOIN dfreq d USING (term) JOIN qt q USING (term)
+          CROSS JOIN stats s),
+        agg AS (SELECT qid, doc_id, CAST(sum(sterm) AS BIGINT) AS s_int
+                FROM scored GROUP BY qid, doc_id),
+        ranked AS (SELECT qid, doc_id, s_int,
+                          row_number() OVER (PARTITION BY qid
+                            ORDER BY s_int DESC, doc_id ASC) AS rnk
+                   FROM agg)
+        SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS BIGINT) AS rnk,
+               doc_id, round(s_int / 1000000.0, 6) AS score
+        FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk"""))
   )
 }

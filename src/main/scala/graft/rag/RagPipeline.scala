@@ -3,7 +3,7 @@ package graft.rag
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.{TextEmbed, VectorKernels}
+import graft.functions.{TextEmbed, TextOps, VectorKernels}
 
 /** Batch RAG pipeline (SURVEY.md §3.1 / §3.3), vectorized.
   *
@@ -34,6 +34,70 @@ object RagPipeline {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .drop("rnk_tiebreak", "qv")
+  }
+
+  /** Per-question BM25 top-k over the collection's text column — the
+    * lexical retriever `retrieveHybrid` fuses with cosine. Same
+    * inverted-index arithmetic as the oracle-checked q87_bm25 (Lucene
+    * idf ln(1+(N−df+0.5)/(df+0.5)), k1=1.2, b=0.75). Emits (qid, id,
+    * rnk). Scale shape: the corpus explodes to (id, term) once and is
+    * immediately semi-joined against the broadcast question-term set, so
+    * the only wide edges carry pre-shrunk data.
+    */
+  def bm25All(questions: DataFrame, collection: DataFrame, k: Int): DataFrame = {
+    val toks = collection.select(col("id"), TextOps.tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val st = toks.agg(count(lit(1)).cast("double").as("n"),
+      (sum(col("dl")) / count(lit(1))).as("avgdl")).head()
+    val (n, avgdl) = (st.getDouble(0), st.getDouble(1))
+    val qterms = questions
+      .select(col("qid"), explode(TextOps.tokens(col("question"))).as("term"))
+      .distinct()
+    val tf = toks.select(col("id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"), "left_semi")
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("bm_score").desc, col("id").asc)
+    tf.join(broadcast(dfreq), Seq("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .withColumn("s",
+        log((lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(2.2) /
+            (col("tf") + lit(1.2) *
+              (lit(1.0) - lit(0.75) + lit(0.75) * (col("dl") / lit(avgdl))))))
+      .groupBy(col("qid"), col("id")).agg(sum(col("s")).as("bm_score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("id"), col("rnk"))
+  }
+
+  /** Hybrid retrieval: cosine top-k and BM25 top-k fused by reciprocal
+    * rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009:
+    * rrf(d) = Σ_r 1/(C + rank_r(d)), C = 60). RRF needs no score
+    * calibration between the two retrievers — only ranks — which is why
+    * it is the standard fusion for lexical+dense hybrids. Emits the same
+    * shape as retrieveAll (collection columns + qid/question/score/rnk)
+    * so answerBatch is retriever-agnostic. Both candidate pools are the
+    * caller's k: at 100 TB each pool is a TakeOrdered-style top-k, never
+    * a full ranking, and fusion joins |questions|·k-row frames.
+    */
+  def retrieveHybrid(questions: DataFrame, collection: DataFrame, k: Int,
+                     rrfC: Int = 60): DataFrame = {
+    val cos = retrieveAll(questions, collection, k)
+      .select(col("qid"), col("id"), col("rnk").as("cos_rnk"))
+    val bm = bm25All(questions.select(col("qid"), col("question")), collection, k)
+      .select(col("qid"), col("id"), col("rnk").as("bm_rnk"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id").asc)
+    val fused = cos.join(bm, Seq("qid", "id"), "full_outer")
+      .withColumn("score",
+        coalesce(lit(1.0) / (lit(rrfC) + col("cos_rnk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfC) + col("bm_rnk")), lit(0.0)))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("id"), col("score"), col("rnk"))
+    fused.join(collection, Seq("id"))
+      .join(broadcast(questions.drop("qv")), Seq("qid"))
   }
 
   /** The external-service boundary: appends `out` = f(client, row) via
@@ -70,7 +134,7 @@ object RagPipeline {
       llm: LlmClient = ExtractiveLlm): DataFrame = {
     import org.apache.spark.sql.types.StringType
     val q = TextEmbed.withEmbed(questions, "question", "qv", dim)
-    val hits = retrieveAll(q, collection, k)
+    val hits = retrieveHybrid(q, collection, k)
     val gathered = hits
       .groupBy(col("qid"), col("question"))
       .agg(sort_array(collect_list(struct(col("rnk"), col("id"), col("text")))).as("hits"))

@@ -66,10 +66,13 @@ class EndToEndSpec extends SparkSpec {
     val answered = grades.getLong(1)
     info(s"mean grade = $mean, answered = $answered/55 (reference: 0.216, 9/55 non-fallback)")
     // the reference's k=1 + weak chunking scored 0.216 with 46/55 fallbacks;
-    // our pinned run scores 0.444 answering 55/55 — assert a tight floor
-    // (>= 0.40) so a retrieval- or extraction-quality regression trips
-    // NUMERICALLY, not just on row counts (VERDICT r3 #7)
+    // cosine-only retrieval scored 0.444; BM25+RRF hybrid retrieval
+    // (retrieveHybrid) pins 0.4515 answering 55/55 — assert a tight floor
+    // (>= 0.44) so a retrieval- or extraction-quality regression trips
+    // NUMERICALLY, not just on row counts (VERDICT r3 #7 / r4 #3).
+    // Measured and rejected while tuning: fusion pools of 2k (0.4493),
+    // rrfC=10 (no change vs 60).
     assert(answered === 55L)
-    assert(mean >= 0.40, f"quality regression: mean grade $mean%.3f < 0.40 (pinned run: 0.444)")
+    assert(mean >= 0.44, f"quality regression: mean grade $mean%.3f < 0.44 (pinned run: 0.4515)")
   }
 }
