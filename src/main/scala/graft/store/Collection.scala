@@ -271,11 +271,16 @@ class Collection private (
     * `moved` counts replaced ids whose updated vector landed in a
     * different cell — per-call reassignment drift. The cumulative
     * drifted-row count persists in `_ivf_drift`; when `ivfDrift` grows
-    * past ~0.2-0.3 the centroids no longer describe the data and the
-    * caller should retrain (`buildIvf`, which resets the counter by
-    * rewriting the directory).
+    * past ~0.2-0.3 the centroids no longer describe the data and recall
+    * silently degrades. `maxDrift` makes that policy self-enforcing:
+    * when the cumulative drift fraction crosses it, the commit is
+    * followed by an automatic `buildIvf` retrain with the original build
+    * parameters (persisted in the model dir), which re-learns centroids
+    * and resets the counter — repeated ingestion can't silently degrade
+    * recall. The default (infinity) keeps retraining caller-driven.
     */
-  def upsertIvf(rows: DataFrame): (Long, Long, Long) = {
+  def upsertIvf(rows: DataFrame,
+                maxDrift: Double = Double.PositiveInfinity): (Long, Long, Long) = {
     requireNotStreamManaged("upsertIvf")
     require(df.columns.contains("cell"),
       s"upsertIvf: $name is not cell-partitioned — buildIvf first")
@@ -350,6 +355,14 @@ class Collection private (
         val pqStamp = new java.io.File(s"$path.__pq/_build_id")
         if (pqStamp.exists) { pqStamp.delete(); () }
       } finally rmTree(new java.io.File(stage))
+      if (ivfDrift > maxDrift) {
+        val (nl, rd) = readMarker(s"$path.__ivf/_build_params")
+          .map(_.split(" "))
+          .map(a => (a(0).toInt, a(1).toInt))
+          .getOrElse((model.cells.length, 3))
+        buildIvf(nl, rd)
+        ()
+      }
       (replaced, nNew - matched, moved)
     } finally { batch.unpersist(); () }
   }
@@ -392,6 +405,9 @@ class Collection private (
     rmTree(new java.io.File(modelTmp))
     model.save(spark, modelTmp)
     writeMarker(s"$modelTmp/_build_id", buildId)
+    // build params ride with the model so upsertIvf's auto-retrain
+    // (maxDrift) can rebuild with the same configuration
+    writeMarker(s"$modelTmp/_build_params", s"$nlist $rounds")
     rewriteSwap("buildIvf") { tmp =>
       graft.vector.IvfKMeans.assignCells(
           Collection.conformVector(df), "vector",

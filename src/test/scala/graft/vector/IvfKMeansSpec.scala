@@ -227,6 +227,45 @@ class IvfKMeansSpec extends SparkSpec {
     assert(mean >= 0.4, s"recall collapsed: $mean")
   }
 
+  test("upsertIvf maxDrift: crossing the threshold auto-retrains with the original params and recall recovers") {
+    Collection.drop(root, "cdrift")
+    val c = Collection.create(spark, root, "cdrift", dim, overwrite = true)
+    c.insert(clustered.withColumn("text", concat(lit("doc "), col("id"))))
+    c.buildIvf(nlist = 3, rounds = 3)
+    def stamp = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/cdrift.__ivf/_build_id")), "UTF-8")
+    val stamp0 = stamp
+
+    // below the threshold: one moved row over 30 (3.3%) — no retrain
+    val mk = (d: Int) => { val v = Array.fill(dim)(0.0); v(d) = 10.0; v.toSeq }
+    c.upsertIvf(Seq((0L, mk(1), "doc 0 moved")).toDF("id", "vector", "text"),
+      maxDrift = 0.2)
+    assert(stamp === stamp0, "retrain must not fire below maxDrift")
+    assert(c.ivfDrift > 0.0)
+
+    // now REPLACE a third of the corpus (all of cluster 2) with vectors
+    // forming a genuinely NEW cluster: dominant on dim 5 (which no
+    // centroid describes) with a small dim-0 component that makes cell 0
+    // their nearest OLD centroid — so all 10 MOVE cells, drift reaches
+    // 11/30 > 0.2, and the retrain fires with the persisted (3, 3) params
+    val nv = { val v = Array.fill(dim)(0.0); v(5) = 10.0; v(0) = 2.0; v.toSeq }
+    val newCluster = (2L until 30L by 3L).map(i => (i, nv, s"doc $i re-homed"))
+      .toDF("id", "vector", "text")
+    c.upsertIvf(newCluster, maxDrift = 0.2)
+    assert(stamp !== stamp0, "retrain must fire past maxDrift")
+    assert(c.ivfDrift === 0.0, "retrain resets the drift counter")
+
+    // recall recovered: retraining re-seeds from the smallest ids (id 2
+    // is now a new-cluster member), so the learned centroids describe
+    // the new cluster and a pruned nprobe=1 probe at its center finds
+    // exactly its 10 members — the stale quantizer had them filed in
+    // cluster 0's cell, invisible to a pruned probe of their own region
+    val got = c.searchIvf(nv.toArray, k = 10, nprobe = 1)
+      .select("id").as[Long].collect().toSet
+    assert(got === (2L until 30L by 3L).toSet,
+      s"nprobe=1 after retrain missed the re-homed cluster: $got")
+  }
+
   test("buildIvfPq + searchIvfPq: ADC recall bounded vs exact L2 top-k; codes-only pruned scan; stale index refused") {
     Collection.drop(root, "civfpq")
     val c = Collection.create(spark, root, "civfpq", 64, overwrite = true)
