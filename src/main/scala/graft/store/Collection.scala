@@ -26,6 +26,10 @@ import graft.functions.{VectorKernels, VectorOps}
   */
 final case class CollectionInfo(name: String, rows: Long, dim: Int, metric: String)
 
+/** One retained snapshot version (see Collection.history). */
+final case class SnapshotInfo(version: Int, current: Boolean,
+                              sizeBytes: Long, modifiedMillis: Long)
+
 class Collection private (
     val spark: SparkSession,
     val root: String,
@@ -102,7 +106,7 @@ class Collection private (
         s"$op: could not install ${nextDir.getPath}")
       commitPointer(next)
       installed = true
-      vacuum(next)
+      autoVacuum(next)
     } finally {
       // a failed write or install must not accrete orphan building dirs
       if (!installed) rmTree(new java.io.File(tmp))
@@ -120,18 +124,69 @@ class Collection private (
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** Retain the immediately superseded snapshot (readers may be planned
-    * against it); drop everything older, including the legacy root-file
-    * layout once it is two commits behind. */
-  private def vacuum(committed: Int): Unit = {
+  /** How many snapshots each commit retains (the newest `retention`
+    * version dirs survive auto-vacuum). Default 2 = the committed
+    * snapshot plus the immediately superseded one (readers may be
+    * planned against it) — the original fixed horizon. Raise it with
+    * `setRetention` to keep history for `readVersion` time travel. */
+  def retention: Int = readMarker(s"$path/_retain").map(_.toInt).getOrElse(2)
+
+  /** Persist the auto-vacuum horizon: every subsequent commit keeps the
+    * newest `n` snapshots. `n = 1` keeps only the committed snapshot
+    * (concurrent readers of a superseded one may lose files mid-scan —
+    * only safe for single-reader workloads). */
+  def setRetention(n: Int): Unit = {
+    require(n >= 1, s"setRetention: need n >= 1, got $n")
+    writeMarker(s"$path/_retain", n.toString)
+  }
+
+  /** Drop snapshots older than the newest `keep`, including the legacy
+    * root-file layout once `keep` newer versions exist. Called by every
+    * commit with `keep = retention`; callable directly as
+    * `vacuum(keepLast = k)` to trim history immediately. */
+  private def autoVacuum(committed: Int, keep: Int = retention): Unit = {
     val dir = new java.io.File(path)
     Option(dir.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { f =>
       val n = f.getName
-      if (n.matches("v\\d+") && n.stripPrefix("v").toInt < committed - 1) rmTree(f)
-      // legacy v0 = loose files/cell dirs at the root: clear at v2+
-      else if (committed >= 2 && !n.matches("v\\d+") &&
+      if (n.matches("v\\d+") && n.stripPrefix("v").toInt <= committed - keep) rmTree(f)
+      // legacy v0 = loose files/cell dirs at the root: clear once `keep`
+      // real versions supersede it
+      else if (committed >= keep && !n.matches("v\\d+") &&
         !n.startsWith("_") && !n.startsWith(".")) rmTree(f)
     }
+  }
+
+  /** Trim snapshot history NOW to the newest `keepLast` versions (the
+    * live snapshot is always retained; `keepLast` is floored at 1).
+    * Unpinned only: versions newer than `current − keepLast` survive. */
+  def vacuum(keepLast: Int): Unit =
+    currentVersion.foreach(v => autoVacuum(v, math.max(1, keepLast)))
+
+  /** Time travel: the collection as of snapshot version `n` (must still
+    * be within the vacuum horizon). `history()` lists what is readable. */
+  def readVersion(n: Int): DataFrame = {
+    require(new java.io.File(s"$path/v$n").isDirectory,
+      s"readVersion: $name has no snapshot v$n on disk " +
+        s"(retained: ${history().map(_.version).mkString("v", ", v", "")}) — " +
+        "raise setRetention before committing if you need deeper history")
+    spark.read.parquet(s"$path/v$n")
+  }
+
+  /** The retained snapshot versions, oldest first: (version, isCurrent,
+    * totalBytes, lastModifiedMillis). */
+  def history(): Seq[SnapshotInfo] = {
+    val cur = currentVersion
+    def bytes(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).map(bytes).sum
+      else f.length()
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map { f =>
+        val v = f.getName.stripPrefix("v").toInt
+        SnapshotInfo(v, cur.contains(v), bytes(f), f.lastModified())
+      }
+      .sortBy(_.version).toSeq
   }
 
   def delete(filter: String): Long = {

@@ -215,6 +215,35 @@ class CollectionSpec extends SparkSpec {
     assert(vdirs.toSeq === Seq("v2", "v3"))
   }
 
+  test("time travel: readVersion reads snapshots within the retention horizon; vacuum(keepLast) trims unpinned history") {
+    Collection.drop(root, "ctt")
+    val c = Collection.create(spark, root, "ctt", TextEmbed.DefaultDim, overwrite = true)
+    c.setRetention(10) // keep history deep enough to travel back through
+    val rows = (0L until 30L).map(i => (i, s"doc number $i")).toDF("id", "text")
+    c.insert(TextEmbed.withEmbed(rows, "text", "vector").select("id", "vector", "text"))
+    c.delete("id >= 20") // v1: 20 rows
+    c.delete("id >= 10") // v2: 10 rows
+    assert(c.df.count() === 10)
+    // v1 is TWO commits old and still readable (default horizon would
+    // have vacuumed it — setRetention is what makes time travel real)
+    assert(c.readVersion(1).count() === 20)
+    assert(c.readVersion(2).count() === 10)
+    val h = c.history()
+    assert(h.map(_.version) === Seq(1, 2))
+    assert(h.filter(_.current).map(_.version) === Seq(2))
+    assert(h.forall(_.sizeBytes > 0))
+
+    c.delete("id >= 5") // v3: 5 rows
+    assert(c.readVersion(1).count() === 20)
+    // vacuum keeps only the live snapshot; older versions are gone and
+    // readVersion refuses with the retained list
+    c.vacuum(keepLast = 1)
+    assert(c.history().map(_.version) === Seq(3))
+    val e = intercept[IllegalArgumentException](c.readVersion(1))
+    assert(e.getMessage.contains("no snapshot"))
+    assert(c.df.count() === 5) // the live snapshot is never vacuumed
+  }
+
   test("delete leaves NULL-predicate rows alone (they are not matches)") {
     Collection.drop(root, "cnull")
     val c = Collection.create(spark, root, "cnull", TextEmbed.DefaultDim, overwrite = true)
