@@ -63,6 +63,19 @@ object StreamingIngest {
   private def streamSession(spark: SparkSession): SparkSession = {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", "4")
+    // After the data batch, Spark runs an extra NO-DATA micro-batch when
+    // the watermark advanced — it exists to flush watermark-gated
+    // emissions (append-mode windowed aggs), but every operator here
+    // emits in the data batch itself (complete-mode aggs; inner join and
+    // within-watermark dedup emit immediately), so that batch is a full
+    // round of state commits buying nothing. Disabling it halves the
+    // per-query commit count (measured: q50+q52+q53+q59 7.2→6.3 s at
+    // sf0.1; the rest of the time is state INSERT + source reads — see
+    // SCALE.md's streaming-floor note). On an UNBOUNDED pipeline keep it
+    // on if an append-mode agg must emit without waiting for the next
+    // data batch. Partition count: 2 was also measured and REGRESSED
+    // (6.8 s) — parallelism loss beats commit savings; 4 stays.
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     s2 // nanosAsLong is owned by eventStream, the only reader needing it
   }
 
