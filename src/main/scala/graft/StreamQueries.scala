@@ -299,6 +299,64 @@ object StreamQueries {
                bins.nf AS n_frames, bins.bin,
                round(COALESCE(cnt.c, 0)::DOUBLE / (bins.nf * bins.w * bins.h), 6) AS frac
         FROM bins LEFT JOIN cnt ON bins.doc_id = cnt.doc_id AND bins.bin = cnt.bin
+        ORDER BY bins.doc_id, bins.bin""")),
+
+    // ── q89: REAL JPEG decode through the multimodal pipeline — the
+    //   lossy-codec sibling of q79. Each doc derives a BLOCK-CONSTANT
+    //   grayscale image (all 64 pixels of 8×8 block b share value
+    //   (doc_id·29 + b·17) mod 256), encodes it as an actual baseline
+    //   JPEG (SimpleJpeg: FDCT, all-ones quant tables, Huffman entropy
+    //   coding), and Multimodal.decode parses it back with the fully
+    //   general SimpleJpeg decoder (any DHT, restart markers, 1/3
+    //   components). Block-constant input is what makes a LOSSY codec
+    //   oracle-expressible: only the DC coefficient survives and it is
+    //   integer-exact through the float DCT, so decode(encode(x)) = x
+    //   bit-exactly and the oracle can recompute the histogram from
+    //   first principles. A decoder that misparses a Huffman table,
+    //   drops a coefficient, or mis-crops hash-mismatches. ──
+    QueryDef("q89_jpeg_decode",
+      (s, dir) => {
+        val mkJpeg = udf { (docId: Long, w: Int, h: Int) =>
+          val bpr = w / 8
+          val px = Array.tabulate(w * h) { i =>
+            val b = (i / w / 8) * bpr + (i % w / 8)
+            ((docId * 29 + b * 17) % 256).toByte
+          }
+          graft.operators.SimpleJpeg.encode(
+            graft.operators.SimpleJpeg.Image(w, h, 1, px))
+        }
+        val media = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"),
+            ((lit(1) + col("doc_id") % 3) * 8).cast("int").as("w"),
+            ((lit(1) + col("doc_id") % 2) * 8).cast("int").as("h"))
+          .withColumn("payload", mkJpeg(col("doc_id"), col("w"), col("h")))
+          .withColumn("media_type", lit("image"))
+          .select("doc_id", "payload", "media_type")
+        Multimodal.decode(media, "payload", "media_type")
+          .select(col("doc_id"),
+            col("meta.width").cast("long").as("width"),
+            col("meta.height").cast("long").as("height"),
+            posexplode(col("features")))
+          .select(col("doc_id"), col("width"), col("height"),
+            col("pos").cast("long").as("bin"),
+            round(col("col"), 6).as("frac"))
+          .orderBy(col("doc_id"), col("bin"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id, (1 + doc_id % 3) * 8 AS w, (1 + doc_id % 2) * 8 AS h
+          FROM documents),
+        cnt AS (
+          SELECT p.doc_id, ((p.doc_id * 29 + t.b * 17) % 256) // 16 AS bin,
+                 64 * count(*) AS c
+          FROM p, unnest(range(0, (p.w // 8) * (p.h // 8))) AS t(b)
+          GROUP BY 1, 2),
+        bins AS (
+          SELECT p.doc_id, p.w, p.h, b.bin
+          FROM p, unnest(range(0, 16)) AS b(bin))
+        SELECT bins.doc_id, bins.w AS width, bins.h AS height, bins.bin,
+               round(COALESCE(cnt.c, 0)::DOUBLE / (bins.w * bins.h), 6) AS frac
+        FROM bins LEFT JOIN cnt ON bins.doc_id = cnt.doc_id AND bins.bin = cnt.bin
         ORDER BY bins.doc_id, bins.bin"""))
   )
 }

@@ -14,8 +14,10 @@ import org.apache.spark.sql.types._
   * pattern the Embedder uses.
   *
   * Image payloads carrying PNG magic decode FOR REAL via [[SimplePng]]
-  * (pure-JVM inflate + defilter): true width/height and a histogram over
-  * actual pixel bytes. Audio payloads carrying RIFF/WAVE magic decode
+  * (pure-JVM inflate + defilter), and JPEG magic via [[SimpleJpeg]]
+  * (pure-JVM baseline Huffman + dequant + IDCT + YCbCr): true
+  * width/height and a histogram over actual pixel bytes. Audio payloads
+  * carrying RIFF/WAVE magic decode
   * FOR REAL via [[SimpleWav]] (pure-JVM PCM parse): true sample rate /
   * channels / frame count and an amplitude histogram over actual decoded
   * samples. Video payloads carrying GIF magic decode FOR REAL via
@@ -66,6 +68,12 @@ object Multimodal {
       SimplePng.decode(payload) match {
         case Some(img) => return (Row(mediaType, img.width, img.height, 1), hist16(img.pixels))
         case None => () // corrupt/unsupported PNG: stub fallback below
+      }
+    }
+    if (mediaType == "image" && SimpleJpeg.isJpeg(payload)) {
+      SimpleJpeg.decode(payload) match {
+        case Some(img) => return (Row(mediaType, img.width, img.height, 1), hist16(img.pixels))
+        case None => () // progressive/subsampled/corrupt JPEG: stub fallback
       }
     }
     if (mediaType == "video" && SimpleGif.isGif(payload)) {

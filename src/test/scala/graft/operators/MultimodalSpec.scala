@@ -104,6 +104,62 @@ class MultimodalSpec extends SparkSpec {
     assert((img.width, img.height, img.pixels.toSeq) === ((2, 1, Seq[Byte](10, 20))))
   }
 
+  test("JPEG image payloads decode for REAL: exact block-constant roundtrip, bounded lossy error, stub fallback") {
+    // block-constant images roundtrip EXACTLY with the all-ones quant
+    // tables: only the DC coefficient survives and it is integer-exact
+    // through the float DCT (the q89 oracle leans on this)
+    val (w, h) = (24, 16)
+    val gray = Array.tabulate(w * h) { i =>
+      val (bx, by) = ((i % w) / 8, (i / w) / 8)
+      ((bx * 17 + by * 29 + 5) * 31 % 256).toByte
+    }
+    val jpg = SimpleJpeg.encode(SimpleJpeg.Image(w, h, 1, gray))
+    assert(SimpleJpeg.isJpeg(jpg))
+    val back = SimpleJpeg.decode(jpg).get
+    assert((back.width, back.height, back.channels) === ((w, h, 1)))
+    assert(back.pixels.toSeq === gray.toSeq)
+
+    // color: block-constant RGB also roundtrips exactly (YCbCr forward/
+    // inverse matrices compose to identity within rounding headroom)
+    val rgb = Array.tabulate(8 * 8 * 3)(i => ((i % 3) * 40 + 77).toByte)
+    val backC = SimpleJpeg.decode(SimpleJpeg.encode(SimpleJpeg.Image(8, 8, 3, rgb))).get
+    assert(backC.channels === 3)
+    assert(backC.pixels.toSeq === rgb.toSeq)
+
+    // arbitrary (non-block-constant) pixels: lossy but tightly bounded —
+    // q=1 leaves only DCT/rounding error; also proves non-multiple-of-8
+    // dims encode padded and decode cropped
+    val (w2, h2) = (13, 10)
+    val wild = Array.tabulate(w2 * h2)(i => ((i * 37 + 11) % 256).toByte)
+    val back2 = SimpleJpeg.decode(SimpleJpeg.encode(SimpleJpeg.Image(w2, h2, 1, wild))).get
+    assert((back2.width, back2.height) === ((w2, h2)))
+    val maxErr = wild.zip(back2.pixels).map { case (a, b) => math.abs((a & 0xFF) - (b & 0xFF)) }.max
+    assert(maxErr <= 1, s"q=1 JPEG roundtrip error $maxErr > 1")
+
+    // through the DataFrame operator: true dims + pixel histogram
+    val df = Seq((0L, jpg, "image")).toDF("id", "payload", "media_type")
+    val row = Multimodal.decode(df, "payload", "media_type").collect()(0)
+    val meta = row.getStruct(row.fieldIndex("meta"))
+    assert((meta.getInt(1), meta.getInt(2)) === ((w, h)))
+    val expected = {
+      val hist = new Array[Double](16)
+      gray.foreach(b => hist((b & 0xFF) / 16) += 1.0)
+      hist.map(_ / gray.length).toSeq
+    }
+    assert(row.getSeq[Double](row.fieldIndex("features")) === expected)
+
+    // unsupported shapes refuse instead of decoding garbage: progressive
+    // SOF2 and truncated streams take the stub path
+    val progressive = jpg.clone()
+    val sofAt = progressive.indices.find(i =>
+      (progressive(i) & 0xFF) == 0xFF && (progressive(i + 1) & 0xFF) == 0xC0).get
+    progressive(sofAt + 1) = 0xC2.toByte
+    assert(SimpleJpeg.decode(progressive).isEmpty)
+    assert(SimpleJpeg.decode(jpg.take(30)).isEmpty)
+    val corrupt = Seq((1L, jpg.take(30), "image")).toDF("id", "payload", "media_type")
+    assert(Multimodal.decode(corrupt, "payload", "media_type").count() === 1)
+  }
+
   test("WAV audio payloads decode for REAL: exact fmt fields and samples, chunk padding, ancillary skip") {
     // 16-bit stereo with a full-range sample sweep
     val samples = Array.tabulate(2 * 37)(i => ((i * 1789 + 17) % 65536) - 32768)
