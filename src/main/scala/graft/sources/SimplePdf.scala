@@ -26,12 +26,18 @@ import scala.collection.mutable
   * at it). Streams cannot nest inside an ObjStm, so spliced objects
   * are dict-only.
   *
-  * Out of scope (documented, falls back gracefully): font CMaps
-  * (/ToUnicode — bytes are read as PDFDocEncoding≈Latin-1, right for
-  * the ASCII diary corpus) and non-Flate filters (their streams
-  * extract empty). When no page tree resolves, every stream containing
-  * a BT text block becomes a page in document order, so
-  * partially-supported files degrade to "all text, approximate
+  * Also supported: /ToUnicode CMaps — each page's /Resources /Font
+  * objects are resolved, their ToUnicode streams parsed (bfchar,
+  * bfrange with increment and array forms, 1- and 2-byte codespaces,
+  * UTF-16BE destinations incl. surrogate pairs), and `Tf` switches the
+  * active map so shown strings decode to real Unicode. Fonts without a
+  * CMap keep the PDFDocEncoding≈Latin-1 reading (right for the ASCII
+  * diary corpus), and unmapped codes fall through as raw chars.
+  *
+  * Out of scope (documented, falls back gracefully): non-Flate filters
+  * (their streams extract empty). When no page tree resolves, every
+  * stream containing a BT text block becomes a page in document order,
+  * so partially-supported files degrade to "all text, approximate
   * pagination" instead of nothing.
   */
 object SimplePdfExtractor extends PdfExtractor {
@@ -262,12 +268,15 @@ object SimplePdfExtractor extends PdfExtractor {
     * the pre-CMap behavior). */
   private def fontCMaps(pageDict: String, objs: Map[Int, Obj]): Map[String, CMap] = {
     def sub(dict: String, key: String): String = {
-      val refs = refsIn(dict, key)
-      if (refs.nonEmpty) objs.get(refs.head).map(_.dict).getOrElse("")
-      else {
-        val at = dict.indexOf(key)
-        if (at < 0) "" else dict.substring(at + key.length)
-      }
+      val at = dict.indexOf(key)
+      if (at < 0) return ""
+      val after = dict.substring(at + key.length)
+      val trimmed = after.dropWhile(_.isWhitespace)
+      // an INLINE dict must be recognized before the ref fallback: refsIn
+      // would otherwise match the first "N 0 R" nested inside it (e.g.
+      // /Resources << /Font << /F1 5 0 R >> >> "resolving" to the font)
+      if (trimmed.startsWith("<<")) trimmed
+      else refsIn(dict, key).headOption.flatMap(objs.get).map(_.dict).getOrElse("")
     }
     val fontDict = sub(sub(pageDict, "/Resources"), "/Font")
     """/(\w+)\s+(\d+)\s+\d+\s+R""".r.findAllMatchIn(fontDict).flatMap { fm =>

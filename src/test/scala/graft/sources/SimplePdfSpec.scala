@@ -188,6 +188,65 @@ class SimplePdfSpec extends SparkSpec {
     assert(SimplePdfExtractor.extractPages(out.toByteArray) === Seq("direct wins"))
   }
 
+  test("/ToUnicode CMap decodes a 2-byte Type0 font to real Unicode; fonts without one stay Latin-1") {
+    // page 1 shows CID codes through a Type0 font whose ToUnicode CMap
+    // carries bfchar (incl. a surrogate-pair destination), an
+    // incrementing bfrange, and a 2-byte codespace; page 2 has no CMap
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |begincmap
+        |1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |2 beginbfchar
+        |<0041> <0416>
+        |<0042> <D83DDE00>
+        |endbfchar
+        |1 beginbfrange
+        |<0050> <0052> <0414>
+        |endbfrange
+        |endcmap
+        |end""".stripMargin
+    // codes: 0041(Ж via bfchar) 0050 0051 0052 (ДЕЖ via bfrange) 0042 (emoji)
+    val c1 = "BT /F1 12 Tf <00410050005100520042> Tj ET".getBytes("ISO-8859-1")
+    val c2 = "BT (plain latin) Tj ET".getBytes("ISO-8859-1")
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R 8 0 R] /Count 2 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> >> endobj\n")
+    w(s"4 0 obj << /Length ${c1.length} >> stream\n")
+    out.write(c1); w("\nendstream endobj\n")
+    w("5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /Fake-Identity-H " +
+      "/ToUnicode 6 0 R >> endobj\n")
+    w(s"6 0 obj << /Length ${cmap.length} >> stream\n")
+    w(cmap); w("\nendstream endobj\n")
+    w("8 0 obj << /Type /Page /Parent 2 0 R /Contents 9 0 R >> endobj\n")
+    w(s"9 0 obj << /Length ${c2.length} >> stream\n")
+    out.write(c2); w("\nendstream endobj\n")
+    w("trailer << /Root 1 0 R >>\n%%EOF\n")
+    val pages = SimplePdfExtractor.extractPages(out.toByteArray)
+    assert(pages.length === 2)
+    assert(pages(0) === "ЖДЕЖ😀") // ЖДЕЖ😀
+    assert(pages(1) === "plain latin") // no CMap → Latin-1 reading intact
+  }
+
+  test("parseCMap: 1-byte codespace, bfrange array destinations, unmapped fallthrough") {
+    val cm = SimplePdfExtractor.parseCMap(
+      """begincodespacerange <00> <FF> endcodespacerange
+        |2 beginbfchar <41> <00C4> <42> <00D6> endbfchar
+        |1 beginbfrange <50> <51> [<0391> <0392>] endbfrange""".stripMargin)
+    assert(cm.codeBytes === 1)
+    assert(cm.map(0x41) === "Ä" && cm.map(0x42) === "Ö")
+    assert(cm.map(0x50) === "Α" && cm.map(0x51) === "Β")
+    // unmapped code falls through as its raw char in textOfContent
+    val shown = SimplePdfExtractor.textOfContent(
+      "BT /F1 9 Tf (AZB) Tj ET", Map("F1" -> cm))
+    assert(shown === "ÄZÖ")
+  }
+
   test("PdfSource.pages drives the real extractor through the binaryFile scan") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("pdfsrc")
