@@ -379,8 +379,15 @@ class Collection private (
       val src = dataDir // capture: dataDir advances at the pointer flip
       val affectedNames = affected.map(c => s"cell=$c").toSet
       val prior = readMarker(s"$src/_ivf_drift").map(_.toLong).getOrElse(0L)
+      val pqStampPath = s"$path.__pq/_build_id"
+      val pqStamp = readMarker(pqStampPath)
       try {
         content.write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(stage)
+        // pessimistic PQ invalidation BEFORE the data commit: if anything
+        // between here and the end of code maintenance crashes,
+        // searchIvfPq refuses loudly instead of serving codes that no
+        // longer describe the rows
+        if (pqStamp.isDefined) { new java.io.File(pqStampPath).delete(); () }
         rewriteSwap("upsertIvf") { tmp =>
           val tmpDir = new java.io.File(tmp); tmpDir.mkdirs()
           // untouched cells ride along as hard links (no data rewrite)
@@ -404,11 +411,15 @@ class Collection private (
           writeMarker(s"$tmp/_ivf_drift",
             (prior + moved + (nNew - matched)).toString)
         }
-        // the coarse quantizer survives an upsert but a PQ codes sidecar
-        // does not (row membership changed): invalidate it so searchIvfPq
-        // refuses loudly instead of serving stale codes
-        val pqStamp = new java.io.File(s"$path.__pq/_build_id")
-        if (pqStamp.exists) { pqStamp.delete(); () }
+        // the quantizer AND the codebooks survive an upsert (neither
+        // depends on row membership), so a consistent PQ sidecar is
+        // MAINTAINED: re-encode just the batch with the existing
+        // codebooks and rewrite only the affected cells' code
+        // partitions, then restore the stamp. A sidecar stamped for a
+        // DIFFERENT quantizer was already unusable — its stamp stays
+        // deleted and searchIvfPq keeps refusing.
+        if (pqStamp.contains(model.contentId))
+          maintainPqCodes(model, batch, batchIds, affected)
       } finally rmTree(new java.io.File(stage))
       if (ivfDrift > maxDrift) {
         val (nl, rd) = readMarker(s"$path.__ivf/_build_params")
@@ -511,20 +522,18 @@ class Collection private (
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       import scala.concurrent.duration.Duration
-      val codeDfs = Await.result(Future.traverse((0 until m).toList) { i => Future {
-        val sub = resid.select(col("id"), col("cell").as("__c"),
-          expr(s"slice(__r, ${i * subDim + 1}, $subDim)").as("sv"))
-        val cb = graft.vector.IvfKMeans.trainCents(sub, "id", "sv", pqK, pqRounds)
-        // codes re-keyed to dense 0..k-1 (trainCents keys by seed id)
-        val cb0 = cb.zipWithIndex.map { case ((_, v), j) => (j.toLong, v) }
-        val codes = graft.vector.IvfKMeans.assignCells(sub, "sv", cb0, 1.0)
-          .select(col("id"), col("__c"), col("cell").cast("int").as(s"code$i"))
-        (cb0, codes)
-      } }, Duration.Inf)
-      val wide = codeDfs.map(_._2).reduce((a, b) => a.join(b, Seq("id", "__c")))
-        .select(col("id"), col("__c").as("cell"),
-          array((0 until m).map(i => col(s"code$i")): _*).as("codes"))
-      val cbRows = codeDfs.map(_._1).zipWithIndex.flatMap { case (cb, sub) =>
+      val cbs: Seq[Seq[(Long, Seq[Double])]] =
+        Await.result(Future.traverse((0 until m).toList) { i => Future {
+          val sub = resid.select(col("id"),
+            expr(s"slice(__r, ${i * subDim + 1}, $subDim)").as("sv"))
+          // codes re-keyed to dense 0..k-1 (trainCents keys by seed id)
+          graft.vector.IvfKMeans.trainCents(sub, "id", "sv", pqK, pqRounds)
+            .zipWithIndex.map { case ((_, v), j) => (j.toLong, v) }
+        } }, Duration.Inf)
+      val wide = pqEncode(
+        df.select(col("id"), col("cell").cast("long").as("cell"), col("vector")),
+        centDf, cbs, m, subDim)
+      val cbRows = cbs.zipWithIndex.flatMap { case (cb, sub) =>
         cb.map { case (code, v) => (sub, code, v) }
       }
       // install codes + codebooks staged-then-renamed, both stamped with
@@ -546,6 +555,95 @@ class Collection private (
       }
       model
     } finally { resid.unpersist(); () }
+  }
+
+  /** PQ-encode rows against EXISTING codebooks: residual vs the row's
+    * cell centroid, sliced per subspace, argmin over the codebook.
+    * `rows` needs (id, cell BIGINT, vector); emits (id, cell, codes).
+    * Shared by buildIvfPq (all rows) and upsertIvf's incremental code
+    * maintenance (batch rows only). */
+  private def pqEncode(rows: DataFrame, centDf: DataFrame,
+                       cbs: Seq[Seq[(Long, Seq[Double])]],
+                       m: Int, subDim: Int): DataFrame = {
+    val resid = rows.join(broadcast(centDf), Seq("cell"))
+      .withColumn("__r", zip_with(col("vector").cast("array<double>"), col("__cv"),
+        (x, y) => x - y))
+      .select(col("id"), col("cell"), col("__r"))
+    (0 until m).map { i =>
+      val sub = resid.select(col("id"), col("cell").as("__c"),
+        expr(s"slice(__r, ${i * subDim + 1}, $subDim)").as("sv"))
+      graft.vector.IvfKMeans.assignCells(sub, "sv", cbs(i), 1.0)
+        .select(col("id"), col("__c"), col("cell").cast("int").as(s"code$i"))
+    }.reduce((a, b) => a.join(b, Seq("id", "__c")))
+      .select(col("id"), col("__c").as("cell"),
+        array((0 until m).map(i => col(s"code$i")): _*).as("codes"))
+  }
+
+  /** Incremental PQ-codes maintenance for upsertIvf: the codebooks do
+    * not depend on row membership (only on the training distribution),
+    * so an upsert can re-encode JUST the batch with the existing
+    * codebooks and rewrite only the affected cells' code partitions —
+    * the sidecar twin of upsertIvf's own O(touched cells) contract.
+    * Crash discipline: the `.__pq/_build_id` stamp was removed BEFORE
+    * the data commit (pessimistic invalidation — a crash anywhere
+    * leaves searchIvfPq refusing loudly, never serving stale codes) and
+    * is restored here only after the new codes tree is fully installed.
+    */
+  private def maintainPqCodes(model: graft.vector.IvfKMeans.Model,
+                              batch: DataFrame, batchIds: DataFrame,
+                              affected: Seq[Long]): Unit = {
+    import spark.implicits._
+    val pqDir = s"$path.__pq"
+    val codesDir = s"$path.__pqcodes"
+    val Array(m, pqK, subDim) =
+      readMarker(s"$pqDir/_meta").get.split(" ").map(_.toInt)
+    val cbRows = spark.read.parquet(pqDir).collect()
+    val cbs: Seq[Seq[(Long, Seq[Double])]] = (0 until m).map(s =>
+      cbRows.filter(_.getInt(0) == s)
+        .map(r => (r.getLong(1), r.getSeq[Double](2).toSeq)).sortBy(_._1).toSeq)
+    require(cbs.forall(_.nonEmpty), "maintainPqCodes: empty codebook")
+    val centDf = model.cells.zip(model.centroids.map(_.toSeq)).toSeq.toDF("cell", "__cv")
+    val old = spark.read.parquet(codesDir)
+    val cellIn: Column = old.schema("cell").dataType match {
+      case IntegerType => col("cell").isin(affected.map(_.toInt): _*)
+      case LongType    => col("cell").isin(affected: _*)
+      case _           => col("cell").isin(affected.map(_.toString): _*)
+    }
+    val survivors = old.filter(cellIn)
+      .withColumn("cell", col("cell").cast("long"))
+      .join(batchIds, Seq("id"), "left_anti")
+    val fresh = pqEncode(
+      batch.select(col("id"), col("cell").cast("long").as("cell"), col("vector")),
+      centDf, cbs, m, subDim)
+    val stage = s"$codesDir.__stage"
+    val next = s"$codesDir.__next"
+    rmTree(new java.io.File(stage)); rmTree(new java.io.File(next))
+    try {
+      survivors.unionByName(fresh)
+        .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(stage)
+      val nextDir = new java.io.File(next); nextDir.mkdirs()
+      val affectedNames = affected.map(c => s"cell=$c").toSet
+      Option(new java.io.File(codesDir).listFiles())
+        .getOrElse(Array.empty[java.io.File]).foreach { f =>
+          if (f.isDirectory && f.getName.startsWith("cell=") &&
+              !affectedNames(f.getName))
+            linkTree(f, new java.io.File(nextDir, f.getName))
+        }
+      Option(new java.io.File(stage).listFiles())
+        .getOrElse(Array.empty[java.io.File]).foreach { f =>
+          if (f.isDirectory && f.getName.startsWith("cell="))
+            require(f.renameTo(new java.io.File(nextDir, f.getName)),
+              s"maintainPqCodes: could not install ${f.getName}")
+        }
+      writeMarker(s"$next/_build_id", model.contentId)
+      val trash = new java.io.File(s"$codesDir.__old")
+      rmTree(trash)
+      require(new java.io.File(codesDir).renameTo(trash) && nextDir.renameTo(new java.io.File(codesDir)),
+        "maintainPqCodes: could not swap codes dir")
+      rmTree(trash)
+      // the new codes tree is live and consistent: restore the stamp
+      writeMarker(s"$pqDir/_build_id", model.contentId)
+    } finally { rmTree(new java.io.File(stage)); rmTree(new java.io.File(next)) }
   }
 
   /** ANN search over a buildIvfPq'd collection: probe the nprobe nearest

@@ -311,15 +311,27 @@ class IvfKMeansSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [") && plan.contains("cell"), plan)
     assert(!plan.contains("vector"), "ADC scan must not read vectors")
 
-    // an upsert changes row membership: the codes sidecar is invalidated
-    // and search refuses loudly instead of serving stale codes
-    val one = Seq((9999L, queries.head._2.toSeq, "late row")).toDF("id", "vector", "text")
+    // an upsert MAINTAINS the PQ sidecar: the batch is re-encoded with
+    // the existing codebooks (they don't depend on row membership) and
+    // only affected cell partitions rewrite — search keeps working and
+    // covers the new row immediately
+    val (dupId, dupVec) = queries.head
+    val one = Seq((9999L, dupVec.toSeq, "late row")).toDF("id", "vector", "text")
     c.upsertIvf(one)
-    val e = intercept[IllegalArgumentException](c.searchIvfPq(queries.head._2, 5, 2))
+    val full = c.searchIvfPq(dupVec, k = 501, nprobe = 8)
+      .select(col("id"), col("adist")).as[(Long, Double)].collect().toMap
+    assert(full.size === 501)
+    // identical vector → same cell, same codes, same ADC distance as the
+    // row it duplicates: the incremental encoding is exact, not approximate
+    assert(full.contains(9999L) && full(9999L) === full(dupId))
+
+    // a retrain WITHOUT PQ (new quantizer content id) makes the sidecar
+    // stale: search refuses loudly until buildIvfPq re-runs
+    c.buildIvf(nlist = 8, rounds = 2)
+    val e = intercept[IllegalArgumentException](c.searchIvfPq(dupVec, 5, 2))
     assert(e.getMessage.contains("buildIvfPq"))
-    // rebuild restores search and indexes the new row
     c.buildIvfPq(nlist = 8, m = 4, pqK = 16, rounds = 2, pqRounds = 2)
-    assert(c.searchIvfPq(queries.head._2, k = 600, nprobe = 8).count() === 501)
+    assert(c.searchIvfPq(dupVec, k = 600, nprobe = 8).count() === 501)
   }
 
   test("searchIvfBatch: one plan, per-query ranks agree with single-query searchIvf") {
