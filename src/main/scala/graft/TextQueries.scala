@@ -941,9 +941,12 @@ object TextQueries {
           .groupBy(col("doc_id"), col("dl"), col("term"))
           .agg(count(lit(1)).cast("double").as("tf"))
           .join(broadcast(qterms.select("term").distinct()), Seq("term"), "left_semi")
-        val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+        // df as a count window over the SAME tf frame: a groupBy+join-back
+        // duplicates the whole corpus subtree (the two branches prune
+        // differently, so ReuseExchange can't fire) and scans twice
         val scored = tf
-          .join(broadcast(dfreq), Seq("term"))
+          .withColumn("df", count(lit(1))
+            .over(Window.partitionBy(col("term"))).cast("double"))
           .join(broadcast(qterms), Seq("term"))
           .withColumn("sterm", floor(round(
             log((lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *

