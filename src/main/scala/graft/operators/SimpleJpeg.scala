@@ -324,6 +324,7 @@ object SimpleJpeg {
       var width = 0; var height = 0
       var nc = 0
       var compQ: Array[Int] = null // per-component quant table id
+      var compIds: Array[Int] = null // SOF component ids, declaration order
       var compDc: Array[Int] = null
       var compAc: Array[Int] = null
       var restartInterval = 0
@@ -349,11 +350,13 @@ object SimpleJpeg {
             nc = u8()
             if (nc != 1 && nc != 3) return None
             compQ = new Array[Int](nc)
+            compIds = new Array[Int](nc)
             for (i <- 0 until nc) {
-              u8() // component id (assume 1..nc order)
+              compIds(i) = u8() // ids are arbitrary bytes — never assume 1..nc
               if (u8() != 0x11) return None // subsampling unsupported
               compQ(i) = u8()
             }
+            if (compIds.distinct.length != nc) return None
           case 0xC4 =>
             val end = pos + u16() - 2
             while (pos < end) {
@@ -369,9 +372,15 @@ object SimpleJpeg {
             val ns = u8()
             if (ns != nc) return None
             compDc = new Array[Int](nc); compAc = new Array[Int](nc)
-            for (_ <- 0 until ns) {
-              val id = u8() - 1
-              if (id < 0 || id >= nc) return None
+            for (i <- 0 until ns) {
+              // resolve through the SOF id list: quant tables were
+              // recorded by declaration order, so the scan's table
+              // assignments must land at the same index. The MCU decode
+              // below walks components in SOF order, so a scan listing
+              // them in any OTHER order would desync the bitstream —
+              // refuse (→ stub path) rather than decode wrong pixels.
+              val id = if (compIds == null) -1 else compIds.indexOf(u8())
+              if (id != i) return None
               val tt = u8(); compDc(id) = tt >> 4; compAc(id) = tt & 15
             }
             pos += 3 // Ss/Se/AhAl

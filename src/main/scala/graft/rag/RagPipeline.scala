@@ -73,11 +73,17 @@ object RagPipeline {
     tf.withColumn("df",
         count(lit(1)).over(Window.partitionBy(col("term"))).cast("double"))
       .join(broadcast(qterms), Seq("term"))
+      // per-term scores are lifted to exact integers (6dp round-half-up,
+      // q87's discipline) before the per-document sum: a raw-double SUM
+      // is accumulation-order dependent, so near-tie documents could
+      // swap ranks across runs/partitionings
       .withColumn("s",
-        log((lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
-          (col("tf") * lit(2.2) /
-            (col("tf") + lit(1.2) *
-              (lit(1.0) - lit(0.75) + lit(0.75) * (col("dl") / lit(avgdl))))))
+        floor(round(
+          log((lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+            (col("tf") * lit(2.2) /
+              (col("tf") + lit(1.2) *
+                (lit(1.0) - lit(0.75) + lit(0.75) * (col("dl") / lit(avgdl))))),
+          6) * lit(1e6) + lit(0.5)).cast("long"))
       .groupBy(col("qid"), col("id")).agg(sum(col("s")).as("bm_score"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)

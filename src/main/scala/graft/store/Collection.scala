@@ -173,20 +173,32 @@ class Collection private (
   }
 
   /** The retained snapshot versions, oldest first: (version, isCurrent,
-    * totalBytes, lastModifiedMillis). */
+    * sizeBytes, lastModifiedMillis). sizeBytes is PHYSICAL: snapshots
+    * share untouched cell files via hard links (upsertIvf), so each
+    * distinct on-disk file is counted once, at the oldest snapshot that
+    * retains it — per-version sizes sum to actual disk usage, and a
+    * newer snapshot's size is the bytes it newly introduced. */
   def history(): Seq[SnapshotInfo] = {
     val cur = currentVersion
+    val seen = scala.collection.mutable.Set[AnyRef]()
     def bytes(f: java.io.File): Long =
       if (f.isDirectory)
         Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).map(bytes).sum
-      else f.length()
+      else {
+        // hard-linked copies share a fileKey (dev,inode); a filesystem
+        // that reports none falls back to per-path counting
+        val key = Option(java.nio.file.Files
+          .readAttributes(f.toPath, classOf[java.nio.file.attribute.BasicFileAttributes])
+          .fileKey())
+        if (key.exists(k => !seen.add(k))) 0L else f.length()
+      }
     Option(new java.io.File(path).listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .sortBy(_.getName.stripPrefix("v").toInt)
       .map { f =>
         val v = f.getName.stripPrefix("v").toInt
         SnapshotInfo(v, cur.contains(v), bytes(f), f.lastModified())
-      }
-      .sortBy(_.version).toSeq
+      }.toSeq
   }
 
   def delete(filter: String): Long = {
@@ -547,6 +559,14 @@ class Collection private (
         .write.mode(SaveMode.Overwrite).parquet(pqTmp)
       writeMarker(s"$pqTmp/_build_id", model.contentId)
       writeMarker(s"$pqTmp/_meta", s"$m $pqK $subDim")
+      // pessimistically invalidate the LIVE codebook stamp before any
+      // install (upsertIvf's discipline): a re-run with identical
+      // data/nlist/rounds but different m/pqK keeps the same coarse
+      // contentId, so a crash between the two installs would otherwise
+      // leave old codebooks validly stamped against the new codes —
+      // searchIvfPq would silently mix them. The stamp returns with the
+      // pqTmp install below.
+      new java.io.File(s"$path.__pq/_build_id").delete()
       for ((tmp, live) <- Seq(codesTmp -> s"$path.__pqcodes", pqTmp -> s"$path.__pq")) {
         val liveF = new java.io.File(live)
         rmTree(liveF)

@@ -195,16 +195,30 @@ class CollectionSpec extends SparkSpec {
     // snapshot). A reader that resolved the pointer and then lost the
     // scheduler for TWO commits can have its snapshot vacuumed mid-scan —
     // that surfaces as a FileNotFound-class error and is outside the
-    // contract, not an atomicity violation; anything else still fails.
+    // contract, not an atomicity violation. But the excuse is narrow:
+    // the error must reference a snapshot vacuum actually removed (a
+    // version ≥ 2 commits behind the final pointer, or the legacy root
+    // layout) — a commit-ordering bug exposing a HALF-INSTALLED current
+    // version also surfaces as missing files and must still fail.
+    val finalVersion = 3 // three delete commits; insert is the legacy root layout
     def isVacuumRace(e: Throwable): Boolean =
       Iterator.iterate(e)(_.getCause).takeWhile(_ != null).exists { t =>
-        t.isInstanceOf[java.io.FileNotFoundException] ||
+        val fnf = t.isInstanceOf[java.io.FileNotFoundException] ||
           Option(t.getMessage).exists(m =>
             m.contains("FileNotFoundException") || m.contains("does not exist") ||
               m.contains("PATH_NOT_FOUND"))
+        fnf && Option(t.getMessage).exists { m =>
+          val vs = "/v(\\d+)/".r.findAllMatchIn(m).map(_.group(1).toInt).toList
+          if (vs.nonEmpty) vs.forall(_ <= finalVersion - 2)
+          else m.contains("catomic") // legacy root files, no v<N> in path
+        }
       }
     val hard = errors.filterNot(isVacuumRace)
     assert(hard.isEmpty, s"reader hit ${hard.headOption}")
+    // each serial read can be stranded by at most one commit's vacuum:
+    // more excused errors than commits would itself be a regression
+    assert(errors.count(isVacuumRace) <= 3,
+      s"${errors.count(isVacuumRace)} vacuum-race errors for 3 commits: ${errors.headOption}")
     assert(seen.subsetOf(legalCounts), s"phantom snapshot counts: $seen")
     assert(seen.contains(10L)) // the final snapshot was observed
     assert(c.df.count() === 10)
