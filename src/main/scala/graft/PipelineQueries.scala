@@ -1,0 +1,264 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextOps, XHash}
+
+/** Round-6 training-data-pipeline operators: model-based quality scoring
+  * (n-gram LM perplexity), rule-based quality filtering (Gopher rules),
+  * frequency sketching (count-min), and importance resampling (DSIR).
+  * These are the corpus-curation stages a 100 TB pretraining pipeline
+  * runs AFTER dedup (q20/q24-q27/q82/q85) and BEFORE tokenization (q74):
+  * drop junk, rebalance, and weight toward a target domain.
+  *
+  * Cross-engine determinism follows the house rules: token streams from
+  * the shared TextOps.tokens/tokensSql pair, hashes from XHash (md5
+  * prefix, identical in both engines), every per-item log-score rounded
+  * to 6dp and lifted to an exact integer before any order-dependent SUM.
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Par(s.read.parquet(s"$dir/documents.parquet"))
+
+  /** The Gopher stopword list (Rae et al. 2021, appendix A1.1). */
+  private val Stops = Seq("the", "be", "to", "of", "and", "that", "have", "with", "a")
+  private def stopsSqlList: String = Stops.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── q90: n-gram LM perplexity scoring — the CCNet/KenLM quality
+    //   signal (Wenzek et al., LREC 2020): train an add-one-smoothed
+    //   bigram LM on the corpus itself, score every document by
+    //   cross-entropy under that model; outlier-high documents are the
+    //   gibberish tail a pretraining pipeline drops. p(w2|w1) =
+    //   (C(w1,w2)+1) / (Cctx(w1)+V), V = |vocab|, Cctx = bigram-context
+    //   occurrences. Each bigram's ln p is rounded to 6dp and lifted to
+    //   an exact integer so the per-document mean is order-independent.
+    //   100 TB shape: the model is two hash-aggregated count tables keyed
+    //   by term — map-side combinable, vocabulary-sized (≪ corpus) — and
+    //   scoring is an equi-join of the exploded corpus against the
+    //   broadcast-able model; nothing ever shuffles full documents. ──
+    QueryDef("q90_lm_perplexity",
+      (s, dir) => {
+        val toks = docs(s, dir)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        val big = toks.filter(size(col("toks")) >= 2)
+          .withColumn("i", explode(expr("sequence(1, size(toks) - 1)")))
+          .select(col("doc_id"),
+            expr("element_at(toks, i)").as("w1"),
+            expr("element_at(toks, i + 1)").as("w2"))
+        val vocab = toks.select(explode(col("toks")).as("t"))
+          .agg(countDistinct(col("t"))).head().getLong(0)
+        val ctx = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+        val bigm = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+        val model = bigm.join(ctx, Seq("w1"))
+          .withColumn("lnp", floor(round(
+            log((col("c12") + lit(1)).cast("double") /
+              (col("c1") + lit(vocab)).cast("double")), 6) * lit(1e6) + lit(0.5))
+            .cast("long"))
+        big.join(model.select("w1", "w2", "lnp"), Seq("w1", "w2"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("lnp")).as("s"))
+          .withColumn("xent",
+            round(-col("s").cast("double") / lit(1e6) / col("n_bigrams"), 6))
+          .select(col("doc_id"), col("n_bigrams"), col("xent"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH tk AS (SELECT doc_id, ${TextOps.tokensSql("text")} AS toks FROM documents),
+        big AS (SELECT doc_id, toks[t.i] AS w1, toks[t.i + 1] AS w2
+                FROM tk, unnest(range(1, len(toks))) AS t(i)
+                WHERE len(toks) >= 2),
+        vocab AS (SELECT count(DISTINCT t) AS v
+                  FROM (SELECT unnest(toks) AS t FROM tk)),
+        ctx AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+        model AS (
+          SELECT b.w1, b.w2,
+                 CAST(floor(round(ln(CAST(c12 + 1 AS DOUBLE) /
+                   CAST(c1 + v AS DOUBLE)), 6) * 1000000.0 + 0.5) AS BIGINT) AS lnp
+          FROM (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2) b
+          JOIN ctx USING (w1) CROSS JOIN vocab)
+        SELECT doc_id, count(*) AS n_bigrams,
+               round(-CAST(sum(lnp) AS DOUBLE) / 1000000.0 / count(*), 6) AS xent
+        FROM big JOIN model USING (w1, w2)
+        GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ── q95: Gopher quality rules (Rae et al. 2021 §A1.1) — the
+    //   rule-based document filter every open pretraining corpus applies
+    //   (Gopher, RefinedWeb, Dolma): word-count bounds, mean-word-length
+    //   band, alphabetic-word fraction, and a stopword floor. Pure
+    //   per-row arithmetic over one tokens pass — zero shuffle at any
+    //   scale; the thresholds are the paper's except the word-count
+    //   floor, scaled to this corpus's 10-99-word documents so the
+    //   filter is non-vacuous (the paper's 50 applies to web pages). ──
+    QueryDef("q95_gopher_rules",
+      (s, dir) => {
+        val stopsArr = array(Stops.map(lit): _*)
+        docs(s, dir)
+          .withColumn("toks", TextOps.tokens(col("text")))
+          .withColumn("n_words", size(col("toks")).cast("long"))
+          .withColumn("mean_wlen", round(
+            expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))").cast("double") /
+              col("n_words"), 6))
+          .withColumn("alpha_frac", round(
+            size(filter(col("toks"), t => t.rlike("[a-z]"))).cast("double") /
+              col("n_words"), 6))
+          .withColumn("stop_hits",
+            size(filter(col("toks"), t => array_contains(stopsArr, t))).cast("long"))
+          .withColumn("keep",
+            (col("n_words").between(30, 100000) &&
+              col("mean_wlen").between(3.8, 10.0) &&
+              col("alpha_frac") >= 0.8 && col("stop_hits") >= 2).cast("long"))
+          .select(col("doc_id"), col("n_words"), col("mean_wlen"),
+            col("alpha_frac"), col("stop_hits"), col("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, ${TextOps.tokensSql("text")} AS toks FROM documents),
+        m AS (SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) AS n_words,
+                     round(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+                       / len(toks), 6) AS mean_wlen,
+                     round(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                       AS DOUBLE) / len(toks), 6) AS alpha_frac,
+                     CAST(len(list_filter(toks, x -> list_contains($stopsSqlList, x)))
+                       AS BIGINT) AS stop_hits
+              FROM t)
+        SELECT doc_id, n_words, mean_wlen, alpha_frac, stop_hits,
+               CAST(CASE WHEN n_words BETWEEN 30 AND 100000
+                          AND mean_wlen BETWEEN 3.8 AND 10.0
+                          AND alpha_frac >= 0.8 AND stop_hits >= 2
+                    THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM m ORDER BY doc_id""")),
+
+    // ── q92: count-min sketch heavy hitters (Cormode & Muthukrishnan,
+    //   J. Algorithms 2005) — the streaming-frequency sketch behind
+    //   heavy-hitter token stats when an exact groupBy is too wide.
+    //   Depth 4 × width 256; row hashes are the shared md5 primitive
+    //   salted by the row index. The sketch aggregation is keyed on
+    //   (row, bucket) — 1024 cells regardless of corpus size, map-side
+    //   combinable, then broadcast to score candidates; est ≥ true is
+    //   the CMS one-sided guarantee and the spec's invariant. ──
+    QueryDef("q92_cms_topk",
+      (s, dir) => {
+        val terms = docs(s, dir)
+          .select(explode(TextOps.tokens(col("text"))).as("term"))
+        val rows4 = Seq(0, 1, 2, 3)
+        val salted = terms
+          .withColumn("j", explode(array(rows4.map(lit): _*)))
+          .withColumn("bucket",
+            pmod(XHash.hash60(concat_ws(":", col("j"), col("term"))), lit(256L)))
+        val sketch = salted.groupBy(col("j"), col("bucket"))
+          .agg(count(lit(1)).as("cell"))
+        val top = terms.groupBy(col("term")).agg(count(lit(1)).as("true_cnt"))
+          .orderBy(col("true_cnt").desc, col("term").asc).limit(20)
+        top.withColumn("j", explode(array(rows4.map(lit): _*)))
+          .withColumn("bucket",
+            pmod(XHash.hash60(concat_ws(":", col("j"), col("term"))), lit(256L)))
+          .join(sketch, Seq("j", "bucket"))
+          .groupBy(col("term"), col("true_cnt"))
+          .agg(min(col("cell")).as("cms_est"))
+          .withColumn("overcount", (col("cms_est") - col("true_cnt")).cast("long"))
+          .select(col("term"), col("true_cnt"), col("cms_est"), col("overcount"))
+          .orderBy(col("true_cnt").desc, col("term").asc)
+      },
+      Some(s"""
+        WITH terms AS (
+          SELECT unnest(${TextOps.tokensSql("text")}) AS term FROM documents),
+        salted AS (
+          SELECT term, t.j,
+                 ${XHash.hash60Sql("(t.j || ':' || term)")} % 256 AS bucket
+          FROM terms, unnest([0, 1, 2, 3]) AS t(j)),
+        sketch AS (SELECT j, bucket, count(*) AS cell
+                   FROM salted GROUP BY j, bucket),
+        top AS (SELECT term, count(*) AS true_cnt FROM terms GROUP BY term
+                ORDER BY true_cnt DESC, term ASC LIMIT 20),
+        est AS (
+          SELECT top.term, top.true_cnt, min(cell) AS cms_est
+          FROM top, unnest([0, 1, 2, 3]) AS t(j)
+          JOIN sketch ON sketch.j = t.j
+            AND sketch.bucket = ${XHash.hash60Sql("(t.j || ':' || top.term)")} % 256
+          GROUP BY top.term, top.true_cnt)
+        SELECT term, true_cnt, cms_est,
+               CAST(cms_est - true_cnt AS BIGINT) AS overcount
+        FROM est ORDER BY true_cnt DESC, term ASC""")),
+
+    // ── q91: DSIR importance resampling (Xie et al., NeurIPS 2023) —
+    //   select raw-corpus documents whose hashed n-gram distribution
+    //   looks like a TARGET domain: weight(doc) = Σ_tokens ln(p_target
+    //   (bucket)/p_raw(bucket)) over B=256 hashed unigram buckets with
+    //   add-one smoothing; keep the top-weighted documents. Target here
+    //   = the English slice, raw = the whole corpus. Each bucket's
+    //   log-ratio is 6dp-rounded and integer-lifted ONCE (256-row
+    //   table), then each document's weight is an exact integer dot of
+    //   its bucket counts with that broadcast table — order-independent
+    //   and bit-identical. 100 TB shape: two 256-cell aggregations + one
+    //   broadcast join; documents never shuffle. ──
+    QueryDef("q91_dsir",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val tb = d.select(col("doc_id"), col("lang"),
+            explode(TextOps.tokens(col("text"))).as("term"))
+          .withColumn("b", pmod(XHash.hash60(col("term")), lit(256L)))
+        val rawTot = tb.count()
+        val tgtTot = tb.filter(col("lang") === "en").count()
+        val rawB = tb.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+        val tgtB = tb.filter(col("lang") === "en")
+          .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+        val lr = rawB.join(tgtB, Seq("b"), "left")
+          .na.fill(0L, Seq("ct"))
+          .withColumn("lr", floor(round(
+            log(((col("ct") + lit(1)) * lit(rawTot + 256L)).cast("double") /
+              ((col("cr") + lit(1)) * lit(tgtTot + 256L)).cast("double")), 6) *
+            lit(1e6) + lit(0.5)).cast("long"))
+          .select(col("b"), col("lr"))
+        // top-50 cut FIRST via TakeOrdered (per-partition heaps, no global
+        // shuffle), then ranks assigned on the 50-row survivor frame — a
+        // global row_number window before the cut would single-partition
+        // every document weight
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("w_int").desc, col("doc_id").asc)
+        tb.groupBy(col("doc_id"), col("lang"), col("b"))
+          .agg(count(lit(1)).as("n"))
+          .join(broadcast(lr), Seq("b"))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(sum(col("n") * col("lr")).as("w_int"))
+          .orderBy(col("w_int").desc, col("doc_id").asc).limit(50)
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .withColumn("weight", round(col("w_int") / lit(1e6), 6))
+          .select(col("rnk"), col("doc_id"), col("lang"), col("weight"))
+          .orderBy(col("rnk"))
+      },
+      Some(s"""
+        WITH tb AS (
+          SELECT doc_id, lang,
+                 ${XHash.hash60Sql("t.term")} % 256 AS b
+          FROM (SELECT doc_id, lang, ${TextOps.tokensSql("text")} AS toks
+                FROM documents) d, unnest(toks) AS t(term)),
+        tot AS (SELECT count(*) AS raw_tot,
+                       sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tgt_tot
+                FROM tb),
+        rawb AS (SELECT b, count(*) AS cr FROM tb GROUP BY b),
+        tgtb AS (SELECT b, count(*) AS ct FROM tb WHERE lang = 'en' GROUP BY b),
+        lr AS (
+          SELECT rawb.b,
+                 CAST(floor(round(ln(
+                   CAST((coalesce(ct, 0) + 1) * (raw_tot + 256) AS DOUBLE) /
+                   CAST((cr + 1) * (tgt_tot + 256) AS DOUBLE)), 6)
+                   * 1000000.0 + 0.5) AS BIGINT) AS lr
+          FROM rawb LEFT JOIN tgtb ON rawb.b = tgtb.b CROSS JOIN tot),
+        dw AS (
+          SELECT doc_id, lang, CAST(sum(n * lr) AS BIGINT) AS w_int
+          FROM (SELECT doc_id, lang, b, count(*) AS n
+                FROM tb GROUP BY doc_id, lang, b) db
+          JOIN lr USING (b) GROUP BY doc_id, lang),
+        ranked AS (
+          SELECT doc_id, lang, w_int,
+                 row_number() OVER (ORDER BY w_int DESC, doc_id ASC) AS rnk
+          FROM dw)
+        SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, lang,
+               round(w_int / 1000000.0, 6) AS weight
+        FROM ranked WHERE rnk <= 50 ORDER BY rnk"""))
+  )
+}

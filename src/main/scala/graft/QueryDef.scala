@@ -81,5 +81,6 @@ object ExactPercentiles {
 object QueryRegistry {
   def all: Seq[QueryDef] =
     RelationalQueries.defs ++ AdvancedQueries.defs ++ VectorQueries.defs ++
-      TextQueries.defs ++ RagQueries.defs ++ StreamQueries.defs
+      TextQueries.defs ++ PipelineQueries.defs ++ RagQueries.defs ++
+      StreamQueries.defs
 }

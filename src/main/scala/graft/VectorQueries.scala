@@ -234,6 +234,9 @@ object VectorQueries {
   private def hyperplaneSign(b: Int, i: Int): Double = hyperplaneSigns(b)(i)
   private def Hyperplanes(b: Int): Array[Double] = hyperplaneSigns(b)
 
+  /** q93 power-iteration rounds — declared before `defs` (eager Seq). */
+  private val PcaIters = 8
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── q11: brute-force cosine top-k for a small query set (T1) ──
@@ -704,8 +707,180 @@ object VectorQueries {
           .select(col("qid"), col("nid"))
         adcRank(s, cand.join(wide, Seq("nid")), dts)
       },
-      Some(ivfPqSql(KmK, KmRounds)))
+      Some(ivfPqSql(KmK, KmRounds))),
+
+    // ── q94: binary quantization ANN (1-bit-per-dim sign codes +
+    //   Hamming-distance candidate scan + exact cosine rerank) — the
+    //   memory floor of vector search (Qdrant/Milvus BQ; the scalar
+    //   extreme of the SQ8 path in q45): 64 dims pack into ONE 64-bit
+    //   word (two 32-bit halves here so neither engine touches the sign
+    //   bit), the scan is xor+popcount per candidate — 32× smaller than
+    //   SQ8, 256× smaller than float32 — and a 3× overfetch by Hamming
+    //   is reranked exactly. Candidate cut is deterministic ((ham, nid)
+    //   total order); rerank scores are 6dp-rounded with id tiebreak.
+    //   100 TB shape: codes are a 8-byte column scanned flat (no index
+    //   build at all); queries broadcast; per-query top-c and top-k are
+    //   window-free TakeOrdered shapes on pre-shrunk frames. ──
+    QueryDef("q94_binary_ann",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        def half(off: Int) = expr(
+          s"""CAST(aggregate(sequence(1, 32), CAST(0 AS DOUBLE), (acc, i) ->
+              acc + CASE WHEN element_at(embedding, i + $off) > 0
+                         THEN power(2, i - 1) ELSE CAST(0 AS DOUBLE) END) AS BIGINT)""")
+        val coded = emb(s, dir)
+          .withColumn("c_lo", half(0)).withColumn("c_hi", half(32))
+        val q = coded.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+            col("c_lo").as("q_lo"), col("c_hi").as("q_hi"))
+        val wh = Window.partitionBy(col("qid")).orderBy(col("ham").asc, col("nid").asc)
+        val wr = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid").asc)
+        coded.select(col("vec_id").as("nid"), col("embedding").as("nv"),
+            col("c_lo"), col("c_hi"))
+          .join(broadcast(q), col("qid") =!= col("nid"))
+          .withColumn("ham",
+            (expr("bit_count(c_lo ^ q_lo)") + expr("bit_count(c_hi ^ q_hi)")).cast("long"))
+          .withColumn("crnk", row_number().over(wh))
+          .filter(col("crnk") <= 15)
+          .withColumn("score", score6(col("qv"), col("nv")))
+          .withColumn("rnk", row_number().over(wr).cast("long"))
+          .filter(col("rnk") <= 5)
+          .select(col("qid"), col("rnk"), col("nid"), col("ham"), col("score"))
+          .orderBy(col("qid"), col("rnk"))
+      },
+      Some(s"""
+        WITH coded AS (
+          SELECT vec_id, embedding,
+                 CAST(list_sum(list_transform(range(1, 33), i ->
+                   CASE WHEN embedding[i] > 0 THEN power(2, i - 1)
+                        ELSE CAST(0 AS DOUBLE) END)) AS BIGINT) AS c_lo,
+                 CAST(list_sum(list_transform(range(1, 33), i ->
+                   CASE WHEN embedding[i + 32] > 0 THEN power(2, i - 1)
+                        ELSE CAST(0 AS DOUBLE) END)) AS BIGINT) AS c_hi
+          FROM embeddings),
+        q AS (SELECT vec_id AS qid, embedding AS qv, c_lo AS q_lo, c_hi AS q_hi
+              FROM coded WHERE vec_id < 10),
+        cand AS (
+          SELECT qid, qv, nid, nv, ham,
+                 row_number() OVER (PARTITION BY qid
+                   ORDER BY ham ASC, nid ASC) AS crnk
+          FROM (SELECT q.qid, q.qv, c.vec_id AS nid, c.embedding AS nv,
+                       CAST(bit_count(xor(c.c_lo, q.q_lo)) +
+                            bit_count(xor(c.c_hi, q.q_hi)) AS BIGINT) AS ham
+                FROM coded c JOIN q ON q.qid <> c.vec_id)),
+        reranked AS (
+          SELECT qid, nid, ham, round(${cosSql("qv", "nv")}, 6) AS score
+          FROM cand WHERE crnk <= 15)
+        SELECT qid, CAST(row_number() OVER (PARTITION BY qid
+                 ORDER BY score DESC, nid ASC) AS BIGINT) AS rnk, nid, ham, score
+        FROM reranked
+        QUALIFY rnk <= 5 ORDER BY qid, rnk""")),
+
+    // ── q93: PCA top component by distributed moments + power iteration
+    //   — the whitening/decorrelation step embedding pipelines run
+    //   before quantization (SemDeDup preprocesses with PCA; OPQ is PQ
+    //   after a learned rotation). The heavy pass is ONE aggregation:
+    //   per-dim rows (posexplode, 64× not 4096×) reduced map-side to a
+    //   64-row × 65-sum moment table (counts, Σx_i, Σx_i·x_j) — the only
+    //   shuffle is 64 partial rows per task, the classic closed-form
+    //   covariance shape that scales to any n. The 64×64 eigensolve is
+    //   driver-side arithmetic (like k-means centroid updates), then the
+    //   projection is one broadcast-literal fold per row. Cross-engine
+    //   exactness: moments are integer-exact over ×1e6-quantized values
+    //   (the q67 argument), covariance/power-iteration arithmetic is the
+    //   IDENTICAL IEEE op sequence in both engines with the eigenvector
+    //   re-rounded to 6dp each iteration, so convergence state is
+    //   bit-identical; no sign fixup is needed because covariance is PSD
+    //   and v0 is fixed. ──
+    QueryDef("q93_pca_power",
+      (s, dir) => {
+        val q = emb(s, dir)
+          .select(col("vec_id"),
+            transform(col("embedding").cast("array<double>"),
+              v => floor(v * 1e6 + 0.5).cast("double")).as("qv"))
+          .localCheckpoint()
+        val dim = 64
+        val aggs = sum(col("xi")).as("sx") +:
+          (1 to dim).map(j => sum(col("xi") * element_at(col("qv"), j)).as(s"p$j"))
+        val momRows = q.select(col("qv"), posexplode(col("qv")).as(Seq("i0", "xi")))
+          .groupBy(col("i0"))
+          .agg(count(lit(1)).as("cnt"), aggs: _*)
+          .collect()
+        val n = momRows.head.getLong(1).toDouble
+        val sx = new Array[Double](dim)
+        val sxy = Array.ofDim[Double](dim, dim)
+        momRows.foreach { r =>
+          val i = r.getInt(0)
+          sx(i) = r.getDouble(2)
+          var j = 0
+          while (j < dim) { sxy(i)(j) = r.getDouble(3 + j); j += 1 }
+        }
+        val cov = Array.tabulate(dim, dim) { (i, j) =>
+          (sxy(i)(j) - sx(i) * sx(j) / n) / n
+        }
+        var v = Array.fill(dim)(0.125)
+        for (_ <- 1 to PcaIters) {
+          val w = Array.tabulate(dim) { i =>
+            var acc = 0.0; var j = 0
+            while (j < dim) { acc += cov(i)(j) * v(j); j += 1 }
+            acc
+          }
+          var sq = 0.0; var i = 0
+          while (i < dim) { sq += w(i) * w(i); i += 1 }
+          val norm = math.sqrt(sq)
+          v = w.map(x => math.floor(x / norm * 1e6 + 0.5) / 1e6)
+        }
+        val mu = sx.map(_ / n)
+        q.withColumn("mu", typedLit(mu.toSeq)).withColumn("pv", typedLit(v.toSeq))
+          .withColumn("pc1", round(expr(
+            """aggregate(sequence(1, 64), CAST(0 AS DOUBLE), (acc, i) ->
+               acc + (element_at(qv, i) - element_at(mu, i)) * element_at(pv, i))""")
+            / lit(1e6), 6))
+          .select(col("vec_id"), col("pc1"))
+          .orderBy(col("vec_id"))
+      },
+      Some(pcaSql))
   )
+
+  // ── q93 oracle: the same quantize → exact moments → covariance →
+  //    PcaIters power-iteration rounds (6dp re-round each round) →
+  //    centered projection, as unrolled CTEs ──
+  private def pcaSql: String = {
+    val iters = (1 to PcaIters).map { t =>
+      s"""
+      w$t AS (SELECT i, list_sum(list_transform(range(1, 65),
+                j -> crow[j] * v[j])) AS w
+              FROM covrow CROSS JOIN v${t - 1}),
+      wl$t AS (SELECT list(w ORDER BY i) AS wl FROM w$t),
+      v$t AS (SELECT list_transform(wl, x ->
+                floor(x / sqrt(list_sum(list_transform(wl, y -> y * y)))
+                  * 1000000.0 + 0.5) / 1000000.0) AS v FROM wl$t)"""
+    }.mkString(",")
+    s"""
+      WITH q AS (SELECT vec_id,
+                   list_transform(embedding,
+                     v -> floor(CAST(v AS DOUBLE) * 1000000 + 0.5)) AS qv
+                 FROM embeddings),
+      st AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM q),
+      sx AS (SELECT t.i AS i, sum(qv[t.i]) AS s
+             FROM q, unnest(range(1, 65)) AS t(i) GROUP BY t.i),
+      cell AS (SELECT ti.i AS i, tj.j AS j, sum(qv[ti.i] * qv[tj.j]) AS sxy
+               FROM q, unnest(range(1, 65)) AS ti(i),
+                       unnest(range(1, 65)) AS tj(j)
+               GROUP BY ti.i, tj.j),
+      cov AS (SELECT c.i AS i, c.j AS j,
+                     (c.sxy - sxi.s * sxj.s / st.n) / st.n AS cv
+              FROM cell c JOIN sx sxi ON sxi.i = c.i
+                          JOIN sx sxj ON sxj.i = c.j CROSS JOIN st),
+      covrow AS (SELECT i, list(cv ORDER BY j) AS crow FROM cov GROUP BY i),
+      v0 AS (SELECT list_transform(range(1, 65), x -> 0.125) AS v),
+      $iters,
+      mu AS (SELECT list(s / n ORDER BY i) AS mu FROM sx CROSS JOIN st)
+      SELECT vec_id,
+             round(list_sum(list_transform(range(1, 65),
+               i -> (qv[i] - mu[i]) * v[i])) / 1000000.0, 6) AS pc1
+      FROM q CROSS JOIN mu CROSS JOIN v$PcaIters ORDER BY vec_id"""
+  }
 
   /** PQ subspace training shared by q86 and q88: trains the PqM
     * codebooks CONCURRENTLY from the driver (independent Spark jobs; the

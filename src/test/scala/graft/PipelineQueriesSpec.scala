@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the round-6 curation operators (q90-q95) —
+  * properties the DuckDB hash-equality gate can't express: one-sided
+  * sketch guarantees, filter non-vacuity, selection direction, recall
+  * floors, and the variance-maximization contract of PCA.
+  */
+class PipelineQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def run(name: String) =
+    QueryRegistry.all.find(_.name == name).get.fn(spark, sf)
+
+  test("q92: count-min estimates dominate true counts (one-sided error)") {
+    val rows = run("q92_cms_topk").collect()
+    assert(rows.length > 0)
+    // CMS never undercounts: every cell the term hashes into holds its
+    // full count plus whatever collided there
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("true_cnt"),
+        s"CMS undercounted ${r.getAs[String]("term")}")
+      assert(r.getAs[Long]("overcount") ===
+        r.getAs[Long]("cms_est") - r.getAs[Long]("true_cnt"))
+    }
+  }
+
+  test("q95: Gopher rules are non-vacuous — both kept and dropped docs exist") {
+    val agg = run("q95_gopher_rules")
+      .agg(sum(col("keep")).as("kept"), count(lit(1)).as("n")).head()
+    val (kept, n) = (agg.getLong(0), agg.getLong(1))
+    assert(n > 0)
+    assert(kept > 0, "filter rejected everything — thresholds are mis-scaled")
+    assert(kept < n, "filter kept everything — thresholds are vacuous")
+  }
+
+  test("q90: perplexity scoring is positive and model-consistent") {
+    val rows = run("q90_lm_perplexity").collect()
+    assert(rows.length > 0)
+    // add-one smoothing keeps every p < 1, so cross-entropy > 0; and a
+    // 31-word vocab bounds ln V no matter how skewed the bigram table is
+    rows.foreach { r =>
+      val xent = r.getAs[Double]("xent")
+      assert(xent > 0.0, s"doc ${r.getLong(0)}: xent $xent not positive")
+      assert(xent < 20.0, s"doc ${r.getLong(0)}: xent $xent implausibly high")
+    }
+  }
+
+  test("q91: DSIR keeps a dense weight-ordered top slice") {
+    // on this corpus every lang shares the vocab, so selection is by
+    // token-mix likelihood ratio, not lang identity — the contract to
+    // pin is structural: dense 1..k ranks, and weights non-increasing
+    // in rank (the selection really is the top of the weight ordering)
+    val kept = run("q91_dsir").collect()
+    assert(kept.length > 0)
+    assert(kept.map(_.getAs[Long]("rnk")).toSeq === (1L to kept.length))
+    val ws = kept.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("weight"))
+    ws.sliding(2).foreach { case Array(a, b) =>
+      assert(a >= b, s"weights not sorted: $a before $b")
+    }
+  }
+
+  test("q94: binary-quantized candidate scan preserves most of exact top-1") {
+    val bq = run("q94_binary_ann")
+      .filter($"rnk" === 1L).select($"qid", $"nid".as("bq_nid"))
+    val exact = run("q11_ann_topk")
+      .filter($"rnk" === 1L).select($"qid", $"nid".as("exact_nid"))
+    val joined = bq.join(exact, "qid")
+    val agree = joined.filter($"bq_nid" === $"exact_nid").count()
+    val total = joined.count()
+    assert(total === 10)
+    // 1 bit/dim over 64 dims with 3x overfetch: deterministic data makes
+    // this a fixed number — a drop means the packing or rerank broke
+    assert(agree >= total * 6 / 10, s"BQ top-1 recall too low: $agree/$total")
+  }
+
+  test("q93: PC1 captures at least the largest single-dimension variance") {
+    val pc = run("q93_pca_power").select($"pc1").as[Double].collect()
+    val n = pc.length.toDouble
+    val mean = pc.sum / n
+    val pcVar = pc.map(x => (x - mean) * (x - mean)).sum / n
+    // the top eigenvalue of a covariance matrix is >= its largest
+    // diagonal entry; projections were centered, so Var(pc1) estimates
+    // that eigenvalue (up to 6dp rounding of v)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("i", "x")))
+      .groupBy($"i").agg((avg($"x" * $"x") - avg($"x") * avg($"x")).as("v"))
+      .agg(max($"v")).head().getDouble(0)
+    assert(pcVar >= e * 0.99, s"Var(pc1)=$pcVar < max dim var $e")
+    // and the projection direction is a unit vector's worth of spread,
+    // not a degenerate all-zero column
+    assert(pc.exists(_ != 0.0))
+  }
+}
