@@ -21,6 +21,52 @@ object PipelineQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Par(s.read.parquet(s"$dir/documents.parquet"))
 
+  private def orders(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/orders.parquet")
+
+  /** q97 PageRank iterations — declared before `defs` (eager Seq). */
+  private val PrIters = 3
+
+  /** q97 oracle: q31's shared pair CTEs + nodes/edges/degrees + PrIters
+    * unrolled PageRank rounds in exact ×1e6 integer space. Every
+    * order-dependent reduction sums exact integers; scalar arithmetic
+    * (0.85 damping, dangling share) is the identical IEEE op sequence in
+    * both engines. */
+  private def pagerankSql: String = {
+    val iters = (1 to PrIters).map { t =>
+      val p = s"p${t - 1}"
+      s"""
+      dang$t AS (SELECT coalesce(sum(pr), 0) AS dang
+                 FROM $p LEFT JOIN deg ON $p.doc_id = deg.src
+                 WHERE deg.src IS NULL),
+      agg$t AS (SELECT e.dst AS dst,
+                       CAST(sum(CAST(floor(p.pr * 1.0 / g.deg) AS BIGINT)) AS BIGINT) AS agg_in
+                FROM edges e JOIN $p p ON e.src = p.doc_id
+                             JOIN deg g ON g.src = e.src
+                GROUP BY e.dst),
+      p$t AS (SELECT nodes.doc_id AS doc_id,
+                     CAST(floor(150000.0 / nn.nd + 0.85 *
+                       (coalesce(agg_in, 0) +
+                        CAST(floor(CAST(dang AS DOUBLE) / nn.nd) AS BIGINT)) + 0.5)
+                       AS BIGINT) AS pr
+              FROM nodes LEFT JOIN agg$t ON nodes.doc_id = agg$t.dst
+              CROSS JOIN nn CROSS JOIN dang$t)"""
+    }.mkString(",")
+    s"""
+      WITH ${TextQueries.simhashPairCtes},
+      pairs AS (SELECT id_a, id_b FROM cand WHERE hamming <= 3),
+      nodes AS (SELECT doc_id FROM documents),
+      nn AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM nodes),
+      edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+      deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+      p0 AS (SELECT doc_id, CAST(floor(1000000.0 / nd) AS BIGINT) AS pr
+             FROM nodes CROSS JOIN nn),
+      $iters
+      SELECT doc_id, round(pr / 1000000.0, 6) AS pagerank
+      FROM p$PrIters ORDER BY doc_id"""
+  }
+
   /** The Gopher stopword list (Rae et al. 2021, appendix A1.1). */
   private val Stops = Seq("the", "be", "to", "of", "and", "that", "have", "with", "a")
   private def stopsSqlList: String = Stops.map(s => s"'$s'").mkString("[", ", ", "]")
@@ -259,6 +305,100 @@ object PipelineQueries {
           FROM dw)
         SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, lang,
                round(w_int / 1000000.0, 6) AS weight
-        FROM ranked WHERE rnk <= 50 ORDER BY rnk"""))
+        FROM ranked WHERE rnk <= 50 ORDER BY rnk""")),
+
+    // ── q96: Z-order (Morton) clustering key — the multi-column layout
+    //   primitive behind `Collection.zorderBy` / Delta-Iceberg OPTIMIZE
+    //   ZORDER, verified at the arithmetic level: bucket two order
+    //   columns into 256 cells (exact integer min/max splits here so
+    //   both engines agree bit-for-bit; the engine API buckets by
+    //   approxQuantile sketch instead — robust to skew), interleave the
+    //   bucket bits round-robin, and emit the per-z-block histogram +
+    //   checksum. Rows whose z-values share a high byte are the rows a
+    //   z-laid-out file would co-locate — the histogram IS the layout
+    //   map. 100 TB shape: one cheap min/max agg broadcast as literals,
+    //   then pure per-row bit arithmetic and a 256-group rollup. ──
+    QueryDef("q96_zorder",
+      (s, dir) => {
+        val o = orders(s, dir).select(col("o_orderkey"),
+          col("o_custkey").as("ck"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        val st = o.agg(min(col("ck")), max(col("ck")),
+          min(col("cents")), max(col("cents"))).head()
+        val (ckMn, ckMx) = (st.getLong(0), st.getLong(1))
+        val (ceMn, ceMx) = (st.getLong(2), st.getLong(3))
+        o.withColumn("ba",
+            expr(s"((ck - $ckMn) * 256) div (${ckMx} - $ckMn + 1)"))
+          .withColumn("bb",
+            expr(s"((cents - $ceMn) * 256) div (${ceMx} - $ceMn + 1)"))
+          .withColumn("zv", expr(
+            """aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, i) ->
+               acc + (shiftright(ba, CAST(i AS INT)) & 1) * CAST(power(2, 2 * i) AS BIGINT)
+                   + (shiftright(bb, CAST(i AS INT)) & 1) * CAST(power(2, 2 * i + 1) AS BIGINT))"""))
+          .groupBy(expr("zv div 256").as("z_block"))
+          .agg(count(lit(1)).as("n"), sum(col("zv")).as("z_sum"))
+          .orderBy(col("z_block"))
+      },
+      Some("""
+        WITH o AS (SELECT o_orderkey, o_custkey AS ck,
+                          CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                   FROM orders),
+        st AS (SELECT min(ck) AS mn_ck, max(ck) AS mx_ck,
+                      min(cents) AS mn_ce, max(cents) AS mx_ce FROM o),
+        b AS (SELECT o_orderkey,
+                     ((ck - mn_ck) * 256) // (mx_ck - mn_ck + 1) AS ba,
+                     ((cents - mn_ce) * 256) // (mx_ce - mn_ce + 1) AS bb
+              FROM o CROSS JOIN st),
+        z AS (SELECT o_orderkey,
+                     CAST(list_sum(list_transform(range(0, 8), i ->
+                       ((ba >> i) & 1) * CAST(power(2, 2 * i) AS BIGINT) +
+                       ((bb >> i) & 1) * CAST(power(2, 2 * i + 1) AS BIGINT)))
+                       AS BIGINT) AS zv
+              FROM b)
+        SELECT zv // 256 AS z_block, count(*) AS n, CAST(sum(zv) AS BIGINT) AS z_sum
+        FROM z GROUP BY z_block ORDER BY z_block""")),
+
+    // ── q97: PageRank over the near-duplicate graph — graph centrality
+    //   as a corpus-curation signal (a doc with many near-dup neighbors
+    //   is template/boilerplate; Common Crawl pipelines use exactly this
+    //   to find SEO farms). Nodes = all documents, edges = q31's
+    //   banded-simhash pairs (hamming ≤ 3), PrIters damped rounds with
+    //   dangling-mass redistribution. Exactness: pr lives in ×1e6
+    //   integer space; per-edge contributions floor-divide; each round's
+    //   new pr is one deterministic scalar expression over exact
+    //   integers. 100 TB shape: candidate edges come from the banded
+    //   equi-join (never all-pairs); each round is one equi-join of the
+    //   pr table against pre-shrunk edges + a keyed aggregate — the
+    //   Pregel step as two hash shuffles; dangling mass is a 1-row
+    //   broadcast. ──
+    QueryDef("q97_pagerank",
+      (s, dir) => {
+        val pairs = TextQueries.defs.find(_.name == "q31_simhash_pairs").get
+          .fn(s, dir).select(col("id_a"), col("id_b")).localCheckpoint()
+        val nodes = docs(s, dir).select(col("doc_id")).localCheckpoint()
+        val n = nodes.count().toDouble
+        val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        var pr = nodes.withColumn("pr", lit(math.floor(1e6 / n).toLong))
+        for (_ <- 1 to PrIters) {
+          val dang = pr.join(deg, pr("doc_id") === deg("src"), "left_anti")
+            .agg(coalesce(sum(col("pr")), lit(0L)).as("dang"))
+          val aggIn = edges.join(deg, Seq("src"))
+            .join(pr.withColumnRenamed("doc_id", "src"), Seq("src"))
+            .withColumn("c", floor(col("pr") * lit(1.0) / col("deg")).cast("long"))
+            .groupBy(col("dst")).agg(sum(col("c")).as("agg_in"))
+          pr = nodes.join(aggIn, nodes("doc_id") === aggIn("dst"), "left")
+            .crossJoin(broadcast(dang))
+            .withColumn("pr", floor(lit(150000.0) / lit(n) + lit(0.85) *
+              (coalesce(col("agg_in"), lit(0L)) +
+                floor(col("dang").cast("double") / lit(n))) + lit(0.5)).cast("long"))
+            .select(col("doc_id"), col("pr"))
+        }
+        pr.withColumn("pagerank", round(col("pr") / lit(1e6), 6))
+          .select(col("doc_id"), col("pagerank"))
+          .orderBy(col("doc_id"))
+      },
+      Some(pagerankSql))
   )
 }

@@ -100,6 +100,28 @@ object TextQueries {
     "es" -> Seq("el", "los", "las", "es", "una", "por"),
     "zh" -> Seq("de5", "shi4", "zai4", "le5"))
 
+  /** Shared by q31 (pairs) and q97 (PageRank over the pair graph): CTE
+    * chain producing `cand`(id_a, id_b, hamming) — 32-bit simhash over
+    * token hashes, 4×8-bit banding, distinct candidate pairs. Declared
+    * before `defs` (eager Seq). */
+  private[graft] val simhashPairCtes: String = {
+    val toks = TextOps.tokensSql("text")
+    val h = XHash.hash60Sql("t")
+    val bitSum = (0 until 32).map { j =>
+      s"(CASE WHEN 2 * len(list_filter(hs, h -> ((h >> $j) & 1) = 1)) > len(hs) THEN (1::BIGINT << $j) ELSE 0 END)"
+    }.mkString(" + ")
+    s"""d AS (SELECT doc_id, list_transform($toks, t -> $h) AS hs FROM documents),
+        sh AS (SELECT doc_id, $bitSum AS simhash FROM d),
+        bands AS (
+          SELECT doc_id, simhash, i AS band_idx, (simhash >> (i * 8)) & 255 AS band_val
+          FROM sh, UNNEST(range(0, 4)) AS u(i)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id)"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── q20: exact dedup via normalized-text fingerprint ──
@@ -503,25 +525,9 @@ object TextQueries {
           .filter(col("hamming") <= 3)
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some {
-        val toks = TextOps.tokensSql("text")
-        val h = XHash.hash60Sql("t")
-        val bitSum = (0 until 32).map { j =>
-          s"(CASE WHEN 2 * len(list_filter(hs, h -> ((h >> $j) & 1) = 1)) > len(hs) THEN (1::BIGINT << $j) ELSE 0 END)"
-        }.mkString(" + ")
-        s"""
-        WITH d AS (SELECT doc_id, list_transform($toks, t -> $h) AS hs FROM documents),
-        sh AS (SELECT doc_id, $bitSum AS simhash FROM d),
-        bands AS (
-          SELECT doc_id, simhash, i AS band_idx, (simhash >> (i * 8)) & 255 AS band_val
-          FROM sh, UNNEST(range(0, 4)) AS u(i)),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                 CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-          FROM bands a JOIN bands b
-            ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
-        SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3 ORDER BY id_a, id_b"""
-      }),
+      Some(s"""
+        WITH $simhashPairCtes
+        SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3 ORDER BY id_a, id_b""")),
 
     // ── q28: fixed-size character chunking (reference W6, 800-char strides
     //        `src/groq_cot_batch_agents.ipynb` cell 1; 200 here for testdata) ──

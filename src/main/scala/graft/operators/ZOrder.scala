@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data-layout clustering by Z-order (Morton) curve —
+  * Delta/Iceberg's `OPTIMIZE ZORDER BY`: rewrite so every output file
+  * owns a compact HYPER-RECTANGLE of the key space instead of the
+  * lexicographic slices `Collection.clusterBy` produces. Lexicographic
+  * range layout prunes perfectly on the FIRST key and not at all on the
+  * rest; interleaving the bits of per-column quantile-bucket indices
+  * gives every listed column ~|files|^(1/k)-tight per-file min/max
+  * ranges, so parquet zone maps (row-group stats) skip on ANY of them.
+  * At 100 TB this is the difference between a point query reading one
+  * file and reading the whole table for every non-leading predicate.
+  *
+  * Scale shape: bucket boundaries come from one `approxQuantile` pass
+  * (Greenwald-Khanna sketch, driver gets `buckets-1` doubles per column
+  * — robust to skew where min/max linear splits collapse); the rewrite
+  * itself is a single `repartitionByRange` + per-partition sort on the
+  * computed z-value, exactly one shuffle.
+  */
+object ZOrder {
+
+  /** Per-column bucket boundaries (quantiles at i/buckets). Columns are
+    * cast to double; `buckets` must be a power of two ≤ 2^16. */
+  def boundaries(df: DataFrame, cols: Seq[String], buckets: Int)
+      : Seq[(String, Array[Double])] = {
+    require(cols.size >= 2, "zorder: need at least two columns (use clusterBy for one)")
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0 && buckets <= 65536,
+      s"zorder: buckets must be a power of two in [2, 65536], got $buckets")
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val cast = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
+    cols.map(c => c -> cast.stat.approxQuantile(c, probs, 0.001))
+  }
+
+  /** The z-value: bucket each column by its boundaries (index = count of
+    * boundaries ≤ value, i.e. the quantile cell), then interleave the
+    * bucket bits round-robin — column k contributes bit i to z-bit
+    * `i * nCols + k`. Nulls sort first (bucket 0). */
+  def zvalue(bounds: Seq[(String, Array[Double])]): Column = {
+    val nCols = bounds.size
+    val nBits = 64 - java.lang.Long.numberOfLeadingZeros(bounds.head._2.length.toLong)
+    require(nBits * nCols <= 62,
+      s"zorder: $nCols columns x $nBits bucket bits overflow a signed long")
+    val bucketCols = bounds.map { case (c, bs) =>
+      // count-of-boundaries-≤-v as a fold over the broadcast literal
+      // boundary array: branch-free, codegen-friendly, null → 0
+      aggregate(typedLit(bs.toSeq), lit(0L),
+        (acc, b) => acc + when(col(c).cast("double") >= b, 1L).otherwise(0L))
+    }
+    (0 until nBits.toInt).foldLeft(lit(0L)) { (z, i) =>
+      bucketCols.zipWithIndex.foldLeft(z) { case (zz, (bc, k)) =>
+        zz + shiftright(bc, i).bitwiseAND(lit(1L)) *
+          lit(1L << (i * nCols + k))
+      }
+    }
+  }
+
+  /** Rewrite `df` z-order-clustered on `cols` into `nFiles` range
+    * partitions, each sorted by z within — every file then owns one
+    * compact z-range = one key-space hyper-rectangle. */
+  def layout(df: DataFrame, nFiles: Int, buckets: Int, cols: String*): DataFrame = {
+    val z = zvalue(boundaries(df, cols, buckets))
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
+}

@@ -254,6 +254,21 @@ class Collection private (
       f.isFile && f.getName.endsWith(".parquet"))).getOrElse(0)
   }
 
+  /** Multi-dimensional layout clustering (Delta/Iceberg OPTIMIZE ZORDER):
+    * `clusterBy` slices lexicographically — perfect pruning on the first
+    * column, none on the rest — while z-ordering interleaves quantile-
+    * bucket bits so EVERY listed column gets compact per-file ranges and
+    * zone-map skipping. Use when scans filter on more than one metadata
+    * column. Same copy-on-write swap; returns the file count. */
+  def zorderBy(nFiles: Int, buckets: Int, cols: String*): Int = {
+    rewriteSwap("zorderBy") { tmp =>
+      graft.operators.ZOrder.layout(df, nFiles, buckets, cols: _*)
+        .write.mode(SaveMode.Overwrite).parquet(tmp)
+    }
+    Option(new java.io.File(dataDir).listFiles()).map(_.count(f =>
+      f.isFile && f.getName.endsWith(".parquet"))).getOrElse(0)
+  }
+
   /** S7/S8: append entity rows. Expects id/vector/text(+metadata) columns.
     * Schema-on-write like the Milvus server (`scripts/milvus_db.py:61-68`
     * inserts are validated server-side): vectors conform to the declared
@@ -262,7 +277,17 @@ class Collection private (
     */
   def insert(rows: DataFrame): Unit = {
     requireNotStreamManaged("insert")
-    Collection.conformVector(rows).write.mode(SaveMode.Append).parquet(dataDir)
+    val conformed = Collection.conformVector(rows)
+    // schema-on-first-insert: `create` seeds a zero-row file with the
+    // canonical (id, vector, text) schema; if the first real batch
+    // carries metadata columns, appending would leave a mixed-schema
+    // directory where reads surface whichever footer is sampled first.
+    // While the collection is still empty, the batch DEFINES the schema.
+    val widens = conformed.schema.fieldNames.toSet != df.schema.fieldNames.toSet
+    if (widens && df.isEmpty)
+      conformed.write.mode(SaveMode.Overwrite).parquet(dataDir)
+    else
+      conformed.write.mode(SaveMode.Append).parquet(dataDir)
   }
 
   /** Upsert by primary key (Milvus's `upsert`): incoming rows REPLACE

@@ -76,6 +76,33 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(agree >= total * 6 / 10, s"BQ top-1 recall too low: $agree/$total")
   }
 
+  test("q97: PageRank conserves mass and ranks connected docs above isolated ones") {
+    val rows = run("q97_pagerank").collect()
+    val n = rows.length
+    assert(n > 0)
+    val total = rows.map(_.getAs[Double]("pagerank")).sum
+    // floor-division loses at most ~1 millionth per edge/node per round —
+    // total mass stays ≈ 1
+    assert(math.abs(total - 1.0) < 0.01, s"mass not conserved: $total")
+    // isolated docs hold exactly the teleport floor after convergence of
+    // their (empty) in-neighborhood; any doc with near-dup neighbors
+    // accumulates more — the signal the curation filter keys on
+    val prs = rows.map(_.getAs[Double]("pagerank"))
+    assert(prs.max > prs.min, "degenerate uniform PageRank — graph had no edges?")
+  }
+
+  test("q96: z-block histogram accounts for every order exactly once") {
+    val rows = run("q96_zorder").collect()
+    assert(rows.length > 1)
+    val orders = spark.read.parquet(s"$sf/orders.parquet").count()
+    assert(rows.map(_.getAs[Long]("n")).sum === orders)
+    // z_blocks are the high byte of a 16-bit z — bounded domain
+    rows.foreach { r =>
+      val zb = r.getAs[Long]("z_block")
+      assert(zb >= 0 && zb <= 255, s"z_block $zb out of range")
+    }
+  }
+
   test("q93: PC1 captures at least the largest single-dimension variance") {
     val pc = run("q93_pca_power").select($"pc1").as[Double].collect()
     val n = pc.length.toDouble

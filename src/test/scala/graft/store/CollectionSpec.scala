@@ -163,6 +163,34 @@ class CollectionSpec extends SparkSpec {
     }
   }
 
+  test("zorderBy keeps per-file ranges compact on BOTH metadata columns") {
+    Collection.drop(root, "czord")
+    val c = Collection.create(spark, root, "czord", TextEmbed.DefaultDim, overwrite = true)
+    // two independent uniform metadata dims (16x16 grid)
+    val docs = (0L until 256L)
+      .map(i => (i, s"doc number $i", i % 16, i / 16)).toDF("id", "text", "x", "y")
+    c.insert(TextEmbed.withEmbed(docs.repartition(4), "text", "vector")
+      .select("id", "vector", "text", "x", "y"))
+    val nFiles = c.zorderBy(16, buckets = 16, "x", "y")
+    assert(nFiles === 16)
+    assert(c.df.count() === 256)
+    val spans = new java.io.File(c.dataDir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min($"x"), max($"x"), min($"y"), max($"y")).head()
+        ((r.getLong(1) - r.getLong(0)) / 15.0, (r.getLong(3) - r.getLong(2)) / 15.0)
+      }
+    // 16 files over the 256-cell z-curve: each file holds a short z run
+    // (~16 codes ≈ a 4x4-8x8 region; range cuts are count-based, not
+    // bit-aligned, so a file straddling a block boundary widens — the
+    // MEAN is what the curve bounds). Lexicographic layout would leave
+    // the mean y span ≈ 1.0.
+    assert(spans.length === 16)
+    assert(spans.map(_._1).sum / 16 <= 0.5, s"x spans: ${spans.map(_._1).toSeq}")
+    assert(spans.map(_._2).sum / 16 <= 0.5, s"y spans: ${spans.map(_._2).toSeq}")
+  }
+
   test("rewrites commit atomically: concurrent readers see old or new snapshot, never neither") {
     Collection.drop(root, "catomic")
     val c = Collection.create(spark, root, "catomic", TextEmbed.DefaultDim, overwrite = true)
