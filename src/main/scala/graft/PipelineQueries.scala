@@ -374,8 +374,8 @@ object PipelineQueries {
     QueryDef("q97_pagerank",
       (s, dir) => {
         val pairs = TextQueries.defs.find(_.name == "q31_simhash_pairs").get
-          .fn(s, dir).select(col("id_a"), col("id_b")).localCheckpoint()
-        val nodes = docs(s, dir).select(col("doc_id")).localCheckpoint()
+          .fn(s, dir).select(col("id_a"), col("id_b")).persist()
+        val nodes = docs(s, dir).select(col("doc_id")).persist()
         val n = nodes.count().toDouble
         val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
           .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -388,17 +388,60 @@ object PipelineQueries {
             .join(pr.withColumnRenamed("doc_id", "src"), Seq("src"))
             .withColumn("c", floor(col("pr") * lit(1.0) / col("deg")).cast("long"))
             .groupBy(col("dst")).agg(sum(col("c")).as("agg_in"))
+          // cache each superstep (Pregel-style): pr feeds three consumers
+          // (dangling sum, contributions, next round) — uncached, every
+          // round re-derives the whole prior chain and the plan grows
+          // geometrically; persist() dedups lazily without the eager
+          // barrier a checkpoint would add
           pr = nodes.join(aggIn, nodes("doc_id") === aggIn("dst"), "left")
             .crossJoin(broadcast(dang))
             .withColumn("pr", floor(lit(150000.0) / lit(n) + lit(0.85) *
               (coalesce(col("agg_in"), lit(0L)) +
                 floor(col("dang").cast("double") / lit(n))) + lit(0.5)).cast("long"))
             .select(col("doc_id"), col("pr"))
+            .persist()
         }
         pr.withColumn("pagerank", round(col("pr") / lit(1e6), 6))
           .select(col("doc_id"), col("pagerank"))
           .orderBy(col("doc_id"))
       },
-      Some(pagerankSql))
+      Some(pagerankSql)),
+
+    // ── q98: triangle counting on the near-duplicate graph — the
+    //   clustering-coefficient density signal (a doc whose neighborhood
+    //   is triangle-rich sits inside a mutually-similar CLUSTER —
+    //   template families — vs. a hub with incidental pairwise matches).
+    //   Standard two-join enumeration over the id-ordered edge list
+    //   (a<b<c guarantees each triangle counted once). 100 TB shape:
+    //   edges come from banding (never all-pairs) and both joins are
+    //   hash equi-joins on single node keys; the per-node rollup is
+    //   map-side combinable. ──
+    QueryDef("q98_triangles",
+      (s, dir) => {
+        val pairs = TextQueries.defs.find(_.name == "q31_simhash_pairs").get
+          .fn(s, dir).select(col("id_a"), col("id_b")).localCheckpoint()
+        val e1 = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+        val tri = e1
+          .join(e1.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+          .join(e1.select(col("a"), col("b").as("c")).withColumn("closed", lit(1L)),
+            Seq("a", "c"))
+          .select(col("a"), col("b"), col("c"))
+        val perNode = tri
+          .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
+        perNode.orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH ${TextQueries.simhashPairCtes},
+        e AS (SELECT id_a AS a, id_b AS b FROM cand WHERE hamming <= 3),
+        tri AS (
+          SELECT e1.a AS a, e1.b AS b, e2.b AS c
+          FROM e e1 JOIN e e2 ON e1.b = e2.a
+                    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        pern AS (
+          SELECT t.v AS doc_id, count(*) AS n_triangles
+          FROM tri, unnest([a, b, c]) AS t(v)
+          GROUP BY t.v)
+        SELECT doc_id, n_triangles FROM pern ORDER BY doc_id"""))
   )
 }
