@@ -325,6 +325,25 @@ class Collection private (
     } finally { newRows.unpersist(); () }
   }
 
+  /** Exactly-once micro-batch application for foreachBatch streams
+    * (`StreamingIngest.streamingUpsert`): Structured Streaming replays a
+    * batch after failure/restart (at-least-once), so the last applied
+    * batch id is recorded beside the data and replays become no-ops.
+    * The marker is written AFTER the upsert commit; a crash in between
+    * re-applies the batch on restart — harmless, because upsert is
+    * key-idempotent (same ids replace themselves) — so the observable
+    * effect is exactly-once without any transaction coordinator.
+    * Returns true when the batch was applied, false when skipped. */
+  def applyStreamBatch(batch: DataFrame, batchId: Long): Boolean = {
+    val applied = readMarker(s"$path/_stream_batch").map(_.trim.toLong).getOrElse(-1L)
+    if (batchId <= applied) false
+    else {
+      upsert(batch)
+      writeMarker(s"$path/_stream_batch", batchId.toString)
+      true
+    }
+  }
+
   /** Hard-link `src`'s files into `dst` (directories re-created, files
     * linked — O(metadata) not O(bytes)); copies when the filesystem
     * refuses links. Lets a new snapshot version share untouched cell

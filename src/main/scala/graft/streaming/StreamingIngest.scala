@@ -183,6 +183,31 @@ object StreamingIngest {
       .outputMode("append")
       .start()
 
+  /** CDC-style streaming UPSERT into a MUTABLE collection. Contrast with
+    * streamingInsert: the file-sink path appends fast but its
+    * `_spark_metadata` log makes the directory stream-managed (batch
+    * mutations refused forever); this path routes every micro-batch
+    * through `Collection.upsert` inside foreachBatch — same-id rows
+    * replace, new ids append, and the collection keeps its full batch
+    * surface (delete/compact/clusterBy/buildIvf). Exactly-once via the
+    * applied-batch-id marker + key-idempotent upsert
+    * (`Collection.applyStreamBatch`). The collection must already exist.
+    * At scale each batch pays one copy-on-write rewrite — right for CDC
+    * update streams; use streamingInsert for append-only firehoses.
+    */
+  def streamingUpsert(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                      root: String, name: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    graft.functions.TextEmbed.withEmbed(docs, textCol, "vector")
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.store.Collection.open(batch.sparkSession, root, name)
+          .applyStreamBatch(batch, id)
+        ()
+      }
+      .start()
+
   /** True streaming stateful operator (flatMapGroupsWithState): per-user
     * running event counts maintained in GroupState across micro-batches,
     * emitted on every update. The custom-state shape SURVEY.md §2.9

@@ -116,6 +116,43 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming upsert: micro-batches replace by key, replays are no-ops, collection stays mutable") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-upsink").toString
+    val c = graft.store.Collection.create(spark, root, "c_up",
+      graft.functions.TextEmbed.DefaultDim, overwrite = true)
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingIngest.streamingUpsert(
+      input.toDF().toDF("id", "text"), "text", root, "c_up", s"$root/ckpt")
+    try {
+      input.addData((0L, "first version of doc zero"), (1L, "doc one"))
+      q.processAllAvailable()
+      assert(c.df.count() === 2)
+      // same key in a later batch REPLACES (CDC update), new key appends
+      input.addData((0L, "second version of doc zero"), (2L, "doc two"))
+      q.processAllAvailable()
+      assert(c.df.count() === 3)
+      val v0 = c.df.filter($"id" === 0L).select("text").as[String].head()
+      assert(v0 === "second version of doc zero")
+      // replaying an already-applied batch id is a no-op (foreachBatch
+      // is at-least-once; the marker makes the effect exactly-once)
+      val replay = Seq((7L, Array.fill(graft.functions.TextEmbed.DefaultDim)(0.1f), "ghost"))
+        .toDF("id", "vector", "text")
+      assert(!c.applyStreamBatch(replay, batchId = 0L))
+      assert(c.df.count() === 3)
+      assert(c.df.filter($"id" === 7L).isEmpty)
+      // and a genuinely new batch id applies
+      assert(c.applyStreamBatch(replay, batchId = 99L))
+      assert(c.df.count() === 4)
+      // unlike the file-sink path, the collection keeps its batch
+      // surface: no _spark_metadata, mutations allowed
+      assert(c.delete("id = 7") === 1L)
+      assert(c.df.count() === 3)
+    } finally q.stop()
+  }
+
   test("session_window boundary: an exactly-30-minute gap MERGES; only > 30 min breaks") {
     // Pins the cross-engine contract q59 relies on: Spark merges sessions
     // whose windows touch ([t, t+30m] ∪ [t+30m, t+60m] → one session), so a
