@@ -20,6 +20,13 @@ object RagQueries {
 
   val QueryText = "spark batch window join customer value"
 
+  /** q99's query set (q87's five, for cross-retriever comparability) —
+    * declared before `defs` (eager Seq evaluates the oracle string). */
+  private val MaxSimQueries: Seq[(Long, String)] = Seq(
+    (0L, "spark window join"), (1L, "vector hash group"),
+    (2L, "customer order value"), (3L, "stream batch filter"),
+    (4L, "scan slow table"))
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── q40: deterministic-embed retrieval, oracle-checked end to end.
@@ -124,6 +131,87 @@ object RagQueries {
           .select(col("qid"), col("answer"), col("grade"), col("success"))
           .orderBy(col("qid"))
       },
-      None)
+      None),
+
+    // ── q99: ColBERT-style late-interaction retrieval (MaxSim; Khattab &
+    //   Zaharia, SIGIR'20): score(q, d) = Σ_{query tokens} max_{doc
+    //   tokens} sim(qt, dt) — token-level interaction instead of one
+    //   pooled vector, recovering the term-level precision single-vector
+    //   retrieval blurs (the third retriever family beside cosine q40
+    //   and BM25 q87). Engine shape for 100 TB: doc tokens are embedded
+    //   VOCABULARY-first (distinct tokens ≪ corpus by Heaps' law, then
+    //   joined back to the (doc, token) incidence list), query token
+    //   vectors are driver-embedded literals broadcast with the query
+    //   set; the wide edges carry (doc, token) pairs and two map-side-
+    //   combinable aggs — never documents. Determinism: dots rounded to
+    //   6dp before the max; each max integer-lifted before the per-doc
+    //   sum; id tiebreaks. ──
+    QueryDef("q99_maxsim",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val qt = broadcast(MaxSimQueries.flatMap { case (qid, qtext) =>
+          qtext.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct.toSeq
+            .map(t => (qid, t, TextEmbed.embedScala(t).toSeq))
+            .filter(_._3.exists(_ != 0.0)) // stopword tokens embed to zero
+        }.toDF("qid", "qtok", "qv"))
+        val dt = docs(s, dir)
+          .select(col("doc_id"), explode(graft.functions.TextOps.tokens(col("text"))).as("token"))
+          .distinct()
+        val vocab = TextEmbed.withEmbed(
+          dt.select(col("token")).distinct(), "token", "tvec")
+        val w = Window.partitionBy(col("qid")).orderBy(col("s_int").desc, col("doc_id").asc)
+        dt.join(vocab, Seq("token"))
+          .join(qt, lit(true))
+          .withColumn("m", round(VectorKernels.dotFast(col("qv"), col("tvec")), 6))
+          .groupBy(col("qid"), col("qtok"), col("doc_id"))
+          .agg(max(col("m")).as("mx"))
+          .withColumn("mx_int", floor(col("mx") * lit(1e6) + lit(0.5)).cast("long"))
+          .groupBy(col("qid"), col("doc_id"))
+          .agg(sum(col("mx_int")).as("s_int"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 5)
+          .withColumn("score", round(col("s_int") / lit(1e6), 6))
+          .select(col("qid"), col("rnk"), col("doc_id"), col("score"))
+          .orderBy(col("qid"), col("rnk"))
+      },
+      Some(maxSimSql))
   )
+
+  /** q99 oracle: query-token vectors inlined as literals (driver-embedded,
+    * same embedScala the Spark side broadcasts — the q40 precedent), doc
+    * vocabulary embedded by the shared SQL stages, MaxSim arithmetic
+    * mirrored op for op. */
+  private def maxSimSql: String = {
+    val qtRows = MaxSimQueries.flatMap { case (qid, qtext) =>
+      qtext.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct.toSeq
+        .map(t => (qid, t, TextEmbed.embedScala(t).toSeq))
+        .filter(_._3.exists(_ != 0.0))
+    }.map { case (qid, t, v) => s"($qid, '$t', [${v.mkString(", ")}])" }
+      .mkString(",\n            ")
+    s"""
+      WITH qt AS (SELECT * FROM (VALUES
+            $qtRows) AS v(qid, qtok, qv)),
+      dt AS (SELECT DISTINCT doc_id, t.token AS token
+             FROM (SELECT doc_id, ${graft.functions.TextOps.tokensSql("text")} AS toks
+                   FROM documents), unnest(toks) AS t(token)),
+      vocabsrc AS (SELECT DISTINCT token FROM dt),
+      ${TextEmbed.embedSqlStages("vocabsrc", "token", "token", prefix = "v")},
+      sc AS (SELECT q.qid AS qid, q.qtok AS qtok, d.doc_id AS doc_id,
+                    round(list_sum(list_transform(range(1, 65),
+                      i -> (q.qv)[i] * vec[i])), 6) AS m
+             FROM dt d JOIN v_vec e ON d.token = e.token CROSS JOIN qt q),
+      mx AS (SELECT qid, qtok, doc_id,
+                    CAST(floor(max(m) * 1000000.0 + 0.5) AS BIGINT) AS mx_int
+             FROM sc GROUP BY qid, qtok, doc_id),
+      agg AS (SELECT qid, doc_id, CAST(sum(mx_int) AS BIGINT) AS s_int
+              FROM mx GROUP BY qid, doc_id),
+      ranked AS (SELECT qid, doc_id, s_int,
+                        row_number() OVER (PARTITION BY qid
+                          ORDER BY s_int DESC, doc_id ASC) AS rnk
+                 FROM agg)
+      SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS BIGINT) AS rnk, doc_id,
+             round(s_int / 1000000.0, 6) AS score
+      FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk"""
+  }
 }

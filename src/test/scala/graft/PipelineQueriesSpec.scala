@@ -103,6 +103,21 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q99: MaxSim gives exact-token matches dot 1.0, so top docs cover most query tokens") {
+    val rows = run("q99_maxsim").collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size === 5)
+    byQ.foreach { case (qid, rs) =>
+      val top = rs.minBy(_.getAs[Long]("rnk")).getAs[Double]("score")
+      // each query has 3 content tokens; a doc containing a query token
+      // verbatim scores dot = 1.0 for it (identical normalized hash
+      // embedding), so the best doc over a 500-doc corpus with a 31-word
+      // vocabulary should cover at least 2 of 3 exactly
+      assert(top >= 2.0, s"query $qid: top MaxSim score $top < 2.0")
+      rs.foreach(r => assert(r.getAs[Double]("score") <= 3.000001))
+    }
+  }
+
   test("q93: PC1 captures at least the largest single-dimension variance") {
     val pc = run("q93_pca_power").select($"pc1").as[Double].collect()
     val n = pc.length.toDouble
