@@ -101,21 +101,59 @@ object RagPipeline {
     * a full ranking, and fusion joins |questions|·k-row frames.
     */
   def retrieveHybrid(questions: DataFrame, collection: DataFrame, k: Int,
-                     rrfC: Int = 60): DataFrame = {
+                     rrfC: Int = 60, withMaxSim: Boolean = false): DataFrame = {
     val cos = retrieveAll(questions, collection, k)
       .select(col("qid"), col("id"), col("rnk").as("cos_rnk"))
     val bm = bm25All(questions.select(col("qid"), col("question")), collection, k)
       .select(col("qid"), col("id"), col("rnk").as("bm_rnk"))
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id").asc)
-    val fused = cos.join(bm, Seq("qid", "id"), "full_outer")
-      .withColumn("score",
-        coalesce(lit(1.0) / (lit(rrfC) + col("cos_rnk")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(rrfC) + col("bm_rnk")), lit(0.0)))
+    def rrf(c: Column): Column = coalesce(lit(1.0) / (lit(rrfC) + c), lit(0.0))
+    val twoWay = cos.join(bm, Seq("qid", "id"), "full_outer")
+    val pooled =
+      if (!withMaxSim) twoWay.withColumn("score", rrf(col("cos_rnk")) + rrf(col("bm_rnk")))
+      else {
+        val ms = maxSimAll(questions.select(col("qid"), col("question")), collection, k)
+          .select(col("qid"), col("id"), col("rnk").as("ms_rnk"))
+        twoWay.join(ms, Seq("qid", "id"), "full_outer")
+          .withColumn("score",
+            rrf(col("cos_rnk")) + rrf(col("bm_rnk")) + rrf(col("ms_rnk")))
+      }
+    val fused = pooled
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("id"), col("score"), col("rnk"))
     fused.join(collection, Seq("id"))
       .join(broadcast(questions.drop("qv")), Seq("qid"))
+  }
+
+  /** Per-question MaxSim top-k (ColBERT late interaction, the q99_maxsim
+    * recipe): Σ over query tokens of the max dot against the document's
+    * token embeddings. Vocabulary-first: distinct corpus tokens embed
+    * once (Heaps' law keeps that table ≪ corpus) and join back to the
+    * (id, token) incidence list; per-term maxes integer-lift before the
+    * per-doc sum so ranking is accumulation-order independent. Emits
+    * (qid, id, rnk). */
+  def maxSimAll(questions: DataFrame, collection: DataFrame, k: Int): DataFrame = {
+    val qt = TextEmbed.withEmbed(
+      questions.select(col("qid"),
+        explode(TextOps.tokens(col("question"))).as("qtok")).distinct(),
+      "qtok", "qv")
+    val dt = collection
+      .select(col("id"), explode(TextOps.tokens(col("text"))).as("token"))
+      .distinct()
+    val vocab = TextEmbed.withEmbed(dt.select(col("token")).distinct(), "token", "tvec")
+    val w = Window.partitionBy(col("qid")).orderBy(col("ms").desc, col("id").asc)
+    dt.join(vocab, Seq("token"))
+      .join(broadcast(qt), lit(true))
+      .withColumn("m", floor(round(VectorKernels.dotFast(col("qv"), col("tvec")), 6) *
+        lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy(col("qid"), col("qtok"), col("id"))
+      .agg(max(col("m")).as("mx"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("mx")).as("ms"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("id"), col("rnk"))
   }
 
   /** The external-service boundary: appends `out` = f(client, row) via
@@ -149,10 +187,11 @@ object RagPipeline {
       collection: DataFrame, // id BIGINT, text STRING, vector ARRAY<DOUBLE-ish>
       k: Int = 5,
       dim: Int = TextEmbed.DefaultDim,
-      llm: LlmClient = ExtractiveLlm): DataFrame = {
+      llm: LlmClient = ExtractiveLlm,
+      withMaxSim: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types.StringType
     val q = TextEmbed.withEmbed(questions, "question", "qv", dim)
-    val hits = retrieveHybrid(q, collection, k)
+    val hits = retrieveHybrid(q, collection, k, withMaxSim = withMaxSim)
     val gathered = hits
       .groupBy(col("qid"), col("question"))
       .agg(sort_array(collect_list(struct(col("rnk"), col("id"), col("text")))).as("hits"))
@@ -175,9 +214,11 @@ object RagPipeline {
       collection: DataFrame,
       k: Int = 5,
       dim: Int = TextEmbed.DefaultDim,
-      llm: LlmClient = ExtractiveLlm): DataFrame = {
+      llm: LlmClient = ExtractiveLlm,
+      withMaxSim: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types.DoubleType
-    val answered = answerBatch(qa.select(col("qid"), col("question")), collection, k, dim, llm)
+    val answered = answerBatch(qa.select(col("qid"), col("question")), collection, k, dim, llm,
+        withMaxSim = withMaxSim)
       .join(qa.select(col("qid"), col("expected_answer")), Seq("qid"))
     val qIdx = answered.schema.fieldIndex("question")
     val pIdx = answered.schema.fieldIndex("answer")
