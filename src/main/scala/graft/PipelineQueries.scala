@@ -89,11 +89,13 @@ object PipelineQueries {
       (s, dir) => {
         val toks = docs(s, dir)
           .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+          .persist() // vocab action + bigram derivation share one pass
         val big = toks.filter(size(col("toks")) >= 2)
           .withColumn("i", explode(expr("sequence(1, size(toks) - 1)")))
           .select(col("doc_id"),
             expr("element_at(toks, i)").as("w1"),
             expr("element_at(toks, i + 1)").as("w2"))
+          .persist() // feeds ctx counts, bigram counts, and scoring
         val vocab = toks.select(explode(col("toks")).as("t"))
           .agg(countDistinct(col("t"))).head().getLong(0)
         val ctx = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
@@ -247,13 +249,16 @@ object PipelineQueries {
         val tb = d.select(col("doc_id"), col("lang"),
             explode(TextOps.tokens(col("text"))).as("term"))
           .withColumn("b", pmod(XHash.hash60(col("term")), lit(256L)))
-        val rawTot = tb.count()
-        val tgtTot = tb.filter(col("lang") === "en").count()
-        val rawB = tb.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-        val tgtB = tb.filter(col("lang") === "en")
-          .groupBy(col("b")).agg(count(lit(1)).as("ct"))
-        val lr = rawB.join(tgtB, Seq("b"), "left")
-          .na.fill(0L, Seq("ct"))
+        // raw + target bucket counts in ONE corpus pass (conditional sum),
+        // and the corpus totals from the 256-row table — the naive shape
+        // (separate count()/filter().count()/two groupBys) scans the
+        // exploded corpus four times for numbers this table already holds
+        val bstats = tb.groupBy(col("b")).agg(count(lit(1)).as("cr"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+          .persist()
+        val tots = bstats.agg(sum(col("cr")), sum(col("ct"))).head()
+        val (rawTot, tgtTot) = (tots.getLong(0), tots.getLong(1))
+        val lr = bstats
           .withColumn("lr", floor(round(
             log(((col("ct") + lit(1)) * lit(rawTot + 256L)).cast("double") /
               ((col("cr") + lit(1)) * lit(tgtTot + 256L)).cast("double")), 6) *
