@@ -721,7 +721,8 @@ class Collection private (
     * (id, cell, adist) with adist = approximate squared L2 distance,
     * ascending.
     */
-  def searchIvfPq(queryVec: Array[Double], k: Int = 5, nprobe: Int = 2): DataFrame = {
+  def searchIvfPq(queryVec: Array[Double], k: Int = 5, nprobe: Int = 2,
+                  rerank: Int = 0): DataFrame = {
     val model = loadIvfModel()
     val pqDir = s"$path.__pq"
     val buildId = readMarker(s"$pqDir/_build_id")
@@ -764,12 +765,37 @@ class Collection private (
     val adist = (0 until m).map(s =>
         element_at(col("__tbl"), lit(s * pqK + 1) + element_at(col("codes"), s + 1)))
       .reduce(_ + _)
-    codes.filter(cellIn)
+    val adcTop = codes.filter(cellIn)
       .withColumn("__tbl", tbl)
       .withColumn("adist", adist)
       .select(col("id"), col("cell").cast("long").as("cell"), col("adist"))
       .orderBy(col("adist").asc, col("id").asc)
-      .limit(k)
+      .limit(math.max(k, rerank))
+    if (rerank <= 0) adcTop
+    else {
+      // FAISS-style refinement (IndexRefineFlat): the ADC scan overfetches
+      // `rerank` candidates from the compressed domain, then ONLY those
+      // ids re-score against true vectors — a directory-pruned point
+      // lookup of ≤ rerank rows, so the exact pass costs O(rerank·dim)
+      // regardless of collection size. adist on the result is the EXACT
+      // squared L2, not the table approximation.
+      val cand = adcTop.select(col("id"), col("cell")).collect()
+      val ids = cand.map(_.getLong(0))
+      val cellVals = cand.map(_.getLong(1)).distinct
+      val cellPick: Column = df.schema("cell").dataType match {
+        case IntegerType => col("cell").isin(cellVals.map(_.toInt): _*)
+        case LongType    => col("cell").isin(cellVals: _*)
+        case _           => col("cell").isin(cellVals.map(_.toString): _*)
+      }
+      df.filter(cellPick && col("id").isin(ids: _*))
+        .withColumn("adist", aggregate(
+          zip_with(col("vector").cast("array<double>"), typedLit(queryVec.toSeq),
+            (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+        .select(col("id"), col("cell").cast("long").as("cell"), col("adist"))
+        .orderBy(col("adist").asc, col("id").asc)
+        .limit(k)
+    }
   }
 
   private def writeMarker(file: String, content: String): Unit =

@@ -286,7 +286,7 @@ class IvfKMeansSpec extends SparkSpec {
     // residual / table path measures at or near that — the tripwire
     // detects COLLAPSE, not quality (real low-intrinsic-dim corpora are
     // where IVF_PQ earns its keep; exact arithmetic is gate-pinned by q88).
-    val recalls = queries.map { case (qid, qv) =>
+    val pairs = queries.map { case (qid, qv) =>
       val exact = c.df.filter(col("id") =!= qid)
         .withColumn("d", aggregate(
           zip_with(col("vector").cast("array<double>"), typedLit(qv.toSeq),
@@ -297,12 +297,26 @@ class IvfKMeansSpec extends SparkSpec {
       val pq = c.searchIvfPq(qv, k = 6, nprobe = 4)
         .filter(col("id") =!= qid)
         .select("id").as[Long].collect().take(5).toSet
-      exact.intersect(pq).size.toDouble / exact.size
+      // FAISS-style refinement: same candidate stream, 60-deep ADC
+      // overfetch re-scored exactly — within the probed cells the exact
+      // top-k is recovered whenever it survives the ADC cut
+      val rr = c.searchIvfPq(qv, k = 6, nprobe = 4, rerank = 60)
+        .filter(col("id") =!= qid)
+        .select("id").as[Long].collect().take(5).toSet
+      (exact.intersect(pq).size.toDouble / exact.size,
+        exact.intersect(rr).size.toDouble / exact.size)
     }
-    val mean = recalls.sum / recalls.length
+    val mean = pairs.map(_._1).sum / pairs.length
+    val meanRr = pairs.map(_._2).sum / pairs.length
     info(f"IVF_PQ ADC recall@5 (nprobe=4/8, m=4 k=16 residual codebooks, " +
-      f"IID-random corpus) = $mean%.2f (chance ≈ 0.02)")
+      f"IID-random corpus) = $mean%.2f (chance ≈ 0.02); rerank=60 → $meanRr%.2f")
     assert(mean >= 0.12, s"IVF_PQ recall collapsed toward chance: $mean")
+    // exact re-scoring of a 10x overfetch must dominate the raw ADC
+    // ranking — if it doesn't, the refinement path is scoring garbage
+    assert(meanRr >= mean,
+      s"rerank recall $meanRr below plain ADC $mean — refinement broken")
+    assert(meanRr >= 0.4, s"rerank recall $meanRr should recover most of " +
+      "the probed-cell exact top-k on this corpus")
 
     // the ADC scan prunes to probed cells AND reads only the codes
     // sidecar — no vector column anywhere in the plan
