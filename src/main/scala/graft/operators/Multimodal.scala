@@ -22,11 +22,14 @@ import org.apache.spark.sql.types._
   * channels / frame count and an amplitude histogram over actual decoded
   * samples. Video payloads carrying GIF magic decode FOR REAL via
   * [[SimpleGif]] (pure-JVM LZW + palette): true screen dims, true frame
-  * count, and a histogram over decoded per-frame luminance. Only video
-  * bytes in container formats that need a codec library (mp4/webm — none
-  * ships in this build) hit the clearly-marked DETERMINISTIC STUB, which
-  * derives pseudo-dimensions and a 16-bin byte histogram from the
-  * payload bytes. The Spark-side contract — schema, batching,
+  * count, and a histogram over decoded per-frame luminance. MP4/MOV
+  * video parses its ISO-BMFF container FOR REAL via [[SimpleMp4]] (true
+  * dimensions, codec fourcc, sample count from the box tree); only the
+  * frame PIXEL decode — which needs a codec library (H.264/VP9, none
+  * ships in this build) — hits the clearly-marked DETERMINISTIC STUB
+  * histogram, and non-BMFF containers (webm) stub entirely, with
+  * pseudo-dimensions and a 16-bin byte histogram from the payload
+  * bytes. The Spark-side contract — schema, batching,
   * partitioning, column shapes — is identical on all paths, so swapping
   * a true codec in changes only the per-row body.
   */
@@ -86,6 +89,23 @@ object Multimodal {
           }
           return (Row(mediaType, gif.width, gif.height, gif.frames.length), hist16(lum))
         case None => () // corrupt/unsupported GIF: stub fallback below
+      }
+    }
+    if (mediaType == "video" && SimpleMp4.isMp4(payload)) {
+      SimpleMp4.parse(payload) match {
+        case Some(meta) =>
+          // REAL container metadata (ISO-BMFF box parse): true visual
+          // dimensions and sample count from the video track. Frame
+          // PIXEL decode needs a codec library (H.264/VP9) — the
+          // histogram stays over payload bytes, the one residual stub.
+          val v = meta.tracks.find(_.kind == "video")
+            .orElse(meta.tracks.headOption)
+          v match {
+            case Some(tr) =>
+              return (Row(mediaType, tr.width, tr.height, tr.nSamples), hist16(payload))
+            case None => () // no tracks: stub fallback below
+          }
+        case None => () // malformed mp4: stub fallback below
       }
     }
     if (mediaType == "audio" && SimpleWav.isWav(payload)) {

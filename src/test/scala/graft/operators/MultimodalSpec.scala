@@ -306,4 +306,70 @@ class MultimodalSpec extends SparkSpec {
     val lens = out.select(length(col("frame_bytes"))).as[Int].collect()
     assert(lens.forall(_ <= 256))
   }
+
+  // ── minimal ISO-BMFF builder for the SimpleMp4 tests ──
+  private def be32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+  private def mbox(typ: String, payload: Array[Byte]): Array[Byte] =
+    be32(payload.length + 8) ++ typ.getBytes("ISO-8859-1") ++ payload
+  private def vf0: Array[Byte] = Array[Byte](0, 0, 0, 0)
+
+  private def buildMp4(timescale: Long = 600L, duration: Long = 1200L,
+                       w: Int = 320, h: Int = 240, n: Long = 48L): Array[Byte] = {
+    val ftyp = mbox("ftyp", "isom".getBytes ++ be32(0) ++ "isom".getBytes)
+    val mvhd = mbox("mvhd", vf0 ++ be32(0) ++ be32(0) ++ be32(timescale) ++
+      be32(duration) ++ new Array[Byte](80))
+    val tkhd = mbox("tkhd", vf0 ++ new Array[Byte](72) ++
+      be32(w.toLong << 16) ++ be32(h.toLong << 16))
+    val mdhd = mbox("mdhd", vf0 ++ new Array[Byte](20))
+    val hdlr = mbox("hdlr", vf0 ++ be32(0) ++ "vide".getBytes ++ new Array[Byte](13))
+    val stsd = mbox("stsd", vf0 ++ be32(1) ++
+      (be32(16) ++ "avc1".getBytes ++ new Array[Byte](8)))
+    val stsz = mbox("stsz", vf0 ++ be32(0) ++ be32(n))
+    val stbl = mbox("stbl", stsd ++ stsz)
+    val minf = mbox("minf", stbl)
+    val mdia = mbox("mdia", mdhd ++ hdlr ++ minf)
+    val trak = mbox("trak", tkhd ++ mdia)
+    val moov = mbox("moov", mvhd ++ trak)
+    val mdat = mbox("mdat", Array.tabulate[Byte](64)(_.toByte))
+    ftyp ++ moov ++ mdat
+  }
+
+  test("MP4 container metadata parses for REAL: brand, duration, track codec/dims/samples") {
+    val bytes = buildMp4()
+    assert(SimpleMp4.isMp4(bytes))
+    val meta = SimpleMp4.parse(bytes).get
+    assert(meta.brand === "isom")
+    assert(meta.timescale === 600L)
+    assert(meta.durationMs === 2000L) // 1200 ticks at 600/s
+    assert(meta.tracks.length === 1)
+    val tr = meta.tracks.head
+    assert(tr.kind === "video")
+    assert(tr.codec === "avc1")
+    assert((tr.width, tr.height) === ((320, 240)))
+    assert(tr.nSamples === 48)
+  }
+
+  test("MP4 malformed structure is refused, never decoded as garbage") {
+    val good = buildMp4()
+    // truncated mid-moov: the box header promises bytes that aren't there
+    assert(SimpleMp4.parse(good.dropRight(80)).isEmpty)
+    // corrupt top-level size: first box claims to overrun the file
+    val corrupt = good.clone(); corrupt(0) = 0x7F.toByte
+    assert(SimpleMp4.parse(corrupt).isEmpty)
+    // not BMFF at all
+    assert(!SimpleMp4.isMp4("GIF89a......".getBytes))
+    assert(SimpleMp4.parse("RIFFxxxxWAVE".getBytes ++ new Array[Byte](64)).isEmpty)
+  }
+
+  test("decode routes mp4 video through the real container parse") {
+    val df = Seq((0L, buildMp4(w = 640, h = 360, n = 24L), "video"))
+      .toDF("id", "payload", "media_type")
+    val out = Multimodal.decode(df, "payload", "media_type").select("meta.*").head()
+    assert(out.getAs[String]("media_type") === "video")
+    assert(out.getAs[Int]("width") === 640)
+    assert(out.getAs[Int]("height") === 360)
+    assert(out.getAs[Int]("n_frames") === 24)
+  }
 }
