@@ -447,6 +447,49 @@ object PipelineQueries {
           SELECT t.v AS doc_id, count(*) AS n_triangles
           FROM tri, unnest([a, b, c]) AS t(v)
           GROUP BY t.v)
-        SELECT doc_id, n_triangles FROM pern ORDER BY doc_id"""))
+        SELECT doc_id, n_triangles FROM pern ORDER BY doc_id""")),
+
+    // ── q100: per-group top-k WITHOUT a window sort — the bounded-heap
+    //   typed Aggregator (`operators.TopK`). The window formulation
+    //   (q05's shape) sorts every group's full row set inside the
+    //   exchange; the aggregator streams a k-element sorted buffer with
+    //   MAP-SIDE partial aggregation, so the shuffle carries ≤ k rows
+    //   per group per map task and nothing ever sorts the full data —
+    //   at 100 TB with heavy groups, a heap streamed vs a sort spilled.
+    //   Results are identical to the window formulation (the oracle IS
+    //   the window formulation); `PipelineQueriesSpec` asserts the plan
+    //   is window-free with a partial ObjectHashAggregate. ──
+    QueryDef("q100_topk_agg",
+      (s, dir) => {
+        import s.implicits._
+        val topk = graft.operators.TopK.aggregator(3)
+        orders(s, dir)
+          .select(col("o_orderpriority").as("g"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+            col("o_orderkey"))
+          .as[(String, Long, Long)]
+          .groupByKey(_._1)
+          .mapValues(t => (t._2.toDouble, t._3)) // cents exact in double
+          .agg(topk.toColumn.name("top"))
+          .flatMap { case (g, buf) =>
+            buf.items.zipWithIndex.map { case ((cents, id), i) =>
+              (g, (i + 1).toLong, id, cents / 100.0)
+            }
+          }
+          .toDF("o_orderpriority", "rnk", "o_orderkey", "price")
+          .orderBy(col("o_orderpriority"), col("rnk"))
+      },
+      Some("""
+        WITH c AS (SELECT o_orderpriority, o_orderkey,
+                          CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                   FROM orders),
+        ranked AS (
+          SELECT o_orderpriority, o_orderkey, cents,
+                 row_number() OVER (PARTITION BY o_orderpriority
+                   ORDER BY cents DESC, o_orderkey ASC) AS rnk
+          FROM c)
+        SELECT o_orderpriority, CAST(rnk AS BIGINT) AS rnk, o_orderkey,
+               cents / 100.0 AS price
+        FROM ranked WHERE rnk <= 3 ORDER BY o_orderpriority, rnk"""))
   )
 }

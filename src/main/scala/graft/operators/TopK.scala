@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Encoder, Encoders}
+
+/** Per-group top-k as a typed Aggregator — the scale-native alternative
+  * to the window formulation. `row_number() OVER (PARTITION BY g ORDER BY
+  * v)` must SORT every group's full row set inside the exchange; this
+  * aggregator carries a bounded k-element buffer instead, so the
+  * per-partition pass is O(n log k), the shuffle moves at most k rows per
+  * group per map task (map-side partial aggregation — the win the window
+  * can never have), and no sort of the full data ever happens. At 100 TB
+  * with heavy groups that is the difference between spilling a sort and
+  * streaming a heap.
+  *
+  * Determinism: ordering is (value DESC, id ASC) — ties cannot reorder
+  * across partitionings because the id tiebreak is total. The buffer is
+  * a sorted List (k is small by contract; insertion keeps it ordered) so
+  * merge = ordered re-insertion, order-independent.
+  */
+object TopK {
+
+  /** Sorted top-k buffer: items descending by value, id-ascending ties. */
+  final case class Buf(items: List[(Double, Long)])
+
+  /** Top-k (value, id) pairs by value DESC, id ASC. Returns the sorted
+    * buffer; callers explode `items` to rows. */
+  def aggregator(k: Int): Aggregator[(Double, Long), Buf, Buf] =
+    new Aggregator[(Double, Long), Buf, Buf] {
+      private def lt(a: (Double, Long), b: (Double, Long)): Boolean =
+        a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+      private def insert(buf: List[(Double, Long)], x: (Double, Long)): List[(Double, Long)] = {
+        val (before, after) = buf.span(e => lt(e, x))
+        val merged = before ::: x :: after
+        if (merged.length > k) merged.take(k) else merged
+      }
+      def zero: Buf = Buf(Nil)
+      def reduce(b: Buf, a: (Double, Long)): Buf = Buf(insert(b.items, a))
+      def merge(x: Buf, y: Buf): Buf = Buf(y.items.foldLeft(x.items)(insert))
+      def finish(b: Buf): Buf = b
+      def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+      def outputEncoder: Encoder[Buf] = Encoders.product[Buf]
+    }
+}

@@ -118,6 +118,32 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q100: TopK aggregator plan is window-free with map-side partial aggregation") {
+    val df = run("q100_topk_agg")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window crept back in:\n$plan")
+    // typed Aggregator → ObjectHashAggregate partial + final around the
+    // exchange: the shuffle carries k-row buffers, not group row sets
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert("partial_topk|ObjectHashAggregate.*partial".r.findFirstIn(plan).isDefined ||
+      plan.split("ObjectHashAggregate").length > 2, "no partial aggregate stage")
+  }
+
+  test("TopK aggregator: merge is order-independent and matches a full sort") {
+    val agg = graft.operators.TopK.aggregator(4)
+    val xs = Seq((5.0, 3L), (5.0, 1L), (7.0, 9L), (1.0, 2L), (7.0, 4L), (3.0, 8L))
+    val expected = xs.sortBy { case (v, id) => (-v, id) }.take(4).toList
+    // every 2-way split of the input, reduced separately then merged,
+    // must agree with the sorted truth
+    for (i <- xs.indices) {
+      val (a, b) = xs.splitAt(i)
+      val bufA = a.foldLeft(agg.zero)(agg.reduce)
+      val bufB = b.foldLeft(agg.zero)(agg.reduce)
+      assert(agg.finish(agg.merge(bufA, bufB)).items === expected, s"split at $i")
+      assert(agg.finish(agg.merge(bufB, bufA)).items === expected, s"swapped split at $i")
+    }
+  }
+
   test("q93: PC1 captures at least the largest single-dimension variance") {
     val pc = run("q93_pca_power").select($"pc1").as[Double].collect()
     val n = pc.length.toDouble
