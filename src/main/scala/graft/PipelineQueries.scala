@@ -108,8 +108,13 @@ object PipelineQueries {
         big.join(model.select("w1", "w2", "lnp"), Seq("w1", "w2"))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_bigrams"), sum(col("lnp")).as("s"))
+          // the mean divides the LIFTED sum by n, so it can land exactly
+          // on a 6dp half-boundary (e.g. -s/n = 3388329.5): round() there
+          // is engine-dependent — keep the arithmetic in integer-lifted
+          // space and half-up explicitly (floor(x + 0.5)), then the /1e6
+          // is exact
           .withColumn("xent",
-            round(-col("s").cast("double") / lit(1e6) / col("n_bigrams"), 6))
+            floor(-col("s").cast("double") / col("n_bigrams") + lit(0.5)) / lit(1e6))
           .select(col("doc_id"), col("n_bigrams"), col("xent"))
           .orderBy(col("doc_id"))
       },
@@ -128,7 +133,7 @@ object PipelineQueries {
           FROM (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2) b
           JOIN ctx USING (w1) CROSS JOIN vocab)
         SELECT doc_id, count(*) AS n_bigrams,
-               round(-CAST(sum(lnp) AS DOUBLE) / 1000000.0 / count(*), 6) AS xent
+               floor(-CAST(sum(lnp) AS DOUBLE) / count(*) + 0.5) / 1000000.0 AS xent
         FROM big JOIN model USING (w1, w2)
         GROUP BY doc_id ORDER BY doc_id""")),
 
