@@ -24,6 +24,12 @@ object PipelineQueries {
   private def orders(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/orders.parquet")
 
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** q97 PageRank iterations — declared before `defs` (eager Seq). */
   private val PrIters = 3
 
@@ -495,6 +501,156 @@ object PipelineQueries {
           FROM c)
         SELECT o_orderpriority, CAST(rnk AS BIGINT) AS rnk, o_orderkey,
                cents / 100.0 AS price
-        FROM ranked WHERE rnk <= 3 ORDER BY o_orderpriority, rnk"""))
+        FROM ranked WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""")),
+
+    // ── q101: Jensen-Shannon divergence of each language slice's token
+    //   distribution vs the corpus — the drift/contamination metric data
+    //   pipelines watch across snapshots (a slice whose JSD jumps got
+    //   polluted or re-crawled). JSD(P‖Q) = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m),
+    //   m = (p+q)/2, over the union support. Exactness: every per-token
+    //   term is 6dp-rounded and integer-lifted before the per-slice sum;
+    //   the final halving uses the explicit half-up (the q90 lesson —
+    //   an engine round() at a computed half-boundary is not portable).
+    //   100 TB shape: two vocabulary-sized count tables (map-side
+    //   combined) joined on token — documents never shuffle. ──
+    QueryDef("q101_jsd",
+      (s, dir) => {
+        val tok = docs(s, dir).select(col("lang"),
+          explode(TextOps.tokens(col("text"))).as("t"))
+        val byLang = tok.groupBy(col("lang"), col("t")).agg(count(lit(1)).as("cl"))
+        val nl = byLang.groupBy(col("lang")).agg(sum(col("cl")).as("nl"))
+        val corpus = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
+        val n = tok.count().toDouble
+        val terms = byLang.join(nl, Seq("lang")).join(corpus, Seq("t"))
+          .withColumn("p", col("cl").cast("double") / col("nl"))
+          .withColumn("q", col("c").cast("double") / lit(n))
+          .withColumn("m", (col("p") + col("q")) / lit(2.0))
+          .withColumn("s1", floor(round(col("p") * log(col("p") / col("m")), 6) *
+            lit(1e6) + lit(0.5)).cast("long"))
+          .withColumn("s2", floor(round(col("q") * log(col("q") / col("m")), 6) *
+            lit(1e6) + lit(0.5)).cast("long"))
+        // tokens absent from a slice contribute only on the corpus side:
+        // q·ln(q/(q/2)) = q·ln 2
+        val missing = corpus.crossJoin(nl.select(col("lang")))
+          .join(byLang.select(col("lang"), col("t")), Seq("lang", "t"), "left_anti")
+          .withColumn("q", col("c").cast("double") / lit(n))
+          .withColumn("s2", floor(round(col("q") * log(lit(2.0)), 6) *
+            lit(1e6) + lit(0.5)).cast("long"))
+          .withColumn("s1", lit(0L))
+        terms.select(col("lang"), col("s1"), col("s2"))
+          .unionByName(missing.select(col("lang"), col("s1"), col("s2")))
+          .groupBy(col("lang"))
+          .agg(sum(col("s1") + col("s2")).as("j_int"), count(lit(1)).as("n_support"))
+          .withColumn("jsd",
+            floor(col("j_int").cast("double") * lit(0.5) + lit(0.5)) / lit(1e6))
+          .select(col("lang"), col("n_support"), col("jsd"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""
+        WITH tok AS (SELECT lang, unnest(${TextOps.tokensSql("text")}) AS t
+                     FROM documents),
+        byl AS (SELECT lang, t, count(*) AS cl FROM tok GROUP BY lang, t),
+        nl AS (SELECT lang, CAST(sum(cl) AS BIGINT) AS nl FROM byl GROUP BY lang),
+        corpus AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok),
+        terms AS (
+          SELECT b.lang,
+                 CAST(floor(round(p * ln(p / m), 6) * 1000000.0 + 0.5) AS BIGINT) AS s1,
+                 CAST(floor(round(q * ln(q / m), 6) * 1000000.0 + 0.5) AS BIGINT) AS s2
+          FROM (SELECT b.lang, b.t,
+                       CAST(b.cl AS DOUBLE) / nl.nl AS p,
+                       CAST(c.c AS DOUBLE) / nn.n AS q,
+                       (CAST(b.cl AS DOUBLE) / nl.nl + CAST(c.c AS DOUBLE) / nn.n) / 2.0 AS m
+                FROM byl b JOIN nl ON b.lang = nl.lang
+                           JOIN corpus c ON b.t = c.t CROSS JOIN nn) b),
+        missing AS (
+          SELECT l.lang, CAST(0 AS BIGINT) AS s1,
+                 CAST(floor(round((CAST(c.c AS DOUBLE) / nn.n) * ln(2.0), 6)
+                   * 1000000.0 + 0.5) AS BIGINT) AS s2
+          FROM corpus c CROSS JOIN (SELECT lang FROM nl) l CROSS JOIN nn
+          WHERE NOT EXISTS (SELECT 1 FROM byl b
+                            WHERE b.lang = l.lang AND b.t = c.t)),
+        uni AS (SELECT lang, s1, s2 FROM terms
+                UNION ALL SELECT lang, s1, s2 FROM missing)
+        SELECT lang, count(*) AS n_support,
+               floor(CAST(sum(s1 + s2) AS DOUBLE) * 0.5 + 0.5) / 1000000.0 AS jsd
+        FROM uni GROUP BY lang ORDER BY lang""")),
+
+    // ── q102: weighted sampling without replacement (Efraimidis &
+    //   Spirakis, IPL 2006 "A-ES"): key_i = ln(u_i)/w_i with u_i a
+    //   deterministic hash-uniform in (0,1], take the top-n keys — the
+    //   quality-weighted corpus subsampling primitive (sample documents
+    //   proportionally to a quality weight, here n_chars, in ONE pass
+    //   with no global state). Key output uses the explicit half-up
+    //   formula, never an engine round(); ranking compares the identical
+    //   full-precision doubles in both engines with id tiebreak.
+    //   100 TB shape: pure per-row arithmetic + one TakeOrdered top-n —
+    //   zero shuffles before the cut. ──
+    QueryDef("q102_weighted_sample",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.orderBy(col("key").desc, col("doc_id").asc)
+        docs(s, dir)
+          .withColumn("u",
+            (XHash.hash31(concat(lit("ws:"), col("doc_id"))) + lit(1L))
+              .cast("double") / lit(2147483648.0))
+          .withColumn("key", log(col("u")) / col("n_chars"))
+          .orderBy(col("key").desc, col("doc_id").asc).limit(50)
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .withColumn("key6",
+            floor(col("key") * lit(1e6) + lit(0.5)) / lit(1e6))
+          .select(col("rnk"), col("doc_id"), col("n_chars"), col("key6"))
+          .orderBy(col("rnk"))
+      },
+      Some(s"""
+        WITH keyed AS (
+          SELECT doc_id, n_chars,
+                 ln((${XHash.hash31Sql("('ws:' || doc_id)")} + 1)::DOUBLE
+                    / 2147483648.0) / n_chars AS key
+          FROM documents),
+        ranked AS (
+          SELECT doc_id, n_chars, key,
+                 row_number() OVER (ORDER BY key DESC, doc_id ASC) AS rnk
+          FROM keyed)
+        SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, n_chars,
+               floor(key * 1000000.0 + 0.5) / 1000000.0 AS key6
+        FROM ranked WHERE rnk <= 50 ORDER BY rnk""")),
+
+    // ── q103: per-user maximum drawdown over the purchase-value series —
+    //   the risk-analytics window composition (running max, then max gap
+    //   below it). Exact integer cents; two windows over ONE hash
+    //   exchange on user_id (same partitioning, no second shuffle).
+    //   Distinct from q76's fold: this is windowed state, not a
+    //   sequential recurrence, so it stays fully declarative. ──
+    QueryDef("q103_drawdown",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val wRun = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val v = events(s, dir).filter(col("event_type") === "purchase")
+          .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+          .withColumn("run_max", max(col("cents")).over(wRun))
+        v.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            max(col("run_max") - col("cents")).as("dd_cents"))
+          .withColumn("max_drawdown", col("dd_cents").cast("double") / lit(100.0))
+          .select(col("user_id"), col("n"), col("max_drawdown"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        WITH v AS (
+          SELECT user_id, event_id, ts,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events WHERE event_type = 'purchase'),
+        r AS (
+          SELECT user_id, cents,
+                 max(cents) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_max
+          FROM v)
+        SELECT user_id, count(*) AS n,
+               CAST(max(run_max - cents) AS DOUBLE) / 100.0 AS max_drawdown
+        FROM r GROUP BY user_id ORDER BY user_id"""))
   )
 }

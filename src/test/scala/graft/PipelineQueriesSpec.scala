@@ -144,6 +144,42 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q101: JSD is bounded by ln 2 and zero only for a slice identical to the corpus") {
+    val rows = run("q101_jsd").collect()
+    assert(rows.length > 1)
+    rows.foreach { r =>
+      val j = r.getAs[Double]("jsd")
+      // Jensen-Shannon divergence in nats lives in [0, ln 2]
+      assert(j >= 0.0 && j <= math.log(2.0) + 1e-9,
+        s"${r.getAs[String]("lang")}: jsd $j out of [0, ln2]")
+    }
+    // slices differ from the pooled corpus on this testdata — a uniform
+    // all-zero column would mean the per-term lift collapsed
+    assert(rows.exists(_.getAs[Double]("jsd") > 0.0))
+  }
+
+  test("q102: A-ES sampling favors heavier documents") {
+    val kept = run("q102_weighted_sample").collect()
+    assert(kept.length > 0)
+    assert(kept.map(_.getAs[Long]("rnk")).toSeq === (1L to kept.length))
+    // ln(u)/w keys: E[rank] improves with weight, so the kept set's mean
+    // n_chars must exceed the corpus mean (the point of weighting)
+    val keptMean = kept.map(_.getAs[Long]("n_chars")).sum.toDouble / kept.length
+    val corpusMean = spark.read.parquet(s"$sf/documents.parquet")
+      .agg(avg(col("n_chars"))).head().getDouble(0)
+    assert(keptMean > corpusMean,
+      s"weighted sample mean $keptMean not above corpus mean $corpusMean")
+  }
+
+  test("q103: drawdown is non-negative and zero for monotone series") {
+    val rows = run("q103_drawdown").collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("max_drawdown") >= 0.0,
+        s"user ${r.getLong(0)}: negative drawdown")
+    }
+  }
+
   test("q93: PC1 captures at least the largest single-dimension variance") {
     val pc = run("q93_pca_power").select($"pc1").as[Double].collect()
     val n = pc.length.toDouble
