@@ -651,6 +651,162 @@ object PipelineQueries {
           FROM v)
         SELECT user_id, count(*) AS n,
                CAST(max(run_max - cents) AS DOUBLE) / 100.0 AS max_drawdown
-        FROM r GROUP BY user_id ORDER BY user_id"""))
+        FROM r GROUP BY user_id ORDER BY user_id""")),
+
+    // ── q104: robust outlier detection by median absolute deviation —
+    //   the curation-pipeline anomaly filter that survives the outliers
+    //   it hunts (mean/stddev z-scores get dragged by the very tail they
+    //   flag; median/MAD do not — Iglewicz & Hoaglin's modified z-score
+    //   with the 1.4826 normal-consistency constant, |x−med| > 3σ̂).
+    //   Exactness: integer cents; medians via the exact sort-based
+    //   interpolation (ExactPercentiles ≡ quantile_cont) land on .0/.5
+    //   exactly, so all stats stay in cents and no engine round() sits
+    //   on a computed boundary. Two ranked windows + keyed aggregates,
+    //   all partitioned by event_type — one exchange key throughout. ──
+    QueryDef("q104_mad_outliers",
+      (s, dir) => {
+        import ExactPercentiles._
+        val v = events(s, dir)
+          .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+          .select(col("event_type"), col("cents"))
+        val med = ranked(v, "event_type", "cents")
+          .groupBy(col("event_type"))
+          .agg(max(col("n")).as("n"), lo(0.5).as("lo"), hi(0.5).as("hi"))
+          .select(col("event_type"), interp(0.5, "lo", "hi").as("med_cents"))
+        val dev = v.join(med, Seq("event_type"))
+          .withColumn("adev", abs(col("cents").cast("double") - col("med_cents")))
+        val mad = ranked(dev, "event_type", "adev")
+          .groupBy(col("event_type"))
+          .agg(max(col("n")).as("n"), lo(0.5).as("lo"), hi(0.5).as("hi"))
+          .select(col("event_type"), interp(0.5, "lo", "hi").as("mad_cents"))
+        dev.join(mad, Seq("event_type"))
+          .withColumn("is_out",
+            (col("adev") > col("mad_cents") * lit(1.4826) * lit(3.0)).cast("long"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), max(col("med_cents")).as("med_cents"),
+            max(col("mad_cents")).as("mad_cents"), sum(col("is_out")).as("n_outliers"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH v AS (SELECT event_type,
+                          CAST(round(value * 100) AS BIGINT) AS cents
+                   FROM events),
+        med AS (SELECT event_type, round(quantile_cont(cents, 0.5), 6) AS med_cents
+                FROM v GROUP BY event_type),
+        dev AS (SELECT v.event_type, cents,
+                       abs(CAST(cents AS DOUBLE) - med.med_cents) AS adev,
+                       med.med_cents
+                FROM v JOIN med USING (event_type)),
+        mad AS (SELECT event_type, round(quantile_cont(adev, 0.5), 6) AS mad_cents
+                FROM dev GROUP BY event_type)
+        SELECT d.event_type, count(*) AS n,
+               max(d.med_cents) AS med_cents, max(m.mad_cents) AS mad_cents,
+               CAST(sum(CASE WHEN d.adev > m.mad_cents * 1.4826 * 3.0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM dev d JOIN mad m USING (event_type)
+        GROUP BY d.event_type ORDER BY d.event_type""")),
+
+    // ── q105: multinomial Naive Bayes language classifier — supervised
+    //   TRAINING as pure distributed aggregation (the count-based model
+    //   family where Spark shines: the "fit" is two groupBys). Train on
+    //   even doc_ids, classify odd ones, emit the confusion matrix.
+    //   Laplace-smoothed: P(t|l) = (c_lt+1)/(n_l+V), prior = docs_l/docs,
+    //   unseen tokens take the per-lang default 1/(n_l+V). Every log
+    //   term is 6dp-rounded and integer-lifted ONCE in the model tables;
+    //   per-document scores are exact integer dots, argmax breaks ties
+    //   on lang. 100 TB shape: the model is vocabulary×5 rows broadcast
+    //   to the scoring join; test documents never shuffle full text. ──
+    QueryDef("q105_naive_bayes",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = docs(s, dir)
+          .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("toks"))
+        val train = d.filter(col("doc_id") % 2 === 0)
+        val test = d.filter(col("doc_id") % 2 === 1)
+        val trainTok = train.select(col("lang"), explode(col("toks")).as("t"))
+        val stats = trainTok.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+        val vocabV = trainTok.select(col("t")).distinct().count()
+        val nTrainDocs = train.count()
+        val priors = train.groupBy(col("lang")).agg(count(lit(1)).as("dl"))
+          .withColumn("prior", floor(round(
+            log(col("dl").cast("double") / lit(nTrainDocs.toDouble)), 6) *
+            lit(1e6) + lit(0.5)).cast("long"))
+          .select(col("lang"), col("prior"))
+        val lik = trainTok.groupBy(col("lang"), col("t")).agg(count(lit(1)).as("clt"))
+          .join(stats, Seq("lang"))
+          .withColumn("ll", floor(round(
+            log((col("clt") + lit(1)).cast("double") /
+              (col("nl") + lit(vocabV)).cast("double")), 6) * lit(1e6) + lit(0.5))
+            .cast("long"))
+          .select(col("lang"), col("t"), col("ll"))
+        val defaults = stats
+          .withColumn("ll0", floor(round(
+            log(lit(1.0) / (col("nl") + lit(vocabV)).cast("double")), 6) *
+            lit(1e6) + lit(0.5)).cast("long"))
+          .select(col("lang").as("cand"), col("ll0"))
+        val testTok = test.select(col("doc_id"), col("lang").as("true_lang"),
+            explode(col("toks")).as("t"))
+          .groupBy(col("doc_id"), col("true_lang"), col("t"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("cand").asc)
+        testTok
+          .crossJoin(broadcast(defaults))
+          .join(broadcast(lik.withColumnRenamed("lang", "cand")), Seq("cand", "t"), "left")
+          .withColumn("term", col("cnt") * coalesce(col("ll"), col("ll0")))
+          .groupBy(col("doc_id"), col("true_lang"), col("cand"))
+          .agg(sum(col("term")).as("tscore"))
+          .join(broadcast(priors.withColumnRenamed("lang", "cand")), Seq("cand"))
+          .withColumn("score", col("tscore") + col("prior"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy(col("true_lang"), col("cand").as("pred_lang"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("true_lang"), col("pred_lang"))
+      },
+      Some(s"""
+        WITH d AS (SELECT doc_id, lang, ${TextOps.tokensSql("text")} AS toks
+                   FROM documents),
+        traintok AS (SELECT lang, unnest(toks) AS t FROM d WHERE doc_id % 2 = 0),
+        stats AS (SELECT lang, count(*) AS nl FROM traintok GROUP BY lang),
+        vv AS (SELECT count(DISTINCT t) AS v FROM traintok),
+        nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d WHERE doc_id % 2 = 0),
+        priors AS (
+          SELECT lang,
+                 CAST(floor(round(ln(CAST(count(*) AS DOUBLE) / nd.n), 6)
+                   * 1000000.0 + 0.5) AS BIGINT) AS prior
+          FROM d CROSS JOIN nd WHERE doc_id % 2 = 0 GROUP BY lang, nd.n),
+        lik AS (
+          SELECT tt.lang, tt.t,
+                 CAST(floor(round(ln(CAST(count(*) + 1 AS DOUBLE) /
+                   CAST(stats.nl + vv.v AS DOUBLE)), 6) * 1000000.0 + 0.5)
+                   AS BIGINT) AS ll
+          FROM traintok tt JOIN stats ON tt.lang = stats.lang CROSS JOIN vv
+          GROUP BY tt.lang, tt.t, stats.nl, vv.v),
+        defaults AS (
+          SELECT lang AS cand,
+                 CAST(floor(round(ln(1.0 / CAST(stats.nl + vv.v AS DOUBLE)), 6)
+                   * 1000000.0 + 0.5) AS BIGINT) AS ll0
+          FROM stats CROSS JOIN vv),
+        testtok AS (
+          SELECT doc_id, lang AS true_lang, t.t AS t, count(*) AS cnt
+          FROM d, unnest(toks) AS t(t)
+          WHERE doc_id % 2 = 1 GROUP BY doc_id, lang, t.t),
+        scored AS (
+          SELECT tk.doc_id, tk.true_lang, df.cand,
+                 CAST(sum(tk.cnt * coalesce(lik.ll, df.ll0)) AS BIGINT) +
+                   max(p.prior) AS score
+          FROM testtok tk CROSS JOIN defaults df
+          LEFT JOIN lik ON lik.lang = df.cand AND lik.t = tk.t
+          JOIN priors p ON p.lang = df.cand
+          GROUP BY tk.doc_id, tk.true_lang, df.cand),
+        pred AS (
+          SELECT doc_id, true_lang, cand,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, cand ASC) AS rn
+          FROM scored)
+        SELECT true_lang, cand AS pred_lang, count(*) AS n_docs
+        FROM pred WHERE rn = 1
+        GROUP BY true_lang, cand ORDER BY true_lang, pred_lang"""))
   )
 }

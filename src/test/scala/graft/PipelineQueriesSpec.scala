@@ -180,6 +180,33 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q104: MAD outlier counts are sane (0 <= outliers < n, MAD >= 0)") {
+    val rows = run("q104_mad_outliers").collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n")
+      val out = r.getAs[Long]("n_outliers")
+      assert(out >= 0 && out < n, s"${r.getString(0)}: $out outliers of $n")
+      assert(r.getAs[Double]("mad_cents") >= 0.0)
+      assert(r.getAs[Double]("med_cents") > 0.0)
+    }
+  }
+
+  test("q105: NB confusion matrix partitions the test docs and beats chance") {
+    val rows = run("q105_naive_bayes").collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val nOdd = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 2 === 1).count()
+    assert(total === nOdd, "every test doc classified exactly once")
+    val correct = rows.filter(r =>
+      r.getAs[String]("true_lang") == r.getAs[String]("pred_lang"))
+      .map(_.getAs[Long]("n_docs")).sum
+    // 5 classes → chance 0.2; the shared-vocab corpus leaves only the
+    // marker tokens as signal, so pin a floor, not a ceiling
+    assert(correct.toDouble / total >= 0.25,
+      s"NB accuracy ${correct.toDouble / total} at or below chance")
+  }
+
   test("q93: PC1 captures at least the largest single-dimension variance") {
     val pc = run("q93_pca_power").select($"pc1").as[Double].collect()
     val n = pc.length.toDouble
