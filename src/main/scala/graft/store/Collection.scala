@@ -325,6 +325,31 @@ class Collection private (
     } finally { newRows.unpersist(); () }
   }
 
+  /** Snapshot diff — the time-travel companion (Delta's CHANGE DATA FEED
+    * shape, computed post-hoc from retained snapshots instead of logged
+    * at write time): classify every primary key across two retained
+    * versions as added / removed / changed. Rows compare by a
+    * fingerprint over ALL columns (sorted-name json → md5 — both sides
+    * computed by the same engine, so formatting is identical), and the
+    * join is a single full-outer hash join of two (id, fp) projections —
+    * no wide rows travel. Audit/CDC-read surface: "what did the last
+    * ingestion batch actually do". */
+  def diffVersions(from: Int, to: Int): DataFrame = {
+    def fp(d: DataFrame): DataFrame =
+      d.select(col("id"),
+        md5(to_json(struct(d.columns.sorted.map(col): _*))).as("fp"))
+    val a = fp(readVersion(from)).withColumnRenamed("fp", "fp_a")
+    val b = fp(readVersion(to)).withColumnRenamed("fp", "fp_b")
+    a.join(b, Seq("id"), "full_outer")
+      .withColumn("change",
+        when(col("fp_a").isNull, lit("added"))
+          .when(col("fp_b").isNull, lit("removed"))
+          .when(col("fp_a") =!= col("fp_b"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("change") =!= "unchanged")
+      .select(col("id"), col("change"))
+  }
+
   /** Exactly-once micro-batch application for foreachBatch streams
     * (`StreamingIngest.streamingUpsert`): Structured Streaming replays a
     * batch after failure/restart (at-least-once), so the last applied

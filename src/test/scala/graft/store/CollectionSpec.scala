@@ -191,6 +191,28 @@ class CollectionSpec extends SparkSpec {
     assert(spans.map(_._2).sum / 16 <= 0.5, s"y spans: ${spans.map(_._2).toSeq}")
   }
 
+  test("diffVersions classifies added/removed/changed keys between snapshots") {
+    Collection.drop(root, "cdiff")
+    val c = Collection.create(spark, root, "cdiff", TextEmbed.DefaultDim, overwrite = true)
+    c.setRetention(10)
+    val rows = (0L until 10L).map(i => (i, s"doc number $i")).toDF("id", "text")
+    c.insert(TextEmbed.withEmbed(rows, "text", "vector").select("id", "vector", "text"))
+    c.delete("id >= 100") // no-op delete just to mint snapshot v1 of the insert
+    // v2: remove 0-1, change 5, add 20
+    c.delete("id < 2")
+    val batch = TextEmbed.withEmbed(
+      Seq((5L, "doc number five REVISED"), (20L, "a brand new doc"))
+        .toDF("id", "text"), "text", "vector").select("id", "vector", "text")
+    c.upsert(batch)
+    val cur = c.history().map(_.version).max
+    val d = c.diffVersions(1, cur).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d(0L) === "removed" && d(1L) === "removed")
+    assert(d(5L) === "changed")
+    assert(d(20L) === "added")
+    assert(d.size === 4, s"unexpected diff rows: $d") // untouched keys absent
+  }
+
   test("rewrites commit atomically: concurrent readers see old or new snapshot, never neither") {
     Collection.drop(root, "catomic")
     val c = Collection.create(spark, root, "catomic", TextEmbed.DefaultDim, overwrite = true)
