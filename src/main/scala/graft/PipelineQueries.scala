@@ -807,6 +807,57 @@ object PipelineQueries {
           FROM scored)
         SELECT true_lang, cand AS pred_lang, count(*) AS n_docs
         FROM pred WHERE rn = 1
-        GROUP BY true_lang, cand ORDER BY true_lang, pred_lang"""))
+        GROUP BY true_lang, cand ORDER BY true_lang, pred_lang""")),
+
+    // ── q106: 2-D skyline (Pareto frontier) — orders no other order
+    //   dominates on (price, recency), the multi-objective "best
+    //   candidates" operator (Börzsönyi et al., ICDE'01). The naive
+    //   definition is the O(n²) dominance anti-join (the ORACLE states
+    //   exactly that); the engine runs the O(n log n) two-phase sweep:
+    //   dedupe to distinct points, LOCAL sweep within price buckets
+    //   (a point dominated inside its bucket is dominated globally —
+    //   dominance is transitive — so each partition prunes
+    //   independently), then the global running-max-date sweep over the
+    //   few survivors. At 100 TB phase 1 is embarrassingly parallel and
+    //   phase 2 sees survivors only — never a quadratic join, never a
+    //   global sort of the full data. ──
+    QueryDef("q106_skyline",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val pts = orders(s, dir)
+          .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .groupBy(col("cents"), col("o_orderdate"))
+          .agg(count(lit(1)).as("n_orders"))
+        val wLocal = Window.partitionBy(col("bkt"))
+          .orderBy(col("cents").desc, col("o_orderdate").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val local = pts.withColumn("bkt", expr("cents div 1000000"))
+          .withColumn("maxd", max(col("o_orderdate")).over(wLocal))
+          .filter(col("maxd").isNull || col("maxd") < col("o_orderdate"))
+          .drop("bkt", "maxd")
+        val wGlobal = Window
+          .orderBy(col("cents").desc, col("o_orderdate").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        local.withColumn("maxd", max(col("o_orderdate")).over(wGlobal))
+          .filter(col("maxd").isNull || col("maxd") < col("o_orderdate"))
+          .select((col("cents").cast("double") / lit(100.0)).as("price"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("odate"),
+            col("n_orders"))
+          .orderBy(col("price").desc)
+      },
+      Some("""
+        WITH pts AS (
+          SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                 o_orderdate, count(*) AS n_orders
+          FROM orders GROUP BY cents, o_orderdate),
+        sky AS (
+          SELECT * FROM pts p
+          WHERE NOT EXISTS (
+            SELECT 1 FROM pts q
+            WHERE q.cents >= p.cents AND q.o_orderdate >= p.o_orderdate
+              AND (q.cents > p.cents OR q.o_orderdate > p.o_orderdate)))
+        SELECT CAST(cents AS DOUBLE) / 100.0 AS price,
+               strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS odate, n_orders
+        FROM sky ORDER BY price DESC"""))
   )
 }

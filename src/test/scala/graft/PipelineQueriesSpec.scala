@@ -207,6 +207,31 @@ class PipelineQueriesSpec extends SparkSpec {
       s"NB accuracy ${correct.toDouble / total} at or below chance")
   }
 
+  test("q106: skyline points are mutually non-dominated and dominate everything else") {
+    val sky = run("q106_skyline").collect()
+      .map(r => (r.getAs[Double]("price"), r.getAs[String]("odate")))
+    assert(sky.length > 1)
+    // pairwise non-dominance within the frontier (strings compare
+    // chronologically in yyyy-MM-dd form)
+    for (a <- sky; b <- sky if a != b) {
+      val dominates = b._1 >= a._1 && b._2 >= a._2 &&
+        (b._1 > a._1 || b._2 > a._2)
+      assert(!dominates, s"$b dominates $a inside the skyline")
+    }
+    // and every other distinct point is dominated by some skyline point
+    val all = spark.read.parquet(s"$sf/orders.parquet")
+      .selectExpr(
+        "CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DOUBLE) / CAST(100.0 AS DOUBLE) AS price",
+        "date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss') AS odate")
+      .distinct().collect()
+      .map(r => (r.getDouble(0), r.getString(1)))
+    val skySet = sky.toSet
+    all.filterNot(skySet).foreach { p =>
+      assert(sky.exists(s => s._1 >= p._1 && s._2 >= p._2 &&
+        (s._1 > p._1 || s._2 > p._2)), s"$p not dominated by any skyline point")
+    }
+  }
+
   test("q93: PC1 captures at least the largest single-dimension variance") {
     val pc = run("q93_pca_power").select($"pc1").as[Double].collect()
     val n = pc.length.toDouble
