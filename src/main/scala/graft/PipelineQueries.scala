@@ -858,6 +858,48 @@ object PipelineQueries {
               AND (q.cents > p.cents OR q.o_orderdate > p.o_orderdate)))
         SELECT CAST(cents AS DOUBLE) / 100.0 AS price,
                strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS odate, n_orders
-        FROM sky ORDER BY price DESC"""))
+        FROM sky ORDER BY price DESC""")),
+
+    // ── q107: fuzzy (edit-distance ≤ 1) entity self-join via SymSpell
+    //   deletion-neighborhood blocking (Garbe's algorithm): two strings
+    //   within edit distance 1 ALWAYS share a member of their 1-deletion
+    //   neighborhoods (delete the differing position from each side), so
+    //   generating |s|+1 variants per key turns the fuzzy join into an
+    //   equi-join on variant + an exact levenshtein verify — the entity-
+    //   resolution step that clusters near-identical source/host
+    //   identifiers (src1 ↔ src10 ↔ src11 …) before per-source stats.
+    //   The ORACLE states the O(V²) cross-join definition; the engine
+    //   never builds it: candidates come from the hash equi-join and
+    //   only candidates pay the verify. Key-universe-sized frames
+    //   throughout — documents never shuffle. ──
+    QueryDef("q107_fuzzy_join",
+      (s, dir) => {
+        val srcs = docs(s, dir)
+          .groupBy(col("source").as("src")).agg(count(lit(1)).as("cnt"))
+        val variants = srcs.select(col("src"),
+            explode(expr(
+              """array_union(array(src), transform(sequence(1, length(src)),
+                 i -> concat(substring(src, 1, i - 1), substring(src, i + 1, length(src)))))"""))
+              .as("v"))
+        val a = variants.select(col("src").as("src_a"), col("v"))
+        val b = variants.select(col("src").as("src_b"), col("v"))
+        a.join(b, Seq("v"))
+          .filter(col("src_a") < col("src_b"))
+          .select(col("src_a"), col("src_b")).distinct()
+          .filter(levenshtein(col("src_a"), col("src_b")) <= 1)
+          .join(srcs.select(col("src").as("src_a"), col("cnt").as("cnt_a")), Seq("src_a"))
+          .join(srcs.select(col("src").as("src_b"), col("cnt").as("cnt_b")), Seq("src_b"))
+          .select(col("src_a"), col("src_b"), col("cnt_a"), col("cnt_b"))
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some("""
+        WITH srcs AS (
+          SELECT source AS src, count(*) AS cnt
+          FROM documents GROUP BY source)
+        SELECT a.src AS src_a, b.src AS src_b,
+               a.cnt AS cnt_a, b.cnt AS cnt_b
+        FROM srcs a JOIN srcs b
+          ON a.src < b.src AND levenshtein(a.src, b.src) <= 1
+        ORDER BY src_a, src_b"""))
   )
 }

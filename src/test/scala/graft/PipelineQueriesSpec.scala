@@ -232,6 +232,29 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q107: deletion-neighborhood blocking finds exactly the ed<=1 pairs") {
+    val got = run("q107_fuzzy_join").collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b"))).toSet
+    assert(got.nonEmpty, "blocking found nothing — variant generation broke")
+    // brute-force ground truth over the source universe (tiny)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val srcs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"source").distinct().as[String].collect().sorted
+    val truth = (for {
+      a <- srcs; b <- srcs if a < b && lev(a, b) <= 1
+    } yield (a, b)).toSet
+    assert(got === truth,
+      s"missing: ${truth -- got}; spurious: ${got -- truth}")
+  }
+
   test("q93: PC1 captures at least the largest single-dimension variance") {
     val pc = run("q93_pca_power").select($"pc1").as[Double].collect()
     val n = pc.length.toDouble
