@@ -24,12 +24,12 @@ import org.apache.spark.sql.types._
   * [[SimpleGif]] (pure-JVM LZW + palette): true screen dims, true frame
   * count, and a histogram over decoded per-frame luminance. MP4/MOV
   * video parses its ISO-BMFF container FOR REAL via [[SimpleMp4]] (true
-  * dimensions, codec fourcc, sample count from the box tree); only the
-  * frame PIXEL decode — which needs a codec library (H.264/VP9, none
-  * ships in this build) — hits the clearly-marked DETERMINISTIC STUB
-  * histogram, and non-BMFF containers (webm) stub entirely, with
-  * pseudo-dimensions and a 16-bin byte histogram from the payload
-  * bytes. The Spark-side contract — schema, batching,
+  * dimensions, codec fourcc, sample count from the box tree), and WebM/
+  * Matroska parses its EBML container FOR REAL via [[SimpleWebm]] (true
+  * dims, codec id, cluster-block frame count); only the frame PIXEL
+  * decode — which needs a codec library (H.264/VP8/VP9, none ships in
+  * this build) — hits the clearly-marked DETERMINISTIC STUB histogram
+  * over payload bytes. The Spark-side contract — schema, batching,
   * partitioning, column shapes — is identical on all paths, so swapping
   * a true codec in changes only the per-row body.
   */
@@ -89,6 +89,22 @@ object Multimodal {
           }
           return (Row(mediaType, gif.width, gif.height, gif.frames.length), hist16(lum))
         case None => () // corrupt/unsupported GIF: stub fallback below
+      }
+    }
+    if (mediaType == "video" && SimpleWebm.isWebm(payload)) {
+      SimpleWebm.parse(payload) match {
+        case Some(meta) =>
+          // REAL EBML container metadata: true dims from the video track,
+          // coded-frame count from the cluster blocks. Pixel decode needs
+          // VP8/VP9 — histogram stays over payload bytes (residual stub).
+          val v = meta.tracks.find(_.kind == "video")
+            .orElse(meta.tracks.headOption)
+          v match {
+            case Some(tr) =>
+              return (Row(mediaType, tr.width, tr.height, meta.nFrames), hist16(payload))
+            case None => () // no tracks: stub fallback below
+          }
+        case None => () // malformed webm: stub fallback below
       }
     }
     if (mediaType == "video" && SimpleMp4.isMp4(payload)) {

@@ -363,6 +363,71 @@ class MultimodalSpec extends SparkSpec {
     assert(SimpleMp4.parse("RIFFxxxxWAVE".getBytes ++ new Array[Byte](64)).isEmpty)
   }
 
+  // ── minimal EBML builder for the SimpleWebm tests ──
+  private def ebml(id: Long, payload: Array[Byte]): Array[Byte] = {
+    val idBytes = {
+      val n = if (id <= 0xFF) 1 else if (id <= 0xFFFF) 2
+        else if (id <= 0xFFFFFF) 3 else 4
+      (0 until n).reverse.map(i => ((id >> (8 * i)) & 0xFF).toByte).toArray
+    }
+    // size always as 8-byte vint (0x01 marker + 7 payload bytes) — legal
+    // EBML and sidesteps per-length marker arithmetic in the fixture.
+    // Long shift: an Int >> 32 wraps to >> 0 and writes garbage bytes
+    val size = Array(0x01.toByte) ++
+      (0 until 7).reverse.map(i => ((payload.length.toLong >> (8 * i)) & 0xFF).toByte)
+    idBytes ++ size ++ payload
+  }
+  private def eUint(id: Long, v: Long, width: Int): Array[Byte] =
+    ebml(id, (0 until width).reverse.map(i => ((v >> (8 * i)) & 0xFF).toByte).toArray)
+
+  private def buildWebm(w: Int = 640, h: Int = 480, blocks: Int = 5): Array[Byte] = {
+    val header = ebml(0x1A45DFA3L, ebml(0x4282L, "webm".getBytes))
+    val info = ebml(0x1549A966L,
+      eUint(0x2AD7B1L, 1000000L, 4) ++ // 1 ms ticks
+        ebml(0x4489L, { // Duration = 1500.0 ticks as an 8-byte float
+          val bits = java.lang.Double.doubleToLongBits(1500.0)
+          (0 until 8).reverse.map(i => ((bits >> (8 * i)) & 0xFF).toByte).toArray
+        }))
+    val video = ebml(0xE0L, eUint(0xB0L, w, 2) ++ eUint(0xBAL, h, 2))
+    val trackEntry = ebml(0xAEL,
+      eUint(0x83L, 1L, 1) ++ ebml(0x86L, "V_VP9".getBytes) ++ video)
+    val tracks = ebml(0x1654AE6BL, trackEntry)
+    val cluster = ebml(0x1F43B675L,
+      (1 to blocks).map(_ => ebml(0xA3L, Array[Byte](0x81.toByte, 0, 0, 0)))
+        .reduce(_ ++ _))
+    val segment = ebml(0x18538067L, info ++ tracks ++ cluster)
+    header ++ segment
+  }
+
+  test("WebM container metadata parses for REAL: doctype, duration, track, frame blocks") {
+    val bytes = buildWebm()
+    assert(SimpleWebm.isWebm(bytes))
+    val meta = SimpleWebm.parse(bytes).get
+    assert(meta.docType === "webm")
+    assert(meta.durationMs === 1500L) // 1500 ticks x 1ms
+    assert(meta.tracks === List(SimpleWebm.Track("video", "V_VP9", 640, 480)))
+    assert(meta.nFrames === 5)
+  }
+
+  test("WebM malformed structure is refused") {
+    val good = buildWebm()
+    assert(SimpleWebm.parse(good.dropRight(10)).isEmpty) // truncated cluster
+    assert(!SimpleWebm.isWebm("RIFFxxxxWAVE".getBytes))
+    val corrupt = good.clone()
+    corrupt(good.length - 60) = 0x00 // zero vint lead byte mid-stream
+    // either refused or parsed without the damaged tail — never a throw
+    SimpleWebm.parse(corrupt)
+  }
+
+  test("decode routes webm video through the real container parse") {
+    val df = Seq((0L, buildWebm(w = 320, h = 180, blocks = 7), "video"))
+      .toDF("id", "payload", "media_type")
+    val out = Multimodal.decode(df, "payload", "media_type").select("meta.*").head()
+    assert(out.getAs[Int]("width") === 320)
+    assert(out.getAs[Int]("height") === 180)
+    assert(out.getAs[Int]("n_frames") === 7)
+  }
+
   test("decode routes mp4 video through the real container parse") {
     val df = Seq((0L, buildMp4(w = 640, h = 360, n = 24L), "video"))
       .toDF("id", "payload", "media_type")
