@@ -36,6 +36,27 @@ object StreamQueries {
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
         FROM g GROUP BY user_id ORDER BY user_id""")),
 
+    // ── q108: streaming stateful top-k — the TopK bounded buffer
+    //   (q100's batch Aggregator primitive) as GroupState: per-user best
+    //   purchase values maintained in O(k) state across micro-batches,
+    //   the leaderboard/alerting shape where a windowed sort would
+    //   accrete unbounded state. Oracle = the batch window formulation
+    //   (Structured Streaming's batch-equivalence contract, like q50). ──
+    QueryDef("q108_stream_topk",
+      (s, dir) => StreamingIngest.streamingTopK(s, dir, k = 3),
+      Some("""
+        WITH c AS (SELECT user_id, event_id,
+                          CAST(round(value * 100) AS BIGINT) AS cents
+                   FROM events WHERE event_type = 'purchase'),
+        ranked AS (
+          SELECT user_id, event_id, cents,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY cents DESC, event_id ASC) AS rnk
+          FROM c)
+        SELECT user_id, CAST(rnk AS BIGINT) AS rnk,
+               CAST(cents AS DOUBLE) / 100.0 AS price, event_id
+        FROM ranked WHERE rnk <= 3 ORDER BY user_id, rnk""")),
+
     // ── q52: stream-stream inner join (watermarks both sides + time-range
     //   predicate bound the state); every click × its same-user views in
     //   the preceding 10 minutes. Checked against the batch interval join

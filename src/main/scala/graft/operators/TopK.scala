@@ -23,20 +23,26 @@ object TopK {
   /** Sorted top-k buffer: items descending by value, id-ascending ties. */
   final case class Buf(items: List[(Double, Long)])
 
+  private def lt(a: (Double, Long), b: (Double, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  /** Ordered insertion into a k-bounded sorted buffer — the single
+    * primitive behind both the batch Aggregator (reduce AND merge) and
+    * the streaming GroupState fold (`StreamingIngest.streamingTopK`):
+    * one definition, so batch ≡ streaming by construction. */
+  def insert(k: Int, buf: List[(Double, Long)], x: (Double, Long)): List[(Double, Long)] = {
+    val (before, after) = buf.span(e => lt(e, x))
+    val merged = before ::: x :: after
+    if (merged.length > k) merged.take(k) else merged
+  }
+
   /** Top-k (value, id) pairs by value DESC, id ASC. Returns the sorted
     * buffer; callers explode `items` to rows. */
   def aggregator(k: Int): Aggregator[(Double, Long), Buf, Buf] =
     new Aggregator[(Double, Long), Buf, Buf] {
-      private def lt(a: (Double, Long), b: (Double, Long)): Boolean =
-        a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
-      private def insert(buf: List[(Double, Long)], x: (Double, Long)): List[(Double, Long)] = {
-        val (before, after) = buf.span(e => lt(e, x))
-        val merged = before ::: x :: after
-        if (merged.length > k) merged.take(k) else merged
-      }
       def zero: Buf = Buf(Nil)
-      def reduce(b: Buf, a: (Double, Long)): Buf = Buf(insert(b.items, a))
-      def merge(x: Buf, y: Buf): Buf = Buf(y.items.foldLeft(x.items)(insert))
+      def reduce(b: Buf, a: (Double, Long)): Buf = Buf(insert(k, b.items, a))
+      def merge(x: Buf, y: Buf): Buf = Buf(y.items.foldLeft(x.items)(insert(k, _, _)))
       def finish(b: Buf): Buf = b
       def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
       def outputEncoder: Encoder[Buf] = Encoders.product[Buf]

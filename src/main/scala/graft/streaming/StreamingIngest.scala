@@ -96,6 +96,47 @@ object StreamingIngest {
     spark.table(name)
   }
 
+  /** Streaming per-user top-k purchase values — the bounded TopK buffer
+    * (`operators.TopK.insert`, the SAME primitive the batch Aggregator
+    * folds with) held in GroupState across micro-batches, so streaming ≡
+    * batch by construction and state is O(k) per user forever — the
+    * leaderboard/alerting shape where a windowed sort would accrete
+    * unbounded state. Each batch emits the group's current buffer with a
+    * monotone sequence number; the caller keeps each user's last
+    * emission (deterministic: file-source batches are ordered). */
+  def streamingTopK(outer: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val spark = streamSession(outer)
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val src = eventStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"), col("event_id"))
+      .as[(Long, Long, Long)]
+    val perBatch = src.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, batch: Iterator[(Long, Long, Long)],
+         state: GroupState[(Long, graft.operators.TopK.Buf)]) => {
+          val (seq, cur) = state.getOption.getOrElse((0L, graft.operators.TopK.Buf(Nil)))
+          val items = batch.foldLeft(cur.items) { (b, r) =>
+            graft.operators.TopK.insert(k, b, (r._2.toDouble, r._3))
+          }
+          state.update((seq + 1, graft.operators.TopK.Buf(items)))
+          Iterator.single((uid, seq + 1, items))
+        })
+      .toDF("user_id", "seq", "items")
+    val all = runToTable(spark, perBatch, "append")
+    // final answer = each user's last emission, exploded to ranked rows
+    val wLast = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("seq").desc)
+    all.withColumn("rn", row_number().over(wLast)).filter(col("rn") === 1)
+      .select(col("user_id"), posexplode(col("items")).as(Seq("i", "item")))
+      .select(col("user_id"), (col("i") + 1).cast("long").as("rnk"),
+        (col("item._1") / lit(100.0)).as("price"),
+        col("item._2").as("event_id"))
+      .orderBy(col("user_id"), col("rnk"))
+  }
+
   /** Stream-stream inner join: each click joined to every view by the
     * same user within the preceding 10 minutes. Watermarks on BOTH sides
     * plus the time-range predicate are what let Spark bound the join
