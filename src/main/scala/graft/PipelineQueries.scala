@@ -900,6 +900,64 @@ object PipelineQueries {
                a.cnt AS cnt_a, b.cnt AS cnt_b
         FROM srcs a JOIN srcs b
           ON a.src < b.src AND levenshtein(a.src, b.src) <= 1
-        ORDER BY src_a, src_b"""))
+        ORDER BY src_a, src_b""")),
+
+    // ── q109: interval union (merged coverage) — overlapping per-user
+    //   activity intervals [ts, ts+5min) merged by the plane-sweep
+    //   (order by start; a row STARTS a new merged interval iff its
+    //   start exceeds the running max end of everything before it;
+    //   cumulative break-sum labels the islands) — the "gaps and
+    //   islands" pattern behind session coverage, SLA uptime, and
+    //   watched-time analytics, O(n log n) with no self-join. Exact
+    //   integer microseconds end to end. One exchange on user_id; both
+    //   windows and both rollups share it. ──
+    QueryDef("q109_interval_union",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val iv = events(s, dir)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("st"))
+          .withColumn("en", col("st") + lit(300000000L))
+        val wPrev = Window.partitionBy(col("user_id"))
+          .orderBy(col("st"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wRun = Window.partitionBy(col("user_id"))
+          .orderBy(col("st"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        iv.withColumn("prev_end", max(col("en")).over(wPrev))
+          .withColumn("brk",
+            when(col("prev_end").isNull || col("st") > col("prev_end"), 1L)
+              .otherwise(0L))
+          .withColumn("grp", sum(col("brk")).over(wRun))
+          .groupBy(col("user_id"), col("grp"))
+          .agg(min(col("st")).as("g_start"), max(col("en")).as("g_end"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_intervals"),
+            sum(col("g_end") - col("g_start")).as("covered_us"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        WITH iv AS (
+          SELECT user_id, event_id, epoch_us(ts) AS st,
+                 epoch_us(ts) + 300000000 AS en
+          FROM events),
+        marked AS (
+          SELECT user_id, event_id, st, en,
+                 max(en) OVER (PARTITION BY user_id ORDER BY st, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+          FROM iv),
+        grouped AS (
+          SELECT user_id, st, en,
+                 CAST(sum(CASE WHEN prev_end IS NULL OR st > prev_end
+                               THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY st, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS grp
+          FROM marked),
+        islands AS (
+          SELECT user_id, grp, min(st) AS g_start, max(en) AS g_end
+          FROM grouped GROUP BY user_id, grp)
+        SELECT user_id, count(*) AS n_intervals,
+               CAST(sum(g_end - g_start) AS BIGINT) AS covered_us
+        FROM islands GROUP BY user_id ORDER BY user_id"""))
   )
 }
