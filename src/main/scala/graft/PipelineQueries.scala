@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{TextOps, XHash}
 
@@ -958,6 +958,92 @@ object PipelineQueries {
           FROM grouped GROUP BY user_id, grp)
         SELECT user_id, count(*) AS n_intervals,
                CAST(sum(g_end - g_start) AS BIGINT) AS covered_us
-        FROM islands GROUP BY user_id ORDER BY user_id"""))
+        FROM islands GROUP BY user_id ORDER BY user_id""")),
+
+    // ── q110: HyperLogLog built from scratch (Flajolet et al. 2007) —
+    //   q37 calls Spark's built-in approx_count_distinct; this one
+    //   constructs the sketch itself so BOTH engines compute identical
+    //   registers from the shared md5 hash: bucket = top 6 of 60 hash
+    //   bits, rank = leading-zero count of the low 54 (via bin-string
+    //   length — exact integer arithmetic, no float log2 at a power-of-
+    //   two boundary), register = max rank per bucket, then the m=64
+    //   harmonic-mean estimator with the small-range linear-counting
+    //   correction. Run over event_id (HLL regime) AND user_id (linear-
+    //   counting regime) so both branches are exercised and checked.
+    //   100 TB shape: the register table is 64 rows, max() is map-side
+    //   combinable — the whole sketch shuffles 64·tasks rows, the
+    //   definition of mergeable-sketch scale. ──
+    QueryDef("q110_hll_scratch",
+      (s, dir) => {
+        val ev = events(s, dir)
+        def sketch(valueCol: Column, label: String): DataFrame = {
+          val regs = ev.select(XHash.hash60(valueCol.cast("string")).as("h"))
+            .withColumn("bucket", expr("h div 18014398509481984")) // 2^54: top 6 bits
+            .withColumn("w", pmod(col("h"), lit(18014398509481984L)))
+            .withColumn("rank",
+              when(col("w") === 0L, lit(55L))
+                .otherwise(lit(54L) - length(expr("bin(w)")) + lit(1L)))
+            .groupBy(col("bucket")).agg(max(col("rank")).as("r"))
+          val trueD = ev.select(valueCol).distinct().count().toDouble
+          // harmonic mean over ALL m registers (absent buckets are rank 0)
+          val st = regs.agg(
+            sum(pow(lit(2.0), -col("r").cast("double"))).as("z_present"),
+            count(lit(1)).as("m_present"),
+            sum(when(col("r") === 0L, 1L).otherwise(0L)).as("zeros_present")).head()
+          val m = 64.0
+          val z = st.getDouble(0) + (m - st.getLong(1)) // absent => 2^-0 = 1
+          val zeros = st.getLong(2) + (m - st.getLong(1))
+          val alpha = 0.7213 / (1.0 + 1.079 / m)
+          val raw = alpha * m * m / z
+          val est =
+            if (raw <= 2.5 * m && zeros > 0) m * math.log(m / zeros.toDouble)
+            else raw
+          import s.implicits._
+          Seq((label, trueD.toLong,
+            math.floor(est * 1e6 + 0.5) / 1e6,
+            math.floor(math.abs(est - trueD) / trueD * 1e6 + 0.5) / 1e6))
+            .toDF("col_name", "true_distinct", "hll_estimate", "rel_err")
+        }
+        sketch(col("event_id"), "event_id")
+          .unionByName(sketch(col("user_id"), "user_id"))
+          .orderBy(col("col_name"))
+      },
+      Some(s"""
+        WITH vals AS (
+          SELECT 'event_id' AS col_name,
+                 ${XHash.hash60Sql("CAST(event_id AS VARCHAR)")} AS h,
+                 event_id AS v FROM events
+          UNION ALL
+          SELECT 'user_id' AS col_name,
+                 ${XHash.hash60Sql("CAST(user_id AS VARCHAR)")} AS h,
+                 user_id AS v FROM events),
+        regs AS (
+          SELECT col_name, h // 18014398509481984 AS bucket,
+                 max(CASE WHEN h % 18014398509481984 = 0 THEN 55
+                          ELSE 54 - length(bin(h % 18014398509481984)) + 1
+                     END) AS r
+          FROM vals GROUP BY col_name, bucket),
+        agg AS (
+          SELECT col_name,
+                 sum(power(2.0, -CAST(r AS DOUBLE))) AS z_present,
+                 count(*) AS m_present,
+                 sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS zeros_present
+          FROM regs GROUP BY col_name),
+        t AS (SELECT col_name, CAST(count(DISTINCT v) AS BIGINT) AS true_distinct
+              FROM vals GROUP BY col_name),
+        est AS (
+          SELECT a.col_name, t.true_distinct,
+                 CASE WHEN (0.7213 / (1.0 + 1.079 / 64.0)) * 64.0 * 64.0 /
+                             (z_present + (64.0 - m_present)) <= 2.5 * 64.0
+                           AND (zeros_present + (64 - m_present)) > 0
+                      THEN 64.0 * ln(64.0 / CAST(zeros_present + (64 - m_present) AS DOUBLE))
+                      ELSE (0.7213 / (1.0 + 1.079 / 64.0)) * 64.0 * 64.0 /
+                             (z_present + (64.0 - m_present)) END AS e
+          FROM agg a JOIN t ON a.col_name = t.col_name)
+        SELECT col_name, true_distinct,
+               floor(e * 1000000.0 + 0.5) / 1000000.0 AS hll_estimate,
+               floor(abs(e - true_distinct) / true_distinct * 1000000.0 + 0.5)
+                 / 1000000.0 AS rel_err
+        FROM est ORDER BY col_name"""))
   )
 }

@@ -255,6 +255,23 @@ class PipelineQueriesSpec extends SparkSpec {
       s"missing: ${truth -- got}; spurious: ${got -- truth}")
   }
 
+  test("q110: scratch HLL lands within the m=64 theoretical error band") {
+    val rows = run("q110_hll_scratch").collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    // HLL stddev is 1.04/sqrt(m) ≈ 13% at m=64; allow 4 sigma — on
+    // deterministic data this is a fixed number, the band just documents
+    // WHY the bound is what it is
+    val ev = rows("event_id")
+    assert(ev.getAs[Double]("rel_err") <= 0.52,
+      s"event_id estimate off by ${ev.getAs[Double]("rel_err")}")
+    // user_id sits in the small-range regime → linear counting, which is
+    // much tighter than raw HLL there
+    val us = rows("user_id")
+    assert(us.getAs[Double]("rel_err") <= 0.52,
+      s"user_id estimate off by ${us.getAs[Double]("rel_err")}")
+    rows.values.foreach(r => assert(r.getAs[Double]("hll_estimate") > 0.0))
+  }
+
   test("q93: PC1 captures at least the largest single-dimension variance") {
     val pc = run("q93_pca_power").select($"pc1").as[Double].collect()
     val n = pc.length.toDouble
