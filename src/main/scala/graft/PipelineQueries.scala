@@ -1044,6 +1044,120 @@ object PipelineQueries {
                floor(e * 1000000.0 + 0.5) / 1000000.0 AS hll_estimate,
                floor(abs(e - true_distinct) / true_distinct * 1000000.0 + 0.5)
                  / 1000000.0 AS rel_err
-        FROM est ORDER BY col_name"""))
+        FROM est ORDER BY col_name""")),
+
+    // ── q111: association rules / pointwise mutual information over
+    //   within-document token co-occurrence — the market-basket family
+    //   (Agrawal '93 support/lift, turned log-scale as PMI): which terms
+    //   co-occur far beyond chance. Presence-based: c_a = docs containing
+    //   a, c_ab = docs containing both; lift = c_ab·N/(c_a·c_b), PMI =
+    //   ln lift, 6dp-integer-lifted for the rank. 100 TB shape: the
+    //   pair generation is a PER-DOCUMENT self-join (bounded by doc
+    //   length², never corpus²), pair counts map-side combine, and the
+    //   singles table is vocabulary-sized and broadcast. ──
+    QueryDef("q111_assoc_pmi",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val pres = docs(s, dir)
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+          .distinct()
+        val n = pres.select(col("doc_id")).distinct().count().toDouble
+        val singles = pres.groupBy(col("t")).agg(count(lit(1)).as("c"))
+        val pairs = pres.as("x").join(pres.as("y"), Seq("doc_id"))
+          .filter(col("x.t") < col("y.t"))
+          .groupBy(col("x.t").as("a"), col("y.t").as("b"))
+          .agg(count(lit(1)).as("c_ab"))
+        val w = Window.orderBy(col("pmi_int").desc, col("a").asc, col("b").asc)
+        pairs
+          .join(broadcast(singles.select(col("t").as("a"), col("c").as("c_a"))), Seq("a"))
+          .join(broadcast(singles.select(col("t").as("b"), col("c").as("c_b"))), Seq("b"))
+          .filter(col("c_ab") >= lit(0.05) * lit(n)) // 5% support floor
+          .withColumn("pmi_int", floor(round(
+            log((col("c_ab") * lit(n)).cast("double") /
+              (col("c_a") * col("c_b")).cast("double")), 6) * lit(1e6) + lit(0.5))
+            .cast("long"))
+          .orderBy(col("pmi_int").desc, col("a").asc, col("b").asc).limit(20)
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .withColumn("pmi", col("pmi_int").cast("double") / lit(1e6))
+          .withColumn("confidence",
+            floor(col("c_ab").cast("double") / col("c_a") * lit(1e6) + lit(0.5)) / lit(1e6))
+          .select(col("rnk"), col("a"), col("b"), col("c_ab"),
+            col("confidence"), col("pmi"))
+          .orderBy(col("rnk"))
+      },
+      Some(s"""
+        WITH pres AS (
+          SELECT DISTINCT doc_id, t.t AS t
+          FROM (SELECT doc_id, ${TextOps.tokensSql("text")} AS toks FROM documents),
+               unnest(toks) AS t(t)),
+        nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM pres),
+        singles AS (SELECT t, count(*) AS c FROM pres GROUP BY t),
+        pairs AS (
+          SELECT x.t AS a, y.t AS b, count(*) AS c_ab
+          FROM pres x JOIN pres y ON x.doc_id = y.doc_id AND x.t < y.t
+          GROUP BY x.t, y.t),
+        scored AS (
+          SELECT p.a, p.b, p.c_ab,
+                 CAST(floor(round(ln(CAST(p.c_ab AS DOUBLE) * nn.n /
+                   CAST(sa.c * sb.c AS DOUBLE)), 6) * 1000000.0 + 0.5) AS BIGINT)
+                   AS pmi_int,
+                 floor(CAST(p.c_ab AS DOUBLE) / sa.c * 1000000.0 + 0.5)
+                   / 1000000.0 AS confidence
+          FROM pairs p JOIN singles sa ON p.a = sa.t
+                       JOIN singles sb ON p.b = sb.t CROSS JOIN nn
+          WHERE p.c_ab >= 0.05 * nn.n),
+        ranked AS (
+          SELECT a, b, c_ab, pmi_int, confidence,
+                 row_number() OVER (ORDER BY pmi_int DESC, a ASC, b ASC) AS rnk
+          FROM scored)
+        SELECT CAST(rnk AS BIGINT) AS rnk, a, b, c_ab, confidence,
+               CAST(pmi_int AS DOUBLE) / 1000000.0 AS pmi
+        FROM ranked WHERE rnk <= 20 ORDER BY rnk""")),
+
+    // ── q112: Benford's-law first-digit audit — the forensic data-
+    //   quality check (synthetic, truncated, or fabricated numeric
+    //   columns break the log-uniform leading-digit distribution).
+    //   Observed counts per digit vs n·log10(1+1/d), per-digit χ²
+    //   contribution integer-lifted. Pure per-row digit extraction +
+    //   one 9-group rollup — zero heavy shuffles at any scale. Note the
+    //   testdata's totalprice is uniform-ish, NOT Benford — flagging
+    //   that (big χ²) is exactly the operator doing its job; the gate
+    //   pins the arithmetic either way. ──
+    QueryDef("q112_benford",
+      (s, dir) => {
+        val o = orders(s, dir)
+          .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .filter(col("cents") > 0)
+          .withColumn("d", substring(col("cents").cast("string"), 1, 1).cast("long"))
+        val n = o.count().toDouble
+        o.groupBy(col("d")).agg(count(lit(1)).as("n_obs"))
+          .withColumn("expected",
+            floor(lit(n) * log(lit(1.0) + lit(1.0) / col("d")) / log(lit(10.0)) *
+              lit(1e6) + lit(0.5)) / lit(1e6))
+          .withColumn("chi2_term",
+            floor((col("n_obs") - col("expected")) * (col("n_obs") - col("expected")) /
+              col("expected") * lit(1e6) + lit(0.5)) / lit(1e6))
+          .select(col("d"), col("n_obs"), col("expected"), col("chi2_term"))
+          .orderBy(col("d"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM o),
+        digits AS (
+          SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS d,
+                 count(*) AS n_obs
+          FROM o GROUP BY d),
+        e AS (
+          SELECT d, n_obs,
+                 floor(nn.n * ln(1.0 + 1.0 / d) / ln(10.0) * 1000000.0 + 0.5)
+                   / 1000000.0 AS expected
+          FROM digits CROSS JOIN nn)
+        SELECT d, n_obs,
+               expected,
+               floor((n_obs - expected) * (n_obs - expected) / expected
+                 * 1000000.0 + 0.5) / 1000000.0 AS chi2_term
+        FROM e ORDER BY d"""))
   )
 }

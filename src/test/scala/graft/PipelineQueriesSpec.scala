@@ -272,6 +272,31 @@ class PipelineQueriesSpec extends SparkSpec {
     rows.values.foreach(r => assert(r.getAs[Double]("hll_estimate") > 0.0))
   }
 
+  test("q111: association PMI output is rank-dense, PMI-sorted, confidence-bounded") {
+    val rows = run("q111_assoc_pmi").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("rnk")).toSeq === (1L to rows.length))
+    val pmis = rows.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("pmi"))
+    pmis.sliding(2).foreach { case Array(x, y) => assert(x >= y) }
+    rows.foreach { r =>
+      val c = r.getAs[Double]("confidence")
+      assert(c > 0.0 && c <= 1.0, s"confidence $c out of (0,1]")
+      assert(r.getAs[String]("a") < r.getAs[String]("b"), "pair not ordered")
+    }
+  }
+
+  test("q112: Benford digits partition the orders and expectations sum to n") {
+    val rows = run("q112_benford").collect()
+    assert(rows.map(_.getAs[Long]("d")).toSeq.sorted === (1L to 9L))
+    val n = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(expr("CAST(round(o_totalprice * 100) AS BIGINT) > 0")).count()
+    assert(rows.map(_.getAs[Long]("n_obs")).sum === n)
+    // Benford expected frequencies sum to 1 → expected counts sum to ~n
+    val eSum = rows.map(_.getAs[Double]("expected")).sum
+    assert(math.abs(eSum - n) < 0.01, s"expected sum $eSum vs n $n")
+    rows.foreach(r => assert(r.getAs[Double]("chi2_term") >= 0.0))
+  }
+
   test("q93: PC1 captures at least the largest single-dimension variance") {
     val pc = run("q93_pca_power").select($"pc1").as[Double].collect()
     val n = pc.length.toDouble
