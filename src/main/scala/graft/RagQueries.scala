@@ -175,7 +175,49 @@ object RagQueries {
           .select(col("qid"), col("rnk"), col("doc_id"), col("score"))
           .orderBy(col("qid"), col("rnk"))
       },
-      Some(maxSimSql))
+      Some(maxSimSql)),
+
+    // ── q113: hybrid retrieval fused by reciprocal rank fusion, oracle-
+    //   checked end to end — the EXACT arithmetic `RagPipeline
+    //   .retrieveHybrid` runs for the 0.4515 eval headline (cosine top-5
+    //   + BM25 top-5, rrf = Σ 1/(60 + rank)), previously pinned only by
+    //   ScalaTest. Both legs re-derive from first principles in DuckDB:
+    //   the embedding through the shared SQL stages, BM25 by embedding
+    //   q87's complete oracle as a derived table. Scale shape: both
+    //   candidate pools are per-query top-k before fusion, so the fusion
+    //   join touches |queries|·k rows — never a corpus. ──
+    QueryDef("q113_hybrid_rrf",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = TextEmbed.withEmbed(docs(s, dir), "text", "vector")
+        val qv = MaxSimQueries.map { case (qid, t) =>
+          (qid, TextEmbed.embedScala(t).toSeq)
+        }
+        import s.implicits._
+        val qdf = broadcast(qv.toDF("qid", "qv"))
+        val wCos = Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("doc_id").asc)
+        val cos = d.join(qdf, lit(true))
+          .withColumn("score", round(VectorKernels.dotFast(col("qv"), col("vector")), 6))
+          .withColumn("cos_rnk", row_number().over(wCos).cast("long"))
+          .filter(col("cos_rnk") <= 5)
+          .select(col("qid"), col("doc_id"), col("cos_rnk"))
+        val bm = TextQueries.defs.find(_.name == "q87_bm25").get.fn(s, dir)
+          .select(col("qid"), col("doc_id"), col("rnk").as("bm_rnk"))
+        val wR = Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("doc_id").asc)
+        cos.join(bm, Seq("qid", "doc_id"), "full_outer")
+          .withColumn("score",
+            coalesce(lit(1.0) / (lit(60) + col("cos_rnk")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("bm_rnk")), lit(0.0)))
+          .withColumn("rnk", row_number().over(wR).cast("long"))
+          .filter(col("rnk") <= 5)
+          .withColumn("rrf",
+            floor(col("score") * lit(1e6) + lit(0.5)) / lit(1e6))
+          .select(col("qid"), col("rnk"), col("doc_id"), col("rrf"))
+          .orderBy(col("qid"), col("rnk"))
+      },
+      Some(hybridRrfSql))
   )
 
   /** q99 oracle: query-token vectors inlined as literals (driver-embedded,
@@ -212,6 +254,47 @@ object RagQueries {
                  FROM agg)
       SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS BIGINT) AS rnk, doc_id,
              round(s_int / 1000000.0, 6) AS score
+      FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk"""
+  }
+
+  /** q113 oracle: the cosine leg re-derives the deterministic embedding
+    * for both the query set and the corpus through the shared SQL
+    * stages; the BM25 leg embeds q87's complete oracle as a derived
+    * table (nested WITH — same arithmetic, zero drift); fusion is the
+    * RRF sum over both rank columns with the explicit half-up output. */
+  private def hybridRrfSql: String = {
+    val bm = TextQueries.defs.find(_.name == "q87_bm25").get.oracle.get
+    val qVals = MaxSimQueries
+      .map { case (qid, t) => s"($qid, '$t')" }.mkString(", ")
+    s"""
+      WITH qr AS (SELECT * FROM (VALUES $qVals) AS v(qid, qtext)),
+      ${TextEmbed.embedSqlStages("qr", "qid", "qtext", prefix = "qe")},
+      ${TextEmbed.embedSqlStages("documents", "doc_id", "text", prefix = "de")},
+      cosscored AS (
+        SELECT q.qid AS qid, d.doc_id AS doc_id,
+               round(list_sum(list_transform(range(1, 65),
+                 i -> q.vec[i] * d.vec[i])), 6) AS score
+        FROM qe_vec q CROSS JOIN de_vec d),
+      cosleg AS (
+        SELECT qid, doc_id,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY score DESC, doc_id ASC) AS cos_rnk
+        FROM cosscored),
+      bm AS (SELECT qid, doc_id, rnk AS bm_rnk FROM ($bm)),
+      fused AS (
+        SELECT coalesce(c.qid, b.qid) AS qid,
+               coalesce(c.doc_id, b.doc_id) AS doc_id,
+               coalesce(1.0 / (60 + c.cos_rnk), 0.0) +
+                 coalesce(1.0 / (60 + b.bm_rnk), 0.0) AS score
+        FROM (SELECT * FROM cosleg WHERE cos_rnk <= 5) c
+        FULL OUTER JOIN bm b ON c.qid = b.qid AND c.doc_id = b.doc_id),
+      ranked AS (
+        SELECT qid, doc_id, score,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY score DESC, doc_id ASC) AS rnk
+        FROM fused)
+      SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS BIGINT) AS rnk, doc_id,
+             floor(score * 1000000.0 + 0.5) / 1000000.0 AS rrf
       FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk"""
   }
 }
