@@ -325,6 +325,28 @@ class Collection private (
     } finally { newRows.unpersist(); () }
   }
 
+  /** Zero-copy clone (Delta's SHALLOW CLONE): a NEW collection whose v1
+    * snapshot hard-links the source's current snapshot files — O(file
+    * count) metadata, zero data bytes copied or moved. The clone is
+    * fully independent from the first commit on: every mutation is
+    * copy-on-write into its own version dirs, the source never sees
+    * them, and parquet immutability means the shared files can never be
+    * modified in place by either side (vacuum unlinks, the inode
+    * survives until the last reference drops). The experimentation
+    * primitive at scale: branch a 100 TB collection in milliseconds,
+    * try a destructive pipeline, drop the clone. */
+  def shallowClone(newName: String): Collection = {
+    requireNotStreamManaged("shallowClone")
+    val dstRoot = s"$root/$newName"
+    require(!new java.io.File(dstRoot).exists,
+      s"shallowClone: collection $newName already exists")
+    linkTree(new java.io.File(dataDir), new java.io.File(s"$dstRoot/v1"))
+    val c = Collection.open(spark, root, newName)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dstRoot/_current"),
+      "v1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    c
+  }
+
   /** Snapshot diff — the time-travel companion (Delta's CHANGE DATA FEED
     * shape, computed post-hoc from retained snapshots instead of logged
     * at write time): classify every primary key across two retained

@@ -191,6 +191,33 @@ class CollectionSpec extends SparkSpec {
     assert(spans.map(_._2).sum / 16 <= 0.5, s"y spans: ${spans.map(_._2).toSeq}")
   }
 
+  test("shallowClone branches zero-copy: independent mutations, shared inodes") {
+    Collection.drop(root, "csrc"); Collection.drop(root, "cclone")
+    val c = Collection.create(spark, root, "csrc", TextEmbed.DefaultDim, overwrite = true)
+    val rows = (0L until 20L).map(i => (i, s"doc number $i")).toDF("id", "text")
+    c.insert(TextEmbed.withEmbed(rows, "text", "vector").select("id", "vector", "text"))
+    val clone = c.shallowClone("cclone")
+    assert(clone.df.count() === 20)
+    // the clone's v1 files ARE the source's files (hard links): same inode
+    def firstKey(dir: String): AnyRef = {
+      val f = new java.io.File(dir).listFiles()
+        .filter(x => x.isFile && x.getName.endsWith(".parquet")).minBy(_.getName)
+      java.nio.file.Files.readAttributes(f.toPath,
+        classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
+    }
+    assert(firstKey(c.dataDir) === firstKey(clone.dataDir))
+    // mutations diverge: delete on the clone, source untouched — and
+    // vice versa
+    assert(clone.delete("id >= 10") === 10L)
+    assert(clone.df.count() === 10)
+    assert(c.df.count() === 20)
+    assert(c.delete("id = 0") === 1L)
+    assert(c.df.count() === 19)
+    assert(clone.df.count() === 10)
+    // refuses to clobber an existing collection
+    intercept[IllegalArgumentException](c.shallowClone("cclone"))
+  }
+
   test("diffVersions classifies added/removed/changed keys between snapshots") {
     Collection.drop(root, "cdiff")
     val c = Collection.create(spark, root, "cdiff", TextEmbed.DefaultDim, overwrite = true)
