@@ -1158,6 +1158,87 @@ object PipelineQueries {
                expected,
                floor((n_obs - expected) * (n_obs - expected) / expected
                  * 1000000.0 + 0.5) / 1000000.0 AS chi2_term
-        FROM e ORDER BY d"""))
+        FROM e ORDER BY d""")),
+
+    // ── q114: containment join — ASYMMETRIC near-dup detection
+    //   (Broder's containment C(A,B) = |S_A ∩ S_B| / |S_A|): a short
+    //   document quoted inside a long one has low Jaccard (the union is
+    //   dominated by the long side) but high containment — the quote/
+    //   subset direction q24-q27's symmetric measures structurally miss
+    //   (Lee et al. ACL'22 dedups exactly these). Shingle space: word-
+    //   8-gram 60-bit hashes (q82's span currency) with stop-shingle
+    //   removal (df > 50 shingles carry no containment signal and are
+    //   the candidate-explosion risk — standard stop-word treatment at
+    //   the shingle level; sizes and intersections both live in the
+    //   filtered space, so the semantics stay self-consistent). 100 TB
+    //   shape: candidates come from the inverted-index equi-join on
+    //   shingle hash — never all-pairs — and every aggregate is keyed
+    //   and map-side combinable. ──
+    QueryDef("q114_containment",
+      (s, dir) => {
+        val spans = docs(s, dir)
+          .withColumn("words", split(col("text"), " "))
+          .filter(size(col("words")) >= 8)
+          .withColumn("pos", explode(expr("sequence(1, size(words) - 7)")))
+          .select(col("doc_id"),
+            XHash.hash60(expr("concat_ws(' ', slice(words, pos, 8))")).as("sh"))
+          .distinct()
+        val keep = spans.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 50).select(col("sh"))
+        val kept = spans.join(keep, Seq("sh"))
+        val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+        val inter = kept.as("x").join(kept.as("y"), Seq("sh"))
+          .filter(col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .agg(count(lit(1)).as("inter"))
+        val directed = inter
+          .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), Seq("a"))
+          .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), Seq("b"))
+          .select(col("a").as("contained"), col("b").as("container"),
+            col("inter"), col("na").as("n_contained"))
+          .unionByName(inter
+            .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), Seq("a"))
+            .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), Seq("b"))
+            .select(col("b").as("contained"), col("a").as("container"),
+              col("inter"), col("nb").as("n_contained")))
+        directed
+          .withColumn("containment",
+            floor(col("inter").cast("double") / col("n_contained") * lit(1e6) +
+              lit(0.5)) / lit(1e6))
+          .filter(col("containment") >= 0.5)
+          .select(col("contained"), col("container"), col("inter"),
+            col("n_contained"), col("containment"))
+          .orderBy(col("contained"), col("container"))
+      },
+      Some(s"""
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS words FROM documents
+          WHERE len(string_split(text, ' ')) >= 8),
+        spans AS (
+          SELECT DISTINCT doc_id,
+                 ${XHash.hash60Sql("array_to_string(words[t.pos:t.pos+7], ' ')")} AS sh
+          FROM w, unnest(range(1, len(words) - 7 + 1)) AS t(pos)),
+        keep AS (SELECT sh FROM spans GROUP BY sh HAVING count(*) <= 50),
+        kept AS (SELECT s.doc_id, s.sh FROM spans s JOIN keep USING (sh)),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+        inter AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+          FROM kept x JOIN kept y ON x.sh = y.sh AND x.doc_id < y.doc_id
+          GROUP BY x.doc_id, y.doc_id),
+        directed AS (
+          SELECT i.a AS contained, i.b AS container, i.inter,
+                 sa.n_sh AS n_contained
+          FROM inter i JOIN sizes sa ON i.a = sa.doc_id
+          UNION ALL
+          SELECT i.b AS contained, i.a AS container, i.inter,
+                 sb.n_sh AS n_contained
+          FROM inter i JOIN sizes sb ON i.b = sb.doc_id)
+        SELECT contained, container, inter, n_contained,
+               floor(CAST(inter AS DOUBLE) / n_contained * 1000000.0 + 0.5)
+                 / 1000000.0 AS containment
+        FROM directed
+        WHERE floor(CAST(inter AS DOUBLE) / n_contained * 1000000.0 + 0.5)
+                / 1000000.0 >= 0.5
+        ORDER BY contained, container"""))
   )
 }

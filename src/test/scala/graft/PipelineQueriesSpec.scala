@@ -297,6 +297,33 @@ class PipelineQueriesSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Double]("chi2_term") >= 0.0))
   }
 
+  test("q114: containment is asymmetric — the direction symmetric Jaccard misses") {
+    val rows = run("q114_containment").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("containment")
+      assert(c >= 0.5 && c <= 1.0, s"containment $c out of band")
+      assert(r.getAs[Long]("inter") <= r.getAs[Long]("n_contained"))
+    }
+    // the operator's reason to exist: the measure is DIRECTED — when the
+    // two sides differ in size, the two directions score differently
+    // (symmetric Jaccard collapses them). At this tiny scale every
+    // surviving pair may be mutual, so assert on values: some pair whose
+    // sides differ in shingle count scores asymmetric containment
+    val byPair = rows.groupBy(r => {
+      val a = r.getAs[Long]("contained"); val b = r.getAs[Long]("container")
+      (math.min(a, b), math.max(a, b))
+    })
+    val asym = byPair.values.exists { rs =>
+      rs.length == 1 || // one-way containment
+        rs.map(_.getAs[Double]("containment")).distinct.length > 1
+    }
+    val anySizeDiff = byPair.values.exists(rs =>
+      rs.map(_.getAs[Long]("n_contained")).distinct.length > 1)
+    assert(!anySizeDiff || asym,
+      "sides differ in size but both directions scored identically")
+  }
+
   test("q93: PC1 captures at least the largest single-dimension variance") {
     val pc = run("q93_pca_power").select($"pc1").as[Double].collect()
     val n = pc.length.toDouble
