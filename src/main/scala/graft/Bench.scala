@@ -78,7 +78,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"canary_before":$canaryBefore,"canary_after":$canaryAfter,"queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"canary_before":$canaryBefore,"canary_after":$canaryAfter,"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // The driver keeps only the stdout TAIL of this process, and with ~115
+    // queries the sorted timing dict truncates mid-line (BENCH_r06.json lost
+    // q100-q114, "parsed: null"). Persist the full line as a repo artifact so
+    // the record of every benched query survives regardless of truncation.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] BENCH_full.json write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

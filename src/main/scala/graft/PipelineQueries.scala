@@ -520,10 +520,14 @@ object PipelineQueries {
         val byLang = tok.groupBy(col("lang"), col("t")).agg(count(lit(1)).as("cl"))
         val nl = byLang.groupBy(col("lang")).agg(sum(col("cl")).as("nl"))
         val corpus = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
-        val n = tok.count().toDouble
+        // total token count as a 1-row broadcast frame (the oracle's `nn`
+        // CTE), derived from the corpus agg — NOT tok.count(), which was an
+        // extra driver-blocking full-scan job before the main plan ran
+        val nn = corpus.agg(sum(col("c")).cast("double").as("n"))
         val terms = byLang.join(nl, Seq("lang")).join(corpus, Seq("t"))
+          .crossJoin(broadcast(nn))
           .withColumn("p", col("cl").cast("double") / col("nl"))
-          .withColumn("q", col("c").cast("double") / lit(n))
+          .withColumn("q", col("c").cast("double") / col("n"))
           .withColumn("m", (col("p") + col("q")) / lit(2.0))
           .withColumn("s1", floor(round(col("p") * log(col("p") / col("m")), 6) *
             lit(1e6) + lit(0.5)).cast("long"))
@@ -531,9 +535,12 @@ object PipelineQueries {
             lit(1e6) + lit(0.5)).cast("long"))
         // tokens absent from a slice contribute only on the corpus side:
         // q·ln(q/(q/2)) = q·ln 2
-        val missing = corpus.crossJoin(nl.select(col("lang")))
+        // lang list is vocabulary-of-languages-sized: broadcast explicitly so
+        // the planner can never pick the corpus side as the build side
+        val missing = corpus.crossJoin(broadcast(nl.select(col("lang"))))
           .join(byLang.select(col("lang"), col("t")), Seq("lang", "t"), "left_anti")
-          .withColumn("q", col("c").cast("double") / lit(n))
+          .crossJoin(broadcast(nn))
+          .withColumn("q", col("c").cast("double") / col("n"))
           .withColumn("s2", floor(round(col("q") * log(lit(2.0)), 6) *
             lit(1e6) + lit(0.5)).cast("long"))
           .withColumn("s1", lit(0L))
@@ -1061,7 +1068,10 @@ object PipelineQueries {
         val pres = docs(s, dir)
           .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
           .distinct()
-        val n = pres.select(col("doc_id")).distinct().count().toDouble
+          .persist() // feeds singles, both self-join sides, and the N frame
+        // doc count as a 1-row broadcast frame (the oracle's `nn` CTE) —
+        // previously a driver-blocking count() job before the plan ran
+        val nn = pres.agg(countDistinct(col("doc_id")).cast("double").as("n"))
         val singles = pres.groupBy(col("t")).agg(count(lit(1)).as("c"))
         val pairs = pres.as("x").join(pres.as("y"), Seq("doc_id"))
           .filter(col("x.t") < col("y.t"))
@@ -1071,9 +1081,10 @@ object PipelineQueries {
         pairs
           .join(broadcast(singles.select(col("t").as("a"), col("c").as("c_a"))), Seq("a"))
           .join(broadcast(singles.select(col("t").as("b"), col("c").as("c_b"))), Seq("b"))
-          .filter(col("c_ab") >= lit(0.05) * lit(n)) // 5% support floor
+          .crossJoin(broadcast(nn))
+          .filter(col("c_ab") >= lit(0.05) * col("n")) // 5% support floor
           .withColumn("pmi_int", floor(round(
-            log((col("c_ab") * lit(n)).cast("double") /
+            log((col("c_ab") * col("n")).cast("double") /
               (col("c_a") * col("c_b")).cast("double")), 6) * lit(1e6) + lit(0.5))
             .cast("long"))
           .orderBy(col("pmi_int").desc, col("a").asc, col("b").asc).limit(20)
@@ -1129,10 +1140,15 @@ object PipelineQueries {
           .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
           .filter(col("cents") > 0)
           .withColumn("d", substring(col("cents").cast("string"), 1, 1).cast("long"))
-        val n = o.count().toDouble
+        // total row count recovered from the 9-row digit rollup itself (an
+        // unpartitioned window over 9 rows, not a driver count() job — the
+        // windowed frame is digit-cardinality-sized at any data scale)
+        val wAll = org.apache.spark.sql.expressions.Window
+          .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
         o.groupBy(col("d")).agg(count(lit(1)).as("n_obs"))
+          .withColumn("n", sum(col("n_obs")).over(wAll).cast("double"))
           .withColumn("expected",
-            floor(lit(n) * log(lit(1.0) + lit(1.0) / col("d")) / log(lit(10.0)) *
+            floor(col("n") * log(lit(1.0) + lit(1.0) / col("d")) / log(lit(10.0)) *
               lit(1e6) + lit(0.5)) / lit(1e6))
           .withColumn("chi2_term",
             floor((col("n_obs") - col("expected")) * (col("n_obs") - col("expected")) /
@@ -1183,9 +1199,14 @@ object PipelineQueries {
           .select(col("doc_id"),
             XHash.hash60(expr("concat_ws(' ', slice(words, pos, 8))")).as("sh"))
           .distinct()
+          .persist() // feeds keep AND the keep-join; explode+hash runs once
         val keep = spans.groupBy(col("sh")).agg(count(lit(1)).as("df"))
           .filter(col("df") <= 50).select(col("sh"))
-        val kept = spans.join(keep, Seq("sh"))
+        // persisted: kept feeds sizes and BOTH sides of the self-join, and
+        // each consumer prunes differently so ReuseExchange never fires —
+        // uncached the plan held 10 parquet scans / 5 shingle re-derivations
+        // (PLANS.md q114, r6 audit: 4.3 s; persisted ≈ 2× faster)
+        val kept = spans.join(keep, Seq("sh")).persist()
         val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
         val inter = kept.as("x").join(kept.as("y"), Seq("sh"))
           .filter(col("x.doc_id") < col("y.doc_id"))

@@ -720,10 +720,13 @@ object VectorQueries {
     //   total order); rerank scores are 6dp-rounded with id tiebreak.
     //   100 TB shape: codes are a 8-byte column scanned flat (no index
     //   build at all); queries broadcast; per-query top-c and top-k are
-    //   window-free TakeOrdered shapes on pre-shrunk frames. ──
+    //   window-free bounded-heap cuts (`operators.TopK` — the corpus-wide
+    //   Hamming pass streams an O(log c) heap per group instead of
+    //   sorting each map task's candidate partition) and the exact
+    //   rerank runs on the pre-shrunk c·|queries|-row frame. ──
     QueryDef("q94_binary_ann",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
         def half(off: Int) = expr(
           s"""CAST(aggregate(sequence(1, 32), CAST(0 AS DOUBLE), (acc, i) ->
               acc + CASE WHEN element_at(embedding, i + $off) > 0
@@ -733,19 +736,46 @@ object VectorQueries {
         val q = coded.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qv"),
             col("c_lo").as("q_lo"), col("c_hi").as("q_hi"))
-        val wh = Window.partitionBy(col("qid")).orderBy(col("ham").asc, col("nid").asc)
-        val wr = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid").asc)
-        coded.select(col("vec_id").as("nid"), col("embedding").as("nv"),
-            col("c_lo"), col("c_hi"))
-          .join(broadcast(q), col("qid") =!= col("nid"))
+        val topc = graft.operators.TopK.aggregator(15)
+        val topk = graft.operators.TopK.aggregator(5)
+        // Hamming scan cut: ham ASC ≡ value DESC under negation (exact —
+        // ham ≤ 64); id tiebreak = nid ASC, the oracle's total order.
+        // Only (qid, nid, ham) flows through the heap; qv/nv re-attach by
+        // joining the 15·|queries|-row survivors back against the corpus
+        // (broadcast side = the survivors, so the corpus never shuffles).
+        val cand = coded.select(col("vec_id").as("nid"), col("c_lo"), col("c_hi"))
+          .join(broadcast(q.select(col("qid"), col("q_lo"), col("q_hi"))),
+            col("qid") =!= col("nid"))
           .withColumn("ham",
             (expr("bit_count(c_lo ^ q_lo)") + expr("bit_count(c_hi ^ q_hi)")).cast("long"))
-          .withColumn("crnk", row_number().over(wh))
-          .filter(col("crnk") <= 15)
+          .select(col("qid"), col("nid"), col("ham"))
+          .as[(Long, Long, Long)]
+          .groupByKey(_._1)
+          .mapValues(t => (-t._3.toDouble, t._2))
+          .agg(topc.toColumn.name("top"))
+          .flatMap { case (qid, buf) =>
+            buf.items.map { case (negham, nid) => (qid, nid, (-negham).toLong) }
+          }
+          .toDF("qid", "nid", "ham")
+        // exact rerank on the survivors; the final top-5 heap carries ham
+        // packed into the id's low 7 bits (ham ≤ 64 < 128, nid·128 ≪ 2^53)
+        // so no second pass over `cand` is needed — packing preserves the
+        // nid ASC tie order because ham is unique per (qid, nid)
+        val reranked = broadcast(cand.join(broadcast(q.select(col("qid"), col("qv"))), Seq("qid")))
+          .join(coded.select(col("vec_id").as("nid"), col("embedding").as("nv")), Seq("nid"))
           .withColumn("score", score6(col("qv"), col("nv")))
-          .withColumn("rnk", row_number().over(wr).cast("long"))
-          .filter(col("rnk") <= 5)
-          .select(col("qid"), col("rnk"), col("nid"), col("ham"), col("score"))
+        reranked
+          .select(col("qid"), (col("nid") * lit(128L) + col("ham")).as("packed"), col("score"))
+          .as[(Long, Long, Double)]
+          .groupByKey(_._1)
+          .mapValues(t => (t._3, t._2))
+          .agg(topk.toColumn.name("top"))
+          .flatMap { case (qid, buf) =>
+            buf.items.zipWithIndex.map { case ((score, packed), i) =>
+              (qid, (i + 1).toLong, packed / 128L, packed % 128L, score)
+            }
+          }
+          .toDF("qid", "rnk", "nid", "ham", "score")
           .orderBy(col("qid"), col("rnk"))
       },
       Some(s"""
@@ -915,19 +945,35 @@ object VectorQueries {
   /** The shared ADC tail: join each subspace's broadcast distance table
     * in FIXED order, sum d0..d3 in fixed order (bit-identical with the
     * oracle), rank ascending with nid tiebreak, top-5 per query.
-    * `withCodes` must carry (qid, nid, code0..code{M-1}). */
+    * `withCodes` must carry (qid, nid, code0..code{M-1}).
+    *
+    * The cut is the bounded-heap `operators.TopK` aggregator, not a
+    * row_number window: the window compiles to WindowGroupLimit (shuffle
+    * carries only k·tasks rows) but still fully SORTS each map task's
+    * candidate partition — O(n log n) where the heap streams O(n log k).
+    * adist ASC maps onto the aggregator's value-DESC order by negation
+    * (an exact IEEE sign flip, recovered exactly on output); the id ASC
+    * tiebreak is nid ASC, the same total order the window used. */
   private def adcRank(s: SparkSession, withCodes: DataFrame,
                       dts: Seq[DataFrame]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
     val looked = (0 until PqM).foldLeft(withCodes) {
       (acc, m) => acc.join(broadcast(dts(m)), Seq("qid", s"code$m"))
     }
-    val w = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("nid").asc)
+    val topk = graft.operators.TopK.aggregator(5)
     looked
       .withColumn("adist", round(col("d0") + col("d1") + col("d2") + col("d3"), 6))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 5)
-      .select(col("qid"), col("rnk").cast("long").as("rnk"), col("nid"), col("adist"))
+      .select(col("qid"), col("nid"), col("adist"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (-t._3, t._2))
+      .agg(topk.toColumn.name("top"))
+      .flatMap { case (qid, buf) =>
+        buf.items.zipWithIndex.map { case ((negd, nid), i) =>
+          (qid, (i + 1).toLong, nid, -negd)
+        }
+      }
+      .toDF("qid", "rnk", "nid", "adist")
       .orderBy(col("qid"), col("rnk"))
   }
 

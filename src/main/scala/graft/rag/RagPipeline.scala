@@ -48,9 +48,11 @@ object RagPipeline {
     import collection.sparkSession.implicits._
     val toks = collection.select(col("id"), TextOps.tokens(col("text")).as("toks"))
       .withColumn("dl", size(col("toks")).cast("double"))
+    // corpus stats as a 1-row broadcast frame folded into the main plan —
+    // previously a driver-blocking .head() job (its own corpus scan) that
+    // ran before the real query started
     val st = toks.agg(count(lit(1)).cast("double").as("n"),
-      (sum(col("dl")) / count(lit(1))).as("avgdl")).head()
-    val (n, avgdl) = (st.getDouble(0), st.getDouble(1))
+      (sum(col("dl")) / count(lit(1))).as("avgdl"))
     // the query-term set is tiny by construction (a question batch):
     // collect it once so the corpus side can drop non-query tokens
     // INSIDE the scan projection, before the explode — the exploded
@@ -73,16 +75,17 @@ object RagPipeline {
     tf.withColumn("df",
         count(lit(1)).over(Window.partitionBy(col("term"))).cast("double"))
       .join(broadcast(qterms), Seq("term"))
+      .crossJoin(broadcast(st))
       // per-term scores are lifted to exact integers (6dp round-half-up,
       // q87's discipline) before the per-document sum: a raw-double SUM
       // is accumulation-order dependent, so near-tie documents could
       // swap ranks across runs/partitionings
       .withColumn("s",
         floor(round(
-          log((lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
             (col("tf") * lit(2.2) /
               (col("tf") + lit(1.2) *
-                (lit(1.0) - lit(0.75) + lit(0.75) * (col("dl") / lit(avgdl))))),
+                (lit(1.0) - lit(0.75) + lit(0.75) * (col("dl") / col("avgdl"))))),
           6) * lit(1e6) + lit(0.5)).cast("long"))
       .groupBy(col("qid"), col("id")).agg(sum(col("s")).as("bm_score"))
       .withColumn("rnk", row_number().over(w))
