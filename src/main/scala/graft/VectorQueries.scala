@@ -817,7 +817,9 @@ object VectorQueries {
     //   driver-side arithmetic (like k-means centroid updates), then the
     //   projection is one broadcast-literal fold per row. Cross-engine
     //   exactness: moments are integer-exact over ×1e6-quantized values
-    //   (the q67 argument), covariance/power-iteration arithmetic is the
+    //   at ANY row count (decimal/HUGEINT partial sums — a double SUM
+    //   would silently go order-dependent past ~9k rows since each pair
+    //   product is ~1e12), covariance/power-iteration arithmetic is the
     //   IDENTICAL IEEE op sequence in both engines with the eigenvector
     //   re-rounded to 6dp each iteration, so convergence state is
     //   bit-identical; no sign fixup is needed because covariance is PSD
@@ -830,8 +832,16 @@ object VectorQueries {
               v => floor(v * 1e6 + 0.5).cast("double")).as("qv"))
           .localCheckpoint()
         val dim = 64
-        val aggs = sum(col("xi")).as("sx") +:
-          (1 to dim).map(j => sum(col("xi") * element_at(col("qv"), j)).as(s"p$j"))
+        // moment sums accumulate as DECIMAL(38,0), not double: each pair
+        // product reaches ~1e12 for ×1e6-quantized unit vectors, so a
+        // double SUM loses integer exactness past ~9k rows (2^53/1e12) and
+        // silently becomes accumulation-order dependent. Decimal partials
+        // stay exact at any row count; the single exact→double conversion
+        // below is correctly-rounded identically in both engines (the
+        // oracle sums as HUGEINT and casts back to DOUBLE the same way).
+        val aggs = sum(col("xi").cast("decimal(38,0)")).as("sx") +:
+          (1 to dim).map(j => sum((col("xi") * element_at(col("qv"), j))
+            .cast("decimal(38,0)")).as(s"p$j"))
         val momRows = q.select(col("qv"), posexplode(col("qv")).as(Seq("i0", "xi")))
           .groupBy(col("i0"))
           .agg(count(lit(1)).as("cnt"), aggs: _*)
@@ -841,9 +851,9 @@ object VectorQueries {
         val sxy = Array.ofDim[Double](dim, dim)
         momRows.foreach { r =>
           val i = r.getInt(0)
-          sx(i) = r.getDouble(2)
+          sx(i) = r.getDecimal(2).doubleValue()
           var j = 0
-          while (j < dim) { sxy(i)(j) = r.getDouble(3 + j); j += 1 }
+          while (j < dim) { sxy(i)(j) = r.getDecimal(3 + j).doubleValue(); j += 1 }
         }
         val cov = Array.tabulate(dim, dim) { (i, j) =>
           (sxy(i)(j) - sx(i) * sx(j) / n) / n
@@ -892,9 +902,10 @@ object VectorQueries {
                      v -> floor(CAST(v AS DOUBLE) * 1000000 + 0.5)) AS qv
                  FROM embeddings),
       st AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM q),
-      sx AS (SELECT t.i AS i, sum(qv[t.i]) AS s
+      sx AS (SELECT t.i AS i, CAST(sum(CAST(qv[t.i] AS HUGEINT)) AS DOUBLE) AS s
              FROM q, unnest(range(1, 65)) AS t(i) GROUP BY t.i),
-      cell AS (SELECT ti.i AS i, tj.j AS j, sum(qv[ti.i] * qv[tj.j]) AS sxy
+      cell AS (SELECT ti.i AS i, tj.j AS j,
+                      CAST(sum(CAST(qv[ti.i] * qv[tj.j] AS HUGEINT)) AS DOUBLE) AS sxy
                FROM q, unnest(range(1, 65)) AS ti(i),
                        unnest(range(1, 65)) AS tj(j)
                GROUP BY ti.i, tj.j),

@@ -31,7 +31,18 @@ object ZOrder {
       s"zorder: buckets must be a power of two in [2, 65536], got $buckets")
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
     val cast = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
-    cols.map(c => c -> cast.stat.approxQuantile(c, probs, 0.001))
+    cols.map { c =>
+      val bs = cast.stat.approxQuantile(c, probs, 0.001)
+      // approxQuantile returns an EMPTY array for a column with no
+      // non-null castable values (all-null, or e.g. a date passed through
+      // cast(double)); silently proceeding would interleave bucket 0 for
+      // every row — a degenerate layout with no pruning power — so the
+      // bad column must be named loudly instead
+      require(bs.length == buckets - 1,
+        s"zorder: column '$c' produced ${bs.length} of the ${buckets - 1} requested " +
+          "quantile boundaries — is it all-null or not castable to double?")
+      c -> bs
+    }
   }
 
   /** The z-value: bucket each column by its boundaries (index = count of

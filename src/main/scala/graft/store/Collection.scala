@@ -282,11 +282,23 @@ class Collection private (
     // canonical (id, vector, text) schema; if the first real batch
     // carries metadata columns, appending would leave a mixed-schema
     // directory where reads surface whichever footer is sampled first.
-    // While the collection is still empty, the batch DEFINES the schema.
-    val widens = conformed.schema.fieldNames.toSet != df.schema.fieldNames.toSet
-    if (widens && df.isEmpty)
-      conformed.write.mode(SaveMode.Overwrite).parquet(dataDir)
-    else
+    // While the collection is still empty, the batch DEFINES the schema —
+    // but only by WIDENING the declared column set (a narrower batch
+    // would silently drop declared columns), and through rewriteSwap
+    // (a direct Overwrite of a legacy-layout root would delete the
+    // `_retain`/`_stream_batch` markers living beside the data, and a
+    // concurrent reader could catch the directory half-written).
+    val batchCols = conformed.schema.fieldNames.toSet
+    val declared = df.schema.fieldNames.toSet
+    if (batchCols != declared && df.isEmpty) {
+      val narrows = declared -- batchCols
+      require(narrows.isEmpty,
+        s"insert: first batch is missing declared column(s) [${narrows.mkString(",")}] " +
+          s"of $name — schema redefinition on an empty collection may only widen")
+      rewriteSwap("insert") { tmp =>
+        conformed.write.mode(SaveMode.Overwrite).parquet(tmp)
+      }
+    } else
       conformed.write.mode(SaveMode.Append).parquet(dataDir)
   }
 
@@ -341,6 +353,17 @@ class Collection private (
     require(!new java.io.File(dstRoot).exists,
       s"shallowClone: collection $newName already exists")
     linkTree(new java.io.File(dataDir), new java.io.File(s"$dstRoot/v1"))
+    // index sidecars clone too: the v1 data carries `_ivf_build` stamps,
+    // so a clone WITHOUT the matching `.__ivf`/`.__pq`/`.__pqcodes` dirs
+    // would refuse searchIvf with a misleading "interrupted build" error.
+    // Hard links are safe here like the data files: parquet is immutable
+    // and marker writes always commit onto a NEW inode (writeMarker's
+    // tmp+atomic-move), so neither side can mutate the other's files.
+    for (side <- Seq(".__ivf", ".__pq", ".__pqcodes")) {
+      val src = new java.io.File(path + side)
+      if (src.isDirectory)
+        linkTree(src, new java.io.File(dstRoot + side))
+    }
     val c = Collection.open(spark, root, newName)
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dstRoot/_current"),
       "v1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -380,13 +403,27 @@ class Collection private (
     * re-applies the batch on restart — harmless, because upsert is
     * key-idempotent (same ids replace themselves) — so the observable
     * effect is exactly-once without any transaction coordinator.
+    *
+    * The marker records `<streamId>:<batchId>`, not a bare batch id:
+    * Structured Streaming numbers batches per CHECKPOINT, so a bare
+    * marker would silently discard batches 0..N of a stream restarted
+    * with a fresh checkpoint (its ids restart at 0) — replay protection
+    * is only meaningful within one checkpoint lineage. A marker from a
+    * different stream identity, a legacy id-only marker, or an
+    * unparsable marker all reset the horizon to -1 (apply, re-arm).
     * Returns true when the batch was applied, false when skipped. */
-  def applyStreamBatch(batch: DataFrame, batchId: Long): Boolean = {
-    val applied = readMarker(s"$path/_stream_batch").map(_.trim.toLong).getOrElse(-1L)
+  def applyStreamBatch(batch: DataFrame, batchId: Long,
+                       streamId: String = ""): Boolean = {
+    val applied = readMarker(s"$path/_stream_batch").flatMap { m =>
+      m.trim.split(":", 2) match {
+        case Array(sid, b) if sid == streamId => b.toLongOption
+        case _ => None // foreign/legacy/corrupt marker — not this lineage
+      }
+    }.getOrElse(-1L)
     if (batchId <= applied) false
     else {
       upsert(batch)
-      writeMarker(s"$path/_stream_batch", batchId.toString)
+      writeMarker(s"$path/_stream_batch", s"$streamId:$batchId")
       true
     }
   }
@@ -845,9 +882,19 @@ class Collection private (
     }
   }
 
-  private def writeMarker(file: String, content: String): Unit =
-    java.nio.file.Files.write(java.nio.file.Paths.get(file),
+  /** Marker commit = tmp + ATOMIC_MOVE, like `commitPointer`: a crash
+    * mid-write can never leave a truncated/empty marker (which readers
+    * would then fail to parse forever), and because every write lands on
+    * a NEW inode, markers hard-link-shared with a shallow clone are never
+    * truncated through the shared inode — each side's writes stay its own. */
+  private def writeMarker(file: String, content: String): Unit = {
+    val tmp = java.nio.file.Paths.get(file + ".__tmp")
+    java.nio.file.Files.write(tmp,
       content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(file),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
 
   private def readMarker(file: String): Option[String] = {
     val p = java.nio.file.Paths.get(file)

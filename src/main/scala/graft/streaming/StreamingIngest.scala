@@ -238,16 +238,29 @@ object StreamingIngest {
     */
   def streamingUpsert(docs: org.apache.spark.sql.DataFrame, textCol: String,
                       root: String, name: String, checkpoint: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val sid = streamId(checkpoint)
     graft.functions.TextEmbed.withEmbed(docs, textCol, "vector")
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
         graft.store.Collection.open(batch.sparkSession, root, name)
-          .applyStreamBatch(batch, id)
+          .applyStreamBatch(batch, id, sid)
         ()
       }
       .start()
+  }
+
+  /** Stream identity for replay protection = the checkpoint path, hashed:
+    * Structured Streaming numbers batches per CHECKPOINT, so batch ids
+    * are only comparable within one checkpoint lineage. A restart with a
+    * FRESH checkpoint renumbers from 0; without the identity beside the
+    * marker, every batch below the old stream's high-water mark would be
+    * silently discarded as a replay
+    * (`Collection.applyStreamBatch` resets the horizon on a foreign id). */
+  def streamId(checkpoint: String): String =
+    java.util.UUID.nameUUIDFromBytes(
+      checkpoint.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
 
   /** True streaming stateful operator (flatMapGroupsWithState): per-user
     * running event counts maintained in GroupState across micro-batches,

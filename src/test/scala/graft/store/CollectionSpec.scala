@@ -218,6 +218,43 @@ class CollectionSpec extends SparkSpec {
     intercept[IllegalArgumentException](c.shallowClone("cclone"))
   }
 
+  test("shallowClone of an IVF-indexed collection stays searchable (sidecars clone too)") {
+    Collection.drop(root, "civ"); Collection.drop(root, "civ2")
+    val c = Collection.create(spark, root, "civ", TextEmbed.DefaultDim, overwrite = true)
+    val rows = (0L until 24L).map(i => (i, s"document about topic number $i"))
+      .toDF("id", "text")
+    c.insert(TextEmbed.withEmbed(rows, "text", "vector").select("id", "vector", "text"))
+    c.buildIvf(nlist = 2, rounds = 2)
+    // the cloned v1 carries the _ivf_build stamp, so without the matching
+    // .__ivf sidecar searchIvf would refuse with "interrupted build"
+    val clone = c.shallowClone("civ2")
+    val qv = TextEmbed.embedScala("document about topic number 7")
+    val hits = clone.searchIvf(qv, k = 3, nprobe = 2)
+    assert(hits.count() === 3)
+    assert(hits.select("id").as[Long].collect().contains(7L))
+    // and the clone's index survives the SOURCE retraining its own
+    // (marker writes land on new inodes — never through shared ones)
+    c.buildIvf(nlist = 2, rounds = 2)
+    assert(clone.searchIvf(qv, k = 1, nprobe = 2).count() === 1)
+  }
+
+  test("insert schema redefinition: widening only, markers survive the rewrite") {
+    Collection.drop(root, "cwide")
+    val c = Collection.create(spark, root, "cwide", TextEmbed.DefaultDim, overwrite = true)
+    c.setRetention(5) // root marker the redefining insert must not destroy
+    // a narrower first batch (no text) must refuse, not silently narrow
+    val narrow = TextEmbed.withEmbed(Seq((0L, "x")).toDF("id", "text"), "text", "vector")
+      .select("id", "vector")
+    intercept[IllegalArgumentException](c.insert(narrow))
+    // a widening first batch redefines the schema AND keeps the marker
+    val wide = TextEmbed.withEmbed(Seq((0L, "doc zero")).toDF("id", "text"),
+      "text", "vector").select("id", "vector", "text").withColumn("lang", lit("en"))
+    c.insert(wide)
+    assert(c.df.columns.toSet === Set("id", "vector", "text", "lang"))
+    assert(c.df.count() === 1)
+    assert(c.retention === 5, "_retain marker must survive the schema-defining insert")
+  }
+
   test("diffVersions classifies added/removed/changed keys between snapshots") {
     Collection.drop(root, "cdiff")
     val c = Collection.create(spark, root, "cdiff", TextEmbed.DefaultDim, overwrite = true)

@@ -136,20 +136,38 @@ class StreamingIngestSpec extends SparkSpec {
       assert(c.df.count() === 3)
       val v0 = c.df.filter($"id" === 0L).select("text").as[String].head()
       assert(v0 === "second version of doc zero")
-      // replaying an already-applied batch id is a no-op (foreachBatch
-      // is at-least-once; the marker makes the effect exactly-once)
+      // replaying an already-applied batch id WITHIN the same stream
+      // lineage is a no-op (foreachBatch is at-least-once; the
+      // identity-scoped marker makes the effect exactly-once)
+      val sid = StreamingIngest.streamId(s"$root/ckpt")
       val replay = Seq((7L, Array.fill(graft.functions.TextEmbed.DefaultDim)(0.1f), "ghost"))
         .toDF("id", "vector", "text")
-      assert(!c.applyStreamBatch(replay, batchId = 0L))
+      assert(!c.applyStreamBatch(replay, batchId = 0L, sid))
       assert(c.df.count() === 3)
       assert(c.df.filter($"id" === 7L).isEmpty)
       // and a genuinely new batch id applies
-      assert(c.applyStreamBatch(replay, batchId = 99L))
+      assert(c.applyStreamBatch(replay, batchId = 99L, sid))
       assert(c.df.count() === 4)
+      // a RESTART with a FRESH checkpoint renumbers batches from 0: its
+      // batch 0 is NEW DATA, not a replay — a bare high-water mark would
+      // silently discard it (id 0 ≤ 99); the stream identity must not
+      val fresh = Seq((8L, Array.fill(graft.functions.TextEmbed.DefaultDim)(0.2f), "fresh"))
+        .toDF("id", "vector", "text")
+      assert(c.applyStreamBatch(fresh, batchId = 0L,
+        StreamingIngest.streamId(s"$root/ckpt2")))
+      assert(c.df.filter($"id" === 8L).count() === 1)
+      // an unparsable marker (crash artifact / manual edit) must not
+      // wedge the stream: horizon resets to -1 and the batch applies
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$root/c_up/_stream_batch"), Array.empty[Byte])
+      val again = Seq((9L, Array.fill(graft.functions.TextEmbed.DefaultDim)(0.3f), "again"))
+        .toDF("id", "vector", "text")
+      assert(c.applyStreamBatch(again, batchId = 0L, sid))
+      assert(c.df.filter($"id" === 9L).count() === 1)
       // unlike the file-sink path, the collection keeps its batch
       // surface: no _spark_metadata, mutations allowed
       assert(c.delete("id = 7") === 1L)
-      assert(c.df.count() === 3)
+      assert(c.df.count() === 5) // {0, 1, 2} ∪ {8, 9}
     } finally q.stop()
   }
 
