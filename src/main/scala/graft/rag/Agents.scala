@@ -99,13 +99,13 @@ object Agents {
   /** L3: CoT two-stage — stage 1 derives retrieval "thoughts" (here: the
     * question's salient tokens via the stub), stage 2 answers with
     * doc + thoughts appended to the question. Two chained map stages in
-    * one plan. (SSE streaming from the notebook is out of scope for a
-    * batch engine — SURVEY.md §2.8.)
+    * one plan. The notebook's SSE streaming variant of the same path is
+    * served by `RagServer`'s `/query/stream` endpoint (batch plans don't
+    * stream; the serving surface does).
     */
   def answerWithCot(questions: DataFrame, collection: DataFrame, k: Int = 3,
                     llm: LlmClient = ExtractiveLlm): DataFrame = {
-    val thoughts = udf((q: String) =>
-      q.toLowerCase.split("[^a-z0-9]+").filter(_.length > 3).distinct.sorted.mkString(" "))
+    val thoughts = udf((q: String) => RagServer.retrievalThoughts(q))
     val staged = questions
       .withColumn("thoughts", thoughts(col("question")))
       .withColumn("question", concat_ws(" ", col("question"), col("thoughts")))

@@ -20,6 +20,18 @@ trait LlmClient extends Serializable {
     */
   def open(): Unit = ()
   def answer(question: String, context: Seq[String]): String
+  /** Streamed variant of answer: content deltas whose concatenation IS
+    * `answer(question, context)` — the SSE contract of the reference's
+    * `_stream_final_answer` (`src/groq_cot_batch_agents.ipynb` cell 5),
+    * where each event carries `choices[0].delta.content`. Default:
+    * word-boundary chunks of the non-streamed answer (what a buffering
+    * client degrades to); a real SSE client overrides this with true
+    * token deltas off the wire. Same sequential-call contract as answer.
+    */
+  def answerStream(question: String, context: Seq[String]): Iterator[String] = {
+    val a = answer(question, context)
+    if (a.isEmpty) Iterator.empty else a.split("(?<= )").iterator
+  }
   /** Returns a grade in [0, 1]. */
   def judge(question: String, expected: String, predicted: String): Double
 }

@@ -94,6 +94,53 @@ final class RagServer(
         }
       }
     })
+    // The reference's CoT path can STREAM the final answer as SSE
+    // (`src/groq_cot_batch_agents.ipynb` cell 5: `answer_with_cot(...,
+    // stream=True)` → `_stream_final_answer` yields per-token
+    // `choices[0].delta.content` events). This endpoint is that behavior's
+    // server-side counterpart: stage 1 derives retrieval thoughts
+    // (non-streamed, like the notebook), stage 2 streams the final answer
+    // as `data: {json}\n\n` events over chunked transfer, terminated by
+    // `data: [DONE]` — wire-compatible with the notebook's
+    // `_handle_stream_response` parser. Note the notebook's streaming
+    // path has NO fallback→error mapping (it yields whatever the model
+    // says), so unlike /query this endpoint streams a fallback answer
+    // rather than 404ing — the whole-answer inspection /query does is
+    // exactly what streaming gives up.
+    s.createContext("/query/stream", new HttpHandler {
+      override def handle(x: HttpExchange): Unit = RagServer.guard(x) {
+        if (x.getRequestMethod != "POST")
+          RagServer.reply(x, 405, """{"detail":"Method Not Allowed"}""")
+        else {
+          val body = new String(x.getRequestBody.readAllBytes(), UTF_8)
+          RagServer.parseQuestion(body) match {
+            case None =>
+              RagServer.reply(x, 422, """{"detail":"question field required"}""")
+            case Some(q) =>
+              // CoT stage 1 (L3): salient-token retrieval thoughts widen
+              // the embedded query, exactly as Agents.answerWithCot does
+              val thoughts = RagServer.retrievalThoughts(q)
+              val qv = TextEmbed.embedScala(
+                if (thoughts.isEmpty) q else s"$q $thoughts", dim)
+              val hits = collection.search(qv, k).select("id", "text").collect()
+              if (hits.isEmpty)
+                RagServer.reply(x, 404,
+                  """{"detail":"No relevant information found."}""")
+              else {
+                val context = hits.map(r => Option(r.getString(1)).getOrElse("")).toSeq
+                // lock held across the iteration: answerStream's deltas
+                // must stay sequential for stateful clients (same contract
+                // as answer); writes flush per event so delivery is
+                // genuinely incremental, not buffered-then-dumped
+                llmLock.synchronized {
+                  RagServer.sse(x, llm.answerStream(q, context).map(d =>
+                    s"""{"choices":[{"delta":{"content":${RagServer.jstr(d)}}}]}"""))
+                }
+              }
+          }
+        }
+      }
+    })
     s.createContext("/health", new HttpHandler {
       override def handle(x: HttpExchange): Unit = RagServer.guard(x) {
         RagServer.reply(x, 200,
@@ -126,6 +173,26 @@ object RagServer {
         catch { case _: Exception => () }
     }
     finally x.close()
+
+  /** Server-sent-events response over chunked transfer: length 0 to
+    * sendResponseHeaders selects chunked encoding, and the per-event
+    * flush makes each `data:` line its own chunk frame on the wire — a
+    * client reading the stream sees deltas as they are produced.
+    */
+  private def sse(x: HttpExchange, events: Iterator[String]): Unit = {
+    x.getResponseHeaders.set("Content-Type", "text/event-stream")
+    x.getResponseHeaders.set("Cache-Control", "no-cache")
+    x.sendResponseHeaders(200, 0)
+    val out = x.getResponseBody
+    events.foreach { e => out.write(s"data: $e\n\n".getBytes(UTF_8)); out.flush() }
+    out.write("data: [DONE]\n\n".getBytes(UTF_8))
+    out.flush()
+  }
+
+  /** CoT stage-1 thoughts (L3): the question's salient tokens — shared
+    * with `Agents.answerWithCot`'s thoughts stage. */
+  def retrievalThoughts(q: String): String =
+    q.toLowerCase.split("[^a-z0-9]+").filter(_.length > 3).distinct.sorted.mkString(" ")
 
   private def reply(x: HttpExchange, code: Int, json: String): Unit = {
     val bytes = json.getBytes(UTF_8)

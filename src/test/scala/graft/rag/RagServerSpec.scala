@@ -72,6 +72,115 @@ class RagServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(codes === Seq(200, 404, 200, 404))
   }
 
+  /** Raw-socket SSE read: speaks HTTP/1.1 by hand and decodes the chunked
+    * framing itself, so the test observes EXACTLY what crosses the wire —
+    * status line, Transfer-Encoding header, and each chunk frame the
+    * server's per-event flush produced. Returns (status line, headers,
+    * chunk frames). */
+  private def rawStream(body: String): (String, Map[String, String], Vector[String]) = {
+    val sock = new java.net.Socket("127.0.0.1", port)
+    try {
+      val bytes = body.getBytes("UTF-8")
+      val req = s"POST /query/stream HTTP/1.1\r\nHost: 127.0.0.1:$port\r\n" +
+        s"Content-Type: application/json\r\nContent-Length: ${bytes.length}\r\n" +
+        "Connection: close\r\n\r\n"
+      sock.getOutputStream.write(req.getBytes("UTF-8"))
+      sock.getOutputStream.write(bytes)
+      sock.getOutputStream.flush()
+      val in = new java.io.DataInputStream(
+        new java.io.BufferedInputStream(sock.getInputStream))
+      def line(): String = {
+        val sb = new StringBuilder
+        var c = in.read()
+        while (c != -1 && c != '\n') { if (c != '\r') sb += c.toChar; c = in.read() }
+        sb.toString
+      }
+      val status = line()
+      val headers = Iterator.continually(line()).takeWhile(_.nonEmpty)
+        .map { h => val i = h.indexOf(':'); h.take(i).toLowerCase -> h.drop(i + 1).trim }
+        .toMap
+      val frames = Vector.newBuilder[String]
+      if (headers.get("transfer-encoding").exists(_.contains("chunked"))) {
+        var size = Integer.parseInt(line().trim.split(";")(0), 16)
+        while (size > 0) {
+          val buf = new Array[Byte](size)
+          in.readFully(buf)
+          line() // chunk-data trailing CRLF
+          frames += new String(buf, "UTF-8")
+          size = Integer.parseInt(line().trim.split(";")(0), 16)
+        }
+      } else frames += new String(in.readAllBytes(), "UTF-8")
+      (status, headers, frames.result())
+    } finally sock.close()
+  }
+
+  /** Parse `data:` SSE events and extract each delta's content string
+    * (the notebook's `_handle_stream_response` + `delta.get('content')`). */
+  private def sseContents(frames: Seq[String]): (Vector[String], Boolean) = {
+    val events = frames.mkString.split("\n\n").toVector
+      .map(_.trim).filter(_.startsWith("data: ")).map(_.drop(6))
+    val done = events.lastOption.contains("[DONE]")
+    val Content = """\{"choices":\[\{"delta":\{"content":"((?:[^"\\]|\\.)*)"\}\}\]\}""".r
+    val contents = events.takeWhile(_ != "[DONE]").map {
+      case Content(c) => c.replace("\\\"", "\"").replace("\\n", "\n").replace("\\\\", "\\")
+      case other => fail(s"malformed SSE event: $other")
+    }
+    (contents, done)
+  }
+
+  test("POST /query/stream delivers the CoT answer as incremental SSE chunks " +
+    "(notebook cell 5 streaming contract)") {
+    val (status, headers, frames) =
+      rawStream("""{"question": "What is the currency of Veridia called?"}""")
+    assert(status.startsWith("HTTP/1.1 200"), status)
+    assert(headers.get("transfer-encoding").exists(_.contains("chunked")),
+      s"must stream over chunked transfer: $headers")
+    assert(headers.get("content-type").exists(_.startsWith("text/event-stream")), headers.toString)
+    // per-event flush ⇒ each delta is its own chunk frame: delivery was
+    // incremental on the wire, not one buffered write
+    assert(frames.size > 2, s"expected one chunk frame per delta, got ${frames.size}")
+    val (contents, done) = sseContents(frames)
+    assert(done, "stream must terminate with data: [DONE]")
+    assert(contents.size > 1, s"expected multiple deltas, got $contents")
+    val answer = contents.mkString
+    assert(answer.nonEmpty && answer != ExtractiveLlm.Fallback, answer)
+  }
+
+  test("POST /query/stream streams a fallback answer instead of 404ing " +
+    "(the notebook's streaming path has no error mapping)") {
+    val (status, _, frames) = rawStream("""{"question": "zzzz qqqq xyzzy plugh?"}""")
+    assert(status.startsWith("HTTP/1.1 200"), status)
+    val (contents, done) = sseContents(frames)
+    assert(done)
+    assert(contents.mkString === ExtractiveLlm.Fallback)
+  }
+
+  test("POST /query/stream without a question field is a 422, not a stream") {
+    val r = http.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/query/stream"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString("""{"nope": 1}""")).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(r.statusCode() === 422)
+  }
+
+  test("streamed and non-streamed answers agree (deltas reassemble answer())") {
+    val q = "What is the currency of Veridia called?"
+    val (_, _, frames) = rawStream(s"""{"question": ${RagServer.jstr(q)}}""")
+    val (contents, _) = sseContents(frames)
+    val whole = post(s"""{"question": ${RagServer.jstr(q)}}""")
+    assert(whole.statusCode() === 200)
+    // the fixture is fully deterministic: the streamed deltas must
+    // reassemble to exactly the response /query returns for the same
+    // question (the CoT-widened retrieval lands the same window set here)
+    val Resp = """.*"response":"((?:[^"\\]|\\.)*)".*""".r
+    val wholeAnswer = whole.body() match {
+      case Resp(r) => r.replace("\\\"", "\"").replace("\\n", "\n").replace("\\\\", "\\")
+      case b => fail(s"no response field in ${b.take(200)}")
+    }
+    assert(contents.mkString === wholeAnswer)
+  }
+
   test("GET /health reports healthy") {
     val r = http.send(
       HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/health")).GET().build(),
