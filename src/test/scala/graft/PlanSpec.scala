@@ -70,6 +70,51 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("q100: bounded-heap top-k never plans a Window — ObjectHashAggregate with map-side partial") {
+    val p = plan("q100_topk_agg")
+    assert(!p.contains("Window"),
+      "the TopK aggregator exists precisely to avoid the window sort:\n" + p.take(2000))
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+    assert(p.contains("partial_(graft.operators.TopK"),
+      "partial aggregation must run map-side before the exchange:\n" + p.take(2000))
+  }
+
+  test("q106: skyline is a two-phase window sweep — no join operator, no quadratic plan") {
+    val p = plan("q106_skyline")
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      "the O(n²) dominance anti-join lives in the oracle only:\n" + p.take(3000))
+    // phase 1 prunes inside price buckets (hash exchange), phase 2 sweeps
+    // survivors on a single partition — both windows must be present
+    assert(p.sliding("Window [".length).count(_ == "Window [") >= 2,
+      "expected the local-bucket AND global sweep windows:\n" + p.take(3000))
+  }
+
+  test("q107: fuzzy join rides a hash equi-join on the deletion variant, never nested-loop") {
+    val p = plan("q107_fuzzy_join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+           p.contains("ShuffledHashJoin"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "SymSpell blocking exists precisely to avoid the V² plan:\n" + p.take(3000))
+    assert(p.contains("levenshtein"),
+      "the exact verify must ride the candidate equi-join, not a separate pass:\n" + p.take(3000))
+  }
+
+  test("q114: shingle subtree derives once — a single distinct parquet scan behind the cache") {
+    val p = plan("q114_containment")
+    // the executed-plan string reprints the cached subtree at every
+    // InMemoryTableScan, so count DISTINCT scan shapes, not occurrences:
+    // pre-fix the plan held two independently-derived scan subtrees
+    // (10 scan occurrences); cached there is exactly one
+    val scans = p.linesIterator.filter(_.contains("FileScan parquet"))
+      .map(l => l.substring(l.indexOf("FileScan")).replaceAll("#\\d+", "")).toSet
+    assert(scans.size === 1,
+      s"expected one distinct parquet scan shape, got ${scans.size}:\n${scans.mkString("\n")}")
+    assert(p.contains("InMemoryTableScan"),
+      "spans/kept must be served from cache:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("q01: partial aggregation before the exchange (map-side combine)") {
     val p = plan("q01_pricing_summary")
     val firstHashAgg = p.indexOf("HashAggregate")
