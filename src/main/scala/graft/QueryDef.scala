@@ -81,6 +81,6 @@ object ExactPercentiles {
 object QueryRegistry {
   def all: Seq[QueryDef] =
     RelationalQueries.defs ++ AdvancedQueries.defs ++ VectorQueries.defs ++
-      TextQueries.defs ++ PipelineQueries.defs ++ RagQueries.defs ++
-      StreamQueries.defs
+      TextQueries.defs ++ PipelineQueries.defs ++ CurationQueries.defs ++
+      RagQueries.defs ++ StreamQueries.defs
 }

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantics of the round-7 curation operators, beyond the DuckDB oracle
+  * parity the driver gate checks. */
+class CurationQueriesSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q115: winnowing guarantee — docs sharing a long run share a fingerprint") {
+    // two synthetic docs sharing a 9-word run (≥ k+w-1 = 8) must collide
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val docs = Seq(
+      (1L, s"one two three $shared four five six seven"),
+      (2L, s"$shared nine ten eleven twelve thirteen fourteen"),
+      (3L, "completely different words with no overlap at all here friend"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("winnow").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q115_winnowing")(spark, dir).collect()
+    assert(out.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      s"docs 1,2 share a 9-word run but no fingerprint: ${out.mkString(";")}")
+    assert(!out.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L),
+      "doc 3 shares nothing and must not appear")
+  }
+
+  test("q115: fingerprint density is ~2/(w+1), never zero for eligible docs") {
+    // rerun the selection stages on the real table: every doc with >= 8
+    // words must contribute at least one fingerprint (window 1 always
+    // selects something), and far fewer fingerprints than grams
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 8)
+    val nDocs = docs.count()
+    assert(nDocs > 0)
+    val out = run("q115_winnowing").collect()
+    assert(out.nonEmpty, "sf0.001 corpus has near-dup docs; expected shared fingerprints")
+    assert(out.forall(_.getLong(2) >= 1))
+  }
+
+  test("q116: automaton results equal per-pattern contains() exactly") {
+    val got = run("q116_blocklist_ac").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val patterns = Seq(
+      "batch part", "fast merge", "hash value", "key agg", "line sort",
+      "merge batch", "row scan", "sort table", "spark", "table window",
+      "value fast", "window key")
+    patterns.foreach { p =>
+      val expect = docs.filter(col("text").contains(p)).count()
+      assert(got.getOrElse(p, 0L) === expect, s"pattern '$p'")
+    }
+  }
+
+  test("q117: the distilled classifier beats the majority base rate") {
+    val out = run("q117_logreg_quality").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val acc = out("train_acc")
+    // base rate of the Gopher keep label on this slice
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val lbl = SparkEntry.queries("q95_gopher_rules")(spark, sf)
+      .agg(avg(col("keep"))).head().getDouble(0)
+    val base = math.max(lbl, 1.0 - lbl)
+    assert(acc > base + 0.02,
+      s"classifier must beat majority class: acc=$acc base=$base")
+    assert(out.keySet === Set("bias", "w_len", "w_stop", "w_distinct", "w_wordlen", "train_acc"))
+  }
+}
