@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.{TextOps, XHash}
+import graft.functions.{MinHashSig, ShingleHash60, TextOps, XHash}
 import graft.operators.AhoCorasick
 
 /** Round-7 curation operators: winnowing fingerprints (the MOSS
@@ -296,5 +296,130 @@ object CurationQueries {
             ("train_acc", acc)).toDF("term", "value").orderBy(col("term"))
         } finally f.unpersist()
       },
-      Some(logregSql)))
+      Some(logregSql)),
+
+    // ── q118: INCREMENTAL dedup — the production shape of q27: a new
+    //   batch (doc_id % 5 = 0 stands in for today's crawl) joins the
+    //   banded MinHash index of the EXISTING corpus, asymmetric
+    //   (batch → corpus, no corpus self-pairs). This is what a daily
+    //   ingest actually runs: the corpus bands are the persisted index,
+    //   only the batch re-signs, and the band join's left side is
+    //   batch-sized — the already-indexed 100 TB never re-shuffles, the
+    //   new day's slice does. Signature/banding/verify parameters are
+    //   q27's exactly (16 perms, 4×4 bands, Jaccard ≥ 0.5 verify on the
+    //   true shingle sets). ──
+    QueryDef("q118_incremental_dedup",
+      (s, dir) => {
+        val perms = XHash.permParams(16)
+        val d = docs(s, dir)
+          .withColumn("toks", TextOps.tokens(col("text")))
+          .withColumn("sh", ShingleHash60(col("toks"), 3))
+          .filter(size(col("sh")) > 0)
+          .withColumn("h31", transform(col("sh"), h => h % 2147483647L))
+        val sig = d.withColumn("sigv", MinHashSig(col("h31"), perms.length))
+          .select(col("doc_id") +:
+            perms.indices.map(i => element_at(col("sigv"), i + 1).as(s"mh_$i")): _*)
+        val bands = sig.select(col("doc_id"), posexplode(array(
+          (0 until 4).map(bd => concat_ws("_",
+            (0 until 4).map(r => col(s"mh_${bd * 4 + r}")): _*)): _*)))
+          .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key")
+        val batch = bands.filter(col("doc_id") % 5 === 0)
+          .select(col("band_idx"), col("band_key"), col("doc_id").as("new_id"))
+        val index = bands.filter(col("doc_id") % 5 =!= 0)
+          .select(col("band_idx"), col("band_key"), col("doc_id").as("dup_of"))
+        val cand = batch.join(index, Seq("band_idx", "band_key"))
+          .select(col("new_id"), col("dup_of")).distinct()
+        val shSets = d.select(col("doc_id"), col("sh"))
+        cand
+          .join(shSets.select(col("doc_id").as("new_id"), col("sh").as("sh_a")), Seq("new_id"))
+          .join(shSets.select(col("doc_id").as("dup_of"), col("sh").as("sh_b")), Seq("dup_of"))
+          .withColumn("jac", round(
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+              size(array_union(col("sh_a"), col("sh_b"))), 6))
+          .filter(col("jac") >= 0.5)
+          .select(col("new_id"), col("dup_of"), col("jac"))
+          .orderBy(col("new_id"), col("dup_of"))
+      },
+      Some {
+        val perms = XHash.permParams(16)
+        val toks = TextOps.tokensSql("text")
+        val sigs = perms.zipWithIndex.map { case ((a, b), i) =>
+          s"list_min(list_transform(h31, h -> ((($a * h) + $b) % 2147483647))) AS mh_$i"
+        }.mkString(",\n               ")
+        val bandList = (0 until 4).map { bd =>
+          (0 until 4).map(r => s"mh_${bd * 4 + r}::VARCHAR").mkString("concat_ws('_', ", ", ", ")")
+        }.mkString("[", ", ", "]")
+        s"""
+        WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
+        shg AS (
+          SELECT doc_id, list_distinct(list_transform(
+            list_distinct(CASE WHEN len(toks) < 3 THEN []::VARCHAR[] ELSE
+              list_transform(range(0, len(toks) - 2), i ->
+                array_to_string(list_slice(toks, i + 1, i + 3), ' ')) END),
+            sh -> (('0x' || substr(md5(sh), 1, 15))::BIGINT))) AS sh
+          FROM tk),
+        hd AS (
+          SELECT doc_id, sh, list_transform(sh, h -> (h % 2147483647)) AS h31
+          FROM shg WHERE len(sh) > 0),
+        sig AS (
+          SELECT doc_id, sh,
+               $sigs
+          FROM hd),
+        bands AS (
+          SELECT doc_id, sh, i - 1 AS band_idx, ($bandList)[i] AS band_key
+          FROM sig, UNNEST(range(1, 5)) AS u(i)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS dup_of,
+                          a.sh AS sh_a, b.sh AS sh_b
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+          WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 != 0)
+        SELECT new_id, dup_of,
+               round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+                     len(list_distinct(list_concat(sh_a, sh_b))), 6) AS jac
+        FROM cand
+        WHERE round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+                    len(list_distinct(list_concat(sh_a, sh_b))), 6) >= 0.5
+        ORDER BY new_id, dup_of"""
+      }),
+
+    // ── q119: rendezvous (HRW) shard layout + rebalancing delta — the
+    //   consistent-placement primitive a 100 TB store needs when the
+    //   shard count changes: doc d lands on argmax_s hash(d:s), so
+    //   growing 8 → 9 shards moves ONLY the docs whose new shard's hash
+    //   beats their old maximum — an expected 1/9 of the data, vs ~8/9
+    //   under mod-hashing. Pure per-row projection (the argmax is an
+    //   array_max over 9 structs — no explode, no shuffle) feeding an
+    //   8-group rollup; the oracle states the same argmax via per-doc
+    //   arg_max aggregation. ──
+    QueryDef("q119_shard_rebalance",
+      (s, dir) => {
+        def hrw(shard: Int): Column =
+          struct(XHash.hash60(concat_ws(":", col("doc_id"), lit(shard))).as("h"),
+            lit(shard.toLong).as("s"))
+        val arr9 = array((0 until 9).map(hrw): _*)
+        docs(s, dir)
+          .withColumn("shard8", array_max(slice(arr9, 1, 8)).getField("s"))
+          .withColumn("shard9", array_max(arr9).getField("s"))
+          .groupBy(col("shard8").as("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("shard9") =!= col("shard8"), 1L).otherwise(0L)).as("n_moved"))
+          .orderBy(col("shard"))
+      },
+      Some {
+        def h(sh: Int) = XHash.hash60Sql(s"(doc_id::VARCHAR || ':$sh')")
+        val legs = (0 until 9).map(sh =>
+          s"SELECT doc_id, ${h(sh)} AS h, CAST($sh AS BIGINT) AS s FROM documents")
+        s"""
+        WITH ex AS MATERIALIZED (
+          ${legs.mkString("\n          UNION ALL ")}),
+        asg AS (
+          SELECT doc_id,
+                 arg_max(CASE WHEN s < 8 THEN s END, CASE WHEN s < 8 THEN h END) AS shard8,
+                 arg_max(s, h) AS shard9
+          FROM ex GROUP BY doc_id)
+        SELECT shard8 AS shard, count(*) AS n_docs,
+               CAST(sum(CASE WHEN shard9 != shard8 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+        FROM asg GROUP BY shard8 ORDER BY shard"""
+      }))
 }

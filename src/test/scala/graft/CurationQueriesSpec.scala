@@ -56,6 +56,38 @@ class CurationQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q118: incremental dedup is strictly batch→corpus, never corpus self-pairs") {
+    val rows = run("q118_incremental_dedup").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 5 === 0L, s"new_id must be in the batch slice: $r")
+      assert(r.getLong(1) % 5 !== 0L, s"dup_of must be in the corpus slice: $r")
+      assert(r.getDouble(2) >= 0.5)
+    }
+  }
+
+  test("q118: agrees with the symmetric q27 pairs restricted to cross-slice") {
+    val inc = run("q118_incremental_dedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val q27 = run("q27_minhash_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => (a % 5 == 0) != (b % 5 == 0) }
+      .map { case (a, b, j) => if (a % 5 == 0) (a, b, j) else (b, a, j) }
+      .toSet
+    assert(inc === q27)
+  }
+
+  test("q119: rebalancing 8→9 shards moves roughly 1/9 of the docs, never more than a shard's worth") {
+    val rows = run("q119_shard_rebalance").collect()
+    assert(rows.map(_.getLong(0)).toSeq === (0L to 7L))
+    val n = rows.map(_.getLong(1)).sum
+    val moved = rows.map(_.getLong(2)).sum
+    val frac = moved.toDouble / n
+    // HRW guarantee: expected movement = 1/9 ≈ 0.111; allow sampling noise
+    assert(frac > 0.03 && frac < 0.25, s"moved fraction $frac way off 1/9")
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
+
   test("q117: the distilled classifier beats the majority base rate") {
     val out = run("q117_logreg_quality").collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
