@@ -155,7 +155,10 @@ object CurationQueries {
           .groupBy(col("doc_id"), col("i"))
           .agg(min(struct(col("h"), (-col("pos")).as("np"))).as("s"))
           .select(col("doc_id"), col("s.h").as("h"), (-col("s.np")).as("pos"))
-        val fp = sel.select(col("doc_id"), col("pos"), col("h")).distinct()
+        // persisted: fp feeds BOTH sides of the pair self-join, and each
+        // side prunes differently so ReuseExchange can't fire — uncached
+        // the whole gram+window subtree derived twice (the q114 lesson)
+        val fp = sel.select(col("doc_id"), col("pos"), col("h")).distinct().persist()
         val a = fp.select(col("doc_id").as("doc_a"), col("h"))
         val b = fp.select(col("doc_id").as("doc_b"), col("h"))
         a.join(b, Seq("h"))
@@ -311,11 +314,15 @@ object CurationQueries {
     QueryDef("q118_incremental_dedup",
       (s, dir) => {
         val perms = XHash.permParams(16)
+        // d feeds the signature path AND the verify joins; bands feeds
+        // both sides of the band join — persist both or the shingle+sig
+        // subtree derives four times (the q114 lesson)
         val d = docs(s, dir)
           .withColumn("toks", TextOps.tokens(col("text")))
           .withColumn("sh", ShingleHash60(col("toks"), 3))
           .filter(size(col("sh")) > 0)
           .withColumn("h31", transform(col("sh"), h => h % 2147483647L))
+          .persist()
         val sig = d.withColumn("sigv", MinHashSig(col("h31"), perms.length))
           .select(col("doc_id") +:
             perms.indices.map(i => element_at(col("sigv"), i + 1).as(s"mh_$i")): _*)
@@ -323,6 +330,7 @@ object CurationQueries {
           (0 until 4).map(bd => concat_ws("_",
             (0 until 4).map(r => col(s"mh_${bd * 4 + r}")): _*)): _*)))
           .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key")
+          .persist()
         val batch = bands.filter(col("doc_id") % 5 === 0)
           .select(col("band_idx"), col("band_key"), col("doc_id").as("new_id"))
         val index = bands.filter(col("doc_id") % 5 =!= 0)

@@ -20,11 +20,15 @@ object TextQueries {
     */
   private def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
     val perms = XHash.permParams(16)
+    // d feeds the signature path AND both verify joins; bands feeds both
+    // sides of the band self-join — persist both or the shingle+signature
+    // subtree derives four times (the q114 lesson, applied round 7)
     val d = docs(s, dir)
       .withColumn("toks", TextOps.tokens(col("text")))
       .withColumn("sh", ShingleHash60(col("toks"), 3))
       .filter(size(col("sh")) > 0)
       .withColumn("h31", transform(col("sh"), h => h % 2147483647L))
+      .persist()
     val sig = d.withColumn("sigv", MinHashSig(col("h31"), perms.length))
       .select(col("doc_id") +: col("sh") +:
         perms.indices.map(i => element_at(col("sigv"), i + 1).as(s"mh_$i")): _*)
@@ -34,6 +38,7 @@ object TextQueries {
       (0 until 4).map(bd => concat_ws("_",
         (0 until 4).map(r => col(s"mh_${bd * 4 + r}")): _*)): _*)))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key")
+      .persist()
     val cand = bands.select(col("band_idx"), col("band_key"), col("doc_id").as("id_a"))
       .join(bands.select(col("band_idx"), col("band_key"), col("doc_id").as("id_b")),
         Seq("band_idx", "band_key"))

@@ -35,6 +35,9 @@ object VectorQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Par(s.read.parquet(s"$dir/embeddings.parquet"))
 
+  /** q120 Matryoshka prefix dimension (of 64). */
+  private val MrDim = 16
+
   // ── q67 constants + oracle generator (declared before `defs`, which
   //    evaluates them eagerly) ──
   private val KmK = 8
@@ -879,7 +882,73 @@ object VectorQueries {
           .select(col("vec_id"), col("pc1"))
           .orderBy(col("vec_id"))
       },
-      Some(pcaSql))
+      Some(pcaSql)),
+
+    // ── q120: Matryoshka truncated-dimension retrieval + recall audit
+    //   (Kusupati et al. 2022): score candidates on the FIRST 16 of 64
+    //   dims (4× fewer bytes and FLOPs — the cheap first pass an MRL-
+    //   trained embedding buys), then audit recall@5 of the truncated
+    //   ranking against the exact full-dim ranking. This is the operator
+    //   that VALIDATES a truncation choice before a pipeline deploys it;
+    //   at 100 TB the prefix pass is the scan (4× less IO with columnar
+    //   prefix storage) and the audit runs on a sample exactly like this.
+    //   One scored frame persists and feeds both rankings; both top-k
+    //   cuts are per-query WindowGroupLimit shapes; the rank join
+    //   touches |queries|·k rows. (On THIS corpus recall is low — the
+    //   synthetic embeddings are isotropic random, so no dimension
+    //   prefix is privileged; an MRL-trained model concentrates signal
+    //   up front. The audit reporting that honestly is the point.) ──
+    QueryDef("q120_matryoshka_recall",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = emb(s, dir)
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        val scored = e.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+          .join(broadcast(q), col("qid") =!= col("nid"))
+          .withColumn("score_full", score6(col("qv"), col("nv")))
+          .withColumn("score_pre", round(VectorKernels.cosineFast(
+            slice(col("qv"), 1, MrDim), slice(col("nv"), 1, MrDim)), 6))
+          .persist() // one scoring pass feeds BOTH rankings
+        val wF = Window.partitionBy(col("qid"))
+          .orderBy(col("score_full").desc, col("nid").asc)
+        val wP = Window.partitionBy(col("qid"))
+          .orderBy(col("score_pre").desc, col("nid").asc)
+        val exact = scored.withColumn("rnk", row_number().over(wF))
+          .filter(col("rnk") <= 5).select(col("qid"), col("nid"))
+        val approx = scored.withColumn("rnk", row_number().over(wP))
+          .filter(col("rnk") <= 5).select(col("qid"), col("nid"))
+        val hits = exact.join(approx, Seq("qid", "nid"))
+          .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+        q.select(col("qid")).join(hits, Seq("qid"), "left")
+          .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+          .withColumn("recall", col("n_hit").cast("double") / lit(5.0))
+          .orderBy(col("qid"))
+      },
+      Some(s"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                   WHERE vec_id < 10),
+        c AS (SELECT vec_id AS nid, embedding AS nv FROM embeddings),
+        scored AS MATERIALIZED (
+          SELECT qid, nid,
+                 round(${cosSql("qv", "nv")}, 6) AS sf,
+                 round(${cosSql("qv", "nv", MrDim)}, 6) AS sp
+          FROM q JOIN c ON qid <> nid),
+        ex AS (SELECT qid, nid FROM (
+                 SELECT qid, nid, row_number() OVER (
+                   PARTITION BY qid ORDER BY sf DESC, nid ASC) AS rnk
+                 FROM scored) WHERE rnk <= 5),
+        ap AS (SELECT qid, nid FROM (
+                 SELECT qid, nid, row_number() OVER (
+                   PARTITION BY qid ORDER BY sp DESC, nid ASC) AS rnk
+                 FROM scored) WHERE rnk <= 5),
+        hits AS (
+          SELECT e.qid, count(*) AS n_hit
+          FROM ex e JOIN ap a ON e.qid = a.qid AND e.nid = a.nid
+          GROUP BY e.qid)
+        SELECT q.qid, coalesce(hits.n_hit, 0) AS n_hit,
+               CAST(coalesce(hits.n_hit, 0) AS DOUBLE) / 5.0 AS recall
+        FROM q LEFT JOIN hits ON q.qid = hits.qid ORDER BY q.qid"""))
   )
 
   // ── q93 oracle: the same quantize → exact moments → covariance →
