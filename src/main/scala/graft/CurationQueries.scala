@@ -24,6 +24,12 @@ object CurationQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Par(s.read.parquet(s"$dir/documents.parquet"))
 
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** Winnowing k-gram/window sizes (Schleimer et al., SIGMOD'03): word
     * 5-grams, window 4 — fingerprint density ≈ 2/(w+1) of all grams. */
   private val WinK = 5
@@ -429,5 +435,155 @@ object CurationQueries {
         SELECT shard8 AS shard, count(*) AS n_docs,
                CAST(sum(CASE WHEN shard9 != shard8 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
         FROM asg GROUP BY shard8 ORDER BY shard"""
-      }))
+      }),
+
+    // ── q121: SCD type-2 dimension build — collapse each user's event
+    //   stream into validity intervals of its state (event_type):
+    //   [valid_from, valid_to) rows with a version number and a
+    //   current-row flag, the slowly-changing-dimension history a
+    //   warehouse maintains for every mutable attribute. Run detection
+    //   is the lag-break + running-sum islands pattern (q109's machinery
+    //   pointed at state CHANGES instead of time gaps); one exchange on
+    //   user_id serves both windows and the rollup. Exact integer
+    //   microseconds end to end; timestamps leave as formatted strings
+    //   (house rule — engine timestamp binaries don't cross engines). ──
+    QueryDef("q121_scd2_build",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val wOrd = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val runs = events(s, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(wOrd))
+          .withColumn("brk",
+            when(col("prev_type").isNull ||
+              col("prev_type") =!= col("event_type"), 1L).otherwise(0L))
+          .withColumn("run", sum(col("brk")).over(wRun))
+          .groupBy(col("user_id"), col("run"))
+          .agg(max(col("event_type")).as("event_type"), // constant per run
+            min(col("us")).as("from_us"), count(lit(1)).as("n_events"))
+        runs
+          .withColumn("to_us", lead(col("from_us"), 1).over(
+            Window.partitionBy(col("user_id")).orderBy(col("run"))))
+          .select(col("user_id"), col("run").as("scd_version"), col("event_type"),
+            date_format(timestamp_micros(col("from_us")),
+              "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_from"),
+            date_format(timestamp_micros(col("to_us")),
+              "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_to"),
+            col("n_events"),
+            when(col("to_us").isNull, 1L).otherwise(0L).as("is_current"))
+          .orderBy(col("user_id"), col("scd_version"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        marked AS (
+          SELECT user_id, event_id, event_type, us,
+                 lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY us, event_id) AS prev_type
+          FROM ev),
+        runs0 AS (
+          SELECT user_id, event_type, us,
+                 CAST(sum(CASE WHEN prev_type IS NULL OR prev_type != event_type
+                               THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+          FROM marked),
+        runs AS (
+          SELECT user_id, run, max(event_type) AS event_type,
+                 min(us) AS from_us, count(*) AS n_events
+          FROM runs0 GROUP BY user_id, run),
+        scd AS (
+          SELECT user_id, run, event_type, from_us, n_events,
+                 lead(from_us) OVER (PARTITION BY user_id ORDER BY run) AS to_us
+          FROM runs)
+        SELECT user_id, run AS scd_version, event_type,
+               strftime(make_timestamp(from_us), '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+               strftime(make_timestamp(to_us), '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+               n_events,
+               CAST(CASE WHEN to_us IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        FROM scd ORDER BY user_id, scd_version""")),
+
+    // ── q122: per-group HLL — q110's from-scratch sketch keyed by
+    //   source, which is the property that makes HLL the distributed
+    //   distinct-count structure: registers merge by MAX, so per-group
+    //   (and per-partition, and per-day) sketches combine without
+    //   re-reading data. The whole estimate (small-range correction
+    //   included) is column arithmetic — nothing collects; the shuffle
+    //   carries ≤ groups×64 register rows. The oracle replays identical
+    //   register math; true counts ride along for the rel-err audit. ──
+    QueryDef("q122_hll_by_group",
+      (s, dir) => {
+        val m = 64.0
+        val alpha = 0.7213 / (1.0 + 1.079 / m)
+        val toks = docs(s, dir)
+          .select(col("source"), explode(TextOps.tokens(col("text"))).as("t"))
+          .persist() // feeds the sketch AND the exact-count audit
+        val regs = toks
+          .select(col("source"), XHash.hash60(col("t")).as("h"))
+          .withColumn("bucket", expr("h div 18014398509481984")) // 2^54: top 6 bits
+          .withColumn("w", pmod(col("h"), lit(18014398509481984L)))
+          .withColumn("rank",
+            when(col("w") === 0L, lit(55L))
+              .otherwise(lit(54L) - length(expr("bin(w)")) + lit(1L)))
+          .groupBy(col("source"), col("bucket")).agg(max(col("rank")).as("r"))
+        val est = regs.groupBy(col("source")).agg(
+          sum(pow(lit(2.0), -col("r").cast("double"))).as("zp"),
+          count(lit(1)).as("mp"),
+          sum(when(col("r") === 0L, 1L).otherwise(0L)).as("z0p"))
+          .withColumn("z", col("zp") + (lit(m) - col("mp")))
+          .withColumn("zeros", col("z0p") + (lit(m) - col("mp")))
+          .withColumn("raw", lit(alpha) * lit(m) * lit(m) / col("z"))
+          .withColumn("est",
+            when(col("raw") <= lit(2.5 * m) && col("zeros") > 0,
+              lit(m) * log(lit(m) / col("zeros").cast("double")))
+              .otherwise(col("raw")))
+        val truth = toks.select(col("source"), col("t")).distinct()
+          .groupBy(col("source")).agg(count(lit(1)).as("true_distinct"))
+        est.join(truth, Seq("source"))
+          .withColumn("hll_estimate", floor(col("est") * lit(1e6) + lit(0.5)) / lit(1e6))
+          .withColumn("rel_err",
+            floor(abs(col("est") - col("true_distinct").cast("double")) /
+              col("true_distinct") * lit(1e6) + lit(0.5)) / lit(1e6))
+          .select(col("source"), col("true_distinct"), col("hll_estimate"), col("rel_err"))
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        WITH toks AS MATERIALIZED (
+          SELECT source, t.t AS t
+          FROM (SELECT source, ${TextOps.tokensSql("text")} AS tk FROM documents),
+               unnest(tk) AS t(t)),
+        regs AS (
+          SELECT source, h // 18014398509481984 AS bucket,
+                 max(CASE WHEN h % 18014398509481984 = 0 THEN 55
+                          ELSE 54 - length(bin(h % 18014398509481984)) + 1
+                     END) AS r
+          FROM (SELECT source, ${XHash.hash60Sql("t")} AS h FROM toks)
+          GROUP BY source, bucket),
+        agg AS (
+          SELECT source,
+                 sum(power(2.0, -CAST(r AS DOUBLE))) AS zp,
+                 count(*) AS mp,
+                 sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS z0p
+          FROM regs GROUP BY source),
+        est AS (
+          SELECT source,
+                 CASE WHEN (0.7213 / (1.0 + 1.079 / 64.0)) * 64.0 * 64.0 /
+                             (zp + (64.0 - mp)) <= 2.5 * 64.0
+                       AND (z0p + (64 - mp)) > 0
+                      THEN 64.0 * ln(64.0 / CAST(z0p + (64 - mp) AS DOUBLE))
+                      ELSE (0.7213 / (1.0 + 1.079 / 64.0)) * 64.0 * 64.0 /
+                             (zp + (64.0 - mp))
+                 END AS est
+          FROM agg),
+        t AS (
+          SELECT source, CAST(count(DISTINCT t) AS BIGINT) AS true_distinct
+          FROM toks GROUP BY source)
+        SELECT e.source, t.true_distinct,
+               floor(e.est * 1000000.0 + 0.5) / 1000000.0 AS hll_estimate,
+               floor(abs(e.est - t.true_distinct) / t.true_distinct
+                 * 1000000.0 + 0.5) / 1000000.0 AS rel_err
+        FROM est e JOIN t ON e.source = t.source ORDER BY e.source"""))
+  )
 }

@@ -88,6 +88,44 @@ class CurationQueriesSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
   }
 
+  test("q121: SCD2 invariants — contiguous versions, one current row, seamless intervals") {
+    val rows = run("q121_scd2_build").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        Option(r.getString(4)), r.getLong(6)))
+    rows.groupBy(_._1).foreach { case (uid, hist) =>
+      val sorted = hist.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1L to sorted.length), s"user $uid versions not contiguous")
+      assert(sorted.count(_._6 == 1L) === 1, s"user $uid: exactly one current row")
+      assert(sorted.last._6 === 1L && sorted.last._5.isEmpty, s"user $uid: last row open-ended")
+      sorted.sliding(2).filter(_.length == 2).foreach { pair =>
+        val (a, b) = (pair(0), pair(1))
+        assert(a._5.contains(b._4), s"user $uid: v${a._2} valid_to != v${b._2} valid_from")
+        assert(a._3 != b._3, s"user $uid: adjacent runs share state ${a._3}")
+      }
+    }
+  }
+
+  test("q122: HLL registers merge by MAX — half-sketches combine to the whole") {
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        explode(graft.functions.TextOps.tokens(col("text"))).as("t"))
+      .select(col("doc_id"), col("source"),
+        graft.functions.XHash.hash60(col("t")).as("h"))
+      .withColumn("bucket", expr("h div 18014398509481984"))
+      .withColumn("w", pmod(col("h"), lit(18014398509481984L)))
+      .withColumn("rank", when(col("w") === 0L, lit(55L))
+        .otherwise(lit(54L) - length(expr("bin(w)")) + lit(1L)))
+    val whole = toks.groupBy(col("source"), col("bucket"))
+      .agg(max(col("rank")).as("r"))
+    val halves = toks.withColumn("half", col("doc_id") % 2)
+      .groupBy(col("source"), col("bucket"), col("half"))
+      .agg(max(col("rank")).as("r"))
+      .groupBy(col("source"), col("bucket")) // the merge: MAX of sketches
+      .agg(max(col("r")).as("r"))
+    assert(whole.exceptAll(halves).isEmpty && halves.exceptAll(whole).isEmpty,
+      "merged half-sketches must equal the whole-data sketch register-for-register")
+  }
+
   test("q117: the distilled classifier beats the majority base rate") {
     val out = run("q117_logreg_quality").collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
