@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{MinHashSig, ShingleHash60, TextOps, XHash}
-import graft.operators.AhoCorasick
+import graft.operators.{AhoCorasick, ImageHash, SimplePng}
 
 /** Round-7 curation operators: winnowing fingerprints (the MOSS
   * plagiarism-index structure), Aho-Corasick blocklist filtering, and a
@@ -584,6 +584,116 @@ object CurationQueries {
                floor(e.est * 1000000.0 + 0.5) / 1000000.0 AS hll_estimate,
                floor(abs(e.est - t.true_distinct) / t.true_distinct
                  * 1000000.0 + 0.5) / 1000000.0 AS rel_err
-        FROM est e JOIN t ON e.source = t.source ORDER BY e.source"""))
+        FROM est e JOIN t ON e.source = t.source ORDER BY e.source""")),
+
+    // ── q123: perceptual-hash IMAGE dedup — the multimodal twin of
+    //   SimHash text dedup (q26/q31), end to end through a REAL codec:
+    //   each doc renders a deterministic 16×16 grayscale image (content
+    //   keyed by doc_id % 97, a per-doc uniform brightness shift, and a
+    //   white corner patch on every 10th doc), encodes it as an actual
+    //   PNG, and the engine decodes (SimplePng: real inflate + defilter)
+    //   → aHash (ImageHash: exact-integer 8×8 average hash, brightness-
+    //   invariant by construction) → 8×8-bit band join → Hamming ≤ 6
+    //   verify. Same content at different brightness collides at Hamming
+    //   0; the patched variants land within the threshold; different
+    //   content doesn't. The ORACLE never sees a PNG — it recomputes the
+    //   hash from the pixel formula in pure SQL, so a decoder or hash
+    //   that corrupts one bit anywhere hash-mismatches. Banding keeps
+    //   candidates ≈ true near-dups (pigeonhole: Hamming ≤ 7 over 8
+    //   bands guarantees a clean band); the hash frame persists and
+    //   feeds both join sides. ──
+    QueryDef("q123_phash_dedup",
+      (s, dir) => {
+        // content = a block-level light/dark fingerprint drawn from the
+        // shared md5 primitive keyed on (group, block) — genuinely
+        // distinct patterns per group (a linear/multiplicative formula
+        // mod 256 degenerates to correlated bit flips and floods the
+        // join with cross-group collisions; measured before switching);
+        // + a per-doc uniform brightness shift (aHash is EXACTLY
+        // invariant to it — no wraparound: 200+6 < 256); + a white
+        // corner patch on every 10th doc (a small edit the Hamming
+        // threshold absorbs)
+        val mkPng = udf { (docId: Long) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          def h60(s: String): Long = {
+            val hex = md.digest(s.getBytes("UTF-8"))
+              .map(b => f"$b%02x").mkString.take(15)
+            java.lang.Long.parseLong(hex, 16)
+          }
+          val g = docId % 97
+          val px = Array.tabulate(256) { i =>
+            (if (docId % 10 == 9 && i / 16 < 4 && i % 16 < 4) 255
+             else {
+               val b = (i / 16 / 2) * 8 + (i % 16) / 2
+               (if (h60(s"$g:$b") % 2 == 1) 200 else 40) + (docId % 7).toInt
+             }).toByte
+          }
+          SimplePng.encode(SimplePng.Image(16, 16, 1, px))
+        }
+        val phash = udf { (payload: Array[Byte]) =>
+          ImageHash.aHashPng(payload).orNull
+        }
+        val hashes = docs(s, dir)
+          .select(col("doc_id"), phash(mkPng(col("doc_id"))).as("h"))
+          .filter(col("h").isNotNull)
+          .persist() // feeds both sides of the band join (q114 lesson)
+        val bands = hashes.select(col("doc_id"), posexplode(array(
+          (0 until 8).map(b => substring(col("h"), b * 8 + 1, 8)): _*)))
+          .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key")
+        val cand = bands.select(col("band_idx"), col("band_key"), col("doc_id").as("doc_a"))
+          .join(bands.select(col("band_idx"), col("band_key"), col("doc_id").as("doc_b")),
+            Seq("band_idx", "band_key"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b")).distinct()
+        cand
+          .join(hashes.select(col("doc_id").as("doc_a"), col("h").as("ha")), Seq("doc_a"))
+          .join(hashes.select(col("doc_id").as("doc_b"), col("h").as("hb")), Seq("doc_b"))
+          .withColumn("hamming", size(filter(sequence(lit(1), lit(64)),
+            p => col("ha").substr(p, lit(1)) =!= col("hb").substr(p, lit(1))))
+            .cast("long"))
+          .filter(col("hamming") <= 6)
+          .select(col("doc_a"), col("doc_b"), col("hamming"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""
+        WITH px AS (
+          SELECT doc_id, t.i AS i,
+                 CASE WHEN doc_id % 10 = 9 AND (t.i // 16) < 4 AND (t.i % 16) < 4
+                      THEN 255
+                      ELSE (CASE WHEN (('0x' || substr(md5(
+                               (doc_id % 97)::VARCHAR || ':' ||
+                               (((t.i // 16) // 2) * 8 + (t.i % 16) // 2)::VARCHAR
+                             ), 1, 15))::BIGINT) % 2 = 1
+                            THEN 200 ELSE 40 END) + doc_id % 7
+                 END AS v
+          FROM documents, unnest(range(0, 256)) AS t(i)),
+        tot AS (SELECT doc_id, sum(v) AS ts FROM px GROUP BY doc_id),
+        blk AS (
+          SELECT doc_id, ((i // 16) // 2) * 8 + (i % 16) // 2 AS b, sum(v) AS bs
+          FROM px GROUP BY doc_id, b),
+        hash AS MATERIALIZED (
+          SELECT blk.doc_id,
+                 string_agg(CASE WHEN bs * 64 >= ts THEN '1' ELSE '0' END, ''
+                   ORDER BY b) AS h
+          FROM blk JOIN tot ON blk.doc_id = tot.doc_id
+          GROUP BY blk.doc_id),
+        bands AS (
+          SELECT doc_id, b.b AS band_idx, substr(h, b.b * 8 + 1, 8) AS band_key
+          FROM hash, unnest(range(0, 8)) AS b(b)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+        ham AS (
+          SELECT c.doc_a, c.doc_b,
+                 CAST(list_sum(list_transform(range(1, 65),
+                   p -> CASE WHEN substr(ha.h, CAST(p AS INT), 1)
+                             != substr(hb.h, CAST(p AS INT), 1)
+                        THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+          FROM cand c JOIN hash ha ON c.doc_a = ha.doc_id
+                      JOIN hash hb ON c.doc_b = hb.doc_id)
+        SELECT doc_a, doc_b, hamming FROM ham
+        WHERE hamming <= 6 ORDER BY doc_a, doc_b"""))
   )
 }

@@ -673,15 +673,20 @@ object PipelineQueries {
     QueryDef("q104_mad_outliers",
       (s, dir) => {
         import ExactPercentiles._
+        // v feeds the median pass AND the deviation join; dev feeds the
+        // MAD pass AND the outlier pass — persist both so the scan+rank
+        // subtrees derive once each (q114 lesson)
         val v = events(s, dir)
           .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
           .select(col("event_type"), col("cents"))
+          .persist()
         val med = ranked(v, "event_type", "cents")
           .groupBy(col("event_type"))
           .agg(max(col("n")).as("n"), lo(0.5).as("lo"), hi(0.5).as("hi"))
           .select(col("event_type"), interp(0.5, "lo", "hi").as("med_cents"))
         val dev = v.join(med, Seq("event_type"))
           .withColumn("adev", abs(col("cents").cast("double") - col("med_cents")))
+          .persist()
         val mad = ranked(dev, "event_type", "adev")
           .groupBy(col("event_type"))
           .agg(max(col("n")).as("n"), lo(0.5).as("lo"), hi(0.5).as("hi"))
@@ -726,11 +731,15 @@ object PipelineQueries {
     QueryDef("q105_naive_bayes",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
+        // d serves train/test splits and, through trainTok, four model
+        // tables plus two scalar jobs (vocab size, doc count) — persist
+        // both or the tokenize+explode subtree derives ~6× (q114 lesson)
         val d = docs(s, dir)
           .select(col("doc_id"), col("lang"), TextOps.tokens(col("text")).as("toks"))
+          .persist()
         val train = d.filter(col("doc_id") % 2 === 0)
         val test = d.filter(col("doc_id") % 2 === 1)
-        val trainTok = train.select(col("lang"), explode(col("toks")).as("t"))
+        val trainTok = train.select(col("lang"), explode(col("toks")).as("t")).persist()
         val stats = trainTok.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
         val vocabV = trainTok.select(col("t")).distinct().count()
         val nTrainDocs = train.count()

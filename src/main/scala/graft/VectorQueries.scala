@@ -460,10 +460,15 @@ object VectorQueries {
              element_at(col("bits"), 4 * j + 3) * 2 + element_at(col("bits"), 4 * j + 4))
               .as("band_val"))
         }
+        // persisted: banded feeds BOTH sides of the band self-join, and
+        // the 16-hyperplane signature pass is the expensive part — derive
+        // it once (the q114 lesson; uncached this was the 2nd-slowest
+        // query in the suite at 3.8 s)
         val banded = withBits
           .select(col("vec_id"), col("embedding"), explode(array(bandCols: _*)).as("band"))
           .select(col("vec_id"), col("embedding"),
             col("band.band_idx").as("band_idx"), col("band.band_val").as("band_val"))
+          .persist()
         val a = banded.select(col("band_idx"), col("band_val"),
           col("vec_id").as("id_a"), col("embedding").as("va"))
         val b = banded.select(col("band_idx"), col("band_val"),

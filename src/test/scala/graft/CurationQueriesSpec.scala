@@ -126,6 +126,23 @@ class CurationQueriesSpec extends SparkSpec {
       "merged half-sketches must equal the whole-data sketch register-for-register")
   }
 
+  test("q123: perceptual dedup finds exactly the content groups — brightness " +
+    "variants at Hamming 0, patched variants within threshold, no cross-group pairs") {
+    val rows = run("q123_phash_dedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, ham) =>
+      assert(a % 97 === b % 97, s"cross-group pair ($a,$b) at hamming $ham")
+      assert(ham <= 6)
+      // two unpatched docs of one group differ only in brightness → ham 0
+      if (a % 10 != 9 && b % 10 != 9)
+        assert(ham === 0L, s"brightness-only pair ($a,$b) must hash identically, got $ham")
+    }
+    assert(rows.exists { case (a, b, ham) =>
+      (a % 10 == 9 || b % 10 == 9) && ham > 0
+    }, "expected patched variants to land within the threshold at hamming > 0")
+  }
+
   test("q117: the distilled classifier beats the majority base rate") {
     val out = run("q117_logreg_quality").collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
