@@ -322,6 +322,63 @@ object StreamQueries {
         FROM bins LEFT JOIN cnt ON bins.doc_id = cnt.doc_id AND bins.bin = cnt.bin
         ORDER BY bins.doc_id, bins.bin""")),
 
+    // ── q124: frame SAMPLING over the real GIF decoder — the video-leg
+    //   operator a curation pipeline runs after decode: keep every 2nd
+    //   frame, reduce each sampled frame to an integer-exact luma sum,
+    //   and flag scene changes as the absolute delta between consecutive
+    //   sampled frames (the keyframe-selection primitive). The engine
+    //   decodes ACTUAL animated GIFs (SimpleGif LZW) and sums decoded
+    //   frame luminance; the oracle recomputes the sums from the palette
+    //   formula (lum of color k = 8+16k) without ever seeing a GIF — a
+    //   decoder that drops, reorders, or corrupts any frame mismatches.
+    //   Per-row map + one doc-keyed window; the full-frame stream never
+    //   shuffles, only the sampled (doc, frame, sum) rows do. ──
+    QueryDef("q124_frame_sample",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val mkGif = udf { (docId: Long, w: Int, h: Int, nf: Int) =>
+          val palette = Array(0x080808, 0x181818, 0x282828, 0x383838)
+          val frames = (0 until nf).map(f =>
+            Array.tabulate(w * h)(i => ((docId * 13 + f * 5 + i * 3) % 4).toByte))
+          graft.operators.SimpleGif.encode(w, h, palette, frames)
+        }
+        val lumSums = udf { (payload: Array[Byte]) =>
+          graft.operators.SimpleGif.decode(payload)
+            .map(_.frames.map(fr => fr.lum.map(b => (b & 0xff).toLong).sum))
+            .orNull
+        }
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("frame"))
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"),
+            (lit(4) + col("doc_id") % 4).cast("int").as("w"),
+            (lit(3) + col("doc_id") % 3).cast("int").as("h"),
+            (lit(4) + col("doc_id") % 5).cast("int").as("nf"))
+          .withColumn("sums", lumSums(mkGif(col("doc_id"), col("w"), col("h"), col("nf"))))
+          .select(col("doc_id"), posexplode(col("sums")))
+          .withColumnRenamed("pos", "frame").withColumnRenamed("col", "lum_sum")
+          .filter(col("frame") % 2 === 0) // the sample: every 2nd frame
+          .withColumn("frame", col("frame").cast("long"))
+          .withColumn("delta", abs(col("lum_sum") - lag(col("lum_sum"), 1).over(w)))
+          .select(col("doc_id"), col("frame"), col("lum_sum"), col("delta"))
+          .orderBy(col("doc_id"), col("frame"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id, 4 + doc_id % 4 AS w, 3 + doc_id % 3 AS h,
+                 4 + doc_id % 5 AS nf
+          FROM documents),
+        fs AS (
+          SELECT p.doc_id, CAST(f.f AS BIGINT) AS frame,
+                 CAST(list_sum(list_transform(range(0, p.w * p.h),
+                   i -> 8 + 16 * ((p.doc_id * 13 + f.f * 5 + i * 3) % 4)))
+                   AS BIGINT) AS lum_sum
+          FROM p, unnest(range(0, p.nf)) AS f(f)
+          WHERE f.f % 2 = 0)
+        SELECT doc_id, frame, lum_sum,
+               abs(lum_sum - lag(lum_sum) OVER (PARTITION BY doc_id
+                 ORDER BY frame)) AS delta
+        FROM fs ORDER BY doc_id, frame""")),
+
     // ── q89: REAL JPEG decode through the multimodal pipeline — the
     //   lossy-codec sibling of q79. Each doc derives a BLOCK-CONSTANT
     //   grayscale image (all 64 pixels of 8×8 block b share value
