@@ -621,11 +621,13 @@ object CurationQueries {
             java.lang.Long.parseLong(hex, 16)
           }
           val g = docId % 97
+          // one md5 per 2x2 BLOCK, not per pixel (4 pixels share a block)
+          val light = Array.tabulate(64)(b => h60(s"$g:$b") % 2 == 1)
           val px = Array.tabulate(256) { i =>
             (if (docId % 10 == 9 && i / 16 < 4 && i % 16 < 4) 255
              else {
                val b = (i / 16 / 2) * 8 + (i % 16) / 2
-               (if (h60(s"$g:$b") % 2 == 1) 200 else 40) + (docId % 7).toInt
+               (if (light(b)) 200 else 40) + (docId % 7).toInt
              }).toByte
           }
           SimplePng.encode(SimplePng.Image(16, 16, 1, px))
@@ -636,22 +638,42 @@ object CurationQueries {
         val hashes = docs(s, dir)
           .select(col("doc_id"), phash(mkPng(col("doc_id"))).as("h"))
           .filter(col("h").isNotNull)
-          .persist() // feeds both sides of the band join (q114 lesson)
-        val bands = hashes.select(col("doc_id"), posexplode(array(
+          .persist() // feeds the expansion joins on both sides (q114 lesson)
+        // Exact-dedup BEFORE the quadratic stage: near-dup images arrive in
+        // exact-hash clusters (brightness shifts collide at Hamming 0), so
+        // band-join + Hamming run once per DISTINCT hash pair, never per doc
+        // pair — the doc-level pair list is recovered by two equi-joins. At
+        // 100 TB this is the difference between Hamming over |docs|^2/band
+        // and over |distinct images|^2/band. bits = the 64-bit hash as a
+        // long, so Hamming is one xor + popcount instead of 64 substrings.
+        val bits = shiftleft(conv(substring(col("h"), 1, 32), 2, 10)
+          .cast("long"), 32)
+          .bitwiseOR(conv(substring(col("h"), 33, 32), 2, 10).cast("long"))
+        val uniq = hashes.select(col("h")).distinct()
+          .withColumn("bits", bits).persist()
+        val bands = uniq.select(col("h"), col("bits"), posexplode(array(
           (0 until 8).map(b => substring(col("h"), b * 8 + 1, 8)): _*)))
           .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key")
-        val cand = bands.select(col("band_idx"), col("band_key"), col("doc_id").as("doc_a"))
-          .join(bands.select(col("band_idx"), col("band_key"), col("doc_id").as("doc_b")),
-            Seq("band_idx", "band_key"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b")).distinct()
-        cand
-          .join(hashes.select(col("doc_id").as("doc_a"), col("h").as("ha")), Seq("doc_a"))
-          .join(hashes.select(col("doc_id").as("doc_b"), col("h").as("hb")), Seq("doc_b"))
-          .withColumn("hamming", size(filter(sequence(lit(1), lit(64)),
-            p => col("ha").substr(p, lit(1)) =!= col("hb").substr(p, lit(1))))
-            .cast("long"))
+        val hp = bands.select(col("band_idx"), col("band_key"),
+            col("h").as("ha"), col("bits").as("ba"))
+          .join(bands.select(col("band_idx"), col("band_key"),
+            col("h").as("hb"), col("bits").as("bb")), Seq("band_idx", "band_key"))
+          .filter(col("ha") < col("hb"))
+          .select(col("ha"), col("hb"), col("ba"), col("bb")).distinct()
+          .withColumn("hamming",
+            bit_count(col("ba").bitwiseXOR(col("bb"))).cast("long"))
           .filter(col("hamming") <= 6)
+          .select(col("ha"), col("hb"), col("hamming"))
+        // every ordered hash pair (incl. self at Hamming 0), so each output
+        // doc pair appears exactly once under the doc_a < doc_b filter
+        val sym = hp
+          .union(hp.select(col("hb").as("ha"), col("ha").as("hb"), col("hamming")))
+          .union(uniq.select(col("h").as("ha"), col("h").as("hb"),
+            lit(0L).as("hamming")))
+        sym
+          .join(hashes.select(col("doc_id").as("doc_a"), col("h").as("ha")), Seq("ha"))
+          .join(hashes.select(col("doc_id").as("doc_b"), col("h").as("hb")), Seq("hb"))
+          .filter(col("doc_a") < col("doc_b"))
           .select(col("doc_a"), col("doc_b"), col("hamming"))
           .orderBy(col("doc_a"), col("doc_b"))
       },
