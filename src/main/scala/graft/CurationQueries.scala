@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{MinHashSig, ShingleHash60, TextOps, XHash}
-import graft.operators.{AhoCorasick, ImageHash, SimplePng}
+import graft.operators.{AhoCorasick, ImageHash, SimplePng, SimpleWav}
 
 /** Round-7 curation operators: winnowing fingerprints (the MOSS
   * plagiarism-index structure), Aho-Corasick blocklist filtering, and a
@@ -20,6 +20,11 @@ import graft.operators.{AhoCorasick, ImageHash, SimplePng}
   * differs across implementations, `+ * / abs` do not).
   */
 object CurationQueries {
+
+  /** q126 row shapes: the typed contract for the per-shard packing scan. */
+  final case class PackIn(source: String, doc_id: Long, n_tok: Long)
+  final case class PackOut(source: String, doc_id: Long, n_tok: Long,
+                           seq_id: Long, seq_fill: Long)
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Par(s.read.parquet(s"$dir/documents.parquet"))
@@ -716,6 +721,238 @@ object CurationQueries {
           FROM cand c JOIN hash ha ON c.doc_a = ha.doc_id
                       JOIN hash hb ON c.doc_b = hb.doc_id)
         SELECT doc_a, doc_b, hamming FROM ham
-        WHERE hamming <= 6 ORDER BY doc_a, doc_b"""))
+        WHERE hamming <= 6 ORDER BY doc_a, doc_b""")),
+
+    // ── q125: audio-fingerprint near-dup — the AUDIO leg of multimodal
+    //   dedup, end to end through the real WAV codec (SimpleWav RIFF
+    //   roundtrip, q80's decoder). Each doc synthesizes 65 frames × 32
+    //   samples of 16-bit PCM whose content is keyed by doc_id % 89; the
+    //   per-doc gain (×1..3) is a perturbation the fingerprint is EXACTLY
+    //   invariant to (bit f compares energy(frame f) > energy(frame f+1),
+    //   and a uniform gain scales every energy by k² — the Shazam-style
+    //   energy-delta trick, integer-exact with sums of squares); every
+    //   10th doc injects an additive burst into frame 7, a small edit the
+    //   Hamming ≤ 3 threshold absorbs (it can only move bits 6 and 7).
+    //   Same scale shape as q123: canonicalize to DISTINCT fingerprints
+    //   before the band join, popcount Hamming once per fingerprint pair,
+    //   recover doc pairs by equi-join. The oracle recomputes the frame
+    //   energies from the PCM formula in pure SQL — a decoder that drops a
+    //   sample or misreads the fmt chunk flips a bit somewhere and
+    //   hash-mismatches. ──
+    QueryDef("q125_audio_fingerprint",
+      (s, dir) => {
+        val mkWav = udf { (docId: Long) =>
+          val g = docId % 89
+          val k = (1 + docId % 3).toInt
+          val burst = docId % 10 == 7
+          val samples = Array.tabulate(65 * 32) { i =>
+            // f*(g+11)*131 gives each group a distinct per-frame energy
+            // profile (simulated: 89/89 distinct fingerprints, zero
+            // cross-group pairs at Hamming <= 3; the additive-only keying
+            // collapsed to 32 distinct and 794 cross-group collisions)
+            val f = i / 32
+            val base =
+              ((g * 37 + f * (g + 11) * 131 + i.toLong * i * 11) % 16000 - 8000).toInt
+            k * base + (if (burst && f == 7) 5000 else 0)
+          }
+          SimpleWav.encode(SimpleWav.Audio(16000, 1, 16, samples))
+        }
+        val fp = udf { (payload: Array[Byte]) =>
+          SimpleWav.decode(payload).map { a =>
+            val e = Array.tabulate(65) { f =>
+              var acc = 0L
+              var j = 0
+              while (j < 32) {
+                val v = a.samples(f * 32 + j).toLong; acc += v * v; j += 1
+              }
+              acc
+            }
+            (0 until 64).map(f => if (e(f) > e(f + 1)) '1' else '0').mkString
+          }.orNull
+        }
+        val hashes = docs(s, dir)
+          .select(col("doc_id"), fp(mkWav(col("doc_id"))).as("h"))
+          .filter(col("h").isNotNull)
+          .persist()
+        val bits = shiftleft(conv(substring(col("h"), 1, 32), 2, 10)
+          .cast("long"), 32)
+          .bitwiseOR(conv(substring(col("h"), 33, 32), 2, 10).cast("long"))
+        val uniq = hashes.select(col("h")).distinct()
+          .withColumn("bits", bits).persist()
+        val bands = uniq.select(col("h"), col("bits"), posexplode(array(
+          (0 until 8).map(b => substring(col("h"), b * 8 + 1, 8)): _*)))
+          .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key")
+        val hp = bands.select(col("band_idx"), col("band_key"),
+            col("h").as("ha"), col("bits").as("ba"))
+          .join(bands.select(col("band_idx"), col("band_key"),
+            col("h").as("hb"), col("bits").as("bb")), Seq("band_idx", "band_key"))
+          .filter(col("ha") < col("hb"))
+          .select(col("ha"), col("hb"), col("ba"), col("bb")).distinct()
+          .withColumn("hamming",
+            bit_count(col("ba").bitwiseXOR(col("bb"))).cast("long"))
+          .filter(col("hamming") <= 3)
+          .select(col("ha"), col("hb"), col("hamming"))
+        val sym = hp
+          .union(hp.select(col("hb").as("ha"), col("ha").as("hb"), col("hamming")))
+          .union(uniq.select(col("h").as("ha"), col("h").as("hb"),
+            lit(0L).as("hamming")))
+        sym
+          .join(hashes.select(col("doc_id").as("doc_a"), col("h").as("ha")), Seq("ha"))
+          .join(hashes.select(col("doc_id").as("doc_b"), col("h").as("hb")), Seq("hb"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"), col("hamming"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id, doc_id % 89 AS g, 1 + doc_id % 3 AS k,
+                 CASE WHEN doc_id % 10 = 7 THEN 1 ELSE 0 END AS burst
+          FROM documents),
+        s AS (
+          SELECT p.doc_id, t.i // 32 AS f,
+                 p.k * ((p.g * 37 + (t.i // 32) * (p.g + 11) * 131
+                         + t.i * t.i * 11) % 16000 - 8000)
+                 + CASE WHEN p.burst = 1 AND t.i // 32 = 7 THEN 5000 ELSE 0 END AS v
+          FROM p, unnest(range(0, 2080)) AS t(i)),
+        e AS (SELECT doc_id, f, sum(v * v) AS en FROM s GROUP BY doc_id, f),
+        hash AS MATERIALIZED (
+          SELECT a.doc_id,
+                 string_agg(CASE WHEN a.en > b.en THEN '1' ELSE '0' END, ''
+                   ORDER BY a.f) AS h
+          FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+          GROUP BY a.doc_id),
+        bands AS (
+          SELECT doc_id, b.b AS band_idx, substr(h, b.b * 8 + 1, 8) AS band_key
+          FROM hash, unnest(range(0, 8)) AS b(b)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+        ham AS (
+          SELECT c.doc_a, c.doc_b,
+                 CAST(list_sum(list_transform(range(1, 65),
+                   p -> CASE WHEN substr(ha.h, CAST(p AS INT), 1)
+                             != substr(hb.h, CAST(p AS INT), 1)
+                        THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+          FROM cand c JOIN hash ha ON c.doc_a = ha.doc_id
+                      JOIN hash hb ON c.doc_b = hb.doc_id)
+        SELECT doc_a, doc_b, hamming FROM ham
+        WHERE hamming <= 3 ORDER BY doc_a, doc_b""")),
+
+    // ── q126: sequence PACKING — the step between curation and the
+    //   trainer: concatenate documents into fixed-capacity training
+    //   sequences (C = 256 tokens) with next-fit within each source
+    //   shard, docs in doc_id order. Packing is inherently sequential,
+    //   so the scalable shape is sequential-PER-SHARD, parallel across
+    //   shards: repartition by source co-locates each shard, a
+    //   sort-within-partitions puts its docs in order, and ONE
+    //   mapPartitions pass carries (bin, fill) state across rows —
+    //   no window, no self-join, no driver loop. The oracle replays
+    //   the same recurrence as a recursive CTE. ──
+    QueryDef("q126_seq_pack",
+      (s, dir) => {
+        import s.implicits._
+        val cap = 256L
+        docs(s, dir)
+          .select(col("source"), col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"))
+          .as[PackIn]
+          .repartition(col("source"))
+          .sortWithinPartitions(col("source"), col("doc_id"))
+          .mapPartitions { it =>
+            var src: String = null
+            var bin = 0L
+            var fill = 0L
+            it.map { r =>
+              if (r.source != src) { src = r.source; bin = 0L; fill = r.n_tok }
+              else if (fill + r.n_tok > cap) { bin += 1; fill = r.n_tok }
+              else fill += r.n_tok
+              PackOut(r.source, r.doc_id, r.n_tok, bin, fill)
+            }
+          }
+          .toDF()
+          .orderBy(col("source"), col("doc_id"))
+      },
+      Some("""
+        WITH RECURSIVE t AS (
+          SELECT source, doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                 row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+          FROM documents),
+        r AS (
+          SELECT source, doc_id, n_tok, rn,
+                 CAST(0 AS BIGINT) AS seq_id, n_tok AS seq_fill
+          FROM t WHERE rn = 1
+          UNION ALL
+          SELECT t.source, t.doc_id, t.n_tok, t.rn,
+                 CASE WHEN r.seq_fill + t.n_tok > 256
+                      THEN r.seq_id + 1 ELSE r.seq_id END,
+                 CASE WHEN r.seq_fill + t.n_tok > 256
+                      THEN t.n_tok ELSE r.seq_fill + t.n_tok END
+          FROM r JOIN t ON t.source = r.source AND t.rn = r.rn + 1)
+        SELECT source, doc_id, n_tok, seq_id, seq_fill
+        FROM r ORDER BY source, doc_id""")),
+
+    // ── q127: mixture RESAMPLING manifest — turn per-source token
+    //   counts into an exact token budget per source (B = 100k) using
+    //   capped-proportional weights (cap 1500 stops any one source from
+    //   dominating, the standard mixing guard) and LARGEST-REMAINDER
+    //   rounding, so Σ quota == B exactly — all in integer arithmetic
+    //   (base = B·m div M, remainder rank breaks ties by source name).
+    //   Emits epochs/tail per source: quota div/mod available tokens —
+    //   the repetition factors a trainer's data loader consumes
+    //   (epoching à la Muennighoff et al., data-constrained scaling).
+    //   Everything past the first agg is a 20-row frame; the corpus is
+    //   read ONCE (per persists and feeds tot/quota/leftover). ──
+    QueryDef("q127_mix_resample",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val per = docs(s, dir)
+          .groupBy(col("source"))
+          .agg(sum(size(split(col("text"), " ")).cast("long")).as("toks"))
+          .withColumn("m", least(col("toks"), lit(1500L)))
+          .persist()
+        val tot = per.agg(sum(col("m")).as("mm"))
+        val q = per.crossJoin(broadcast(tot))
+          .withColumn("base", expr("(100000 * m) div mm"))
+          .withColumn("rem", expr("(100000 * m) % mm"))
+        val leftover = q.agg((lit(100000L) - sum(col("base"))).as("leftover"))
+        q.crossJoin(broadcast(leftover))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("rem").desc, col("source"))).cast("long"))
+          .withColumn("quota",
+            col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .select(col("source"), col("toks"), col("quota"),
+            expr("quota div toks").as("full_epochs"),
+            expr("quota % toks").as("tail_toks"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH per AS (
+          SELECT source,
+                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks,
+                 least(CAST(sum(len(string_split(text, ' '))) AS BIGINT),
+                       1500) AS m
+          FROM documents GROUP BY source),
+        tot AS (SELECT CAST(sum(m) AS BIGINT) AS mm FROM per),
+        q AS (
+          SELECT per.source, per.toks, per.m,
+                 CAST((100000 * per.m) // tot.mm AS BIGINT) AS base,
+                 CAST((100000 * per.m) % tot.mm AS BIGINT) AS rem
+          FROM per, tot),
+        l AS (SELECT CAST(100000 - sum(base) AS BIGINT) AS leftover FROM q),
+        r AS (
+          SELECT q.source, q.toks, q.base, q.rem, l.leftover,
+                 row_number() OVER (ORDER BY q.rem DESC, q.source) AS rk
+          FROM q, l)
+        SELECT source, toks,
+               CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                 AS BIGINT) AS quota,
+               CAST((base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)
+                 // toks AS BIGINT) AS full_epochs,
+               CAST((base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)
+                 % toks AS BIGINT) AS tail_toks
+        FROM r ORDER BY source"""))
   )
 }

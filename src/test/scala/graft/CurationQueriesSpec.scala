@@ -143,6 +143,71 @@ class CurationQueriesSpec extends SparkSpec {
     }, "expected patched variants to land within the threshold at hamming > 0")
   }
 
+  test("q125: audio near-dups stay in content groups; gain-only pairs at Hamming 0") {
+    val rows = run("q125_audio_fingerprint").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, ham) =>
+      assert(a % 89 === b % 89, s"cross-group pair ($a,$b) at hamming $ham")
+      assert(ham <= 3)
+      // neither doc has the burst → only the gain differs, and the
+      // energy-delta fingerprint is exactly gain-invariant
+      if (a % 10 != 7 && b % 10 != 7)
+        assert(ham === 0L, s"gain-only pair ($a,$b) must fingerprint identically, got $ham")
+    }
+    assert(rows.exists { case (a, b, ham) =>
+      (a % 10 == 7 || b % 10 == 7) && ham > 0
+    }, "expected burst variants within the threshold at hamming > 0")
+    // completeness: every same-group gain-only pair must be found (banding
+    // cannot miss Hamming 0 — identical fingerprints share every band)
+    val ids = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val expect = (for {
+      a <- ids; b <- ids
+      if a < b && a % 89 == b % 89 && a % 10 != 7 && b % 10 != 7
+    } yield (a, b)).toSet
+    val got = rows.collect { case (a, b, 0L) => (a, b) }.toSet
+    assert(expect.subsetOf(got), s"missing ${expect.diff(got).take(5)}")
+  }
+
+  test("q126: packing replays the next-fit recurrence exactly, bins dense, fill bounded") {
+    val rows = run("q126_seq_pack").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, n, _, fill) =>
+      assert(fill <= 256L && n <= fill)
+    }
+    rows.groupBy(_._1).foreach { case (src, g) =>
+      val sorted = g.sortBy(_._2)
+      var bin = 0L
+      var fill = -1L
+      sorted.foreach { case (_, id, n, sid, sfill) =>
+        if (fill < 0) { bin = 0L; fill = n }
+        else if (fill + n > 256L) { bin += 1L; fill = n }
+        else fill += n
+        assert(sid === bin, s"$src/$id: seq_id $sid, replay says $bin")
+        assert(sfill === fill, s"$src/$id: seq_fill $sfill, replay says $fill")
+      }
+      val bins = sorted.map(_._4).distinct
+      assert(bins.max === bins.length - 1L, s"$src: bins not dense")
+    }
+  }
+
+  test("q127: largest-remainder quotas sum to the budget exactly; capped sources near-equal") {
+    val rows = run("q127_mix_resample").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._3).sum === 100000L, "largest remainder must hit B exactly")
+    rows.foreach { case (src, toks, quota, epochs, tail) =>
+      assert(quota > 0L, s"$src: zero quota")
+      assert(quota === epochs * toks + tail, s"$src: epoch identity broken")
+      assert(tail >= 0L && tail < toks, s"$src: tail out of range")
+    }
+    val capped = rows.filter(_._2 >= 1500L).map(_._3)
+    if (capped.length > 1)
+      assert(capped.max - capped.min <= 1L,
+        "equal capped weights must differ by at most the remainder unit")
+  }
+
   test("q117: the distilled classifier beats the majority base rate") {
     val out = run("q117_logreg_quality").collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
