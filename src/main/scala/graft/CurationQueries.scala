@@ -60,6 +60,54 @@ object CurationQueries {
   /** 6dp round-lift: the house half-up that is exact in both engines. */
   private def r6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
 
+  /** q128: number of BPE merges to train. */
+  private val BpeMerges = 6
+
+  /** q128 oracle: one BPE merge iteration as chained CTEs. Leftmost-greedy
+    * merging of overlapping occurrences (the only overlaps are consecutive
+    * positions, possible only when x == y) is replayed as gaps-and-islands:
+    * within each maximal run of consecutive candidate positions, keep the
+    * odd-ranked ones. Simulated against a positional reference scan on both
+    * the real corpus and crafted `a a a a` runs — identical merges and
+    * final tokenizations. MATERIALIZED is load-bearing: each t$i is
+    * referenced ~5 times and naive inlining is exponential in iterations. */
+  private def bpeIterSql(i: Int): String = s"""
+        p$i AS MATERIALIZED (
+          SELECT a.tok AS x, b.tok AS y, count(*) AS c
+          FROM t$i a JOIN t$i b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          GROUP BY 1, 2),
+        top$i AS MATERIALIZED (
+          SELECT x, y, c FROM p$i ORDER BY c DESC, x, y LIMIT 1),
+        cand$i AS (
+          SELECT a.doc_id, a.pos
+          FROM t$i a JOIN t$i b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1,
+               top$i tp
+          WHERE a.tok = tp.x AND b.tok = tp.y),
+        keep$i AS MATERIALIZED (
+          SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY doc_id, pos - rn
+                                      ORDER BY pos) AS k
+            FROM (SELECT doc_id, pos,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS rn
+                  FROM cand$i) c1) c2
+          WHERE k % 2 = 1),
+        t${i + 1} AS MATERIALIZED (
+          SELECT doc_id,
+                 CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS BIGINT) AS pos,
+                 tok
+          FROM (
+            SELECT s.doc_id, s.pos,
+                   CASE WHEN k.pos IS NOT NULL THEN s.tok || '_' || nx.tok
+                        ELSE s.tok END AS tok
+            FROM t$i s
+            LEFT JOIN keep$i k ON s.doc_id = k.doc_id AND s.pos = k.pos
+            LEFT JOIN t$i nx ON s.doc_id = nx.doc_id AND nx.pos = s.pos + 1
+            LEFT JOIN keep$i k2 ON s.doc_id = k2.doc_id AND s.pos = k2.pos + 1
+            WHERE k2.pos IS NULL) m)"""
+
   /** q117 oracle: the full-batch gradient-descent recurrence unrolled as
     * chained CTEs in exact micro-unit integer space (the q97 PageRank
     * pattern). Weights live as BIGINT micro-units; z and the algebraic
@@ -953,6 +1001,89 @@ object CurationQueries {
                  // toks AS BIGINT) AS full_epochs,
                CAST((base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)
                  % toks AS BIGINT) AS tail_toks
-        FROM r ORDER BY source"""))
+        FROM r ORDER BY source""")),
+
+    // ── q128: BPE tokenizer TRAINING as distributed aggregation — the
+    //   merge loop of Sennrich et al. run for 6 iterations over the word
+    //   stream: count adjacent pairs, take the most frequent (ties break
+    //   lexicographically), merge every leftmost-greedy occurrence,
+    //   repeat on the RE-TOKENIZED corpus. Merging is the subtle part:
+    //   overlapping occurrences (only possible at consecutive positions,
+    //   i.e. x == y runs like `a a a a`) must merge leftmost-first, which
+    //   is gaps-and-islands — keep the odd-ranked candidates within each
+    //   maximal consecutive run. Everything stays in the plan: the top
+    //   pair is a 1-row broadcast frame (no driver collect), each
+    //   re-tokenized generation persists (it feeds the next generation's
+    //   pair count, candidate scan, AND the token-count audit), and every
+    //   window partitions by doc_id, so at 100 TB the merge step is
+    //   embarrassingly parallel over docs while the pair-count reduce is
+    //   vocabulary-sized. Real BPE trainers sample the corpus for exactly
+    //   this reason — the shape is the same either way. Output: the merge
+    //   table (rank, pair, frequency) + corpus token count after each
+    //   merge, i.e. the compression curve. ──
+    QueryDef("q128_bpe_train",
+      (s, dir) => {
+        // Distributed shape: ONE ROW PER DOC carrying its token array.
+        // The merge step is a per-row leftmost-greedy scan — zero
+        // shuffles, embarrassingly parallel over docs — and the only
+        // shuffle per generation is the vocabulary-sized pair-count
+        // reduce. (A token-per-row windowed formulation was measured
+        // first: 10 s at sf0.1 from six window sorts per generation vs
+        // ~3 s here; the oracle keeps that islands formulation because
+        // SQL has no per-row sequential scan.) Pregel-style supersteps
+        // with EAGER barriers: the 1-row argmax collect is the merge
+        // DECISION that gates the next pass — the same barrier every BPE
+        // trainer has — and the token-sum audit job doubles as the cache
+        // force; lazily-persisted generations raced instead (measured
+        // 69 s: the multi-rooted merge table re-derived every chain).
+        val mergePair = udf { (toks: Seq[String], x: String, y: String) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < toks.length) {
+            if (i + 1 < toks.length && toks(i) == x && toks(i + 1) == y) {
+              out += toks(i) + "_" + toks(i + 1); i += 2
+            } else { out += toks(i); i += 1 }
+          }
+          out.toSeq
+        }
+        var t = docs(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .persist()
+        val merges = Seq.newBuilder[(Long, String, String, Long, Long)]
+        for (i <- 0 until BpeMerges) {
+          val topRow = t
+            .select(explode(expr(
+              "transform(slice(toks, 1, size(toks) - 1)," +
+                " (t, i) -> struct(t AS x, toks[i + 1] AS y))")).as("p"))
+            .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+            .agg(count(lit(1)).as("c"))
+            .orderBy(col("c").desc, col("x"), col("y")).limit(1).collect()(0)
+          val (tx, ty, tc) = (topRow.getString(0), topRow.getString(1), topRow.getLong(2))
+          val next = t
+            .select(col("doc_id"), mergePair(col("toks"), lit(tx), lit(ty)).as("toks"))
+            .persist()
+          val toksAfter = next.agg(sum(size(col("toks"))).cast("long"))
+            .collect()(0).getLong(0) // superstep barrier + compression audit
+          merges += ((i.toLong, tx, ty, tc, toksAfter))
+          t.unpersist()
+          t = next
+        }
+        t.unpersist()
+        import s.implicits._
+        merges.result().toDF("merge_idx", "x", "y", "pair_count", "toks_after")
+          .orderBy(col("merge_idx"))
+      },
+      Some(s"""
+        WITH t0 AS MATERIALIZED (
+          SELECT doc_id, CAST(u.i AS BIGINT) AS pos, d.w[u.i] AS tok
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
+               unnest(range(1, len(d.w) + 1)) AS u(i)),
+        ${(0 until BpeMerges).map(bpeIterSql).mkString(",\n")}
+        SELECT * FROM (
+          ${(0 until BpeMerges).map(i =>
+            s"""SELECT CAST($i AS BIGINT) AS merge_idx, x, y, c AS pair_count,
+               (SELECT count(*) FROM t${i + 1}) AS toks_after FROM top$i""")
+            .mkString("\n          UNION ALL\n          ")}
+        ) ORDER BY merge_idx"""))
   )
 }

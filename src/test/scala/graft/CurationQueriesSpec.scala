@@ -208,6 +208,48 @@ class CurationQueriesSpec extends SparkSpec {
         "equal capped weights must differ by at most the remainder unit")
   }
 
+  test("q128: merge table equals an in-memory reference BPE replay") {
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    var toks = texts.map { case (d, t) => d -> t.split(' ').toVector }.toMap
+    val expect = (0 until 6).map { it =>
+      val cnt = scala.collection.mutable.Map.empty[(String, String), Long]
+      toks.valuesIterator.foreach { ts =>
+        ts.iterator.zip(ts.iterator.drop(1)).foreach(p => cnt(p) = cnt.getOrElse(p, 0L) + 1L)
+      }
+      val ((px, py), c) = cnt.toSeq.minBy { case ((x, y), n) => (-n, x, y) }
+      toks = toks.map { case (d, ts) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < ts.length) {
+          if (i + 1 < ts.length && ts(i) == px && ts(i + 1) == py) {
+            out += ts(i) + "_" + ts(i + 1); i += 2
+          } else { out += ts(i); i += 1 }
+        }
+        d -> out.result()
+      }
+      (it.toLong, px, py, c, toks.valuesIterator.map(_.length.toLong).sum)
+    }
+    val got = run("q128_bpe_train").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got === expect)
+  }
+
+  test("q128: overlapping runs merge leftmost-first (a a a a ≡ [a_a, a_a])") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe").toString
+    Seq((0L, "a a a a a b a a"), (1L, "a a a b b a a a a a"), (2L, "b a a b"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q128_bpe_train")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // hand-checked (and cross-checked against a positional reference scan):
+    // 12 (a,a) pairs but leftmost-greedy merges only the odd-ranked ones
+    assert(got.take(4).toSeq === Seq(
+      (0L, "a", "a", 12L), (1L, "a_a", "a", 3L),
+      (2L, "b", "a_a", 3L), (3L, "a_a", "a_a_a", 1L)))
+  }
+
   test("q117: the distilled classifier beats the majority base rate") {
     val out = run("q117_logreg_quality").collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
