@@ -50,6 +50,13 @@ object CurationQueries {
   /** Gopher-style stopword list shared with q95 (Rae et al. 2021). */
   private val Stops = Seq("the", "be", "to", "of", "and", "that", "have", "with", "a")
 
+  /** q131 phrase set: 2- and 3-word phrases drawn from the corpus
+    * vocabulary (the trigrams verified present), plus a guaranteed
+    * zero-hit phrase to exercise the left-join audit path. */
+  private val Phrases = Seq(
+    "table hash", "batch part", "slow hash batch", "part filter scan",
+    "window fast query", "absent phrase probe")
+
   /** q117 hyperparameters — unrolled identically in the oracle SQL.
     * lr=10/iters=16 chosen by measured convergence: training accuracy
     * 0.830 vs the 0.696 keep base rate at sf0.01 (lr 20+ oscillates,
@@ -63,6 +70,54 @@ object CurationQueries {
   /** q128: number of BPE merges to train. */
   private val BpeMerges = 6
 
+  /** One leftmost-greedy merge scan — the kernel both the trainer's
+    * per-generation pass and the encoder's rank-ordered apply share. */
+  private def mergeScan(toks: Seq[String], x: String, y: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < toks.length) {
+      if (i + 1 < toks.length && toks(i) == x && toks(i + 1) == y) {
+        out += toks(i) + "_" + toks(i + 1); i += 2
+      } else { out += toks(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** q128/q129 shared trainer: runs the merge loop and returns the merge
+    * table plus the final tokenization frame (persisted; caller unpersists).
+    * `sampleOnly` trains on the doc_id % 4 == 0 quarter — the
+    * sample-train half of q129's sample-train / full-apply split.
+    * See q128's comment for the superstep design rationale. */
+  private def bpeTrain(s: SparkSession, dir: String, sampleOnly: Boolean = false)
+      : (Seq[(Long, String, String, Long, Long)], DataFrame) = {
+    val mergePair = udf((toks: Seq[String], x: String, y: String) =>
+      mergeScan(toks, x, y))
+    val base = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    var t = (if (sampleOnly) base.filter(col("doc_id") % 4 === 0) else base)
+      .persist()
+    val merges = Seq.newBuilder[(Long, String, String, Long, Long)]
+    for (i <- 0 until BpeMerges) {
+      val topRow = t
+        .select(explode(expr(
+          "transform(slice(toks, 1, size(toks) - 1)," +
+            " (t, i) -> struct(t AS x, toks[i + 1] AS y))")).as("p"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("x"), col("y")).limit(1).collect()(0)
+      val (tx, ty, tc) = (topRow.getString(0), topRow.getString(1), topRow.getLong(2))
+      val next = t
+        .select(col("doc_id"), mergePair(col("toks"), lit(tx), lit(ty)).as("toks"))
+        .persist()
+      val toksAfter = next.agg(sum(size(col("toks"))).cast("long"))
+        .collect()(0).getLong(0) // superstep barrier + compression audit
+      merges += ((i.toLong, tx, ty, tc, toksAfter))
+      t.unpersist()
+      t = next
+    }
+    (merges.result(), t)
+  }
+
   /** q128 oracle: one BPE merge iteration as chained CTEs. Leftmost-greedy
     * merging of overlapping occurrences (the only overlaps are consecutive
     * positions, possible only when x == y) is replayed as gaps-and-islands:
@@ -71,19 +126,24 @@ object CurationQueries {
     * the real corpus and crafted `a a a a` runs — identical merges and
     * final tokenizations. MATERIALIZED is load-bearing: each t$i is
     * referenced ~5 times and naive inlining is exponential in iterations. */
-  private def bpeIterSql(i: Int): String = s"""
+  private def bpeTopSql(i: Int, pfx: String): String = s"""
         p$i AS MATERIALIZED (
           SELECT a.tok AS x, b.tok AS y, count(*) AS c
-          FROM t$i a JOIN t$i b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          FROM $pfx$i a JOIN $pfx$i b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
           GROUP BY 1, 2),
         top$i AS MATERIALIZED (
-          SELECT x, y, c FROM p$i ORDER BY c DESC, x, y LIMIT 1),
-        cand$i AS (
+          SELECT x, y, c FROM p$i ORDER BY c DESC, x, y LIMIT 1)"""
+
+  /** One merge application over the `pfx` chain, using top$i (which may
+    * have been learned on a DIFFERENT chain — q129 trains on the sample
+    * chain `s` and applies to the full chain `t`). */
+  private def bpeMergeSql(i: Int, pfx: String): String = s"""
+        cand$pfx$i AS (
           SELECT a.doc_id, a.pos
-          FROM t$i a JOIN t$i b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1,
+          FROM $pfx$i a JOIN $pfx$i b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1,
                top$i tp
           WHERE a.tok = tp.x AND b.tok = tp.y),
-        keep$i AS MATERIALIZED (
+        keep$pfx$i AS MATERIALIZED (
           SELECT doc_id, pos FROM (
             SELECT doc_id, pos,
                    row_number() OVER (PARTITION BY doc_id, pos - rn
@@ -91,9 +151,9 @@ object CurationQueries {
             FROM (SELECT doc_id, pos,
                          row_number() OVER (PARTITION BY doc_id
                                             ORDER BY pos) AS rn
-                  FROM cand$i) c1) c2
+                  FROM cand$pfx$i) c1) c2
           WHERE k % 2 = 1),
-        t${i + 1} AS MATERIALIZED (
+        $pfx${i + 1} AS MATERIALIZED (
           SELECT doc_id,
                  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos)
                    AS BIGINT) AS pos,
@@ -102,11 +162,14 @@ object CurationQueries {
             SELECT s.doc_id, s.pos,
                    CASE WHEN k.pos IS NOT NULL THEN s.tok || '_' || nx.tok
                         ELSE s.tok END AS tok
-            FROM t$i s
-            LEFT JOIN keep$i k ON s.doc_id = k.doc_id AND s.pos = k.pos
-            LEFT JOIN t$i nx ON s.doc_id = nx.doc_id AND nx.pos = s.pos + 1
-            LEFT JOIN keep$i k2 ON s.doc_id = k2.doc_id AND s.pos = k2.pos + 1
+            FROM $pfx$i s
+            LEFT JOIN keep$pfx$i k ON s.doc_id = k.doc_id AND s.pos = k.pos
+            LEFT JOIN $pfx$i nx ON s.doc_id = nx.doc_id AND nx.pos = s.pos + 1
+            LEFT JOIN keep$pfx$i k2 ON s.doc_id = k2.doc_id AND s.pos = k2.pos + 1
             WHERE k2.pos IS NULL) m)"""
+
+  private def bpeIterSql(i: Int): String =
+    bpeTopSql(i, "t") + "," + bpeMergeSql(i, "t")
 
   /** q117 oracle: the full-batch gradient-descent recurrence unrolled as
     * chained CTEs in exact micro-unit integer space (the q97 PageRank
@@ -1029,48 +1092,17 @@ object CurationQueries {
         // shuffle per generation is the vocabulary-sized pair-count
         // reduce. (A token-per-row windowed formulation was measured
         // first: 10 s at sf0.1 from six window sorts per generation vs
-        // ~3 s here; the oracle keeps that islands formulation because
+        // ~4 s here; the oracle keeps that islands formulation because
         // SQL has no per-row sequential scan.) Pregel-style supersteps
         // with EAGER barriers: the 1-row argmax collect is the merge
         // DECISION that gates the next pass — the same barrier every BPE
         // trainer has — and the token-sum audit job doubles as the cache
         // force; lazily-persisted generations raced instead (measured
         // 69 s: the multi-rooted merge table re-derived every chain).
-        val mergePair = udf { (toks: Seq[String], x: String, y: String) =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[String]
-          var i = 0
-          while (i < toks.length) {
-            if (i + 1 < toks.length && toks(i) == x && toks(i + 1) == y) {
-              out += toks(i) + "_" + toks(i + 1); i += 2
-            } else { out += toks(i); i += 1 }
-          }
-          out.toSeq
-        }
-        var t = docs(s, dir)
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-          .persist()
-        val merges = Seq.newBuilder[(Long, String, String, Long, Long)]
-        for (i <- 0 until BpeMerges) {
-          val topRow = t
-            .select(explode(expr(
-              "transform(slice(toks, 1, size(toks) - 1)," +
-                " (t, i) -> struct(t AS x, toks[i + 1] AS y))")).as("p"))
-            .groupBy(col("p.x").as("x"), col("p.y").as("y"))
-            .agg(count(lit(1)).as("c"))
-            .orderBy(col("c").desc, col("x"), col("y")).limit(1).collect()(0)
-          val (tx, ty, tc) = (topRow.getString(0), topRow.getString(1), topRow.getLong(2))
-          val next = t
-            .select(col("doc_id"), mergePair(col("toks"), lit(tx), lit(ty)).as("toks"))
-            .persist()
-          val toksAfter = next.agg(sum(size(col("toks"))).cast("long"))
-            .collect()(0).getLong(0) // superstep barrier + compression audit
-          merges += ((i.toLong, tx, ty, tc, toksAfter))
-          t.unpersist()
-          t = next
-        }
-        t.unpersist()
+        val (merges, finalToks) = bpeTrain(s, dir)
+        finalToks.unpersist()
         import s.implicits._
-        merges.result().toDF("merge_idx", "x", "y", "pair_count", "toks_after")
+        merges.toDF("merge_idx", "x", "y", "pair_count", "toks_after")
           .orderBy(col("merge_idx"))
       },
       Some(s"""
@@ -1084,6 +1116,133 @@ object CurationQueries {
             s"""SELECT CAST($i AS BIGINT) AS merge_idx, x, y, c AS pair_count,
                (SELECT count(*) FROM t${i + 1}) AS toks_after FROM top$i""")
             .mkString("\n          UNION ALL\n          ")}
-        ) ORDER BY merge_idx"""))
+        ) ORDER BY merge_idx""")),
+
+    // ── q129: sample-train / full-apply tokenizer FERTILITY audit — the
+    //   100 TB tokenizer workflow: TRAIN the merges on the doc_id % 4
+    //   sample (tokenizer trainers always sample; the merge loop's
+    //   barriers then touch a quarter of the data), ENCODE the whole
+    //   corpus in ONE map-only pass applying the learned merges in rank
+    //   order, and report per-language compression (words per token),
+    //   token counts, and merged-token usage. Fertility-by-lang is the
+    //   standard multilingual-tokenizer health check (a tokenizer
+    //   trained on one slice inflates another's token counts). The
+    //   oracle runs TWO chains: `s` (sample, learns top$i) and `t`
+    //   (full corpus, applies top$i) — the engine's rank-ordered
+    //   single-pass encoder is the same composition per doc. ──
+    QueryDef("q129_bpe_fertility",
+      (s, dir) => {
+        val (merges, sampleToks) = bpeTrain(s, dir, sampleOnly = true)
+        sampleToks.unpersist()
+        val ms = merges.map(m => (m._2, m._3))
+        val encode = udf { (toks: Seq[String]) =>
+          var cur = toks
+          ms.foreach { case (x, y) => cur = mergeScan(cur, x, y) }
+          cur
+        }
+        docs(s, dir)
+          .select(col("lang"), split(col("text"), " ").as("w"))
+          .withColumn("toks", encode(col("w")))
+          .select(col("lang"), size(col("w")).cast("long").as("nw"),
+            size(col("toks")).cast("long").as("nt"),
+            size(filter(col("toks"), t => t.contains("_"))).cast("long").as("nm"))
+          .groupBy(col("lang"))
+          .agg(sum(col("nw")).as("n_words"), sum(col("nt")).as("n_tokens"),
+            sum(col("nm")).as("n_merged"))
+          .withColumn("compression",
+            r6(col("n_words").cast("double") / col("n_tokens")))
+          .orderBy(col("lang"))
+      },
+      Some(s"""
+        WITH t0 AS MATERIALIZED (
+          SELECT doc_id, CAST(u.i AS BIGINT) AS pos, d.w[u.i] AS tok
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
+               unnest(range(1, len(d.w) + 1)) AS u(i)),
+        s0 AS MATERIALIZED (SELECT * FROM t0 WHERE doc_id % 4 = 0),
+        ${(0 until BpeMerges).map(i =>
+          bpeTopSql(i, "s") + "," + bpeMergeSql(i, "s") + "," +
+            bpeMergeSql(i, "t")).mkString(",\n")},
+        w AS (
+          SELECT d.lang, count(*) AS n_words
+          FROM t0 JOIN documents d USING (doc_id) GROUP BY d.lang),
+        k AS (
+          SELECT d.lang, count(*) AS n_tokens,
+                 sum(CASE WHEN contains(tok, '_') THEN 1 ELSE 0 END) AS n_merged
+          FROM t$BpeMerges JOIN documents d USING (doc_id) GROUP BY d.lang)
+        SELECT w.lang, w.n_words, k.n_tokens,
+               CAST(k.n_merged AS BIGINT) AS n_merged,
+               floor(CAST(w.n_words AS DOUBLE) / k.n_tokens * 1000000.0 + 0.5)
+                 / 1000000.0 AS compression
+        FROM w JOIN k ON w.lang = k.lang ORDER BY w.lang""")),
+
+    // ── q131: positional inverted index + PHRASE search — the
+    //   index-shaped retrieval leg next to q87's BM25 scoring and q116's
+    //   automaton scan. Postings are (word, doc, pos); a phrase matches
+    //   at base b iff every (offset, word) of the phrase has a posting
+    //   at (doc, b + offset), so ONE broadcast join of postings against
+    //   the exploded phrase table plus ONE (phrase, doc, base) count-==-
+    //   length reduce answers EVERY phrase at once — no per-phrase scan,
+    //   no LIKE, and at 100 TB the postings build is the same explode
+    //   the index would persist. Zero-hit phrases surface with 0s via
+    //   the left join (the audit an index build needs). ──
+    QueryDef("q131_phrase_search",
+      (s, dir) => {
+        import s.implicits._
+        val phr = Phrases.zipWithIndex
+          .map { case (p, i) => (i.toLong, p) }.toDF("phrase_id", "phrase")
+        val pw = phr
+          .select(col("phrase_id"), col("phrase"),
+            posexplode(split(col("phrase"), " ")))
+          .select(col("phrase_id"), col("phrase"),
+            col("pos").cast("long").as("off"), col("col").as("word"))
+        val postings = docs(s, dir)
+          .select(col("doc_id"), posexplode(split(col("text"), " ")))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"),
+            col("col").as("word"))
+        val hits = postings.join(broadcast(pw), Seq("word"))
+          .withColumn("base", col("pos") - col("off"))
+          .groupBy(col("phrase_id"), col("phrase"), col("doc_id"), col("base"))
+          .agg(count(lit(1)).as("matched"))
+          .filter(col("matched") === size(split(col("phrase"), " ")).cast("long"))
+        phr.join(hits.groupBy(col("phrase_id"))
+            .agg(countDistinct(col("doc_id")).as("n_docs"),
+              count(lit(1)).as("n_hits")),
+            Seq("phrase_id"), "left")
+          .select(col("phrase"),
+            coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+          .orderBy(col("phrase"))
+      },
+      Some(s"""
+        WITH ph AS (
+          SELECT * FROM (VALUES ${Phrases.zipWithIndex
+            .map { case (p, i) => s"($i, '$p')" }.mkString(", ")})
+            AS v(phrase_id, phrase)),
+        pw AS (
+          SELECT phrase_id, phrase, CAST(u.i - 1 AS BIGINT) AS off,
+                 p.w[u.i] AS word
+          FROM (SELECT phrase_id, phrase, string_split(phrase, ' ') AS w
+                FROM ph) p,
+               unnest(range(1, len(p.w) + 1)) AS u(i)),
+        po AS (
+          SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, d.w[u.i] AS word
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
+               unnest(range(1, len(d.w) + 1)) AS u(i)),
+        m AS (
+          SELECT pw.phrase_id, pw.phrase, po.doc_id, po.pos - pw.off AS base,
+                 count(*) AS matched
+          FROM po JOIN pw ON po.word = pw.word
+          GROUP BY 1, 2, 3, 4),
+        ok AS (
+          SELECT * FROM m WHERE matched = len(string_split(phrase, ' '))),
+        agg AS (
+          SELECT phrase_id, count(DISTINCT doc_id) AS n_docs,
+                 count(*) AS n_hits
+          FROM ok GROUP BY phrase_id)
+        SELECT ph.phrase,
+               CAST(coalesce(agg.n_docs, 0) AS BIGINT) AS n_docs,
+               CAST(coalesce(agg.n_hits, 0) AS BIGINT) AS n_hits
+        FROM ph LEFT JOIN agg USING (phrase_id)
+        ORDER BY ph.phrase"""))
   )
 }

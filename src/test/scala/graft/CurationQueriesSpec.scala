@@ -250,6 +250,75 @@ class CurationQueriesSpec extends SparkSpec {
       (2L, "b", "a_a", 3L), (3L, "a_a", "a_a_a", 1L)))
   }
 
+  test("q129: fertility equals a sample-train / full-apply replay in memory") {
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // train 6 merges on the doc_id % 4 == 0 sample
+    var toks = texts.filter(_._1 % 4 == 0)
+      .map { case (d, _, t) => d -> t.split(' ').toVector }.toMap
+    def scan(ts: Vector[String], x: String, y: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < ts.length) {
+        if (i + 1 < ts.length && ts(i) == x && ts(i + 1) == y) {
+          out += ts(i) + "_" + ts(i + 1); i += 2
+        } else { out += ts(i); i += 1 }
+      }
+      out.result()
+    }
+    val ms = (0 until 6).map { _ =>
+      val cnt = scala.collection.mutable.Map.empty[(String, String), Long]
+      toks.valuesIterator.foreach { ts =>
+        ts.iterator.zip(ts.iterator.drop(1)).foreach(p => cnt(p) = cnt.getOrElse(p, 0L) + 1L)
+      }
+      val ((px, py), _) = cnt.toSeq.minBy { case ((x, y), n) => (-n, x, y) }
+      toks = toks.map { case (d, ts) => d -> scan(ts, px, py) }
+      (px, py)
+    }
+    // apply in rank order to the FULL corpus, roll up per lang
+    val expect = texts.map { case (_, lang, t) =>
+      var ts = t.split(' ').toVector
+      ms.foreach { case (x, y) => ts = scan(ts, x, y) }
+      (lang, ts.length.toLong, t.split(' ').length.toLong,
+        ts.count(_.contains("_")).toLong)
+    }.groupBy(_._1).map { case (lang, g) =>
+      val (nt, nw, nm) = (g.map(_._2).sum, g.map(_._3).sum, g.map(_._4).sum)
+      (lang, nw, nt, nm, math.floor(nw.toDouble / nt * 1e6 + 0.5) / 1e6)
+    }.toSeq.sortBy(_._1)
+    val got = run("q129_bpe_fertility").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSeq
+    assert(got === expect)
+    got.foreach { case (lang, nw, nt, nm, comp) =>
+      assert(nw > nt && comp > 1.0, s"$lang: merges must compress")
+      assert(nm <= nw - nt, s"$lang: merged tokens cannot exceed merges applied")
+    }
+  }
+
+  test("q131: phrase hits equal a positional scan; zero-hit phrase audited") {
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val phrases = Seq(
+      "table hash", "batch part", "slow hash batch", "part filter scan",
+      "window fast query", "absent phrase probe")
+    val expect = phrases.map { p =>
+      val pw = p.split(' ')
+      val hits = texts.flatMap { case (d, t) =>
+        val w = t.split(' ')
+        (0 to w.length - pw.length).collect {
+          case b if w.slice(b, b + pw.length).sameElements(pw) => d
+        }
+      }
+      (p, hits.distinct.length.toLong, hits.length.toLong)
+    }.sortBy(_._1)
+    val got = run("q131_phrase_search").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expect)
+    assert(got.find(_._1 == "absent phrase probe").get === ("absent phrase probe", 0L, 0L))
+    assert(got.exists(_._3 > 0), "expected real phrase hits on the corpus")
+  }
+
   test("q117: the distilled classifier beats the majority base rate") {
     val out = run("q117_logreg_quality").collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
