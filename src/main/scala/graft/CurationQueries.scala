@@ -171,17 +171,69 @@ object CurationQueries {
   private def bpeIterSql(i: Int): String =
     bpeTopSql(i, "t") + "," + bpeMergeSql(i, "t")
 
-  /** q117 oracle: the full-batch gradient-descent recurrence unrolled as
-    * chained CTEs in exact micro-unit integer space (the q97 PageRank
+  /** q117/q130 engine-side trainer pieces: the feature frame, the micro-
+    * unit z column for a weight vector, and the gradient-descent loop.
+    * Kept bit-identical to the oracle chain below. */
+  private def logregFeatures(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("wc", size(col("toks")))
+      .filter(col("wc") > 0)
+      .withColumn("nstop",
+        size(filter(col("toks"), t => t.isInCollection(Stops))))
+      .withColumn("ndist", size(array_distinct(col("toks"))))
+      .withColumn("tot", aggregate(col("toks"), lit(0), (a, t) => a + length(t)))
+      .withColumn("nalpha", size(filter(col("toks"), t => t.rlike("[a-z]"))))
+      .select(
+        r6(least(col("wc"), lit(300)).cast("double") / lit(300.0)).as("x1"),
+        r6(col("nstop").cast("double") / col("wc")).as("x2"),
+        r6(col("ndist").cast("double") / col("wc")).as("x3"),
+        r6(col("tot").cast("double") / (col("wc") * lit(10.0))).as("x4"),
+        when(col("wc").between(30, 100000) &&
+          (col("tot").cast("double") / col("wc")).between(3.8, 10.0) &&
+          col("nalpha").cast("double") / col("wc") >= 0.8 &&
+          col("nstop") >= 2, lit(1.0)).otherwise(lit(0.0)).as("y"))
+
+  private def zCol(w: Array[Long]): Column =
+    lit(w(0)) / lit(1e6) + lit(w(1)) / lit(1e6) * col("x1") +
+      lit(w(2)) / lit(1e6) * col("x2") + lit(w(3)) / lit(1e6) * col("x3") +
+      lit(w(4)) / lit(1e6) * col("x4")
+
+  /** The algebraic sigmoid shared by trainer and calibration scoring. */
+  private def sigCol: Column =
+    lit(0.5) * (lit(1.0) + col("z") / (lit(1.0) + abs(col("z"))))
+
+  private def logregTrain(f: DataFrame, n: Long): Array[Long] = {
+    val w = Array.fill(5)(0L) // micro-unit ints: bias, w1..w4
+    def liftSum(c: Column): Column = sum(floor(c * lit(1e6) + lit(0.5)).cast("long"))
+    for (_ <- 1 to LrIters) {
+      val staged = f.withColumn("z", zCol(w)).withColumn("s", sigCol)
+      val g = staged.select(
+        liftSum(col("s") - col("y")).as("gb"),
+        liftSum(col("x1") * (col("s") - col("y"))).as("g1"),
+        liftSum(col("x2") * (col("s") - col("y"))).as("g2"),
+        liftSum(col("x3") * (col("s") - col("y"))).as("g3"),
+        liftSum(col("x4") * (col("s") - col("y"))).as("g4")).head()
+      for (j <- 0 to 4)
+        w(j) = w(j) - math.floor(Lr * g.getLong(j).toDouble / n + 0.5).toLong
+    }
+    w
+  }
+
+  private def lrZSql(w: String) =
+    s"""(($w.wb / 1000000.0) + ($w.w1 / 1000000.0) * x1 + ($w.w2 / 1000000.0) * x2 +
+        ($w.w3 / 1000000.0) * x3 + ($w.w4 / 1000000.0) * x4)"""
+
+  /** q117/q130 oracle: the full-batch gradient-descent recurrence unrolled
+    * as chained CTEs in exact micro-unit integer space (the q97 PageRank
     * pattern). Weights live as BIGINT micro-units; z and the algebraic
     * sigmoid are fixed-order double expressions; every per-row gradient
     * term is lifted to an integer BEFORE the sum so accumulation order
-    * cannot matter.
+    * cannot matter. `logregChainSql` is the shared WITH-chain through the
+    * trained weights; q117 and q130 append their own final CTEs.
     */
-  private def logregSql: String = {
-    def zSql(w: String) =
-      s"""(($w.wb / 1000000.0) + ($w.w1 / 1000000.0) * x1 + ($w.w2 / 1000000.0) * x2 +
-          ($w.w3 / 1000000.0) * x3 + ($w.w4 / 1000000.0) * x4)"""
+  private def logregChainSql: String = {
+    def zSql(w: String) = lrZSql(w)
     val iters = (1 to LrIters).map { t =>
       val p = s"w${t - 1}"
       s"""
@@ -230,11 +282,15 @@ object CurationQueries {
       w0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS wb, CAST(0 AS BIGINT) AS w1,
                     CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3,
                     CAST(0 AS BIGINT) AS w4),
-      $iters,
+      $iters"""
+  }
+
+  private def logregSql: String = s"""
+      $logregChainSql,
       accq AS (
         SELECT floor(CAST(sum(CASE WHEN (z >= 0) = (y = 1.0) THEN 1 ELSE 0 END)
                        AS DOUBLE) / nn.n * 1000000.0 + 0.5) / 1000000.0 AS acc
-        FROM (SELECT f.y, ${zSql(s"w$LrIters")} AS z
+        FROM (SELECT f.y, ${lrZSql(s"w$LrIters")} AS z
               FROM feat f CROSS JOIN w$LrIters) CROSS JOIN nn
         GROUP BY nn.n)
       SELECT term, value FROM (
@@ -245,7 +301,6 @@ object CurationQueries {
         UNION ALL SELECT 'w_wordlen', w4 / 1000000.0 FROM w$LrIters
         UNION ALL SELECT 'train_acc', acc FROM accq)
       ORDER BY term"""
-  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -369,46 +424,11 @@ object CurationQueries {
     QueryDef("q117_logreg_quality",
       (s, dir) => {
         import s.implicits._
-        val f = docs(s, dir)
-          .withColumn("toks", TextOps.tokens(col("text")))
-          .withColumn("wc", size(col("toks")))
-          .filter(col("wc") > 0)
-          .withColumn("nstop",
-            size(filter(col("toks"), t => t.isInCollection(Stops))))
-          .withColumn("ndist", size(array_distinct(col("toks"))))
-          .withColumn("tot", aggregate(col("toks"), lit(0), (a, t) => a + length(t)))
-          .withColumn("nalpha", size(filter(col("toks"), t => t.rlike("[a-z]"))))
-          .select(
-            r6(least(col("wc"), lit(300)).cast("double") / lit(300.0)).as("x1"),
-            r6(col("nstop").cast("double") / col("wc")).as("x2"),
-            r6(col("ndist").cast("double") / col("wc")).as("x3"),
-            r6(col("tot").cast("double") / (col("wc") * lit(10.0))).as("x4"),
-            when(col("wc").between(30, 100000) &&
-              (col("tot").cast("double") / col("wc")).between(3.8, 10.0) &&
-              col("nalpha").cast("double") / col("wc") >= 0.8 &&
-              col("nstop") >= 2, lit(1.0)).otherwise(lit(0.0)).as("y"))
-          .persist()
+        val f = logregFeatures(s, dir).persist()
         try {
           val n = f.count()
-          val w = Array.fill(5)(0L) // micro-unit ints: bias, w1..w4
-          def zc: Column =
-            lit(w(0)) / lit(1e6) + lit(w(1)) / lit(1e6) * col("x1") +
-              lit(w(2)) / lit(1e6) * col("x2") + lit(w(3)) / lit(1e6) * col("x3") +
-              lit(w(4)) / lit(1e6) * col("x4")
-          def liftSum(c: Column): Column = sum(floor(c * lit(1e6) + lit(0.5)).cast("long"))
-          for (_ <- 1 to LrIters) {
-            val staged = f.withColumn("z", zc)
-              .withColumn("s", lit(0.5) * (lit(1.0) + col("z") / (lit(1.0) + abs(col("z")))))
-            val g = staged.select(
-              liftSum(col("s") - col("y")).as("gb"),
-              liftSum(col("x1") * (col("s") - col("y"))).as("g1"),
-              liftSum(col("x2") * (col("s") - col("y"))).as("g2"),
-              liftSum(col("x3") * (col("s") - col("y"))).as("g3"),
-              liftSum(col("x4") * (col("s") - col("y"))).as("g4")).head()
-            for (j <- 0 to 4)
-              w(j) = w(j) - math.floor(Lr * g.getLong(j).toDouble / n + 0.5).toLong
-          }
-          val correct = f.withColumn("z", zc)
+          val w = logregTrain(f, n)
+          val correct = f.withColumn("z", zCol(w))
             .select(sum(when((col("z") >= 0) === (col("y") === 1.0), 1L)
               .otherwise(0L)).as("c")).head().getLong(0)
           val acc = math.floor(correct.toDouble / n * 1e6 + 0.5) / 1e6
@@ -422,6 +442,68 @@ object CurationQueries {
         } finally f.unpersist()
       },
       Some(logregSql)),
+
+    // ── q130: CALIBRATION audit for the distilled quality classifier —
+    //   the eval a filter model needs before its scores gate a corpus:
+    //   reliability bins (predicted-confidence deciles vs observed keep
+    //   rate) plus expected calibration error, all in micro-unit integer
+    //   space so the audit is bit-identical cross-engine (per-row scores
+    //   integer-lift BEFORE summing; bin means and gaps are integer
+    //   divisions; ECE is the n-weighted gap sum div N). Re-trains
+    //   q117's weights (same superstep loop), then ONE scoring pass and
+    //   a 10-group reduce — the corpus never shuffles, only decile
+    //   partials do. The ece row rides along as bin = -1. ──
+    QueryDef("q130_calibration",
+      (s, dir) => {
+        val f = logregFeatures(s, dir).persist()
+        try {
+          val n = f.count()
+          val w = logregTrain(f, n)
+          val b = f.withColumn("z", zCol(w)).withColumn("sg", sigCol)
+            .withColumn("bin", least(floor(col("sg") * 10).cast("long"), lit(9L)))
+            .groupBy(col("bin"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(floor(col("sg") * lit(1e6) + lit(0.5)).cast("long")).as("pred_micro"),
+              sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("pos"))
+            .withColumn("conf_micro", expr("pred_micro div n_docs"))
+            .withColumn("obs_micro", expr("(pos * 1000000) div n_docs"))
+            .withColumn("gap_micro", abs(col("conf_micro") - col("obs_micro")))
+            .select(col("bin"), col("n_docs"), col("conf_micro"),
+              col("obs_micro"), col("gap_micro"))
+            .persist() // feeds the bin rows AND the ece rollup
+          val ece = b.agg(
+            lit(-1L).as("bin"), lit(n).as("n_docs"),
+            lit(0L).as("conf_micro"), lit(0L).as("obs_micro"),
+            expr(s"sum(gap_micro * n_docs) div $n").as("gap_micro"))
+          b.union(ece).orderBy(col("bin"))
+        } finally f.unpersist()
+      },
+      Some(s"""
+        $logregChainSql,
+        sc AS MATERIALIZED (
+          SELECT y, 0.5 * (1.0 + z / (1.0 + abs(z))) AS s
+          FROM (SELECT f.*, ${lrZSql(s"w$LrIters")} AS z
+                FROM feat f CROSS JOIN w$LrIters)),
+        b AS MATERIALIZED (
+          SELECT least(CAST(floor(s * 10.0) AS BIGINT), 9) AS bin,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(CAST(floor(s * 1000000.0 + 0.5) AS BIGINT))
+                   AS BIGINT) AS pred_micro,
+                 CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+          FROM sc GROUP BY 1),
+        pb AS (
+          SELECT bin, n_docs,
+                 pred_micro // n_docs AS conf_micro,
+                 (pos * 1000000) // n_docs AS obs_micro,
+                 abs(pred_micro // n_docs - (pos * 1000000) // n_docs)
+                   AS gap_micro
+          FROM b)
+        SELECT bin, n_docs, conf_micro, obs_micro, gap_micro FROM pb
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT), nn.n, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+               CAST((SELECT sum(gap_micro * n_docs) FROM pb) // nn.n AS BIGINT)
+        FROM nn
+        ORDER BY bin""")),
 
     // ── q118: INCREMENTAL dedup — the production shape of q27: a new
     //   batch (doc_id % 5 = 0 stands in for today's crawl) joins the

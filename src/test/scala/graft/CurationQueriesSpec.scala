@@ -319,6 +319,23 @@ class CurationQueriesSpec extends SparkSpec {
     assert(got.exists(_._3 > 0), "expected real phrase hits on the corpus")
   }
 
+  test("q130: calibration bins partition the corpus; ece is the weighted gap mean") {
+    val rows = run("q130_calibration").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val (eceRows, bins) = rows.partition(_._1 == -1L)
+    assert(eceRows.length === 1)
+    val total = eceRows.head._2
+    assert(bins.map(_._2).sum === total, "bins must partition the scored corpus")
+    bins.foreach { case (bin, n, conf, obs, gap) =>
+      assert(bin >= 0L && bin <= 9L)
+      assert(n > 0L)
+      assert(conf >= 0L && conf <= 1000000L && obs >= 0L && obs <= 1000000L)
+      assert(gap === math.abs(conf - obs))
+    }
+    val expectEce = bins.map { case (_, n, _, _, gap) => gap * n }.sum / total
+    assert(eceRows.head._5 === expectEce, "ece must be the n-weighted gap mean")
+  }
+
   test("q117: the distilled classifier beats the majority base rate") {
     val out = run("q117_logreg_quality").collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
