@@ -115,6 +115,37 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("q123/q125: perceptual dedup Hamming runs on distinct hashes — popcount, no substring loop") {
+    Seq("q123_phash_dedup", "q125_audio_fingerprint").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("bit_count"),
+        s"$q: Hamming must be xor+popcount, not per-char compares:\n" + p.take(2000))
+      assert(!p.contains("CartesianProduct"), s"$q:\n" + p.take(3000))
+      assert(p.contains("InMemoryTableScan"),
+        s"$q: hash frames must be served from cache:\n" + p.take(2000))
+    }
+  }
+
+  test("q126: packing is one partitioning pass — no Window, no join, single scan shape") {
+    val p = plan("q126_seq_pack")
+    assert(!p.contains("Window"), "packing must not window:\n" + p.take(2000))
+    assert(!p.contains("Join"), "packing must not join:\n" + p.take(2000))
+    val scans = p.linesIterator.filter(_.contains("FileScan parquet"))
+      .map(l => l.substring(l.indexOf("FileScan")).replaceAll("#\\d+", "")).toSet
+    assert(scans.size === 1, s"one distinct scan shape expected:\n${scans.mkString("\n")}")
+  }
+
+  test("q131: phrase matching is broadcast hash joins only — no nested-loop, no per-phrase scan") {
+    val p = plan("q131_phrase_search")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "phrase table must equi-join postings:\n" + p.take(3000))
+    val scans = p.linesIterator.filter(_.contains("FileScan parquet"))
+      .map(l => l.substring(l.indexOf("FileScan")).replaceAll("#\\d+", "")).toSet
+    assert(scans.size === 1,
+      s"postings derive from one scan of documents:\n${scans.mkString("\n")}")
+  }
+
   test("q01: partial aggregation before the exchange (map-side combine)") {
     val p = plan("q01_pricing_summary")
     val firstHashAgg = p.indexOf("HashAggregate")
