@@ -104,6 +104,59 @@ object StreamingIngest {
     * unbounded state. Each batch emits the group's current buffer with a
     * monotone sequence number; the caller keeps each user's last
     * emission (deterministic: file-source batches are ordered). */
+  /** documents.parquet schema for the doc-stream operators. */
+  val DocsRawSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming sequence packing (q132) — q126's next-fit packer run as a
+    * stateful stream: each source shard's (bin, fill) cursor lives in
+    * GroupState, so new docs pack onto the OPEN training sequence across
+    * micro-batches instead of restarting per batch — the continuous-
+    * ingest shape of the batch operator (state is O(1) per shard
+    * forever). Within a micro-batch the group buffers and sorts by
+    * doc_id (a group's slice of one batch fits an executor; file-source
+    * batches arrive in order), exactly the per-shard sequential scan the
+    * batch packer runs, so streaming ≡ batch by construction and q126's
+    * recursive-CTE oracle checks this operator unchanged. */
+  def streamingPack(outer: SparkSession, dir: String, cap: Long = 256L): DataFrame = {
+    val spark = streamSession(outer)
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val src = spark.readStream
+      .schema(DocsRawSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .as[graft.CurationQueries.PackIn]
+    val packed = src.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        packFn(cap))
+      .toDF()
+    runToTable(spark, packed, "append")
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  /** q132's state function, factored out so specs can drive it through a
+    * MemoryStream and check the (bin, fill) cursor survives batches. */
+  private[graft] def packFn(cap: Long): (String,
+      Iterator[graft.CurationQueries.PackIn],
+      org.apache.spark.sql.streaming.GroupState[(Long, Long, Boolean)]) =>
+      Iterator[graft.CurationQueries.PackOut] =
+    (srcKey, batch, state) => {
+      var (bin, fill, started) = state.getOption.getOrElse((0L, 0L, false))
+      val out = batch.toSeq.sortBy(_.doc_id).map { r =>
+        if (!started) { started = true; bin = 0L; fill = r.n_tok }
+        else if (fill + r.n_tok > cap) { bin += 1; fill = r.n_tok }
+        else fill += r.n_tok
+        graft.CurationQueries.PackOut(srcKey, r.doc_id, r.n_tok, bin, fill)
+      }
+      state.update((bin, fill, started))
+      out.iterator
+    }
+
   def streamingTopK(outer: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val spark = streamSession(outer)
     import spark.implicits._

@@ -40,6 +40,41 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming pack ≡ batch q126 on the same corpus") {
+    val streamed = StreamingIngest.streamingPack(spark, sf)
+    val batch = graft.SparkEntry.queries("q126_seq_pack")(spark, sf)
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
+  test("streaming pack: the (bin, fill) cursor survives micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    import graft.CurationQueries.{PackIn, PackOut}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[PackIn]
+    val out = input.toDS().groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        StreamingIngest.packFn(cap = 100L))
+    val name = s"pack_${System.nanoTime()}"
+    val q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      input.addData(PackIn("a", 1L, 60L), PackIn("a", 2L, 30L))
+      q.processAllAvailable()
+      // batch 2: 20 still fits the open bin (fill 90 → overflow), then 90 opens bin 1
+      input.addData(PackIn("a", 3L, 20L), PackIn("a", 4L, 90L))
+      q.processAllAvailable()
+      val rows = spark.table(name).as[PackOut].collect().sortBy(_.doc_id).toSeq
+      assert(rows === Seq(
+        PackOut("a", 1L, 60L, 0L, 60L),
+        PackOut("a", 2L, 30L, 0L, 90L),
+        PackOut("a", 3L, 20L, 1L, 20L),  // 90 + 20 > 100 → new bin
+        PackOut("a", 4L, 90L, 2L, 90L)), // 20 + 90 > 100 → new bin again
+        s"got $rows")
+    } finally q.stop()
+  }
+
   test("stream-stream join emits matches when sides arrive in different batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
