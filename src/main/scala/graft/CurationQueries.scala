@@ -50,6 +50,60 @@ object CurationQueries {
   /** Gopher-style stopword list shared with q95 (Rae et al. 2021). */
   private val Stops = Seq("the", "be", "to", "of", "and", "that", "have", "with", "a")
 
+  /** q127/q133 quota frame: per-source token budget via capped-
+    * proportional weights + largest-remainder rounding (Σ quota == B
+    * exactly, all integer). Sources-sized; callers broadcast it. */
+  private def mixQuotas(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = docs(s, dir)
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("toks"))
+      .withColumn("m", least(col("toks"), lit(1500L)))
+      .persist()
+    val tot = per.agg(sum(col("m")).as("mm"))
+    val q = per.crossJoin(broadcast(tot))
+      .withColumn("base", expr("(100000 * m) div mm"))
+      .withColumn("rem", expr("(100000 * m) % mm"))
+    val leftover = q.agg((lit(100000L) - sum(col("base"))).as("leftover"))
+    q.crossJoin(broadcast(leftover))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("source"))).cast("long"))
+      .withColumn("quota",
+        col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+      .select(col("source"), col("toks"), col("quota"),
+        expr("quota div toks").as("full_epochs"),
+        expr("quota % toks").as("tail_toks"))
+  }
+
+  /** The matching oracle chain, ending in CTE `quota`. */
+  private def mixQuotaSql: String = """
+        WITH per AS (
+          SELECT source,
+                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks,
+                 least(CAST(sum(len(string_split(text, ' '))) AS BIGINT),
+                       1500) AS m
+          FROM documents GROUP BY source),
+        tot AS (SELECT CAST(sum(m) AS BIGINT) AS mm FROM per),
+        q AS (
+          SELECT per.source, per.toks, per.m,
+                 CAST((100000 * per.m) // tot.mm AS BIGINT) AS base,
+                 CAST((100000 * per.m) % tot.mm AS BIGINT) AS rem
+          FROM per, tot),
+        l AS (SELECT CAST(100000 - sum(base) AS BIGINT) AS leftover FROM q),
+        r AS (
+          SELECT q.source, q.toks, q.base, q.rem, l.leftover,
+                 row_number() OVER (ORDER BY q.rem DESC, q.source) AS rk
+          FROM q, l),
+        quota AS (
+          SELECT source, toks,
+                 CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                   AS BIGINT) AS quota,
+                 CAST((base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)
+                   // toks AS BIGINT) AS full_epochs,
+                 CAST((base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)
+                   % toks AS BIGINT) AS tail_toks
+          FROM r)"""
+
   /** q131 phrase set: 2- and 3-word phrases drawn from the corpus
     * vocabulary (the trigrams verified present), plus a guaranteed
     * zero-hit phrase to exercise the left-join audit path. */
@@ -1099,54 +1153,11 @@ object CurationQueries {
     //   Everything past the first agg is a 20-row frame; the corpus is
     //   read ONCE (per persists and feeds tot/quota/leftover). ──
     QueryDef("q127_mix_resample",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val per = docs(s, dir)
-          .groupBy(col("source"))
-          .agg(sum(size(split(col("text"), " ")).cast("long")).as("toks"))
-          .withColumn("m", least(col("toks"), lit(1500L)))
-          .persist()
-        val tot = per.agg(sum(col("m")).as("mm"))
-        val q = per.crossJoin(broadcast(tot))
-          .withColumn("base", expr("(100000 * m) div mm"))
-          .withColumn("rem", expr("(100000 * m) % mm"))
-        val leftover = q.agg((lit(100000L) - sum(col("base"))).as("leftover"))
-        q.crossJoin(broadcast(leftover))
-          .withColumn("rk", row_number().over(
-            Window.orderBy(col("rem").desc, col("source"))).cast("long"))
-          .withColumn("quota",
-            col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
-          .select(col("source"), col("toks"), col("quota"),
-            expr("quota div toks").as("full_epochs"),
-            expr("quota % toks").as("tail_toks"))
-          .orderBy(col("source"))
-      },
-      Some("""
-        WITH per AS (
-          SELECT source,
-                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks,
-                 least(CAST(sum(len(string_split(text, ' '))) AS BIGINT),
-                       1500) AS m
-          FROM documents GROUP BY source),
-        tot AS (SELECT CAST(sum(m) AS BIGINT) AS mm FROM per),
-        q AS (
-          SELECT per.source, per.toks, per.m,
-                 CAST((100000 * per.m) // tot.mm AS BIGINT) AS base,
-                 CAST((100000 * per.m) % tot.mm AS BIGINT) AS rem
-          FROM per, tot),
-        l AS (SELECT CAST(100000 - sum(base) AS BIGINT) AS leftover FROM q),
-        r AS (
-          SELECT q.source, q.toks, q.base, q.rem, l.leftover,
-                 row_number() OVER (ORDER BY q.rem DESC, q.source) AS rk
-          FROM q, l)
-        SELECT source, toks,
-               CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
-                 AS BIGINT) AS quota,
-               CAST((base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)
-                 // toks AS BIGINT) AS full_epochs,
-               CAST((base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END)
-                 % toks AS BIGINT) AS tail_toks
-        FROM r ORDER BY source""")),
+      (s, dir) => mixQuotas(s, dir).orderBy(col("source")),
+      Some(s"""
+        $mixQuotaSql
+        SELECT source, toks, quota, full_epochs, tail_toks
+        FROM quota ORDER BY source""")),
 
     // ── q128: BPE tokenizer TRAINING as distributed aggregation — the
     //   merge loop of Sennrich et al. run for 6 iterations over the word
