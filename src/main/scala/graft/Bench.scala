@@ -84,9 +84,21 @@ object Bench {
     // queries the sorted timing dict truncates mid-line (BENCH_r06.json lost
     // q100-q114, "parsed: null"). Persist the full line as a repo artifact so
     // the record of every benched query survives regardless of truncation.
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")),
-      (line + "\n").getBytes("UTF-8"))
+    // Default output is anchored to the repo root (the directory holding
+    // build.sbt, found by walking up from this class's code location) —
+    // NOT the process CWD, which spark-submit from another dir would make
+    // land outside the repo and defeat the truncation-recovery purpose.
+    val benchOut = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse {
+        val here = java.nio.file.Paths.get(
+          classOf[QueryDef].getProtectionDomain.getCodeSource.getLocation.toURI)
+        Iterator.iterate(here)(_.getParent).takeWhile(_ != null)
+          .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+          .map(_.resolve("BENCH_full.json"))
+          .getOrElse(java.nio.file.Paths.get("BENCH_full.json").toAbsolutePath)
+      }
+    try java.nio.file.Files.write(benchOut, (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] BENCH_full.json write failed: ${e.getMessage}") }
     spark.stop()
   }

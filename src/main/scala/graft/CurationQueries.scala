@@ -781,9 +781,16 @@ object CurationQueries {
               .otherwise(lit(54L) - length(expr("bin(w)")) + lit(1L)))
           .groupBy(col("source"), col("bucket")).agg(max(col("rank")).as("r"))
         val est = regs.groupBy(col("source")).agg(
-          sum(pow(lit(2.0), -col("r").cast("double"))).as("zp"),
+          // Integer-lift: sum(2^-r) as an EXACT long sum of 2^(55-r)
+          // (r ∈ [1,55], ≤64 buckets → ≤ 64·2^54 < 2^63), then ONE
+          // deterministic long→double conversion + exact /2^55. A raw
+          // double SUM here is accumulation-order dependent once rank
+          // spread exceeds the 53-bit mantissa (a w=0 bucket's rank 55
+          // beside rank-1 buckets).
+          sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - r AS INT))")).as("zl"),
           count(lit(1)).as("mp"),
           sum(when(col("r") === 0L, 1L).otherwise(0L)).as("z0p"))
+          .withColumn("zp", col("zl").cast("double") / lit(36028797018963968.0))
           .withColumn("z", col("zp") + (lit(m) - col("mp")))
           .withColumn("zeros", col("z0p") + (lit(m) - col("mp")))
           .withColumn("raw", lit(alpha) * lit(m) * lit(m) / col("z"))
@@ -814,8 +821,11 @@ object CurationQueries {
           FROM (SELECT source, ${XHash.hash60Sql("t")} AS h FROM toks)
           GROUP BY source, bucket),
         agg AS (
+          -- same integer lift as the Spark side: exact integer sum of
+          -- 2^(55-r), one conversion to double, exact /2^55
           SELECT source,
-                 sum(power(2.0, -CAST(r AS DOUBLE))) AS zp,
+                 CAST(sum(CAST(1 AS BIGINT) << (55 - r)) AS DOUBLE)
+                   / 36028797018963968.0 AS zp,
                  count(*) AS mp,
                  sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS z0p
           FROM regs GROUP BY source),
@@ -1167,8 +1177,8 @@ object CurationQueries {
     //   overlapping occurrences (only possible at consecutive positions,
     //   i.e. x == y runs like `a a a a`) must merge leftmost-first, which
     //   is gaps-and-islands — keep the odd-ranked candidates within each
-    //   maximal consecutive run. Everything stays in the plan: the top
-    //   pair is a 1-row broadcast frame (no driver collect), each
+    //   maximal consecutive run. The top pair is a 1-row argmax collect —
+    //   the superstep barrier every BPE trainer has (see below); each
     //   re-tokenized generation persists (it feeds the next generation's
     //   pair count, candidate scan, AND the token-count audit), and every
     //   window partitions by doc_id, so at 100 TB the merge step is
