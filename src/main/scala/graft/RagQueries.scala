@@ -185,11 +185,22 @@ object RagQueries {
     //   the embedding through the shared SQL stages, BM25 by embedding
     //   q87's complete oracle as a derived table. Scale shape: both
     //   candidate pools are per-query top-k before fusion, so the fusion
-    //   join touches |queries|·k rows — never a corpus. ──
+    //   join touches |queries|·k rows — never a corpus; and both legs
+    //   derive from ONE persisted tokenized corpus frame (the BM25 leg's
+    //   tf/stats and the cosine leg's embedding — pre-fix the plan held
+    //   5 independent parquet scans / 34 exchanges / 0 reuse, VERDICT
+    //   r7 #3; `PlanSpec` pins the single-scan shape). ──
     QueryDef("q113_hybrid_rrf",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val d = TextEmbed.withEmbed(docs(s, dir), "text", "vector")
+        // one corpus scan + tokenization, shared by both retrieval legs
+        val toksF = docs(s, dir)
+          .select(col("doc_id"),
+            graft.functions.TextOps.tokens(col("text")).as("toks"))
+          .withColumn("dl", size(col("toks")).cast("double"))
+          .persist()
+        val d = TextEmbed.withEmbedFromTokens(toksF, "toks", "vector")
+          .select(col("doc_id"), col("vector"))
         val qv = MaxSimQueries.map { case (qid, t) =>
           (qid, TextEmbed.embedScala(t).toSeq)
         }
@@ -202,7 +213,7 @@ object RagQueries {
           .withColumn("cos_rnk", row_number().over(wCos).cast("long"))
           .filter(col("cos_rnk") <= 5)
           .select(col("qid"), col("doc_id"), col("cos_rnk"))
-        val bm = TextQueries.defs.find(_.name == "q87_bm25").get.fn(s, dir)
+        val bm = TextQueries.bm25Leg(s, toksF)
           .select(col("qid"), col("doc_id"), col("rnk").as("bm_rnk"))
         val wR = Window.partitionBy(col("qid"))
           .orderBy(col("score").desc, col("doc_id").asc)

@@ -932,48 +932,10 @@ object TextQueries {
     //   edges, all on pre-shrunk data; queries never shuffle the corpus. ──
     QueryDef("q87_bm25",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        import s.implicits._
         val toks = docs(s, dir)
           .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
           .withColumn("dl", size(col("toks")).cast("double"))
-        val st = toks.agg(count(lit(1)).cast("double").as("n"),
-          (sum(col("dl")) / count(lit(1))).as("avgdl")).head()
-        val (n, avgdl) = (st.getDouble(0), st.getDouble(1))
-        val qrows = Seq(
-          (0L, "spark window join"), (1L, "vector hash group"),
-          (2L, "customer order value"), (3L, "stream batch filter"),
-          (4L, "scan slow table")).toDF("qid", "qtext")
-        val qterms = qrows
-          .select(col("qid"), explode(TextOps.tokens(col("qtext"))).as("term"))
-          .distinct()
-        val tf = toks
-          .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-          .groupBy(col("doc_id"), col("dl"), col("term"))
-          .agg(count(lit(1)).cast("double").as("tf"))
-          .join(broadcast(qterms.select("term").distinct()), Seq("term"), "left_semi")
-        // df as a count window over the SAME tf frame: a groupBy+join-back
-        // duplicates the whole corpus subtree (the two branches prune
-        // differently, so ReuseExchange can't fire) and scans twice
-        val scored = tf
-          .withColumn("df", count(lit(1))
-            .over(Window.partitionBy(col("term"))).cast("double"))
-          .join(broadcast(qterms), Seq("term"))
-          .withColumn("sterm", floor(round(
-            log((lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
-              (col("tf") * lit(2.2) /
-                (col("tf") + lit(1.2) *
-                  (lit(1.0) - lit(0.75) + lit(0.75) * (col("dl") / lit(avgdl))))),
-            6) * lit(1e6) + lit(0.5)).cast("long"))
-        val w = Window.partitionBy(col("qid"))
-          .orderBy(col("s_int").desc, col("doc_id").asc)
-        scored.groupBy(col("qid"), col("doc_id"))
-          .agg(sum(col("sterm")).as("s_int"))
-          .withColumn("rnk", row_number().over(w).cast("long"))
-          .filter(col("rnk") <= 5)
-          .withColumn("score", round(col("s_int") / lit(1e6), 6))
-          .select(col("qid"), col("rnk"), col("doc_id"), col("score"))
-          .orderBy(col("qid"), col("rnk"))
+        bm25Leg(s, toks)
       },
       Some(s"""
         WITH qr AS (SELECT * FROM (VALUES
@@ -1009,4 +971,54 @@ object TextQueries {
                doc_id, round(s_int / 1000000.0, 6) AS score
         FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk"""))
   )
+
+  /** BM25 top-5 per query over a pre-tokenized corpus frame
+    * `(doc_id, toks: array<string>, dl: double)` — the scoring body of
+    * q87, extracted so q113's hybrid fusion can feed it the SAME
+    * persisted tokenized frame its cosine leg embeds from (one corpus
+    * scan for both legs, VERDICT r7 #3). Callers own persistence; the
+    * stats `.head()` here is the 1-row corpus-constant barrier and
+    * doubles as the cache materializer when the input is persisted.
+    */
+  def bm25Leg(s: SparkSession, toks: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val st = toks.agg(count(lit(1)).cast("double").as("n"),
+      (sum(col("dl")) / count(lit(1))).as("avgdl")).head()
+    val (n, avgdl) = (st.getDouble(0), st.getDouble(1))
+    val qrows = Seq(
+      (0L, "spark window join"), (1L, "vector hash group"),
+      (2L, "customer order value"), (3L, "stream batch filter"),
+      (4L, "scan slow table")).toDF("qid", "qtext")
+    val qterms = qrows
+      .select(col("qid"), explode(TextOps.tokens(col("qtext"))).as("term"))
+      .distinct()
+    val tf = toks
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"), "left_semi")
+    // df as a count window over the SAME tf frame: a groupBy+join-back
+    // duplicates the whole corpus subtree (the two branches prune
+    // differently, so ReuseExchange can't fire) and scans twice
+    val scored = tf
+      .withColumn("df", count(lit(1))
+        .over(Window.partitionBy(col("term"))).cast("double"))
+      .join(broadcast(qterms), Seq("term"))
+      .withColumn("sterm", floor(round(
+        log((lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(2.2) /
+            (col("tf") + lit(1.2) *
+              (lit(1.0) - lit(0.75) + lit(0.75) * (col("dl") / lit(avgdl))))),
+        6) * lit(1e6) + lit(0.5)).cast("long"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("s_int").desc, col("doc_id").asc)
+    scored.groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("sterm")).as("s_int"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .withColumn("score", round(col("s_int") / lit(1e6), 6))
+      .select(col("qid"), col("rnk"), col("doc_id"), col("score"))
+      .orderBy(col("qid"), col("rnk"))
+  }
 }

@@ -735,36 +735,36 @@ object VectorQueries {
     QueryDef("q94_binary_ann",
       (s, dir) => {
         import s.implicits._
-        def half(off: Int) = expr(
-          s"""CAST(aggregate(sequence(1, 32), CAST(0 AS DOUBLE), (acc, i) ->
-              acc + CASE WHEN element_at(embedding, i + $off) > 0
-                         THEN power(2, i - 1) ELSE CAST(0 AS DOUBLE) END) AS BIGINT)""")
+        // codegen'd sign-pack (one fused 32-step loop per half, vs the
+        // aggregate-HOF's 32 interpreted lambda steps — measured as the
+        // dominant q94 cost); persisted because coded feeds the query
+        // set, the Hamming scan AND the rerank join-back
+        def half(off: Int) =
+          graft.functions.VectorKernels.signPack(col("embedding"), off)
         val coded = emb(s, dir)
           .withColumn("c_lo", half(0)).withColumn("c_hi", half(32))
+          .persist()
         val q = coded.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qv"),
             col("c_lo").as("q_lo"), col("c_hi").as("q_hi"))
-        val topc = graft.operators.TopK.aggregator(15)
-        val topk = graft.operators.TopK.aggregator(5)
         // Hamming scan cut: ham ASC ≡ value DESC under negation (exact —
         // ham ≤ 64); id tiebreak = nid ASC, the oracle's total order.
-        // Only (qid, nid, ham) flows through the heap; qv/nv re-attach by
-        // joining the 15·|queries|-row survivors back against the corpus
-        // (broadcast side = the survivors, so the corpus never shuffles).
+        // Only (qid, nid, ham) flows through the heap (the native
+        // `operators.TopKAgg` — no typed-encoder boundary); qv/nv
+        // re-attach by joining the 15·|queries|-row survivors back
+        // against the corpus (broadcast side = the survivors, so the
+        // corpus never shuffles).
         val cand = coded.select(col("vec_id").as("nid"), col("c_lo"), col("c_hi"))
           .join(broadcast(q.select(col("qid"), col("q_lo"), col("q_hi"))),
             col("qid") =!= col("nid"))
           .withColumn("ham",
             (expr("bit_count(c_lo ^ q_lo)") + expr("bit_count(c_hi ^ q_hi)")).cast("long"))
-          .select(col("qid"), col("nid"), col("ham"))
-          .as[(Long, Long, Long)]
-          .groupByKey(_._1)
-          .mapValues(t => (-t._3.toDouble, t._2))
-          .agg(topc.toColumn.name("top"))
-          .flatMap { case (qid, buf) =>
-            buf.items.map { case (negham, nid) => (qid, nid, (-negham).toLong) }
-          }
-          .toDF("qid", "nid", "ham")
+          .select(col("qid"), col("nid"), (-col("ham").cast("double")).as("negham"))
+          .groupBy(col("qid"))
+          .agg(graft.operators.TopKAgg.topK(col("negham"), col("nid"), 15).as("top"))
+          .select(col("qid"), explode(col("top")).as("t"))
+          .select(col("qid"), col("t.id").as("nid"),
+            (-col("t.v")).cast("long").as("ham"))
         // exact rerank on the survivors; the final top-5 heap carries ham
         // packed into the id's low 7 bits (ham ≤ 64 < 128, nid·128 ≪ 2^53)
         // so no second pass over `cand` is needed — packing preserves the
@@ -774,16 +774,12 @@ object VectorQueries {
           .withColumn("score", score6(col("qv"), col("nv")))
         reranked
           .select(col("qid"), (col("nid") * lit(128L) + col("ham")).as("packed"), col("score"))
-          .as[(Long, Long, Double)]
-          .groupByKey(_._1)
-          .mapValues(t => (t._3, t._2))
-          .agg(topk.toColumn.name("top"))
-          .flatMap { case (qid, buf) =>
-            buf.items.zipWithIndex.map { case ((score, packed), i) =>
-              (qid, (i + 1).toLong, packed / 128L, packed % 128L, score)
-            }
-          }
-          .toDF("qid", "rnk", "nid", "ham", "score")
+          .groupBy(col("qid"))
+          .agg(graft.operators.TopKAgg.topK(col("score"), col("packed"), 5).as("top"))
+          .select(col("qid"), posexplode(col("top")))
+          .select(col("qid"), (col("pos") + 1).cast("long").as("rnk"),
+            expr("col.id div 128").as("nid"),
+            (col("col.id") % lit(128L)).as("ham"), col("col.v").as("score"))
           .orderBy(col("qid"), col("rnk"))
       },
       Some(s"""
@@ -1032,33 +1028,29 @@ object VectorQueries {
     * oracle), rank ascending with nid tiebreak, top-5 per query.
     * `withCodes` must carry (qid, nid, code0..code{M-1}).
     *
-    * The cut is the bounded-heap `operators.TopK` aggregator, not a
-    * row_number window: the window compiles to WindowGroupLimit (shuffle
-    * carries only k·tasks rows) but still fully SORTS each map task's
-    * candidate partition — O(n log n) where the heap streams O(n log k).
+    * The cut is the bounded-heap native aggregate `operators.TopKAgg`,
+    * not a row_number window: the window compiles to WindowGroupLimit
+    * (shuffle carries only k·tasks rows) but still fully SORTS each map
+    * task's candidate partition — O(n log n) where the heap streams
+    * O(n log k). (The earlier typed-Aggregator formulation had the same
+    * asymptotics but paid a per-row encoder boundary; the native
+    * expression reads InternalRow directly — VERDICT r7 finding #1.)
     * adist ASC maps onto the aggregator's value-DESC order by negation
     * (an exact IEEE sign flip, recovered exactly on output); the id ASC
     * tiebreak is nid ASC, the same total order the window used. */
   private def adcRank(s: SparkSession, withCodes: DataFrame,
                       dts: Seq[DataFrame]): DataFrame = {
-    import s.implicits._
     val looked = (0 until PqM).foldLeft(withCodes) {
       (acc, m) => acc.join(broadcast(dts(m)), Seq("qid", s"code$m"))
     }
-    val topk = graft.operators.TopK.aggregator(5)
     looked
       .withColumn("adist", round(col("d0") + col("d1") + col("d2") + col("d3"), 6))
-      .select(col("qid"), col("nid"), col("adist"))
-      .as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .mapValues(t => (-t._3, t._2))
-      .agg(topk.toColumn.name("top"))
-      .flatMap { case (qid, buf) =>
-        buf.items.zipWithIndex.map { case ((negd, nid), i) =>
-          (qid, (i + 1).toLong, nid, -negd)
-        }
-      }
-      .toDF("qid", "rnk", "nid", "adist")
+      .select(col("qid"), col("nid"), (-col("adist")).as("negd"))
+      .groupBy(col("qid"))
+      .agg(graft.operators.TopKAgg.topK(col("negd"), col("nid"), 5).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.id").as("nid"), (-col("col.v")).as("adist"))
       .orderBy(col("qid"), col("rnk"))
   }
 

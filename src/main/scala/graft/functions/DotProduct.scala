@@ -148,6 +148,69 @@ case class CosineSim(left: Expression, right: Expression) extends VectorKernel {
   override def prettyName: String = "cosine_f32"
 }
 
+/** sign_pack(vec, off): a 32-bit binary-quantization code word — bit i
+  * set when vec[off + i] > 0 (q94's 1-bit-per-dim codes). Bit-identical
+  * to the aggregate-HOF formulation it replaces (Σ 2^i over positive
+  * dims: distinct powers of two sum exactly in double before the BIGINT
+  * cast) but one codegen'd loop instead of 32 interpreted lambda steps
+  * per row — the measured dominant cost of q94. Null array, too-short
+  * array, or a null element → null, mirroring VectorKernel semantics.
+  */
+case class SignPack(child: Expression, off: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT|DOUBLE>, got ${other.simpleString}")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    if (off + 32 > a.numElements()) return null
+    var bits = 0L
+    var i = 0
+    while (i < 32) {
+      val j = off + i
+      if (a.isNullAt(j)) return null
+      val x = if (isFloat) a.getFloat(j).toDouble else a.getDouble(j)
+      if (x > 0.0) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val bits = ctx.freshName("bits")
+      val x = ctx.freshName("x")
+      val getX =
+        if (isFloat) s"(double)$a.getFloat($off + $i)" else s"$a.getDouble($off + $i)"
+      s"""
+         |if ($off + 32 > $a.numElements()) { ${ev.isNull} = true; } else {
+         |  long $bits = 0L;
+         |  for (int $i = 0; $i < 32; $i++) {
+         |    if ($a.isNullAt($off + $i)) { ${ev.isNull} = true; break; }
+         |    double $x = $getX;
+         |    if ($x > 0.0D) { $bits |= (1L << $i); }
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $bits; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "sign_pack"
+}
+
 object VectorKernels {
   /** Column wrappers (fast path; bit-identical to VectorOps.dot/cosine). */
   def dotFast(a: Column, b: Column): Column =
@@ -157,6 +220,10 @@ object VectorKernels {
 
   /** Fast dot against a driver-side query vector. */
   def dotFast(a: Column, q: Array[Double]): Column = dotFast(a, lit(q))
+
+  /** 32-bit sign-quantization code word starting at `off` (see SignPack). */
+  def signPack(vec: Column, off: Int): Column =
+    ColumnBridge.column(SignPack(ColumnBridge.expression(vec), off))
 
   /** Register as SQL functions (`SELECT dot_f32(a, b)`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -52,12 +52,27 @@ object TextEmbed {
     */
   def withEmbed(df: DataFrame, textCol: String, outCol: String,
                 dim: Int = DefaultDim): DataFrame = {
+    val src = "__embed_srctoks"
+    withEmbedFromTokens(df.withColumn(src, TextOps.tokens(col(textCol))),
+      src, outCol, dim).drop(src)
+  }
+
+  /** Same pipeline, but starting from an ALREADY-TOKENIZED array column
+    * (`TextOps.tokens` output). Lets a caller that needs both raw tokens
+    * (BM25) and embeddings (cosine) derive both from ONE persisted
+    * tokenized frame instead of scanning + tokenizing the corpus per leg
+    * — the q113 hybrid-retrieval shape. Bit-identical to `withEmbed`
+    * (which now delegates here): the stopword filter and prefix features
+    * apply to the same token array either way.
+    */
+  def withEmbedFromTokens(df: DataFrame, toksCol: String, outCol: String,
+                          dim: Int = DefaultDim): DataFrame = {
     val toks = "__embed_toks"
     val bkts = "__embed_buckets"
     val raw = "__embed_raw"
     val nrm = "__embed_norm"
     df.withColumn(toks, {
-        val kept = filter(TextOps.tokens(col(textCol)), t => !t.isin(Stopwords.map(lit): _*))
+        val kept = filter(col(toksCol), t => !t.isin(Stopwords.map(lit): _*))
         concat(kept, transform(kept, t => substring(t, 1, 5)))
       })
       .withColumn(bkts, transform(col(toks), t => {

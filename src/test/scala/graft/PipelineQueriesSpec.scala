@@ -125,7 +125,7 @@ class PipelineQueriesSpec extends SparkSpec {
     // typed Aggregator → ObjectHashAggregate partial + final around the
     // exchange: the shuffle carries k-row buffers, not group row sets
     assert(plan.contains("ObjectHashAggregate"), plan)
-    assert("partial_topk|ObjectHashAggregate.*partial".r.findFirstIn(plan).isDefined ||
+    assert("partial_top_k_pairs|ObjectHashAggregate.*partial".r.findFirstIn(plan).isDefined ||
       plan.split("ObjectHashAggregate").length > 2, "no partial aggregate stage")
   }
 
@@ -141,6 +141,28 @@ class PipelineQueriesSpec extends SparkSpec {
       val bufB = b.foldLeft(agg.zero)(agg.reduce)
       assert(agg.finish(agg.merge(bufA, bufB)).items === expected, s"split at $i")
       assert(agg.finish(agg.merge(bufB, bufA)).items === expected, s"swapped split at $i")
+    }
+  }
+
+  test("TopKAgg state: insert/merge/serde agree with the typed TopK buffer") {
+    val xs = Seq((5.0, 3L), (5.0, 1L), (7.0, 9L), (1.0, 2L), (7.0, 4L),
+      (3.0, 8L), (5.0, 2L), (-2.5, 7L), (7.0, 9L))
+    val expected = xs.sorted(Ordering.by[(Double, Long), (Double, Long)] {
+      case (v, id) => (-v, id) }).take(4).toList
+    val e = graft.operators.TopKAgg(null, null, 4)
+    // every split point, both merge orders, with a serde round-trip on
+    // one side — the exact partial→final path ObjectHashAggregate runs
+    for (i <- xs.indices) {
+      val (a, b) = xs.splitAt(i)
+      def build(ys: Seq[(Double, Long)]) = {
+        val s = new graft.operators.TopKState(4)
+        ys.foreach { case (v, id) => s.insert(v, id) }
+        e.deserialize(e.serialize(s))
+      }
+      def items(s: graft.operators.TopKState) =
+        (0 until s.n).map(j => (s.vs(j), s.ids(j))).toList
+      assert(items(e.merge(build(a), build(b))) === expected, s"split at $i")
+      assert(items(e.merge(build(b), build(a))) === expected, s"swapped at $i")
     }
   }
 

@@ -75,7 +75,7 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"),
       "the TopK aggregator exists precisely to avoid the window sort:\n" + p.take(2000))
     assert(p.contains("ObjectHashAggregate"), p.take(2000))
-    assert(p.contains("partial_(graft.operators.TopK"),
+    assert(p.contains("partial_top_k_pairs"),
       "partial aggregation must run map-side before the exchange:\n" + p.take(2000))
   }
 
@@ -113,6 +113,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"),
       "spans/kept must be served from cache:\n" + p.take(2000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q113: both retrieval legs derive from one cached tokenized scan") {
+    val p = plan("q113_hybrid_rrf")
+    val scans = p.linesIterator.filter(_.contains("FileScan parquet"))
+      .map(l => l.substring(l.indexOf("FileScan")).replaceAll("#\\d+", "")).toSet
+    assert(scans.size <= 1,
+      s"cosine + BM25 legs must share the persisted tokenized frame, got " +
+        s"${scans.size} distinct scan shapes:\n${scans.mkString("\n")}")
+    assert(p.contains("InMemoryTableScan"),
+      "the tokenized corpus must be served from cache:\n" + p.take(2000))
   }
 
   test("q123/q125: perceptual dedup Hamming runs on distinct hashes — popcount, no substring loop") {
