@@ -25,6 +25,123 @@ object CurationQueries {
   final case class PackIn(source: String, doc_id: Long, n_tok: Long)
   final case class PackOut(source: String, doc_id: Long, n_tok: Long,
                            seq_id: Long, seq_fill: Long)
+  /** Range-sharded variants: `range_id = doc_id div PackRangeDocs` splits
+    * each source into independently-packable sub-shards, and `bin` is the
+    * shard-LOCAL sequence number before [[rebasePacked]]. */
+  final case class PackRIn(source: String, range_id: Long, doc_id: Long,
+                           n_tok: Long)
+  final case class PackROut(source: String, range_id: Long, doc_id: Long,
+                            n_tok: Long, bin: Long, fill: Long)
+
+  /** Sub-shard width for sequence packing (docs per doc_id range). At
+    * 100 TB this bounds the serial work of ONE task to `PackRangeDocs`
+    * docs even when a single source dominates the corpus (the web-crawl
+    * case) — the round-7 formulation packed each source on one task. The
+    * price is ≤ 1 partially-filled tail sequence per range, the same
+    * waste every sharded packer accepts. 128 keeps even the 500-doc
+    * sf0.01 gate corpus multi-range per source so the re-base path is
+    * oracle-exercised at every SF; a production run would raise it until
+    * per-task packing time (~range · docs/range) amortizes scheduling,
+    * e.g. 10⁵-10⁶ — the semantics don't change, only the waste/parallel
+    * trade. */
+  val PackRangeDocs = 128L
+
+  /** The two-level packing recurrence as DuckDB SQL — ONE definition
+    * checked against BOTH q126 (batch) and q132 (streaming), so
+    * "streaming ≡ batch" is a shared-oracle fact, not two copies that
+    * could drift: a recursive CTE replays next-fit per (source, range),
+    * then each range re-bases by the exclusive window sum of bins used
+    * by the ranges before it. */
+  val SeqPackOracleSql: String = s"""
+        WITH RECURSIVE t AS (
+          SELECT source, doc_id // $PackRangeDocs AS range_id, doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                 row_number() OVER (PARTITION BY source, doc_id // $PackRangeDocs
+                                    ORDER BY doc_id) AS rn
+          FROM documents),
+        r AS (
+          SELECT source, range_id, doc_id, n_tok, rn,
+                 CAST(0 AS BIGINT) AS bin, n_tok AS seq_fill
+          FROM t WHERE rn = 1
+          UNION ALL
+          SELECT t.source, t.range_id, t.doc_id, t.n_tok, t.rn,
+                 CASE WHEN r.seq_fill + t.n_tok > 256
+                      THEN r.bin + 1 ELSE r.bin END,
+                 CASE WHEN r.seq_fill + t.n_tok > 256
+                      THEN t.n_tok ELSE r.seq_fill + t.n_tok END
+          FROM r JOIN t ON t.source = r.source AND t.range_id = r.range_id
+                       AND t.rn = r.rn + 1),
+        bases AS (
+          SELECT source, range_id,
+                 coalesce(sum(bins) OVER (PARTITION BY source ORDER BY range_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS base
+          FROM (SELECT source, range_id, max(bin) + 1 AS bins
+                FROM r GROUP BY source, range_id))
+        SELECT r.source, r.doc_id, r.n_tok,
+               CAST(b.base + r.bin AS BIGINT) AS seq_id, r.seq_fill
+        FROM r JOIN bases b ON r.source = b.source AND r.range_id = b.range_id
+        ORDER BY r.source, r.doc_id"""
+
+  /** Next-fit packing of each (source, doc_id-range) sub-shard: one
+    * partitioning pass, cursor state (bin, fill) carried across rows of
+    * a sub-shard inside mapPartitions — no window, no join, no driver
+    * loop. Sub-shards pack in PARALLEL (the q126 scale fix); callers
+    * re-base shard-local bins to global seq_ids with [[rebasePacked]].
+    */
+  def seqPackRanges(df: DataFrame, cap: Long = 256L,
+                    rangeDocs: Long = PackRangeDocs): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col("source"), expr(s"doc_id div $rangeDocs").as("range_id"),
+        col("doc_id"), col("n_tok"))
+      .as[PackRIn]
+      .repartition(col("source"), col("range_id"))
+      .sortWithinPartitions(col("source"), col("range_id"), col("doc_id"))
+      .mapPartitions { it =>
+        var src: String = null
+        var rng = Long.MinValue
+        var bin = 0L
+        var fill = 0L
+        it.map { r =>
+          if (r.source != src || r.range_id != rng) {
+            src = r.source; rng = r.range_id; bin = 0L; fill = r.n_tok
+          }
+          else if (fill + r.n_tok > cap) { bin += 1; fill = r.n_tok }
+          else fill += r.n_tok
+          PackROut(r.source, r.range_id, r.doc_id, r.n_tok, bin, fill)
+        }
+      }
+      .toDF()
+  }
+
+  /** Re-base shard-local bins to global per-source seq_ids: each range
+    * consumes `max(bin)+1` sequences, so a range's base is the exclusive
+    * prefix sum of bins over the ranges before it. The scan runs over
+    * the RANGE-cardinality frame (corpus/1024 rows), so the window and
+    * the broadcast join-back cost nothing corpus-shaped; the packed
+    * frame persists because it feeds both the range rollup and the
+    * final projection. */
+  def rebasePacked(packed0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val packed = packed0.persist()
+    // key columns renamed on the rollup side: both join inputs derive
+    // from the same `packed` subtree, and a shared-attribute equi-join
+    // through a streaming memory-table view trips Spark's conflicting-
+    // references check instead of self-join dedup
+    val bases = packed.groupBy(col("source"), col("range_id"))
+      .agg((max(col("bin")) + lit(1L)).as("bins"))
+      .withColumn("base", coalesce(
+        sum(col("bins")).over(Window.partitionBy(col("source"))
+          .orderBy(col("range_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source").as("b_source"), col("range_id").as("b_range"),
+        col("base"))
+    packed.join(broadcast(bases),
+        col("source") === col("b_source") && col("range_id") === col("b_range"))
+      .select(col("source"), col("doc_id"), col("n_tok"),
+        (col("base") + col("bin")).as("seq_id"), col("fill").as("seq_fill"))
+  }
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Par(s.read.parquet(s"$dir/documents.parquet"))
@@ -124,6 +241,11 @@ object CurationQueries {
   /** q128: number of BPE merges to train. */
   private val BpeMerges = 6
 
+  /** q129: merges for the sample-trained tokenizer — deliberately past
+    * the q128 toy count; batched supersteps keep the barrier count far
+    * below one-per-merge (VERDICT r7 #5). */
+  private[graft] val BpeSampleMerges = 32
+
   /** One leftmost-greedy merge scan — the kernel both the trainer's
     * per-generation pass and the encoder's rank-ordered apply share. */
   private def mergeScan(toks: Seq[String], x: String, y: String): Seq[String] = {
@@ -142,34 +264,170 @@ object CurationQueries {
     * `sampleOnly` trains on the doc_id % 4 == 0 quarter — the
     * sample-train half of q129's sample-train / full-apply split.
     * See q128's comment for the superstep design rationale. */
-  private def bpeTrain(s: SparkSession, dir: String, sampleOnly: Boolean = false)
+  private[graft] def bpeTrain(s: SparkSession, dir: String,
+                              sampleOnly: Boolean = false,
+                              target: Int = BpeMerges,
+                              maxBatch: Int = 16,
+                              supersteps: Option[java.util.concurrent.atomic.AtomicInteger] = None)
       : (Seq[(Long, String, String, Long, Long)], DataFrame) = {
-    val mergePair = udf((toks: Seq[String], x: String, y: String) =>
-      mergeScan(toks, x, y))
+    import org.apache.spark.sql.expressions.Window
+    val applyBatch = udf((toks: Seq[String], xs: Seq[String], ys: Seq[String]) => {
+      var cur = toks
+      var i = 0
+      while (i < xs.length) { cur = mergeScan(cur, xs(i), ys(i)); i += 1 }
+      cur
+    })
     val base = docs(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
     var t = (if (sampleOnly) base.filter(col("doc_id") % 4 === 0) else base)
       .persist()
+    // The superstep queries are many SMALL multi-stage jobs over the
+    // cached chain; AQE's per-stage re-planning round-trips and 32-wide
+    // micro-shuffles dominated wall clock (measured ~3 s/superstep on a
+    // KB-sized sample — main thread parked in withFinalPlanUpdate).
+    // Train with classic planning and narrow shuffles, restore after.
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions", "32")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+    var total = t.agg(sum(size(col("toks"))).cast("long")).collect()(0).getLong(0)
     val merges = Seq.newBuilder[(Long, String, String, Long, Long)]
-    for (i <- 0 until BpeMerges) {
-      val topRow = t
-        .select(explode(expr(
-          "transform(slice(toks, 1, size(toks) - 1)," +
-            " (t, i) -> struct(t AS x, toks[i + 1] AS y))")).as("p"))
-        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
-        .agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("x"), col("y")).limit(1).collect()(0)
-      val (tx, ty, tc) = (topRow.getString(0), topRow.getString(1), topRow.getLong(2))
-      val next = t
-        .select(col("doc_id"), mergePair(col("toks"), lit(tx), lit(ty)).as("toks"))
-        .persist()
-      val toksAfter = next.agg(sum(size(col("toks"))).cast("long"))
-        .collect()(0).getLong(0) // superstep barrier + compression audit
-      merges += ((i.toLong, tx, ty, tc, toksAfter))
-      t.unpersist()
-      t = next
+    var trained = 0
+    var exhausted = false
+    val dbg = sys.env.contains("GRAFT_BPE_DEBUG")
+    def tick[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      if (dbg) println(f"[bpe] $name: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+    while (trained < target && !exhausted) {
+      supersteps.foreach(_.incrementAndGet())
+      // ── superstep: ONE pair-stats job, then a BATCH of merges whose
+      // sequential equivalence is provable from that single snapshot.
+      // Selection rule (each clause is load-bearing for batched ≡
+      // sequential, pinned by BpeBatchSpec):
+      //  * the batch is a count-ordered PREFIX that is pairwise
+      //    token-disjoint — disjoint merges cannot change each other's
+      //    candidate sets OR each other's counts, so every selected
+      //    pair's count is still its sequential-argmax count; the first
+      //    CONFLICTING pair ends the batch because its post-merge count
+      //    is unknown (it may still be the true next argmax);
+      //  * a later pair enters only while its count STRICTLY exceeds
+      //    the largest count any NEW pair minted by the already-selected
+      //    merges could have. Every new pair has the minted token x_y as
+      //    an endpoint and consumes one applied (x,y) occurrence per
+      //    instance, so its count is bounded by the max NEIGHBOR-triple
+      //    count of (x,y): max over w of #(w,x,y) and #(x,y,w) — and
+      //    those triples are countable from the SAME snapshot (the
+      //    occurrence explode carries each pair's prev/next token).
+      //    (The applied-count bound alone is vacuous: for x≠y pairs
+      //    applied = count, and c2 > c1 never holds.)
+      // Applied occurrences (exact, not bounded): x≠y occurrences can
+      // never overlap (an overlap would force x == y), so applied =
+      // count; self-pairs overlap only on consecutive runs, where
+      // leftmost-greedy keeps ceil(run/2).
+      val occ = t.select(col("doc_id"), explode(expr(
+        "transform(slice(toks, 1, size(toks) - 1)," +
+          " (t, i) -> struct(i AS pos, t AS x, toks[i + 1] AS y," +
+          "   CASE WHEN i > 0 THEN toks[i - 1] ELSE NULL END AS wp," +
+          "   get(toks, i + 2) AS wn))")).as("p"))
+        .select(col("doc_id"), col("p.pos"), col("p.x"), col("p.y"),
+          col("p.wp"), col("p.wn"))
+        .persist() // feeds the count rollup, the triple bound, the self-run job
+      val top = tick("top")(occ.groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("x"), col("y"))
+        .limit(math.max(maxBatch * 4, 8))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))))
+      // max new-pair count each candidate could mint, via its neighbor
+      // triples (one aggregation over the candidate-filtered occurrences)
+      import s.implicits._
+      val candDf = broadcast(top.map { case (x, y, _) => (x, y) }.toSeq
+        .toDF("x", "y"))
+      val newBound: Map[(String, String), Long] = tick("bound")(
+        occ.join(candDf, Seq("x", "y"))
+          .select(col("x"), col("y"), explode(array(
+            struct(lit("p").as("side"), col("wp").as("w")),
+            struct(lit("n").as("side"), col("wn").as("w")))).as("e"))
+          .filter(col("e.w").isNotNull)
+          .groupBy(col("x"), col("y"), col("e.side"), col("e.w"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("x"), col("y"))
+          .agg(max(col("cnt")).as("mx"))
+          .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+          .toMap)
+      // applied counts for self-pairs are only needed for SELECTED pairs
+      // (for the toks_after telescoping) — computed lazily after
+      // selection, so the run-length job runs only on the rare superstep
+      // that actually selects an x==x pair
+      def selfApplied(selfSel: Seq[String]): Map[String, Long] = tick("self")(
+        if (selfSel.isEmpty) Map.empty
+        else occ.filter(col("x") === col("y") && col("x").isin(selfSel: _*))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("doc_id"), col("x")).orderBy(col("pos"))))
+          .groupBy(col("x"), col("doc_id"), (col("pos") - col("rn")).as("grp"))
+          .agg(count(lit(1)).as("len"))
+          .groupBy(col("x"))
+          .agg(sum(expr("CAST(ceil(len / 2.0) AS BIGINT)")).as("applied"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+      if (top.isEmpty) exhausted = true
+      else {
+        val picked = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+        val used = scala.collection.mutable.Set.empty[String]
+        var mintMax = -1L // max possible count of any pair minted so far
+        var stop = false
+        var i = 0
+        while (!stop && i < top.length && picked.size < maxBatch &&
+               trained + picked.size < target) {
+          val (x, y, c) = top(i)
+          if (picked.nonEmpty && c <= mintMax) stop = true
+          else if (used(x) || used(y)) stop = true
+          else {
+            picked += ((x, y, c))
+            used += x; used += y
+            mintMax = math.max(mintMax, newBound.getOrElse((x, y), 0L))
+          }
+          i += 1
+        }
+        val selfA = selfApplied(picked.collect { case (x, y, _) if x == y => x }.toSeq)
+        val sel = picked.map { case (x, y, c) =>
+          (x, y, c, if (x == y) selfA(x) else c) }
+        occ.unpersist()
+        // localCheckpoint, NOT persist: persist caches rows but keeps the
+        // full lineage, so by generation ~20 every superstep job re-
+        // analyzes a UDF chain of all prior generations and the
+        // optimizer cost goes superlinear (measured: 32-merge training
+        // ran minutes instead of seconds). The eager checkpoint cuts the
+        // plan at each generation and doubles as the superstep barrier.
+        val next = tick("ckpt")(t.select(col("doc_id"),
+          applyBatch(col("toks"), typedlit(sel.map(_._1).toSeq),
+            typedlit(sel.map(_._2).toSeq)).as("toks"))
+          .localCheckpoint())
+        val after = tick("audit")(next.agg(sum(size(col("toks"))).cast("long"))
+          .collect()(0).getLong(0)) // compression audit
+        // per-merge toks_after telescopes from the exact applied counts;
+        // the measured total cross-checks the whole batch
+        var running = total
+        sel.foreach { case (x, y, c, applied) =>
+          running -= applied
+          merges += ((trained.toLong, x, y, c, running))
+          trained += 1
+        }
+        require(running == after,
+          s"BPE batch audit: telescoped token count $running != measured " +
+            s"$after — an applied-occurrence count is wrong for ${sel.toList}")
+        total = after
+        t.unpersist()
+        t = next
+      }
     }
     (merges.result(), t)
+    } finally {
+      s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
   }
 
   /** q128 oracle: one BPE merge iteration as chained CTEs. Leftmost-greedy
@@ -1099,57 +1357,29 @@ object CurationQueries {
 
     // ── q126: sequence PACKING — the step between curation and the
     //   trainer: concatenate documents into fixed-capacity training
-    //   sequences (C = 256 tokens) with next-fit within each source
-    //   shard, docs in doc_id order. Packing is inherently sequential,
-    //   so the scalable shape is sequential-PER-SHARD, parallel across
-    //   shards: repartition by source co-locates each shard, a
-    //   sort-within-partitions puts its docs in order, and ONE
-    //   mapPartitions pass carries (bin, fill) state across rows —
-    //   no window, no self-join, no driver loop. The oracle replays
-    //   the same recurrence as a recursive CTE. ──
+    //   sequences (C = 256 tokens) with next-fit in doc_id order.
+    //   Packing is inherently sequential, so the scalable unit is the
+    //   SUB-SHARD: each source splits into doc_id ranges of
+    //   `PackRangeDocs` docs (`range_id = doc_id div 1024` — pure
+    //   per-row arithmetic, no rank window), every (source, range)
+    //   packs independently in ONE mapPartitions pass, and shard-local
+    //   bins re-base to global seq_ids by an exclusive prefix sum over
+    //   the RANGE-cardinality rollup. Round 7 packed each source on a
+    //   single task — a ceiling once one source dominates (web crawl ≫
+    //   everything); now a 90%-skewed source still spreads across
+    //   |source|/1024 tasks, at the cost of ≤ 1 partial tail sequence
+    //   per range (`PackSkewSpec` pins both properties). The oracle
+    //   replays the same two-level recurrence: a recursive CTE per
+    //   (source, range) plus the window-summed base. ──
     QueryDef("q126_seq_pack",
       (s, dir) => {
-        import s.implicits._
-        val cap = 256L
-        docs(s, dir)
+        val toks = docs(s, dir)
           .select(col("source"), col("doc_id"),
             size(split(col("text"), " ")).cast("long").as("n_tok"))
-          .as[PackIn]
-          .repartition(col("source"))
-          .sortWithinPartitions(col("source"), col("doc_id"))
-          .mapPartitions { it =>
-            var src: String = null
-            var bin = 0L
-            var fill = 0L
-            it.map { r =>
-              if (r.source != src) { src = r.source; bin = 0L; fill = r.n_tok }
-              else if (fill + r.n_tok > cap) { bin += 1; fill = r.n_tok }
-              else fill += r.n_tok
-              PackOut(r.source, r.doc_id, r.n_tok, bin, fill)
-            }
-          }
-          .toDF()
+        rebasePacked(seqPackRanges(toks))
           .orderBy(col("source"), col("doc_id"))
       },
-      Some("""
-        WITH RECURSIVE t AS (
-          SELECT source, doc_id,
-                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-                 row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
-          FROM documents),
-        r AS (
-          SELECT source, doc_id, n_tok, rn,
-                 CAST(0 AS BIGINT) AS seq_id, n_tok AS seq_fill
-          FROM t WHERE rn = 1
-          UNION ALL
-          SELECT t.source, t.doc_id, t.n_tok, t.rn,
-                 CASE WHEN r.seq_fill + t.n_tok > 256
-                      THEN r.seq_id + 1 ELSE r.seq_id END,
-                 CASE WHEN r.seq_fill + t.n_tok > 256
-                      THEN t.n_tok ELSE r.seq_fill + t.n_tok END
-          FROM r JOIN t ON t.source = r.source AND t.rn = r.rn + 1)
-        SELECT source, doc_id, n_tok, seq_id, seq_fill
-        FROM r ORDER BY source, doc_id""")),
+      Some(SeqPackOracleSql)),
 
     // ── q127: mixture RESAMPLING manifest — turn per-source token
     //   counts into an exact token budget per source (B = 100k) using
@@ -1197,11 +1427,13 @@ object CurationQueries {
         // first: 10 s at sf0.1 from six window sorts per generation vs
         // ~4 s here; the oracle keeps that islands formulation because
         // SQL has no per-row sequential scan.) Pregel-style supersteps
-        // with EAGER barriers: the 1-row argmax collect is the merge
-        // DECISION that gates the next pass — the same barrier every BPE
-        // trainer has — and the token-sum audit job doubles as the cache
-        // force; lazily-persisted generations raced instead (measured
-        // 69 s: the multi-rooted merge table re-derived every chain).
+        // with EAGER barriers: the bounded top-pairs collect is the
+        // merge DECISION that gates the next pass — the same barrier
+        // every BPE trainer has, now amortized over a provably-
+        // sequential-equivalent BATCH of disjoint merges — and the
+        // token-sum audit job doubles as the cache force; lazily-
+        // persisted generations raced instead (measured 69 s: the
+        // multi-rooted merge table re-derived every chain).
         val (merges, finalToks) = bpeTrain(s, dir)
         finalToks.unpersist()
         import s.implicits._
@@ -1235,7 +1467,8 @@ object CurationQueries {
     //   single-pass encoder is the same composition per doc. ──
     QueryDef("q129_bpe_fertility",
       (s, dir) => {
-        val (merges, sampleToks) = bpeTrain(s, dir, sampleOnly = true)
+        val (merges, sampleToks) =
+          bpeTrain(s, dir, sampleOnly = true, target = BpeSampleMerges)
         sampleToks.unpersist()
         val ms = merges.map(m => (m._2, m._3))
         val encode = udf { (toks: Seq[String]) =>
@@ -1262,7 +1495,7 @@ object CurationQueries {
           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
                unnest(range(1, len(d.w) + 1)) AS u(i)),
         s0 AS MATERIALIZED (SELECT * FROM t0 WHERE doc_id % 4 = 0),
-        ${(0 until BpeMerges).map(i =>
+        ${(0 until BpeSampleMerges).map(i =>
           bpeTopSql(i, "s") + "," + bpeMergeSql(i, "s") + "," +
             bpeMergeSql(i, "t")).mkString(",\n")},
         w AS (
@@ -1271,7 +1504,7 @@ object CurationQueries {
         k AS (
           SELECT d.lang, count(*) AS n_tokens,
                  sum(CASE WHEN contains(tok, '_') THEN 1 ELSE 0 END) AS n_merged
-          FROM t$BpeMerges JOIN documents d USING (doc_id) GROUP BY d.lang)
+          FROM t$BpeSampleMerges JOIN documents d USING (doc_id) GROUP BY d.lang)
         SELECT w.lang, w.n_words, k.n_tokens,
                CAST(k.n_merged AS BIGINT) AS n_merged,
                floor(CAST(w.n_words AS DOUBLE) / k.n_tokens * 1000000.0 + 0.5)

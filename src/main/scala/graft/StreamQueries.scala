@@ -57,33 +57,18 @@ object StreamQueries {
                CAST(cents AS DOUBLE) / 100.0 AS price, event_id
         FROM ranked WHERE rnk <= 3 ORDER BY user_id, rnk""")),
 
-    // ── q132: STREAMING sequence packing — q126's next-fit packer as a
-    //   stateful stream (flatMapGroupsWithState; the (bin, fill) cursor
-    //   per source shard survives micro-batches, so arriving docs pack
-    //   onto the open training sequence instead of restarting). Checked
-    //   against the SAME recursive-CTE oracle as the batch operator:
-    //   Structured Streaming's batch-equivalence contract, made literal. ──
+    // ── q132: STREAMING sequence packing — q126's range-sharded
+    //   next-fit packer as a stateful stream (flatMapGroupsWithState;
+    //   the (bin, fill) cursor per (source, range) sub-shard survives
+    //   micro-batches, so arriving docs pack onto the open training
+    //   sequence instead of restarting; out-of-order arrival trips a
+    //   loud guard instead of diverging). Checked against the SAME
+    //   recursive-CTE oracle STRING as the batch operator
+    //   (`CurationQueries.SeqPackOracleSql`): Structured Streaming's
+    //   batch-equivalence contract, made literal. ──
     QueryDef("q132_stream_pack",
       (s, dir) => StreamingIngest.streamingPack(s, dir),
-      Some("""
-        WITH RECURSIVE t AS (
-          SELECT source, doc_id,
-                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-                 row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
-          FROM documents),
-        r AS (
-          SELECT source, doc_id, n_tok, rn,
-                 CAST(0 AS BIGINT) AS seq_id, n_tok AS seq_fill
-          FROM t WHERE rn = 1
-          UNION ALL
-          SELECT t.source, t.doc_id, t.n_tok, t.rn,
-                 CASE WHEN r.seq_fill + t.n_tok > 256
-                      THEN r.seq_id + 1 ELSE r.seq_id END,
-                 CASE WHEN r.seq_fill + t.n_tok > 256
-                      THEN t.n_tok ELSE r.seq_fill + t.n_tok END
-          FROM r JOIN t ON t.source = r.source AND t.rn = r.rn + 1)
-        SELECT source, doc_id, n_tok, seq_id, seq_fill
-        FROM r ORDER BY source, doc_id""")),
+      Some(graft.CurationQueries.SeqPackOracleSql)),
 
     // ── q52: stream-stream inner join (watermarks both sides + time-range
     //   predicate bound the state); every click × its same-user views in

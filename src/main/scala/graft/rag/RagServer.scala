@@ -128,14 +128,28 @@ final class RagServer(
                   """{"detail":"No relevant information found."}""")
               else {
                 val context = hits.map(r => Option(r.getString(1)).getOrElse("")).toSeq
-                // lock held across the iteration: answerStream's deltas
-                // must stay sequential for stateful clients (same contract
-                // as answer); writes flush per event so delivery is
-                // genuinely incremental, not buffered-then-dumped
-                llmLock.synchronized {
-                  RagServer.sse(x, llm.answerStream(q, context).map(d =>
-                    s"""{"choices":[{"delta":{"content":${RagServer.jstr(d)}}}]}"""))
-                }
+                // Producer/consumer split: answerStream's deltas must stay
+                // sequential for stateful clients (same contract as
+                // answer), but the lock needs to cover only delta
+                // PRODUCTION — holding it across the socket writes let one
+                // stalled client (TCP backpressure blocking out.write)
+                // wedge every other /query and /query/stream request. The
+                // producer drains the iterator under llmLock into a queue;
+                // the handler thread writes SSE outside it. The queue is
+                // deliberately UNbounded: a bounded queue would block the
+                // producer (lock in hand) on a slow client again, and the
+                // memory ceiling is one answer's deltas either way.
+                val queue = new java.util.concurrent.LinkedBlockingQueue[Option[String]]()
+                val producer = new Thread(() => {
+                  try llmLock.synchronized {
+                    llm.answerStream(q, context).foreach(d => queue.put(Some(
+                      s"""{"choices":[{"delta":{"content":${RagServer.jstr(d)}}}]}""")))
+                  } finally queue.put(None) // end-of-stream even on failure
+                }, "rag-sse-producer")
+                producer.start()
+                try RagServer.sse(x,
+                  Iterator.continually(queue.take()).takeWhile(_.isDefined).map(_.get))
+                finally producer.join()
               }
           }
         }

@@ -110,16 +110,25 @@ object StreamingIngest {
     StructField("lang", StringType), StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  /** Streaming sequence packing (q132) — q126's next-fit packer run as a
-    * stateful stream: each source shard's (bin, fill) cursor lives in
-    * GroupState, so new docs pack onto the OPEN training sequence across
-    * micro-batches instead of restarting per batch — the continuous-
-    * ingest shape of the batch operator (state is O(1) per shard
-    * forever). Within a micro-batch the group buffers and sorts by
-    * doc_id (a group's slice of one batch fits an executor; file-source
-    * batches arrive in order), exactly the per-shard sequential scan the
-    * batch packer runs, so streaming ≡ batch by construction and q126's
-    * recursive-CTE oracle checks this operator unchanged. */
+  /** Streaming sequence packing (q132) — q126's range-sharded next-fit
+    * packer run as a stateful stream: each (source, doc_id-range)
+    * sub-shard's (bin, fill) cursor lives in GroupState, so new docs
+    * pack onto the OPEN training sequence across micro-batches instead
+    * of restarting per batch — the continuous-ingest shape of the batch
+    * operator (state is O(1) per sub-shard, and sub-shards spread a
+    * dominant source across tasks exactly like the batch path). Within
+    * a micro-batch the group buffers and sorts by doc_id (a sub-shard's
+    * slice of one batch fits an executor; file-source batches arrive in
+    * order), exactly the per-shard sequential scan the batch packer
+    * runs; shard-local bins re-base through the SAME
+    * `CurationQueries.rebasePacked` the batch side uses, so streaming ≡
+    * batch by construction and q126's recursive-CTE oracle checks this
+    * operator unchanged. Cross-batch ordering is GUARDED, not assumed:
+    * the state carries the last-packed doc_id and a batch whose minimum
+    * falls at or below it fails loudly instead of packing a divergent
+    * sequence (file-listing order makes this unreachable for the file
+    * source; a reordering source surfaces here instead of corrupting
+    * training sequences silently). */
   def streamingPack(outer: SparkSession, dir: String, cap: Long = 256L): DataFrame = {
     val spark = streamSession(outer)
     import spark.implicits._
@@ -128,32 +137,45 @@ object StreamingIngest {
       .schema(DocsRawSchema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
-      .select(col("source"), col("doc_id"),
+      .select(col("source"),
+        expr(s"doc_id div ${graft.CurationQueries.PackRangeDocs}").as("range_id"),
+        col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
-      .as[graft.CurationQueries.PackIn]
-    val packed = src.groupByKey(_.source)
+      .as[graft.CurationQueries.PackRIn]
+    val packed = src.groupByKey(r => (r.source, r.range_id))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         packFn(cap))
       .toDF()
-    runToTable(spark, packed, "append")
+    graft.CurationQueries.rebasePacked(runToTable(spark, packed, "append"))
       .orderBy(col("source"), col("doc_id"))
   }
 
   /** q132's state function, factored out so specs can drive it through a
-    * MemoryStream and check the (bin, fill) cursor survives batches. */
-  private[graft] def packFn(cap: Long): (String,
-      Iterator[graft.CurationQueries.PackIn],
-      org.apache.spark.sql.streaming.GroupState[(Long, Long, Boolean)]) =>
-      Iterator[graft.CurationQueries.PackOut] =
-    (srcKey, batch, state) => {
-      var (bin, fill, started) = state.getOption.getOrElse((0L, 0L, false))
-      val out = batch.toSeq.sortBy(_.doc_id).map { r =>
+    * MemoryStream and check the (bin, fill) cursor survives batches and
+    * the monotonicity guard trips on out-of-order arrival. State:
+    * (bin, fill, started, lastDoc). */
+  private[graft] def packFn(cap: Long): ((String, Long),
+      Iterator[graft.CurationQueries.PackRIn],
+      org.apache.spark.sql.streaming.GroupState[(Long, Long, Boolean, Long)]) =>
+      Iterator[graft.CurationQueries.PackROut] =
+    (key, batch, state) => {
+      var (bin, fill, started, lastDoc) =
+        state.getOption.getOrElse((0L, 0L, false, Long.MinValue))
+      val rows = batch.toSeq.sortBy(_.doc_id)
+      rows.headOption.filter(r => started && r.doc_id <= lastDoc).foreach { r =>
+        throw new IllegalStateException(
+          s"streamingPack: out-of-order doc_id ${r.doc_id} for shard $key " +
+            s"(already packed through $lastDoc) — packing would diverge " +
+            "from the batch recurrence")
+      }
+      val out = rows.map { r =>
         if (!started) { started = true; bin = 0L; fill = r.n_tok }
         else if (fill + r.n_tok > cap) { bin += 1; fill = r.n_tok }
         else fill += r.n_tok
-        graft.CurationQueries.PackOut(srcKey, r.doc_id, r.n_tok, bin, fill)
+        lastDoc = r.doc_id
+        graft.CurationQueries.PackROut(key._1, key._2, r.doc_id, r.n_tok, bin, fill)
       }
-      state.update((bin, fill, started))
+      state.update((bin, fill, started, lastDoc))
       out.iterator
     }
 

@@ -170,26 +170,38 @@ class CurationQueriesSpec extends SparkSpec {
     assert(expect.subsetOf(got), s"missing ${expect.diff(got).take(5)}")
   }
 
-  test("q126: packing replays the next-fit recurrence exactly, bins dense, fill bounded") {
+  test("q126: packing replays the range-sharded next-fit recurrence exactly, bins dense, fill bounded") {
     val rows = run("q126_seq_pack").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(rows.nonEmpty)
     rows.foreach { case (_, _, n, _, fill) =>
       assert(fill <= 256L && n <= fill)
     }
+    val R = graft.CurationQueries.PackRangeDocs
     rows.groupBy(_._1).foreach { case (src, g) =>
-      val sorted = g.sortBy(_._2)
-      var bin = 0L
-      var fill = -1L
-      sorted.foreach { case (_, id, n, sid, sfill) =>
-        if (fill < 0) { bin = 0L; fill = n }
-        else if (fill + n > 256L) { bin += 1L; fill = n }
-        else fill += n
-        assert(sid === bin, s"$src/$id: seq_id $sid, replay says $bin")
-        assert(sfill === fill, s"$src/$id: seq_fill $sfill, replay says $fill")
+      // replay: next-fit per (source, doc_id div R) sub-shard, then
+      // re-base each range by the exclusive prefix sum of bins used
+      var base = 0L
+      g.sortBy(_._2).groupBy(t => t._2 / R).toSeq.sortBy(_._1).foreach {
+        case (_, range) =>
+          var bin = 0L
+          var fill = -1L
+          range.sortBy(_._2).foreach { case (_, id, n, sid, sfill) =>
+            if (fill < 0) { bin = 0L; fill = n }
+            else if (fill + n > 256L) { bin += 1L; fill = n }
+            else fill += n
+            assert(sid === base + bin, s"$src/$id: seq_id $sid, replay says ${base + bin}")
+            assert(sfill === fill, s"$src/$id: seq_fill $sfill, replay says $fill")
+          }
+          base += bin + 1L
       }
-      val bins = sorted.map(_._4).distinct
+      // dense globally because each range re-bases onto the previous total
+      val bins = g.map(_._4).distinct
       assert(bins.max === bins.length - 1L, s"$src: bins not dense")
+      // the fix is pointless unless sf0.01 actually exercises multiple
+      // ranges per source
+      assert(g.map(_._2 / R).distinct.length > 1,
+        s"$src: only one range at this SF — PackRangeDocs too coarse to test re-basing")
     }
   }
 
@@ -254,7 +266,7 @@ class CurationQueriesSpec extends SparkSpec {
     val texts = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "lang", "text").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
-    // train 6 merges on the doc_id % 4 == 0 sample
+    // train BpeSampleMerges merges on the doc_id % 4 == 0 sample
     var toks = texts.filter(_._1 % 4 == 0)
       .map { case (d, _, t) => d -> t.split(' ').toVector }.toMap
     def scan(ts: Vector[String], x: String, y: String): Vector[String] = {
@@ -267,7 +279,7 @@ class CurationQueriesSpec extends SparkSpec {
       }
       out.result()
     }
-    val ms = (0 until 6).map { _ =>
+    val ms = (0 until CurationQueries.BpeSampleMerges).map { _ =>
       val cnt = scala.collection.mutable.Map.empty[(String, String), Long]
       toks.valuesIterator.foreach { ts =>
         ts.iterator.zip(ts.iterator.drop(1)).foreach(p => cnt(p) = cnt.getOrElse(p, 0L) + 1L)

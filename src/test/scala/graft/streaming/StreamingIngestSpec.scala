@@ -51,27 +51,55 @@ class StreamingIngestSpec extends SparkSpec {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     import spark.implicits._
-    import graft.CurationQueries.{PackIn, PackOut}
+    import graft.CurationQueries.{PackRIn, PackROut}
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val input = MemoryStream[PackIn]
-    val out = input.toDS().groupByKey(_.source)
+    val input = MemoryStream[PackRIn]
+    val out = input.toDS().groupByKey(r => (r.source, r.range_id))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         StreamingIngest.packFn(cap = 100L))
     val name = s"pack_${System.nanoTime()}"
     val q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
     try {
-      input.addData(PackIn("a", 1L, 60L), PackIn("a", 2L, 30L))
+      input.addData(PackRIn("a", 0L, 1L, 60L), PackRIn("a", 0L, 2L, 30L))
       q.processAllAvailable()
       // batch 2: 20 still fits the open bin (fill 90 → overflow), then 90 opens bin 1
-      input.addData(PackIn("a", 3L, 20L), PackIn("a", 4L, 90L))
+      input.addData(PackRIn("a", 0L, 3L, 20L), PackRIn("a", 0L, 4L, 90L))
       q.processAllAvailable()
-      val rows = spark.table(name).as[PackOut].collect().sortBy(_.doc_id).toSeq
+      val rows = spark.table(name).as[PackROut].collect().sortBy(_.doc_id).toSeq
       assert(rows === Seq(
-        PackOut("a", 1L, 60L, 0L, 60L),
-        PackOut("a", 2L, 30L, 0L, 90L),
-        PackOut("a", 3L, 20L, 1L, 20L),  // 90 + 20 > 100 → new bin
-        PackOut("a", 4L, 90L, 2L, 90L)), // 20 + 90 > 100 → new bin again
+        PackROut("a", 0L, 1L, 60L, 0L, 60L),
+        PackROut("a", 0L, 2L, 30L, 0L, 90L),
+        PackROut("a", 0L, 3L, 20L, 1L, 20L),  // 90 + 20 > 100 → new bin
+        PackROut("a", 0L, 4L, 90L, 2L, 90L)), // 20 + 90 > 100 → new bin again
         s"got $rows")
+    } finally q.stop()
+  }
+
+  test("streaming pack: out-of-order arrival fails loudly instead of diverging") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    import graft.CurationQueries.PackRIn
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[PackRIn]
+    val out = input.toDS().groupByKey(r => (r.source, r.range_id))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        StreamingIngest.packFn(cap = 100L))
+    val name = s"packguard_${System.nanoTime()}"
+    val q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      input.addData(PackRIn("a", 0L, 5L, 60L))
+      q.processAllAvailable()
+      // doc 3 arrives AFTER doc 5 was packed — the batch-equivalence
+      // guarantee is gone, so the guard must trip, not silently pack
+      input.addData(PackRIn("a", 0L, 3L, 20L))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(ex).exists(c => c.isInstanceOf[IllegalStateException] &&
+        c.getMessage.contains("out-of-order")), s"unexpected failure chain: $ex")
     } finally q.stop()
   }
 
