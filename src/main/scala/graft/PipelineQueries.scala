@@ -33,6 +33,12 @@ object PipelineQueries {
   /** q97 PageRank iterations — declared before `defs` (eager Seq). */
   private val PrIters = 3
 
+  /** q98: max node degree admitted to triangle enumeration. Hubs above
+    * this are template/boilerplate families whose "triangles" are noise
+    * and whose Σdeg² join volume is what melted the uncapped sf1 run
+    * (see the q98 QueryDef comment for the measured growth). */
+  private val TriDegCap = 64L
+
   /** q97 oracle: q31's shared pair CTEs + nodes/edges/degrees + PrIters
     * unrolled PageRank rounds in exact ×1e6 integer space. Every
     * order-dependent reduction sums exact integers; scalar arithmetic
@@ -429,13 +435,33 @@ object PipelineQueries {
     //   template families — vs. a hub with incidental pairwise matches).
     //   Standard two-join enumeration over the id-ordered edge list
     //   (a<b<c guarantees each triangle counted once). 100 TB shape:
-    //   edges come from banding (never all-pairs) and both joins are
-    //   hash equi-joins on single node keys; the per-node rollup is
-    //   map-side combinable. ──
+    //   edges come from banding (never all-pairs), both joins are hash
+    //   equi-joins on single node keys, and the per-node rollup is
+    //   map-side combinable — but none of that bounds the join VOLUME
+    //   when the similarity graph densifies: measured sf0.01 → sf0.1 →
+    //   sf1, pairs grow 1,327 → 129k → ~13M (quadratic in docs: on a
+    //   near-dup-saturated corpus a fixed FRACTION of all docs sits
+    //   within Hamming 3 of each node, so degree grows linearly with
+    //   corpus and Σdeg² triangle work grows cubically — the uncapped
+    //   sf1 run spilled to disk-full after hours). The guard is the
+    //   standard hub cap: nodes with degree > 64 are template/boiler-
+    //   plate families, and the clustering-coefficient signal q98
+    //   computes is about SMALL mutually-similar clusters, so hubs drop
+    //   before enumeration (mirrored in the oracle; at the sf0.01 gate
+    //   max degree is 47, so the cap is semantics, not a result
+    //   change). Post-cap work is ≤ n·D² regardless of corpus density. ──
     QueryDef("q98_triangles",
       (s, dir) => {
-        val pairs = TextQueries.defs.find(_.name == "q31_simhash_pairs").get
+        val rawPairs = TextQueries.defs.find(_.name == "q31_simhash_pairs").get
           .fn(s, dir).select(col("id_a"), col("id_b")).localCheckpoint()
+        val deg = rawPairs.select(col("id_a").as("doc_id"))
+          .union(rawPairs.select(col("id_b").as("doc_id")))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))
+        val hubs = deg.filter(col("deg") > TriDegCap).select(col("doc_id"))
+          .localCheckpoint()
+        val pairs = rawPairs
+          .join(hubs.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "left_anti")
+          .join(hubs.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "left_anti")
         val e1 = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
         val tri = e1
           .join(e1.select(col("a").as("b"), col("b").as("c")), Seq("b"))
@@ -449,7 +475,15 @@ object PipelineQueries {
       },
       Some(s"""
         WITH ${TextQueries.simhashPairCtes},
-        e AS (SELECT id_a AS a, id_b AS b FROM cand WHERE hamming <= 3),
+        rawe AS (SELECT id_a, id_b FROM cand WHERE hamming <= 3),
+        deg AS (SELECT doc_id, count(*) AS deg FROM (
+                  SELECT id_a AS doc_id FROM rawe
+                  UNION ALL SELECT id_b FROM rawe)
+                GROUP BY doc_id),
+        hubs AS (SELECT doc_id FROM deg WHERE deg > $TriDegCap),
+        e AS (SELECT id_a AS a, id_b AS b FROM rawe
+              WHERE id_a NOT IN (SELECT doc_id FROM hubs)
+                AND id_b NOT IN (SELECT doc_id FROM hubs)),
         tri AS (
           SELECT e1.a AS a, e1.b AS b, e2.b AS c
           FROM e e1 JOIN e e2 ON e1.b = e2.a
