@@ -463,20 +463,27 @@ object VectorQueries {
         // persisted: banded feeds BOTH sides of the band self-join, and
         // the 16-hyperplane signature pass is the expensive part — derive
         // it once (the q114 lesson; uncached this was the 2nd-slowest
-        // query in the suite at 3.8 s)
+        // query in the suite at 3.8 s). NARROW: the 4-bit bands give a
+        // CONSTANT 64 buckets, so raw candidates are Θ(n²/buckets) by
+        // design — carrying both 64-dim embeddings through that join
+        // shuffled ~12 GB at sf1 (353 s, the full-sweep cliff). The
+        // candidate join moves only ids; embeddings re-attach per DISTINCT
+        // surviving pair by id equi-joins — the shape the oracle always
+        // had (sf1: 353 → ~13 s).
         val banded = withBits
-          .select(col("vec_id"), col("embedding"), explode(array(bandCols: _*)).as("band"))
-          .select(col("vec_id"), col("embedding"),
+          .select(col("vec_id"), explode(array(bandCols: _*)).as("band"))
+          .select(col("vec_id"),
             col("band.band_idx").as("band_idx"), col("band.band_val").as("band_val"))
           .persist()
-        val a = banded.select(col("band_idx"), col("band_val"),
-          col("vec_id").as("id_a"), col("embedding").as("va"))
-        val b = banded.select(col("band_idx"), col("band_val"),
-          col("vec_id").as("id_b"), col("embedding").as("vb"))
-        a.join(b, Seq("band_idx", "band_val"))
+        val a = banded.select(col("band_idx"), col("band_val"), col("vec_id").as("id_a"))
+        val b = banded.select(col("band_idx"), col("band_val"), col("vec_id").as("id_b"))
+        val cand = a.join(b, Seq("band_idx", "band_val"))
           .filter(col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b"), col("va"), col("vb"))
+          .select(col("id_a"), col("id_b"))
           .dropDuplicates("id_a", "id_b") // a pair may collide in several bands
+        cand
+          .join(e.select(col("vec_id").as("id_a"), col("embedding").as("va")), Seq("id_a"))
+          .join(e.select(col("vec_id").as("id_b"), col("embedding").as("vb")), Seq("id_b"))
           .withColumn("score", score6(col("va"), col("vb")))
           .filter(col("score") >= 0.4)
           .select(col("id_a"), col("id_b"), col("score"))
