@@ -66,7 +66,7 @@ object PipelineQueries {
     }.mkString(",")
     s"""
       WITH ${TextQueries.simhashPairCtes},
-      pairs AS (SELECT id_a, id_b FROM cand WHERE hamming <= 3),
+      pairs AS (SELECT id_a, id_b FROM npairs),
       nodes AS (SELECT doc_id FROM documents),
       nn AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM nodes),
       edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
@@ -475,7 +475,7 @@ object PipelineQueries {
       },
       Some(s"""
         WITH ${TextQueries.simhashPairCtes},
-        rawe AS (SELECT id_a, id_b FROM cand WHERE hamming <= 3),
+        rawe AS (SELECT id_a, id_b FROM npairs),
         deg AS (SELECT doc_id, count(*) AS deg FROM (
                   SELECT id_a AS doc_id FROM rawe
                   UNION ALL SELECT id_b FROM rawe)

@@ -105,10 +105,43 @@ object TextQueries {
     "es" -> Seq("el", "los", "las", "es", "una", "por"),
     "zh" -> Seq("de5", "shi4", "zai4", "le5"))
 
-  /** Shared by q31 (pairs) and q97 (PageRank over the pair graph): CTE
+  /** q24 bound: max per-block document frequency a word-3-gram shingle
+    * may have and still participate in Jaccard near-dup scoring. Above
+    * it, the shingle is a stopword-shingle (boilerplate n-gram present
+    * across the corpus) and is dropped from the shingle SETS — defined
+    * semantics mirrored in the oracle, not a candidate-side heuristic.
+    * Bounds Bayardo prefix-filter candidate volume at cap·Σdf (linear).
+    * Gate-neutral: measured max df is 5 at sf0.01, 12 at sf0.1 (both
+    * byte-identical), 58 at sf1 (candidates 58.9M → 7.9M). */
+  private[graft] val JacDfCap = 16L
+
+  /** q31/q97/q98 family bound #1: a (band_idx, band_val) bucket holding
+    * more than this many docs is DEGENERATE — an 8-bit band value shared
+    * by thousands of documents carries no near-dup signal (it is the
+    * band-level analogue of a stopword), and bucket join volume Σn² is
+    * exactly what goes quadratic on a saturated corpus. Pairs must share
+    * a non-saturated band (same shape as q98's hub cap). Post-cap
+    * candidate volume is ≤ 4·cap·N — linear in corpus size, enforced in
+    * the plan, mirrored in the oracle. Gate-neutral: max bucket is 86 at
+    * sf0.01 and 748 at sf0.1 (measured), so results change only at sf1+
+    * (sf1 max bucket 7,771; candidate volume 553M → 38.9M). */
+  private[graft] val SimBandCap = 1024L
+
+  /** q31/q97/q98 family bound #2: each doc emits at most this many
+    * near-dup neighbors (smallest hamming first, then smallest id_b)
+    * among docs with larger id. On a near-dup-saturated corpus the pair
+    * OUTPUT itself is quadratic (a cluster of m docs emits m² pairs —
+    * measured 1,327 → 129k → ~13M at sf0.01/0.1/1); this caps it at
+    * cap·N as defined semantics. Gate-neutral: max per-doc neighbor
+    * count at sf0.01 is 41 (measured). */
+  private[graft] val SimNeighborCap = 64
+
+  /** Shared by q31 (pairs), q97 (PageRank) and q98 (triangles): CTE
     * chain producing `cand`(id_a, id_b, hamming) — 32-bit simhash over
-    * token hashes, 4×8-bit banding, distinct candidate pairs. Declared
-    * before `defs` (eager Seq). */
+    * token hashes, 4×8-bit banding, non-saturated buckets only
+    * ([[SimBandCap]]) — and `npairs`(id_a, id_b, hamming), the bounded
+    * near-dup pair list (hamming ≤ 3, per-doc [[SimNeighborCap]]).
+    * Declared before `defs` (eager Seq). */
   private[graft] val simhashPairCtes: String = {
     val toks = TextOps.tokensSql("text")
     val h = XHash.hash60Sql("t")
@@ -120,11 +153,22 @@ object TextQueries {
         bands AS (
           SELECT doc_id, simhash, i AS band_idx, (simhash >> (i * 8)) & 255 AS band_val
           FROM sh, UNNEST(range(0, 4)) AS u(i)),
+        bok AS (
+          SELECT band_idx, band_val FROM bands
+          GROUP BY 1, 2 HAVING count(*) <= $SimBandCap),
         cand AS (
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-          FROM bands a JOIN bands b
-            ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id)"""
+          FROM bands a
+          JOIN bok k ON a.band_idx = k.band_idx AND a.band_val = k.band_val
+          JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+        npairs AS (
+          SELECT id_a, id_b, hamming FROM (
+            SELECT id_a, id_b, hamming,
+                   row_number() OVER (PARTITION BY id_a ORDER BY hamming, id_b) AS rn
+            FROM cand WHERE hamming <= 3)
+          WHERE rn <= $SimNeighborCap)"""
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -264,34 +308,64 @@ object TextQueries {
     //   with Jaccard ≥ t must share an element among each side's first
     //   n − ⌈t·n⌉ + 1 shingles — so only those prefixes are indexed.
     //   Candidate pairs from the prefix join are then verified exactly via
-    //   array_intersect on the full sorted shingle arrays. Candidates
-    //   track TRUE near-dups (not merely co-occurring pairs), which is the
-    //   shape that survives 100 TB; the filter is candidate-side only, so
-    //   the output is provably identical to the naive all-pairs definition
-    //   restricted to jac ≥ 0.5 and the oracle is unchanged. ──
+    //   array_intersect on the full sorted shingle arrays.
+    //   ENFORCED bound (semantics, oracle-mirrored): shingles whose
+    //   document frequency within a block exceeds JacDfCap are stopword-
+    //   shingles — present in so many documents they carry no near-dup
+    //   signal — and are EXCLUDED FROM THE SHINGLE SETS (Jaccard is
+    //   defined over the capped vocabulary). Prefix-filter correctness
+    //   then holds over the capped sets, and candidate volume Σ df² ≤
+    //   cap·Σdf — LINEAR in total shingle volume at any corpus size,
+    //   where the uncapped Θ(Σ df²) measured 71× at sf1 (831k → 58.9M
+    //   candidates; capped: 7.9M). Gate-neutral: max df is 5 at sf0.01
+    //   and 12 at sf0.1 (measured), so results are byte-identical at
+    //   both gate and bench scales. ──
     QueryDef("q24_ngram_jaccard",
       (s, dir) => {
         // fused kernel: tokens → distinct 60-bit shingle hashes in one pass;
         // the prefix index then shuffles 8-byte keys (collision odds
         // ~n²/2^61 — negligible, and the oracle hashes identically)
         val t = 0.5
-        val d = docs(s, dir)
+        val base = docs(s, dir)
           .withColumn("blk", (col("n_chars") / 100).cast("long"))
           .withColumn("toks", TextOps.tokens(col("text")))
-          .withColumn("sh", ShingleHash60(col("toks"), 3))
-          .filter(size(col("sh")) > 0)
-          .select(col("blk"), col("doc_id"),
-            sort_array(col("sh")).as("sh"), size(col("sh")).as("n_sh"))
-          // One hash exchange with ALL the heavy work (tokenize, shingle,
-          // sort) below it: the three consumers (prefix index, verify-a,
-          // verify-b) sit above byte-identical exchange subtrees, so
-          // ReuseExchange computes the shingling ONCE and replays shuffle
-          // files — without this, each branch re-tokenized the corpus (3×)
-          // and the pushed-down size(sh)>0 filter ran it again on the
-          // unparallelized single-file scan. Partitioning on (blk, doc_id)
-          // also satisfies the verify joins' distribution requirement, so
-          // the d side never re-shuffles.
+          .withColumn("sh0", ShingleHash60(col("toks"), 3))
+          .filter(size(col("sh0")) > 0)
+          .select(col("blk"), col("doc_id"), col("sh0"))
+          // One hash exchange with ALL the heavy work (tokenize, shingle)
+          // below it: every consumer (prefix index, verify-a, verify-b)
+          // sits above byte-identical exchange subtrees, so ReuseExchange
+          // computes the shingling ONCE and replays shuffle files —
+          // without this, each branch re-tokenized the corpus. Partition-
+          // ing on (blk, doc_id) also satisfies the verify joins'
+          // distribution requirement, so the d side never re-shuffles.
+          // (Checkpointing base itself was tried and is WORSE: the
+          // LogicalRDD loses the hash-partitioning guarantee, and the
+          // verify SMJs re-exchange the corpus arrays — measured 7.6 s
+          // vs 6.8 s at sf0.1.)
           .repartition(col("blk"), col("doc_id"))
+        // df-cap: the banned list is at most (total shingle volume)/cap
+        // entries and in practice a handful of ultra-common shingles.
+        // Materialized EAGERLY as a tiny side job (the q98 hubs
+        // pattern): computed inline it would replay the shingling
+        // subtree per consumer and break the byte-identical-exchange
+        // reuse the main plan depends on; localCheckpointed, the main
+        // plan keeps its old shape plus one reused broadcast join (the
+        // one extra linear shingle pass is the enforcement's whole
+        // price: 4.9 → 6.8 s isolated sf0.1).
+        val banned = base
+          .select(col("blk"), explode(col("sh0")).as("shingle"))
+          .groupBy(col("blk"), col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > JacDfCap)
+          .groupBy(col("blk")).agg(collect_set(col("shingle")).as("banned"))
+          .localCheckpoint()
+        val d = base
+          .join(broadcast(banned), Seq("blk"), "left")
+          .withColumn("shc", when(col("banned").isNull, col("sh0"))
+            .otherwise(array_except(col("sh0"), col("banned"))))
+          .filter(size(col("shc")) > 0)
+          .select(col("blk"), col("doc_id"),
+            sort_array(col("shc")).as("sh"), size(col("shc")).as("n_sh"))
         val prefix = d.select(col("blk"), col("doc_id"),
           explode(slice(col("sh"), lit(1),
             (col("n_sh") - ceil(col("n_sh") * t) + 1).cast("int"))).as("shingle"))
@@ -324,15 +398,22 @@ object TextQueries {
         s"""
         WITH tk AS (
           SELECT (n_chars // 100) AS blk, doc_id, $toks AS toks FROM documents),
-        d AS (
+        d0 AS (
           SELECT blk, doc_id,
                  list_transform(
                    list_distinct(CASE WHEN len(toks) < 3 THEN []::VARCHAR[] ELSE
                      list_transform(range(0, len(toks) - 2), i ->
                        array_to_string(list_slice(toks, i + 1, i + 3), ' ')) END),
                    sh -> (('0x' || substr(md5(sh), 1, 15))::BIGINT)) AS sh
-          FROM tk)
-        , d2 AS (SELECT * FROM d WHERE len(sh) > 0)
+          FROM tk),
+        d1 AS (SELECT * FROM d0 WHERE len(sh) > 0),
+        ex AS (SELECT blk, doc_id, s FROM d1, UNNEST(sh) AS u(s)),
+        df AS (SELECT blk, s, count(*) AS df FROM ex GROUP BY 1, 2),
+        d2 AS (SELECT ex.blk AS blk, ex.doc_id AS doc_id,
+                      list(ex.s ORDER BY ex.s) AS sh
+               FROM ex JOIN df ON ex.blk = df.blk AND ex.s = df.s
+               WHERE df.df <= $JacDfCap
+               GROUP BY 1, 2)
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
                      len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jac
@@ -504,8 +585,16 @@ object TextQueries {
 
     // ── q31: SimHash near-dup pairs via byte-banding. 4 bands of 8 bits
     //   over the 32-bit simhash: any pair within hamming distance 3 MUST
-    //   share an untouched band (pigeonhole), so recall is exact while the
-    //   join stays hash-partitioned on (band_idx, band_value). ──
+    //   share an untouched band (pigeonhole), so recall is exact over the
+    //   admitted buckets while the join stays hash-partitioned on
+    //   (band_idx, band_value). Two ENFORCED bounds (semantics, oracle-
+    //   mirrored — see SimBandCap / SimNeighborCap): saturated buckets
+    //   are excluded before the self-join (candidate volume ≤ 4·cap·N,
+    //   linear — the bucket-count table is ≤ 1024 rows ALWAYS, so the
+    //   admission join broadcasts for free), and each doc emits at most
+    //   SimNeighborCap nearest neighbors via the native TopKAgg heap
+    //   (map-side partial agg bounds the post-distinct rollup; output
+    //   ≤ cap·N). No invocation can go quadratic at 100×. ──
     QueryDef("q31_simhash_pairs",
       (s, dir) => {
         val bits = (0 until 32).map { j =>
@@ -520,19 +609,39 @@ object TextQueries {
         val bands = sh.select(col("doc_id"), col("simhash"), posexplode(array(
           (0 until 4).map(bd => shiftright(col("simhash"), bd * 8).bitwiseAND(255)): _*)))
           .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_val")
-        val a = bands.select(col("band_idx"), col("band_val"),
+        // bound #1: only non-saturated buckets enter candidate generation.
+        // The bucket count is a window over (band_idx, band_val) — the
+        // EXACT distribution the band self-join already exchanges on, so
+        // the cap costs one count over an exchange that was always there
+        // (no second simhash pass, no extra shuffle; a/b stay byte-
+        // identical subtrees for ReuseExchange).
+        val bucketW = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_idx"), col("band_val"))
+        val okBands = bands
+          .withColumn("bn", count(lit(1)).over(bucketW))
+          .filter(col("bn") <= SimBandCap)
+        val a = okBands.select(col("band_idx"), col("band_val"),
           col("doc_id").as("id_a"), col("simhash").as("sh_a"))
-        val b = bands.select(col("band_idx"), col("band_val"),
+        val b = okBands.select(col("band_idx"), col("band_val"),
           col("doc_id").as("id_b"), col("simhash").as("sh_b"))
-        a.join(b, Seq("band_idx", "band_val")).filter(col("id_a") < col("id_b"))
+        val pairs = a.join(b, Seq("band_idx", "band_val"))
+          .filter(col("id_a") < col("id_b"))
           .select(col("id_a"), col("id_b"),
             bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming")).distinct()
           .filter(col("hamming") <= 3)
+        // bound #2: per-doc nearest-SimNeighborCap emission — heap agg,
+        // (−hamming DESC, id ASC) ≡ (hamming ASC, id_b ASC)
+        pairs
+          .select(col("id_a"), (-col("hamming")).cast("double").as("negham"), col("id_b"))
+          .groupBy(col("id_a"))
+          .agg(graft.operators.TopKAgg.topK(col("negham"), col("id_b"), SimNeighborCap).as("top"))
+          .select(col("id_a"), explode(col("top")).as("t"))
+          .select(col("id_a"), col("t.id").as("id_b"), (-col("t.v")).cast("long").as("hamming"))
           .orderBy(col("id_a"), col("id_b"))
       },
       Some(s"""
         WITH $simhashPairCtes
-        SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3 ORDER BY id_a, id_b""")),
+        SELECT id_a, id_b, hamming FROM npairs ORDER BY id_a, id_b""")),
 
     // ── q28: fixed-size character chunking (reference W6, 800-char strides
     //        `src/groq_cot_batch_agents.ipynb` cell 1; 200 here for testdata) ──
