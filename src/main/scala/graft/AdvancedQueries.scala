@@ -24,12 +24,7 @@ object AdvancedQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** See RelationalQueries.events — TIMESTAMP(NANOS) rebuild (data is
-    * microsecond-granular, so the rebuild is exact). */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  private def events(s: SparkSession, dir: String): DataFrame = Events.load(s, dir)
 
   val defs: Seq[QueryDef] = Seq(
 

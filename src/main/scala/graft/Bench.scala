@@ -88,18 +88,23 @@ object Bench {
     // build.sbt, found by walking up from this class's code location) —
     // NOT the process CWD, which spark-submit from another dir would make
     // land outside the repo and defeat the truncation-recovery purpose.
-    val benchOut = sys.env.get("SPARK_GRAFT_BENCH_OUT")
-      .map(java.nio.file.Paths.get(_))
-      .getOrElse {
-        val here = java.nio.file.Paths.get(
-          classOf[QueryDef].getProtectionDomain.getCodeSource.getLocation.toURI)
-        Iterator.iterate(here)(_.getParent).takeWhile(_ != null)
-          .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
-          .map(_.resolve("BENCH_full.json"))
-          .getOrElse(java.nio.file.Paths.get("BENCH_full.json").toAbsolutePath)
-      }
-    try java.nio.file.Files.write(benchOut, (line + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable => System.err.println(s"[bench] BENCH_full.json write failed: ${e.getMessage}") }
+    // Path discovery must not be able to crash a completed bench:
+    // getCodeSource can legitimately return null (bootstrap/shaded/jar
+    // classloaders), so the whole computation lives inside the same
+    // try as the write and degrades to CWD on any failure.
+    try {
+      val benchOut = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+        .map(java.nio.file.Paths.get(_))
+        .getOrElse {
+          Option(classOf[QueryDef].getProtectionDomain.getCodeSource)
+            .map(cs => java.nio.file.Paths.get(cs.getLocation.toURI))
+            .flatMap(here => Iterator.iterate(here)(_.getParent).takeWhile(_ != null)
+              .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+              .map(_.resolve("BENCH_full.json")))
+            .getOrElse(java.nio.file.Paths.get("BENCH_full.json").toAbsolutePath)
+        }
+      java.nio.file.Files.write(benchOut, (line + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] BENCH_full.json write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

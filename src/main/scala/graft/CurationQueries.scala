@@ -118,7 +118,7 @@ object CurationQueries {
   /** Re-base shard-local bins to global per-source seq_ids: each range
     * consumes `max(bin)+1` sequences, so a range's base is the exclusive
     * prefix sum of bins over the ranges before it. The scan runs over
-    * the RANGE-cardinality frame (corpus/1024 rows), so the window and
+    * the RANGE-cardinality frame (corpus/PackRangeDocs rows), so the window and
     * the broadcast join-back cost nothing corpus-shaped; the packed
     * frame persists because it feeds both the range rollup and the
     * final projection. */
@@ -146,11 +146,7 @@ object CurationQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Par(s.read.parquet(s"$dir/documents.parquet"))
 
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  private def events(s: SparkSession, dir: String): DataFrame = Events.load(s, dir)
 
   /** Winnowing k-gram/window sizes (Schleimer et al., SIGMOD'03): word
     * 5-grams, window 4 — fingerprint density ≈ 2/(w+1) of all grams. */
@@ -248,7 +244,74 @@ object CurationQueries {
 
   /** One leftmost-greedy merge scan — the kernel both the trainer's
     * per-generation pass and the encoder's rank-ordered apply share. */
-  private def mergeScan(toks: Seq[String], x: String, y: String): Seq[String] = {
+  /** One-pass encoder: applies a rank-ordered merge list with EXACTLY the
+    * semantics of composing `mergeScan` once per merge (the q129 contract
+    * the DuckDB oracle replays), without the 32 sequential Seq-rebuilding
+    * scans per document that made q129 the suite's most expensive query.
+    *
+    * Tokens live in a slot array threaded as a linked list; one initial
+    * scan buckets each adjacent-pair position by its merge rank. Ranks
+    * process in order, each bucket in ascending slot order (= leftmost-
+    * first), entries validated against the live list at pop time (a merge
+    * invalidates overlapping entries by rewriting/killing their slots — a
+    * stale entry simply fails the string check). A merge at rank r forms
+    * two new adjacencies; they enqueue ONLY for ranks > r: rank-r's scan
+    * has already moved past them (mergeScan skips the merged token), and
+    * passes < r are over — the exact pass-boundary semantics sequential
+    * composition has. O(tokens + merges-applied) per doc vs O(ranks ×
+    * tokens); `BpeEncodeSpec` pins equivalence on crafted overlap runs
+    * and the real corpus.
+    */
+  private[graft] def encodeWithMerges(toks: Seq[String], ms: Seq[(String, String)]): Seq[String] = {
+    val n = toks.length
+    if (n < 2 || ms.isEmpty) return toks
+    val ranks = scala.collection.mutable.HashMap.empty[(String, String), Int]
+    ms.zipWithIndex.foreach { case (p, r) => if (!ranks.contains(p)) ranks.update(p, r) }
+    if (ranks.size != ms.length) // duplicate trained pair (collision corner):
+      return ms.foldLeft(toks) { case (cur, (x, y)) => mergeScan(cur, x, y) }
+    val tok = toks.toArray
+    val next = Array.tabulate(n)(_ + 1)
+    val prev = Array.tabulate(n)(_ - 1)
+    val alive = Array.fill(n)(true)
+    val buckets = Array.fill(ms.length)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    var i = 0
+    while (i + 1 < n) {
+      ranks.get((tok(i), tok(i + 1))).foreach(r => buckets(r) += i)
+      i += 1
+    }
+    var r = 0
+    while (r < ms.length) {
+      val (x, y) = ms(r)
+      val b = buckets(r).sortInPlace()
+      var k = 0
+      while (k < b.length) {
+        val p = b(k)
+        if (alive(p) && tok(p) == x) {
+          val j = next(p)
+          if (j < n && alive(j) && tok(j) == y) {
+            tok(p) = x + "_" + y
+            alive(j) = false
+            val nj = next(j)
+            next(p) = nj
+            if (nj < n) prev(nj) = p
+            val pp = prev(p)
+            if (pp >= 0 && alive(pp))
+              ranks.get((tok(pp), tok(p))).foreach(rr => if (rr > r) buckets(rr) += pp)
+            if (nj < n && alive(nj))
+              ranks.get((tok(p), tok(nj))).foreach(rr => if (rr > r) buckets(rr) += p)
+          }
+        }
+        k += 1
+      }
+      r += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var c = 0
+    while (c < n) { if (alive(c)) out += tok(c); c += 1 }
+    out.toSeq
+  }
+
+  private[graft] def mergeScan(toks: Seq[String], x: String, y: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     while (i < toks.length) {
@@ -372,7 +435,7 @@ object CurationQueries {
           .groupBy(col("x"))
           .agg(sum(expr("CAST(ceil(len / 2.0) AS BIGINT)")).as("applied"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
-      if (top.isEmpty) exhausted = true
+      if (top.isEmpty) { occ.unpersist(); exhausted = true }
       else {
         val picked = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
         val used = scala.collection.mutable.Set.empty[String]
@@ -1360,14 +1423,14 @@ object CurationQueries {
     //   sequences (C = 256 tokens) with next-fit in doc_id order.
     //   Packing is inherently sequential, so the scalable unit is the
     //   SUB-SHARD: each source splits into doc_id ranges of
-    //   `PackRangeDocs` docs (`range_id = doc_id div 1024` — pure
+    //   `PackRangeDocs` docs (`range_id = doc_id div PackRangeDocs` — pure
     //   per-row arithmetic, no rank window), every (source, range)
     //   packs independently in ONE mapPartitions pass, and shard-local
     //   bins re-base to global seq_ids by an exclusive prefix sum over
     //   the RANGE-cardinality rollup. Round 7 packed each source on a
     //   single task — a ceiling once one source dominates (web crawl ≫
     //   everything); now a 90%-skewed source still spreads across
-    //   |source|/1024 tasks, at the cost of ≤ 1 partial tail sequence
+    //   |source|/PackRangeDocs tasks, at the cost of ≤ 1 partial tail sequence
     //   per range (`PackSkewSpec` pins both properties). The oracle
     //   replays the same two-level recurrence: a recursive CTE per
     //   (source, range) plus the window-summed base. ──
@@ -1471,11 +1534,7 @@ object CurationQueries {
           bpeTrain(s, dir, sampleOnly = true, target = BpeSampleMerges)
         sampleToks.unpersist()
         val ms = merges.map(m => (m._2, m._3))
-        val encode = udf { (toks: Seq[String]) =>
-          var cur = toks
-          ms.foreach { case (x, y) => cur = mergeScan(cur, x, y) }
-          cur
-        }
+        val encode = udf { (toks: Seq[String]) => encodeWithMerges(toks, ms) }
         docs(s, dir)
           .select(col("lang"), split(col("text"), " ").as("w"))
           .withColumn("toks", encode(col("w")))

@@ -24,11 +24,7 @@ object PipelineQueries {
   private def orders(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/orders.parquet")
 
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  private def events(s: SparkSession, dir: String): DataFrame = Events.load(s, dir)
 
   /** q97 PageRank iterations — declared before `defs` (eager Seq). */
   private val PrIters = 3
@@ -404,6 +400,7 @@ object PipelineQueries {
         val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         var pr = nodes.withColumn("pr", lit(math.floor(1e6 / n).toLong))
         for (_ <- 1 to PrIters) {
+          val prev = pr
           val dang = pr.join(deg, pr("doc_id") === deg("src"), "left_anti")
             .agg(coalesce(sum(col("pr")), lit(0L)).as("dang"))
           val aggIn = edges.join(deg, Seq("src"))
@@ -413,8 +410,12 @@ object PipelineQueries {
           // cache each superstep (Pregel-style): pr feeds three consumers
           // (dangling sum, contributions, next round) — uncached, every
           // round re-derives the whole prior chain and the plan grows
-          // geometrically; persist() dedups lazily without the eager
-          // barrier a checkpoint would add
+          // geometrically. Force THIS round's blocks (count) before
+          // releasing round t−1's: the new frame's lineage reads prev, so
+          // dropping prev first would re-derive the whole chain. At most
+          // two pr frames are ever cached — the invariant that survives
+          // iteration counts chosen at 100× (a 50-round run caches 2
+          // frames, not 50).
           pr = nodes.join(aggIn, nodes("doc_id") === aggIn("dst"), "left")
             .crossJoin(broadcast(dang))
             .withColumn("pr", floor(lit(150000.0) / lit(n) + lit(0.85) *
@@ -422,7 +423,11 @@ object PipelineQueries {
                 floor(col("dang").cast("double") / lit(n))) + lit(0.5)).cast("long"))
             .select(col("doc_id"), col("pr"))
             .persist()
+          pr.count()
+          prev.unpersist()
         }
+        // the final frame is materialized, so the inputs can go too
+        pairs.unpersist(); nodes.unpersist()
         pr.withColumn("pagerank", round(col("pr") / lit(1e6), 6))
           .select(col("doc_id"), col("pagerank"))
           .orderBy(col("doc_id"))

@@ -32,6 +32,33 @@ object Par {
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 }
 
+/** Shared events.parquet loader. The driver's generator has shipped two
+  * on-disk encodings for `ts`: TIMESTAMP(NANOS), which Spark's parquet
+  * reader only surfaces as a raw long via the legacy conf, and naive
+  * TIMESTAMP(MICROS), which Spark reads as TIMESTAMP_NTZ. Either way the
+  * query layer (date_trunc / window / unix_micros) and the DuckDB oracle
+  * (`epoch_us(ts)`) were written against a session-TZ (UTC) TimestampType
+  * `ts`, so normalize here — one owner, every family reads through it.
+  */
+object Events {
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.types.LongType
+
+  def load(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalize(s.read.parquet(s"$dir/events.parquet"))
+  }
+
+  /** `ts` → TimestampType regardless of the on-disk encoding. The NTZ→TZ
+    * cast is wall-clock-preserving under the UTC session every entrypoint
+    * pins, matching DuckDB's naive reading of the same column.
+    */
+  def normalize(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case _        => df.withColumn("ts", col("ts").cast("timestamp"))
+  }
+}
+
 /** Session-builder helpers shared by the driver-contract mains. */
 object GraftSession {
   /** SPARK_GRAFT_EXTRA_CONF="k=v;k=v" → ad-hoc session confs (e.g.
@@ -57,42 +84,67 @@ object ExactPercentiles {
   import org.apache.spark.sql.expressions.Window
   import org.apache.spark.sql.functions._
 
+  /** Below this many TOTAL input rows the plain per-key window sort wins:
+    * even a single key sorting every row is one sub-second task, and the
+    * bucketed path's extra boundary pass + offsets join is pure overhead
+    * (it took q48 from 1.69 s to 4.22 s at sf0.1). Above it, single-task
+    * per-key sorts become the sf1 cliff (q48 65 s) and bucketing wins. */
+  private val SmallSortRows = 1500000L
+
   /** (key, v, rn, n): 0-based rank of v within key, and the group size.
     *
-    * Scalable exact rank, NOT a per-key window: `row_number() OVER
-    * (PARTITION BY key)` sorts each key's ENTIRE value set on one task —
-    * with 3 return flags over sf1's 6M lineitem rows that was 3 tasks
-    * sorting 2M rows each (q48 65 s / q19 21 s in the sf1 sweep). Here
-    * rows bucket by APPROXIMATE value boundaries (accuracy irrelevant —
-    * exactness comes from counting), each (key, bucket) sorts locally in
-    * parallel, and the global rank is the bucket's exact counted offset
-    * plus the local row_number. The offset rollup is (keys × buckets)
-    * rows, and its hash exchange is byte-identical to the window's, so
-    * ReuseExchange computes the bucketed frame once. Ties order
-    * arbitrarily within equal v — rank endpoints pick the same v either
-    * way, so lo/hi/interp are deterministic. */
+    * ONE cheap pre-pass (count + approx_percentile in a single aggregate
+    * job — boundary ACCURACY is irrelevant, exactness comes from
+    * counting) sizes the input and picks the shape:
+    *
+    *  - small: `row_number() OVER (PARTITION BY key ORDER BY v)` — the
+    *    plan both engines would write, fastest when every key fits a
+    *    task;
+    *  - large: rows bucket by the approximate value boundaries, each
+    *    (key, bucket) sorts locally in parallel, and the global rank is
+    *    the bucket's exact counted offset plus the local row_number.
+    *    NOT a per-key window: that sorts each key's ENTIRE value set on
+    *    one task — with 3 return flags over sf1's 6M lineitem rows that
+    *    was 3 tasks sorting 2M rows each (q48 65 s / q19 21 s in the
+    *    sf1 sweep). The offset rollup is (keys × buckets) rows, and its
+    *    hash exchange is byte-identical to the window's, so
+    *    ReuseExchange computes the bucketed frame once.
+    *
+    * Ties order arbitrarily within equal v — rank endpoints pick the
+    * same v either way, so lo/hi/interp are deterministic in both
+    * shapes. */
   def ranked(df: DataFrame, key: String, value: String): DataFrame = {
     val base = df.select(col(key), col(value).as("v"))
     val nb = 32
-    val bounds = base.stat
-      .approxQuantile("v", (1 until nb).map(_.toDouble / nb).toArray, 0.01)
-      .distinct.sorted
-    val bucket =
-      if (bounds.isEmpty) lit(0)
-      else bounds.map(b => when(col("v") > lit(b), 1).otherwise(0))
-        .reduce(_ + _)
-    val withB = base.withColumn("b", bucket)
-    val wLoc = Window.partitionBy(col(key), col("b")).orderBy(col("v"))
-    val wOff = Window.partitionBy(col(key)).orderBy(col("b"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = withB.groupBy(col(key), col("b")).agg(count(lit(1)).as("cnt"))
-      .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
-      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col(key))))
-      .select(col(key), col("b"), col("off"), col("n"))
-    withB
-      .withColumn("lrn", row_number().over(wLoc).cast("long") - 1L)
-      .join(broadcast(offs), Seq(key, "b"))
-      .select(col(key), col("v"), (col("off") + col("lrn")).as("rn"), col("n"))
+    val probe = base.agg(
+      count(lit(1)).as("n"),
+      expr(s"approx_percentile(v, array(${(1 until nb).map(_.toDouble / nb).mkString(",")}), 100)")
+        .as("bs")).head()
+    if (probe.getLong(0) <= SmallSortRows) {
+      val wLoc = Window.partitionBy(col(key)).orderBy(col("v"))
+      base
+        .withColumn("rn", row_number().over(wLoc).cast("long") - 1L)
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col(key))))
+        .select(col(key), col("v"), col("rn"), col("n"))
+    } else {
+      val bounds = probe.getSeq[Double](1).distinct.sorted
+      val bucket =
+        if (bounds.isEmpty) lit(0)
+        else bounds.map(b => when(col("v") > lit(b), 1).otherwise(0))
+          .reduce(_ + _)
+      val withB = base.withColumn("b", bucket)
+      val wLoc = Window.partitionBy(col(key), col("b")).orderBy(col("v"))
+      val wOff = Window.partitionBy(col(key)).orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = withB.groupBy(col(key), col("b")).agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col(key))))
+        .select(col(key), col("b"), col("off"), col("n"))
+      withB
+        .withColumn("lrn", row_number().over(wLoc).cast("long") - 1L)
+        .join(broadcast(offs), Seq(key, "b"))
+        .select(col(key), col("v"), (col("off") + col("lrn")).as("rn"), col("n"))
+    }
   }
 
   def pos(p: Double): Column = lit(p) * (col("n") - 1).cast("double")

@@ -43,15 +43,7 @@ object RelationalQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    * parquet reader rejects; read ns-as-long and rebuild a micros
-    * timestamp (exact for these values; DuckDB reads ns natively and
-    * date_trunc alignment makes outputs identical).
-    */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  private def events(s: SparkSession, dir: String): DataFrame = Events.load(s, dir)
 
   val defs: Seq[QueryDef] = Seq(
 

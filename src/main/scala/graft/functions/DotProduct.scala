@@ -149,12 +149,19 @@ case class CosineSim(left: Expression, right: Expression) extends VectorKernel {
 }
 
 /** sign_pack(vec, off): a 32-bit binary-quantization code word — bit i
-  * set when vec[off + i] > 0 (q94's 1-bit-per-dim codes). Bit-identical
-  * to the aggregate-HOF formulation it replaces (Σ 2^i over positive
-  * dims: distinct powers of two sum exactly in double before the BIGINT
-  * cast) but one codegen'd loop instead of 32 interpreted lambda steps
-  * per row — the measured dominant cost of q94. Null array, too-short
-  * array, or a null element → null, mirroring VectorKernel semantics.
+  * set when vec[off + i] > 0 (q94's 1-bit-per-dim codes). On dense
+  * in-range arrays, bit-identical to the aggregate-HOF formulation it
+  * replaces (Σ 2^i over positive dims: distinct powers of two sum
+  * exactly in double before the BIGINT cast) but one codegen'd loop
+  * instead of 32 interpreted lambda steps per row — the measured
+  * dominant cost of q94. DEGENERATE inputs diverge from the HOF: the
+  * old CASE treated a null/missing element as contributing 0, while
+  * sign_pack returns NULL for a null array, a null element, or an array
+  * shorter than off+32 (VectorKernel semantics) — and TopKAgg's
+  * null-skip then drops that row from the Hamming scan. q94's
+  * embeddings are dense 64-dim (TextEmbed emits no nulls; dim checked
+  * at insert), so the difference is unreachable there; any new caller
+  * with sparse vectors must pre-coalesce.
   */
 case class SignPack(child: Expression, off: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {

@@ -140,16 +140,24 @@ final class RagServer(
                 // producer (lock in hand) on a slow client again, and the
                 // memory ceiling is one answer's deltas either way.
                 val queue = new java.util.concurrent.LinkedBlockingQueue[Option[String]]()
+                // A client that disconnects mid-stream makes sse() throw;
+                // without a stop signal the producer would keep generating
+                // the whole answer under llmLock for a dead socket. The
+                // flag is checked per delta — the producer stops within
+                // one delta of the consumer failing.
+                @volatile var cancelled = false
                 val producer = new Thread(() => {
                   try llmLock.synchronized {
-                    llm.answerStream(q, context).foreach(d => queue.put(Some(
-                      s"""{"choices":[{"delta":{"content":${RagServer.jstr(d)}}}]}""")))
+                    llm.answerStream(q, context)
+                      .takeWhile(_ => !cancelled)
+                      .foreach(d => queue.put(Some(
+                        s"""{"choices":[{"delta":{"content":${RagServer.jstr(d)}}}]}""")))
                   } finally queue.put(None) // end-of-stream even on failure
                 }, "rag-sse-producer")
                 producer.start()
                 try RagServer.sse(x,
                   Iterator.continually(queue.take()).takeWhile(_.isDefined).map(_.get))
-                finally producer.join()
+                finally { cancelled = true; producer.join() }
               }
           }
         }

@@ -18,13 +18,16 @@ import org.apache.spark.sql.types._
   */
 object StreamingIngest {
 
-  /** events.parquet schema with ts as raw nanos (the file stores
-    * TIMESTAMP(NANOS), which Spark only reads as long via the legacy
-    * conf). */
-  val EventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** events.parquet on-disk schema, taken from the batch footer so either
+    * historical `ts` encoding (TIMESTAMP(NANOS) surfaced as raw long via
+    * the legacy conf, or naive TIMESTAMP(MICROS) surfaced as NTZ) flows
+    * into the schema-pinned readers; `graft.Events.normalize` then lifts
+    * `ts` to the session-TZ TimestampType every consumer was written for.
+    */
+  def eventsRawSchema(spark: SparkSession, dir: String): StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet").schema
+  }
 
   /** Hourly event counts computed as a STREAMING query over the parquet
     * file (one micro-batch; complete mode), returned as a batch DataFrame.
@@ -79,14 +82,12 @@ object StreamingIngest {
     s2 // nanosAsLong is owned by eventStream, the only reader needing it
   }
 
-  private def eventStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(EventsRawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  private def eventStream(spark: SparkSession, dir: String): DataFrame =
+    graft.Events.normalize(
+      spark.readStream
+        .schema(eventsRawSchema(spark, dir))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
 
   private def runToTable(spark: SparkSession, df: DataFrame, mode: String): DataFrame = {
     val name = s"stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -365,16 +366,15 @@ object StreamingIngest {
     */
   def userSessions(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val gapNs = gapMinutes * 60L * 1000L * 1000L * 1000L
-    spark.read.schema(EventsRawSchema).parquet(s"$dir/events.parquet")
-      .select(col("user_id"), col("ts"))
+    val gapUs = gapMinutes * 60L * 1000L * 1000L
+    graft.Events.load(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")))
       .as[(Long, Long)]
       .groupByKey(_._1)
       .mapGroups { (uid, it) =>
         val ts = it.map(_._2).toArray.sorted
         val sessions = 1 + ts.iterator.sliding(2).withPartial(false)
-          .count(w => w(1) - w(0) > gapNs)
+          .count(w => w(1) - w(0) > gapUs)
         (uid, ts.length.toLong, sessions.toLong)
       }
       .toDF("user_id", "n_events", "n_sessions")

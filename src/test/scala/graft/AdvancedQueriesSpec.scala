@@ -12,10 +12,7 @@ class AdvancedQueriesSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   test("q33: binned range join ≡ naive inequality join") {
-    val spark2 = spark
-    spark2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val e = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val e = graft.Events.load(spark, sf)
       .select($"user_id", $"event_id", $"ts")
     val naive = e.as("a").join(e.as("b"),
         $"a.user_id" === $"b.user_id" &&
@@ -31,9 +28,7 @@ class AdvancedQueriesSpec extends SparkSpec {
   test("q32: every matched view precedes (or ties) its click, same user") {
     val out = AdvancedQueries.defs.find(_.name == "q32_asof_join").get
       .fn(spark, sf).filter($"view_id" =!= -1L)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val e = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val e = graft.Events.load(spark, sf)
       .select($"event_id", $"user_id", $"ts")
     val joined = out
       .join(e.select($"event_id".as("click_id"), $"ts".as("click_ts"),
@@ -46,8 +41,7 @@ class AdvancedQueriesSpec extends SparkSpec {
   test("q34: session event counts cover every event exactly once") {
     val sessions = AdvancedQueries.defs.find(_.name == "q34_sessions_batch").get
       .fn(spark, sf)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val nEvents = spark.read.parquet(s"$sf/events.parquet").count()
+    val nEvents = graft.Events.load(spark, sf).count()
     assert(sessions.agg(sum($"n_events")).as[Long].head() === nEvents)
   }
 }

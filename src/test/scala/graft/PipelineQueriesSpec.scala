@@ -91,6 +91,22 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(prs.max > prs.min, "degenerate uniform PageRank — graph had no edges?")
   }
 
+  test("q97: superstep cache discipline — prior rounds release, inputs release") {
+    // The trainer invariant that survives iteration counts chosen at
+    // 100×: each round forces its frame then unpersists round t−1, and
+    // pairs/nodes release after the loop. Only the FINAL pr frame (the
+    // lazily-consumed result) plus q31's internal shingle/band caches
+    // may remain. A reintroduced per-round leak adds PrIters-1 extra
+    // frames and trips the bound.
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val before = spark.sparkContext.getPersistentRDDs.size
+    run("q97_pagerank").collect()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 3,
+      s"q97 left ${after - before} cached frames (expected ≤ 3: final pr + q31 internals)")
+  }
+
   test("q96: z-block histogram accounts for every order exactly once") {
     val rows = run("q96_zorder").collect()
     assert(rows.length > 1)

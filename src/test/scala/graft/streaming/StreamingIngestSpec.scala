@@ -9,10 +9,7 @@ class StreamingIngestSpec extends SparkSpec {
 
   test("streaming hourly counts ≡ batch date_trunc aggregation") {
     val streamed = StreamingIngest.hourlyEventCounts(spark, sf)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batch = spark.read.schema(StreamingIngest.EventsRawSchema)
-      .parquet(s"$sf/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batch = graft.Events.load(spark, sf)
       .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"))
       .agg(count(lit(1)).as("n_events"))
@@ -136,10 +133,7 @@ class StreamingIngestSpec extends SparkSpec {
 
   test("streaming distinct keys ≡ batch SELECT DISTINCT") {
     val streamed = StreamingIngest.distinctUserHourType(spark, sf)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batch = spark.read.schema(StreamingIngest.EventsRawSchema)
-      .parquet(s"$sf/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batch = graft.Events.load(spark, sf)
       .select(col("user_id"),
         date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type")).distinct()
@@ -260,8 +254,7 @@ class StreamingIngestSpec extends SparkSpec {
 
   test("typed stateful sessions: counts match groupBy, sessions ≥ 1") {
     val got = StreamingIngest.userSessions(spark, sf)
-    val counts = spark.read.schema(StreamingIngest.EventsRawSchema)
-      .parquet(s"$sf/events.parquet")
+    val counts = graft.Events.load(spark, sf)
       .groupBy("user_id").agg(count(lit(1)).as("expected"))
     val joined = got.join(counts, "user_id")
     assert(joined.filter(col("n_events") =!= col("expected")).count() === 0)
