@@ -91,3 +91,20 @@ object ExtractiveLlm extends LlmClient {
     math.rint(200.0 * prec * rec / (prec + rec)) / 100.0
   }
 }
+
+/** Replay adapter: serves EXTERNALLY produced completions (a recorded
+  * transcript of a real chat API — question → answer, the I/O the
+  * reference's Groq proxy returns, `src/groq_proxy.py:44-75`) through
+  * the same trait a live client implements. Proves the LlmClient seam
+  * accepts text the engine did not generate, without egress. Closed
+  * over its recording: an unrecorded question gets the reference's
+  * fallback string — exactly what a live client returns when generation
+  * fails (`src/groq_proxy.py:56`). judge stays the deterministic
+  * token-F1 (a recorded judge would be a Map lookup the same way).
+  */
+final class RecordedLlm(recording: Map[String, String]) extends LlmClient {
+  override def answer(question: String, context: Seq[String]): String =
+    recording.getOrElse(question, ExtractiveLlm.Fallback)
+  override def judge(question: String, expected: String, predicted: String): Double =
+    ExtractiveLlm.judge(question, expected, predicted)
+}

@@ -34,6 +34,56 @@ final class HashingEmbedder(override val dim: Int = TextEmbed.DefaultDim) extend
     texts.map(t => TextEmbed.embedScala(t, dim))
 }
 
+/** Production-adapter seam, executable offline: serves EXTERNALLY
+  * produced vectors (a sentence-transformer dump — the reference's
+  * `scripts/prepare_data.py:21-22,50-54` writes exactly such a
+  * text+embedding table with dim 384, normalize=True) from a parquet
+  * fixture, through the same trait a live model adapter would use.
+  * `open()` loads the table once per partition via parquet-java — no
+  * SparkSession on the executor, the same lifecycle a JNI/ONNX model
+  * load has; on a cluster the path must be shared storage, exactly like
+  * a model file. Closed-world by design: an unknown text is a fixture
+  * bug, not a reason to silently fall back to a different embedding
+  * space, so it throws. Vectors are validated against the declared dim
+  * and the L2-normalization contract at load.
+  */
+final class ParquetEmbedder(path: String, override val dim: Int = 384) extends Embedder {
+  @transient private var table: java.util.HashMap[String, Array[Double]] = _
+
+  override def open(): Unit = if (table == null) {
+    val t = new java.util.HashMap[String, Array[Double]]()
+    val reader = org.apache.parquet.hadoop.ParquetReader
+      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+        new org.apache.hadoop.fs.Path(path))
+      .withConf(new org.apache.hadoop.conf.Configuration())
+      .build()
+    try {
+      var g = reader.read()
+      while (g != null) {
+        val text = g.getString("text", 0)
+        val list = g.getGroup("embedding", 0)
+        val n = list.getFieldRepetitionCount(0)
+        val v = Array.tabulate(n)(i => list.getGroup(0, i).getDouble(0, 0))
+        require(v.length == dim,
+          s"fixture row '$text': dim ${v.length}, declared $dim")
+        val norm = math.sqrt(v.map(x => x * x).sum)
+        require(math.abs(norm - 1.0) < 1e-6,
+          s"fixture row '$text': not L2-normalized (|v| = $norm)")
+        t.put(text, v)
+        g = reader.read()
+      }
+    } finally reader.close()
+    table = t
+  }
+
+  override def embedBatch(texts: Seq[String]): Seq[Array[Double]] =
+    texts.map { txt =>
+      val v = table.get(txt)
+      require(v != null, s"ParquetEmbedder: no fixture vector for text '$txt'")
+      v
+    }
+}
+
 object Embedder {
 
   /** Adds `outCol` = embedder(textCol) via mapPartitions: one `open()` and
