@@ -391,26 +391,39 @@ object CurationQueries {
       // never overlap (an overlap would force x == y), so applied =
       // count; self-pairs overlap only on consecutive runs, where
       // leftmost-greedy keeps ceil(run/2).
-      val occ = t.select(col("doc_id"), explode(expr(
-        "transform(slice(toks, 1, size(toks) - 1)," +
-          " (t, i) -> struct(i AS pos, t AS x, toks[i + 1] AS y," +
-          "   CASE WHEN i > 0 THEN toks[i - 1] ELSE NULL END AS wp," +
-          "   get(toks, i + 2) AS wn))")).as("p"))
-        .select(col("doc_id"), col("p.pos"), col("p.x"), col("p.y"),
-          col("p.wp"), col("p.wn"))
-        .persist() // feeds the count rollup, the triple bound, the self-run job
-      val top = tick("top")(occ.groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("x"), col("y"))
-        .limit(math.max(maxBatch * 4, 8))
-        .collect()
-        .map(r => (r.getString(0), r.getString(1), r.getLong(2))))
+      // Pair counts ride ONE light explode over the cached tokenization.
+      // (An explicit wide occurrence frame — pos/neighbors included,
+      // persisted, three consumers — was measured SLOWER: materializing
+      // ~1M wide rows per superstep cost more than the consumers cost to
+      // re-explode the 12.5k cached arrays, and `bound` touches only the
+      // candidate-filtered sliver anyway.)
+      val top = tick("top")(
+        t.select(explode(expr(
+          "transform(slice(toks, 1, size(toks) - 1)," +
+            " (t, i) -> struct(t AS x, toks[i + 1] AS y))")).as("p"))
+          .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+          .agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("x"), col("y"))
+          .limit(math.max(maxBatch * 4, 8))
+          .collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2))))
       // max new-pair count each candidate could mint, via its neighbor
       // triples (one aggregation over the candidate-filtered occurrences)
       import s.implicits._
+      // (a pre-explode InSet filter on concat'd pair keys was measured
+      // SLOWER — 0.40 vs 0.30 s/step: 64-way string concat+probe per
+      // token loses to the vectorized post-explode broadcast hash join)
       val candDf = broadcast(top.map { case (x, y, _) => (x, y) }.toSeq
         .toDF("x", "y"))
       val newBound: Map[(String, String), Long] = tick("bound")(
-        occ.join(candDf, Seq("x", "y"))
+        t.select(explode(expr(
+          "transform(slice(toks, 1, size(toks) - 1)," +
+            " (t, i) -> struct(t AS x, toks[i + 1] AS y," +
+            "   CASE WHEN i > 0 THEN toks[i - 1] ELSE NULL END AS wp," +
+            "   get(toks, i + 2) AS wn))")).as("p"))
+          .select(col("p.x").as("x"), col("p.y").as("y"),
+            col("p.wp").as("wp"), col("p.wn").as("wn"))
+          .join(candDf, Seq("x", "y"))
           .select(col("x"), col("y"), explode(array(
             struct(lit("p").as("side"), col("wp").as("w")),
             struct(lit("n").as("side"), col("wn").as("w")))).as("e"))
@@ -427,7 +440,12 @@ object CurationQueries {
       // that actually selects an x==x pair
       def selfApplied(selfSel: Seq[String]): Map[String, Long] = tick("self")(
         if (selfSel.isEmpty) Map.empty
-        else occ.filter(col("x") === col("y") && col("x").isin(selfSel: _*))
+        else t.select(col("doc_id"), explode(expr(
+          "transform(slice(toks, 1, size(toks) - 1)," +
+            " (t, i) -> struct(i AS pos, t AS x, toks[i + 1] AS y))")).as("p"))
+          .select(col("doc_id"), col("p.pos").as("pos"),
+            col("p.x").as("x"), col("p.y").as("y"))
+          .filter(col("x") === col("y") && col("x").isin(selfSel: _*))
           .withColumn("rn", row_number().over(
             Window.partitionBy(col("doc_id"), col("x")).orderBy(col("pos"))))
           .groupBy(col("x"), col("doc_id"), (col("pos") - col("rn")).as("grp"))
@@ -435,7 +453,7 @@ object CurationQueries {
           .groupBy(col("x"))
           .agg(sum(expr("CAST(ceil(len / 2.0) AS BIGINT)")).as("applied"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
-      if (top.isEmpty) { occ.unpersist(); exhausted = true }
+      if (top.isEmpty) exhausted = true
       else {
         val picked = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
         val used = scala.collection.mutable.Set.empty[String]
@@ -457,7 +475,6 @@ object CurationQueries {
         val selfA = selfApplied(picked.collect { case (x, y, _) if x == y => x }.toSeq)
         val sel = picked.map { case (x, y, c) =>
           (x, y, c, if (x == y) selfA(x) else c) }
-        occ.unpersist()
         // localCheckpoint, NOT persist: persist caches rows but keeps the
         // full lineage, so by generation ~20 every superstep job re-
         // analyzes a UDF chain of all prior generations and the
@@ -467,25 +484,27 @@ object CurationQueries {
         val next = tick("ckpt")(t.select(col("doc_id"),
           applyBatch(col("toks"), typedlit(sel.map(_._1).toSeq),
             typedlit(sel.map(_._2).toSeq)).as("toks"))
-          .localCheckpoint())
-        val after = tick("audit")(next.agg(sum(size(col("toks"))).cast("long"))
-          .collect()(0).getLong(0)) // compression audit
+          .localCheckpoint()) // eager: the superstep barrier
         // per-merge toks_after telescopes from the exact applied counts;
-        // the measured total cross-checks the whole batch
+        // the END-OF-TRAINING measurement below cross-checks the whole
+        // telescope (equivalent invariant to a per-batch count, minus
+        // one full-scan job per superstep — measured 0.12 s × 10 steps)
         var running = total
         sel.foreach { case (x, y, c, applied) =>
           running -= applied
           merges += ((trained.toLong, x, y, c, running))
           trained += 1
         }
-        require(running == after,
-          s"BPE batch audit: telescoped token count $running != measured " +
-            s"$after — an applied-occurrence count is wrong for ${sel.toList}")
-        total = after
+        total = running
         t.unpersist()
         t = next
       }
     }
+    val measured = tick("audit")(t.agg(sum(size(col("toks"))).cast("long"))
+      .collect()(0).getLong(0))
+    require(measured == total,
+      s"BPE training audit: telescoped token count $total != measured " +
+        s"$measured — an applied-occurrence count is wrong somewhere in ${merges.result().size} merges")
     (merges.result(), t)
     } finally {
       s.conf.set("spark.sql.adaptive.enabled", prevAqe)
