@@ -78,7 +78,23 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"canary_before":$canaryBefore,"canary_after":$canaryAfter,"queries":$qs,"sf":"$sfDir"}"""
+    // Fingerprint of the input directory (name:size per parquet) so a
+    // scale artifact (BENCH_sf1.json) records WHICH generated data it
+    // measured — sf1 is locally generated, not driver-shipped, and a
+    // regenerated directory must not be diffable against stale numbers.
+    val fingerprint = try {
+      val files = java.nio.file.Files.list(java.nio.file.Paths.get(sfDir))
+        .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+      val sb = new StringBuilder
+      val sorted = new java.util.ArrayList[java.nio.file.Path]()
+      files.forEachRemaining(p => sorted.add(p))
+      sorted.sort((a, b) => a.getFileName.toString.compareTo(b.getFileName.toString))
+      sorted.forEach(p =>
+        sb.append(p.getFileName).append(':').append(java.nio.file.Files.size(p)).append(';'))
+      java.security.MessageDigest.getInstance("MD5").digest(sb.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
+    } catch { case _: Throwable => "unknown" }
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"canary_before":$canaryBefore,"canary_after":$canaryAfter,"data_fingerprint":"$fingerprint","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // The driver keeps only the stdout TAIL of this process, and with ~115
     // queries the sorted timing dict truncates mid-line (BENCH_r06.json lost
@@ -92,6 +108,11 @@ object Bench {
     // getCodeSource can legitimately return null (bootstrap/shaded/jar
     // classloaders), so the whole computation lives inside the same
     // try as the write and degrades to CWD on any failure.
+    // sf1 runs are locally generated scale sweeps, not driver rounds —
+    // they land in their own artifact so round-over-round scale
+    // regressions diff mechanically instead of from prose
+    val artifact =
+      if (sfDir.replace("/", "").endsWith("sf1")) "BENCH_sf1.json" else "BENCH_full.json"
     try {
       val benchOut = sys.env.get("SPARK_GRAFT_BENCH_OUT")
         .map(java.nio.file.Paths.get(_))
@@ -100,11 +121,11 @@ object Bench {
             .map(cs => java.nio.file.Paths.get(cs.getLocation.toURI))
             .flatMap(here => Iterator.iterate(here)(_.getParent).takeWhile(_ != null)
               .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
-              .map(_.resolve("BENCH_full.json")))
-            .getOrElse(java.nio.file.Paths.get("BENCH_full.json").toAbsolutePath)
+              .map(_.resolve(artifact)))
+            .getOrElse(java.nio.file.Paths.get(artifact).toAbsolutePath)
         }
       java.nio.file.Files.write(benchOut, (line + "\n").getBytes("UTF-8"))
-    } catch { case e: Throwable => System.err.println(s"[bench] BENCH_full.json write failed: ${e.getMessage}") }
+    } catch { case e: Throwable => System.err.println(s"[bench] $artifact write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -391,8 +391,23 @@ object PipelineQueries {
     //   broadcast. ──
     QueryDef("q97_pagerank",
       (s, dir) => {
+        // Superstep loop ≡ the BPE trainer's regime: many SMALL jobs over
+        // cached frames, where AQE's per-stage re-planning round-trips
+        // and 32-wide micro-shuffles dominate (measured 1.7 s/round vs
+        // 0.5 s with classic planning + 8 partitions on the 5k-node
+        // sf0.1 graph). Train classic, restore after.
+        val prevAqe = s.conf.get("spark.sql.adaptive.enabled", "true")
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions", "32")
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
         val pairs = TextQueries.defs.find(_.name == "q31_simhash_pairs").get
           .fn(s, dir).select(col("id_a"), col("id_b")).persist()
+        // cache-fill barrier: round 1's job reads pairs from several
+        // subtrees (the dang broadcast subquery AND the contribution
+        // join); left lazy, each computes the whole q31 pipeline before
+        // the cache is filled (measured ~2× pair-build cost in round 1)
+        pairs.count()
         val nodes = docs(s, dir).select(col("doc_id")).persist()
         val n = nodes.count().toDouble
         val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -431,6 +446,10 @@ object PipelineQueries {
         pr.withColumn("pagerank", round(col("pr") / lit(1e6), 6))
           .select(col("doc_id"), col("pagerank"))
           .orderBy(col("doc_id"))
+        } finally {
+          s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        }
       },
       Some(pagerankSql)),
 
