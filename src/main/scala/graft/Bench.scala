@@ -32,6 +32,7 @@ object Bench {
       .withExtensions(new GraftExtensions) // KernelRewrite active in the bench
     val spark = GraftSession.applyExtraConf(builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    SchemaGuard.check(spark, sfDir) // fail at the seam, not mid-query
     // warm the JVM/codegen/scan paths so the first measured query doesn't
     // absorb session startup (observed ~6s on whichever query ran first)
     try spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).count()
@@ -83,11 +84,13 @@ object Bench {
     // measured — sf1 is locally generated, not driver-shipped, and a
     // regenerated directory must not be diffable against stale numbers.
     val fingerprint = try {
-      val files = java.nio.file.Files.list(java.nio.file.Paths.get(sfDir))
-        .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
       val sb = new StringBuilder
       val sorted = new java.util.ArrayList[java.nio.file.Path]()
-      files.forEachRemaining(p => sorted.add(p))
+      // Files.list holds a directory fd until the STREAM is closed —
+      // drain it inside Using so the handle never outlives the listing
+      scala.util.Using.resource(java.nio.file.Files.list(java.nio.file.Paths.get(sfDir))) {
+        files => files.iterator().forEachRemaining(p => sorted.add(p))
+      }
       sorted.sort((a, b) => a.getFileName.toString.compareTo(b.getFileName.toString))
       sorted.forEach(p =>
         sb.append(p.getFileName).append(':').append(java.nio.file.Files.size(p)).append(';'))

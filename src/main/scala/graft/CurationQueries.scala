@@ -349,10 +349,14 @@ object CurationQueries {
     // micro-shuffles dominated wall clock (measured ~3 s/superstep on a
     // KB-sized sample — main thread parked in withFinalPlanUpdate).
     // Train with classic planning and narrow shuffles, restore after.
+    // 4 partitions, not 8: KB-sized exchanges are pure task overhead
+    // (r10 measured: q129 isolated 5.41 s at 8 → 4.86 s at 4, REPS=3;
+    // on a real cluster the trainer input is a per-executor SAMPLE, so
+    // narrow is correct there too).
     val prevAqe = s.conf.get("spark.sql.adaptive.enabled", "true")
     val prevParts = s.conf.get("spark.sql.shuffle.partitions", "32")
     s.conf.set("spark.sql.adaptive.enabled", "false")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
     var total = t.agg(sum(size(col("toks"))).cast("long")).collect()(0).getLong(0)
     val merges = Seq.newBuilder[(Long, String, String, Long, Long)]
@@ -397,43 +401,52 @@ object CurationQueries {
       // ~1M wide rows per superstep cost more than the consumers cost to
       // re-explode the 12.5k cached arrays, and `bound` touches only the
       // candidate-filtered sliver anyway.)
-      val top = tick("top")(
-        t.select(explode(expr(
-          "transform(slice(toks, 1, size(toks) - 1)," +
-            " (t, i) -> struct(t AS x, toks[i + 1] AS y))")).as("p"))
-          .groupBy(col("p.x").as("x"), col("p.y").as("y"))
-          .agg(count(lit(1)).as("c"))
+      // Pair counts AND mint bounds ride ONE action (round-10 verdict
+      // #4: the superstep floor was barrier-bound — 10 × (top 0.20 s +
+      // bound 0.30 s) of driver round-trips over KB-sized jobs). The
+      // candidate table is no longer collected between the two
+      // aggregations: the neighbor-triple max aggregates over ALL pairs
+      // (the 8-token-ish vocabulary keeps the triple domain the same
+      // order as the pair domain) and left-joins the counts, so one job
+      // returns (x, y, c, mintBound) directly. A broadcast-the-top-N
+      // in-plan variant was measured SLOWER (0.65 vs 0.50 s/step): with
+      // no exchange reuse the limit subtree evaluates twice. Both
+      // subtrees still re-explode the cached tokenization (measured
+      // cheaper than materializing a wide occurrence frame, r9 note
+      // below); column pruning gives the counts branch the light
+      // x/y-only explode. (A pre-explode InSet filter on concat'd pair
+      // keys was also measured SLOWER — 0.40 vs 0.30 s/step: 64-way
+      // string concat+probe per token loses to vectorized aggregation.)
+      val exploded = t.select(explode(expr(
+        "transform(slice(toks, 1, size(toks) - 1)," +
+          " (t, i) -> struct(t AS x, toks[i + 1] AS y," +
+          "   CASE WHEN i > 0 THEN toks[i - 1] ELSE NULL END AS wp," +
+          "   get(toks, i + 2) AS wn))")).as("p"))
+        .select(col("p.x").as("x"), col("p.y").as("y"),
+          col("p.wp").as("wp"), col("p.wn").as("wn"))
+      val counts = exploded.groupBy(col("x"), col("y"))
+        .agg(count(lit(1)).as("c"))
+      // max new-pair count each pair could mint, via its neighbor
+      // triples (side × neighbor, then max over the pair)
+      val tripleMax = exploded
+        .select(col("x"), col("y"), explode(array(
+          struct(lit("p").as("side"), col("wp").as("w")),
+          struct(lit("n").as("side"), col("wn").as("w")))).as("e"))
+        .filter(col("e.w").isNotNull)
+        .groupBy(col("x"), col("y"), col("e.side"), col("e.w"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("x"), col("y"))
+        .agg(max(col("cnt")).as("mx"))
+      val stats = tick("stats")(
+        counts.join(tripleMax, Seq("x", "y"), "left")
           .orderBy(col("c").desc, col("x"), col("y"))
           .limit(math.max(maxBatch * 4, 8))
           .collect()
-          .map(r => (r.getString(0), r.getString(1), r.getLong(2))))
-      // max new-pair count each candidate could mint, via its neighbor
-      // triples (one aggregation over the candidate-filtered occurrences)
-      import s.implicits._
-      // (a pre-explode InSet filter on concat'd pair keys was measured
-      // SLOWER — 0.40 vs 0.30 s/step: 64-way string concat+probe per
-      // token loses to the vectorized post-explode broadcast hash join)
-      val candDf = broadcast(top.map { case (x, y, _) => (x, y) }.toSeq
-        .toDF("x", "y"))
-      val newBound: Map[(String, String), Long] = tick("bound")(
-        t.select(explode(expr(
-          "transform(slice(toks, 1, size(toks) - 1)," +
-            " (t, i) -> struct(t AS x, toks[i + 1] AS y," +
-            "   CASE WHEN i > 0 THEN toks[i - 1] ELSE NULL END AS wp," +
-            "   get(toks, i + 2) AS wn))")).as("p"))
-          .select(col("p.x").as("x"), col("p.y").as("y"),
-            col("p.wp").as("wp"), col("p.wn").as("wn"))
-          .join(candDf, Seq("x", "y"))
-          .select(col("x"), col("y"), explode(array(
-            struct(lit("p").as("side"), col("wp").as("w")),
-            struct(lit("n").as("side"), col("wn").as("w")))).as("e"))
-          .filter(col("e.w").isNotNull)
-          .groupBy(col("x"), col("y"), col("e.side"), col("e.w"))
-          .agg(count(lit(1)).as("cnt"))
-          .groupBy(col("x"), col("y"))
-          .agg(max(col("cnt")).as("mx"))
-          .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
-          .toMap)
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+            if (r.isNullAt(3)) 0L else r.getLong(3))))
+      val top = stats.map { case (x, y, c, _) => (x, y, c) }
+      val newBound: Map[(String, String), Long] =
+        stats.map { case (x, y, _, m) => (x, y) -> m }.toMap
       // applied counts for self-pairs are only needed for SELECTED pairs
       // (for the toks_after telescoping) — computed lazily after
       // selection, so the run-length job runs only on the rare superstep
@@ -488,7 +501,11 @@ object CurationQueries {
         // per-merge toks_after telescopes from the exact applied counts;
         // the END-OF-TRAINING measurement below cross-checks the whole
         // telescope (equivalent invariant to a per-batch count, minus
-        // one full-scan job per superstep — measured 0.12 s × 10 steps)
+        // one full-scan job per superstep — measured 0.12 s × 10 steps).
+        // SPARK_GRAFT_BPE_AUDIT=per-batch restores the per-superstep
+        // count so a failing end-of-training audit can be localized to
+        // the offending batch (debug mode only — costs the full-scan
+        // job per superstep the end-of-training form exists to avoid).
         var running = total
         sel.foreach { case (x, y, c, applied) =>
           running -= applied
@@ -496,6 +513,14 @@ object CurationQueries {
           trained += 1
         }
         total = running
+        if (sys.env.get("SPARK_GRAFT_BPE_AUDIT").contains("per-batch")) {
+          val batchMeasured = next.agg(sum(size(col("toks"))).cast("long"))
+            .collect()(0).getLong(0)
+          require(batchMeasured == total,
+            s"BPE per-batch audit: telescoped $total != measured $batchMeasured " +
+              s"after batch ending at merge ${trained - 1} (${sel.size} merges: " +
+              s"${sel.map { case (x, y, _, a) => s"($x,$y)→$a" }.mkString(", ")})")
+        }
         t.unpersist()
         t = next
       }

@@ -52,9 +52,22 @@ object Events {
   /** `ts` → TimestampType regardless of the on-disk encoding. The NTZ→TZ
     * cast is wall-clock-preserving under the UTC session every entrypoint
     * pins, matching DuckDB's naive reading of the same column.
+    *
+    * The LongType arm only ever means TIMESTAMP(NANOS) surfaced raw by
+    * the legacy conf — a row-level magnitude guard (ns epochs for
+    * 1973..2262 are ≥ 1e17; a micros-encoded plain INT64 would be ~1e15)
+    * makes a THIRD unannotated encoding fail loudly instead of silently
+    * shifting every timestamp 1000×.
     */
+  private val MinPlausibleNanos = 100000000000000000L // 1e17 ≈ 1973-03 in ns
+
   def normalize(df: DataFrame): DataFrame = df.schema("ts").dataType match {
-    case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case LongType => df.withColumn("ts", timestamp_micros(
+      when(col("ts").isNull, lit(null).cast(LongType))
+        .when(col("ts") >= lit(MinPlausibleNanos), expr("ts div 1000"))
+        .otherwise(raise_error(concat(
+          lit("events.ts: INT64 value below nanosecond magnitude ("),
+          col("ts").cast("string"), lit(") — unknown encoding, refusing to divide"))))))
     case _        => df.withColumn("ts", col("ts").cast("timestamp"))
   }
 }

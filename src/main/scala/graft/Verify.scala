@@ -23,6 +23,7 @@ object Verify {
       .withExtensions(new GraftExtensions) // KernelRewrite active in the gate
     val spark = GraftSession.applyExtraConf(builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    SchemaGuard.check(spark, sfDir) // fail at the seam, not mid-query
     new java.io.File(outDir).mkdirs()
     // Spark's scheduler is thread-safe: submit query dumps from a small
     // thread pool so independent jobs overlap (wall time ~ slowest few,

@@ -79,7 +79,8 @@ object StreamingIngest {
     // data batch. Partition count: 2 was also measured and REGRESSED
     // (6.8 s) — parallelism loss beats commit savings; 4 stays.
     s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    s2 // nanosAsLong is owned by eventStream, the only reader needing it
+    s2 // nanosAsLong is set by whichever events reader runs first
+       // (Events.load / eventsRawSchema) — harmless to set repeatedly
   }
 
   private def eventStream(spark: SparkSession, dir: String): DataFrame =
