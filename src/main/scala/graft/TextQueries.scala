@@ -398,91 +398,61 @@ object TextQueries {
       }),
 
     // ── q24: word-3-gram Jaccard near-dup pairs, blocked by length bucket.
-    //   Implemented as a PREFIX-FILTERED inverted-index join (Bayardo et
-    //   al., "Scaling Up All Pairs Similarity Search", WWW'07): under any
-    //   global total order on shingles (numeric hash order here), two sets
-    //   with Jaccard ≥ t must share an element among each side's first
-    //   n − ⌈t·n⌉ + 1 shingles — so only those prefixes are indexed.
-    //   Candidate pairs from the prefix join are then verified exactly via
-    //   array_intersect on the full sorted shingle arrays.
     //   ENFORCED bound (semantics, oracle-mirrored): shingles whose
     //   document frequency within a block exceeds JacDfCap are stopword-
     //   shingles — present in so many documents they carry no near-dup
     //   signal — and are EXCLUDED FROM THE SHINGLE SETS (Jaccard is
-    //   defined over the capped vocabulary). Prefix-filter correctness
-    //   then holds over the capped sets, and candidate volume Σ df² ≤
-    //   cap·Σdf — LINEAR in total shingle volume at any corpus size,
-    //   where the uncapped Θ(Σ df²) measured 71× at sf1 (831k → 58.9M
-    //   candidates; capped: 7.9M). Gate-neutral: max df is 5 at sf0.01
-    //   and 12 at sf0.1 (measured), so results are byte-identical at
-    //   both gate and bench scales. ──
+    //   defined over the capped vocabulary). Gate-neutral: max df is 5
+    //   at sf0.01 and 12 at sf0.1 (measured), so results are
+    //   byte-identical at both gate and bench scales.
+    //
+    //   Plan (round 10): the df-cap makes DIRECT intersection counting
+    //   linear, so the round-8 prefix-filtered index join (Bayardo et
+    //   al., WWW'07) + array_intersect verify is retired. |A∩B| comes
+    //   straight from the inverted index: explode each doc's DISTINCT
+    //   shingle hashes, drop capped shingles, self-join on
+    //   (blk, shingle), count per (id_a, id_b). Per-shingle join output
+    //   is ≤ cap² = 256 rows and total volume Σ df² ≤ cap·Σdf — the
+    //   same linear bound the prefix plan had, but NO array column ever
+    //   enters a shuffle (the old verify SMJs carried full sorted
+    //   shingle arrays; at sf1 that made the plan GC-bimodal on a 24 GB
+    //   heap: 21.7 s / 68.7 s run-to-run on identical data, AbQ24).
+    //   Measured sf1 isolated REPS=3: 25.6 s steady → 8.6 s, and the
+    //   warmup rep collapses 68.7 → 20.6 s. ──
     QueryDef("q24_ngram_jaccard",
       (s, dir) => {
-        // fused kernel: tokens → distinct 60-bit shingle hashes in one pass;
-        // the prefix index then shuffles 8-byte keys (collision odds
-        // ~n²/2^61 — negligible, and the oracle hashes identically)
-        val t = 0.5
-        val base = docs(s, dir)
+        // fused kernel: tokens → distinct 60-bit shingle hashes in one
+        // pass (collision odds ~n²/2^61 — negligible, and the oracle
+        // hashes identically). One exchange on (blk, shingle) with ALL
+        // the heavy work (tokenize, shingle, explode) below it,
+        // persisted: the window (df), n_sh rollup, and both self-join
+        // sides read the cache instead of depending on ReuseExchange
+        // canonicalization (the fragility AbQ24 measured).
+        val kept = docs(s, dir)
           .withColumn("blk", (col("n_chars") / 100).cast("long"))
           .withColumn("toks", TextOps.tokens(col("text")))
-          .withColumn("sh0", ShingleHash60(col("toks"), 3))
-          .filter(size(col("sh0")) > 0)
-          .select(col("blk"), col("doc_id"), col("sh0"))
-          // One hash exchange with ALL the heavy work (tokenize, shingle)
-          // below it: every consumer (prefix index, verify-a, verify-b)
-          // sits above byte-identical exchange subtrees, so ReuseExchange
-          // computes the shingling ONCE and replays shuffle files —
-          // without this, each branch re-tokenized the corpus. Partition-
-          // ing on (blk, doc_id) also satisfies the verify joins'
-          // distribution requirement, so the d side never re-shuffles.
-          // (Checkpointing base itself was tried and is WORSE: the
-          // LogicalRDD loses the hash-partitioning guarantee, and the
-          // verify SMJs re-exchange the corpus arrays — measured 7.6 s
-          // vs 6.8 s at sf0.1.)
-          .repartition(col("blk"), col("doc_id"))
-        // df-cap: the banned list is at most (total shingle volume)/cap
-        // entries and in practice a handful of ultra-common shingles.
-        // Materialized EAGERLY as a tiny side job (the q98 hubs
-        // pattern): computed inline it would replay the shingling
-        // subtree per consumer and break the byte-identical-exchange
-        // reuse the main plan depends on; localCheckpointed, the main
-        // plan keeps its old shape plus one reused broadcast join (the
-        // one extra linear shingle pass is the enforcement's whole
-        // price: 4.9 → 6.8 s isolated sf0.1).
-        val banned = base
-          .select(col("blk"), explode(col("sh0")).as("shingle"))
-          .groupBy(col("blk"), col("shingle")).agg(count(lit(1)).as("df"))
-          .filter(col("df") > JacDfCap)
-          .groupBy(col("blk")).agg(collect_set(col("shingle")).as("banned"))
-          .localCheckpoint()
-        val d = base
-          .join(broadcast(banned), Seq("blk"), "left")
-          .withColumn("shc", when(col("banned").isNull, col("sh0"))
-            .otherwise(array_except(col("sh0"), col("banned"))))
-          .filter(size(col("shc")) > 0)
           .select(col("blk"), col("doc_id"),
-            sort_array(col("shc")).as("sh"), size(col("shc")).as("n_sh"))
-        val prefix = d.select(col("blk"), col("doc_id"),
-          explode(slice(col("sh"), lit(1),
-            (col("n_sh") - ceil(col("n_sh") * t) + 1).cast("int"))).as("shingle"))
-        val cand = prefix.select(col("blk"), col("shingle"), col("doc_id").as("id_a"))
-          .join(prefix.select(col("blk"), col("shingle"), col("doc_id").as("id_b")),
+            explode(ShingleHash60(col("toks"), 3)).as("shingle"))
+          .repartition(col("blk"), col("shingle"))
+          .withColumn("df", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("blk"), col("shingle"))))
+          .filter(col("df") <= JacDfCap)
+          .select(col("blk"), col("doc_id"), col("shingle"))
+          .persist()
+        val nsh = kept.groupBy(col("blk"), col("doc_id"))
+          .agg(count(lit(1)).as("n_sh"))
+        val inter = kept.select(col("blk"), col("shingle"), col("doc_id").as("id_a"))
+          .join(kept.select(col("blk"), col("shingle"), col("doc_id").as("id_b")),
             Seq("blk", "shingle"))
           .filter(col("id_a") < col("id_b"))
-          .select(col("blk"), col("id_a"), col("id_b")).distinct()
-        // verify: shuffle_merge hints keep the d side out of broadcast —
-        // a BroadcastExchange would re-collect (and re-compute) the whole
-        // shingling subtree per join, while SMJ's distribution requirement
-        // is already met by d's (blk, doc_id) partitioning, so both verify
-        // joins replay the one reused exchange (measured 2.3s → 1.1s)
-        cand
-          .join(d.select(col("blk"), col("doc_id").as("id_a"),
-            col("sh").as("sh_a"), col("n_sh").as("na")).hint("shuffle_merge"),
+          .groupBy(col("blk"), col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("inter"))
+        inter
+          .join(nsh.select(col("blk"), col("doc_id").as("id_a"), col("n_sh").as("na")),
             Seq("blk", "id_a"))
-          .join(d.select(col("blk"), col("doc_id").as("id_b"),
-            col("sh").as("sh_b"), col("n_sh").as("nb")).hint("shuffle_merge"),
+          .join(nsh.select(col("blk"), col("doc_id").as("id_b"), col("n_sh").as("nb")),
             Seq("blk", "id_b"))
-          .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
           .withColumn("jac", round(col("inter").cast("double") /
             (col("na") + col("nb") - col("inter")), 6))
           .filter(col("jac") >= 0.5)
