@@ -220,11 +220,16 @@ object VectorQueries {
                  FROM scored)
       SELECT qid, rnk, nid, score FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk"""
 
-  // ── q46 constants: 16 sign-bit hyperplanes over the 64-dim space,
-  //    4 bands × 4 bits. ±1 entries come from a fixed LCG (bit 32, the
-  //    low bit of an LCG alternates) so the Scala side and the literal
-  //    arrays inlined into the oracle SQL are the same matrix. ──
-  private val RpBits = 16
+  // ── q46 constants: up to 32 sign-bit hyperplanes over the 64-dim
+  //    space, 4 bands × adaptive 4..8 bits. ±1 entries come from a fixed
+  //    LCG (bit 32, the low bit of an LCG alternates) so the Scala side
+  //    and the literal arrays inlined into the oracle SQL are the same
+  //    matrix. The matrix is a PREFIX extension of the 16-row round-4
+  //    matrix: the LCG stream just keeps running, so rows 0..15 are
+  //    byte-identical to the old constants and every corpus that
+  //    resolves to 4-bit bands (both gate scales) produces unchanged
+  //    output. ──
+  private[graft] val RpBitsMax = 32
   private val RpBands = 4
   private val RpDim = 64
   private val hyperplaneSigns: Array[Array[Double]] = {
@@ -232,10 +237,21 @@ object VectorQueries {
     def next(): Long = {
       s = (s * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue; s
     }
-    Array.fill(RpBits, RpDim)(if (((next() >>> 32) & 1L) == 1L) 1.0 else -1.0)
+    Array.fill(RpBitsMax, RpDim)(if (((next() >>> 32) & 1L) == 1L) 1.0 else -1.0)
   }
   private def hyperplaneSign(b: Int, i: Int): Double = hyperplaneSigns(b)(i)
-  private def Hyperplanes(b: Int): Array[Double] = hyperplaneSigns(b)
+  private[graft] def Hyperplanes(b: Int): Array[Double] = hyperplaneSigns(b)
+
+  /** q46 adaptive band width (defined semantics, oracle-mirrored): the
+    * smallest b in 4..8 with 125·2^b ≥ n, else 8 — expected bucket size
+    * stays ≤ ~125·skew, so candidate volume is Θ(n·bucket) — LINEAR in
+    * n until the 8-bit ceiling (extend RpBitsMax past 32 to keep
+    * scaling beyond n = 32000·skew; fixed-width LSH banding is Θ(n²/2^b)
+    * — AbQ46 measured the cliff: 20.5 s steady at sf1 with 4-bit bands
+    * vs 4.2 s with 8-bit, identical scheme). Integer-exact on both
+    * engines — no float log anywhere near a semantics boundary. */
+  private[graft] def rpBandBits(n: Long): Int =
+    (4 to 8).find(b => 125L * (1L << b) >= n).getOrElse(8)
 
   /** q93 power-iteration rounds — declared before `defs` (eager Seq). */
   private val PcaIters = 8
@@ -510,38 +526,45 @@ object VectorQueries {
 
     // ── q46: random-hyperplane LSH near-dup over embeddings — the
     //   UNBLOCKED scale path q13's label-blocking can't give you (labels
-    //   don't exist on a raw crawl). 16 sign bits against fixed ±1
-    //   hyperplanes (SimHash-for-vectors), banded 4×4 → candidates are
-    //   same-band collisions only, then exact cosine verification. The
-    //   hyperplane matrix comes from the shared LCG and is inlined into
-    //   the oracle SQL as literals, so both engines run the identical
-    //   pipeline (collision sets and all — recall is a property of the
-    //   scheme, determinism of the constants). At real scale: more
-    //   bits/band cuts candidates; bands shard the shuffle key. ──
+    //   don't exist on a raw crawl). Sign bits against fixed ±1
+    //   hyperplanes (SimHash-for-vectors), banded 4 × rpBandBits(n) →
+    //   candidates are same-band collisions only, then exact cosine
+    //   verification. The hyperplane matrix comes from the shared LCG
+    //   and is inlined into the oracle SQL as literals, so both engines
+    //   run the identical pipeline (collision sets and all — recall is
+    //   a property of the scheme, determinism of the constants). Band
+    //   WIDTH is adaptive (round 10, the q48 one-probe-pass regime):
+    //   rpBandBits keeps the expected bucket ≤ ~125, so candidate
+    //   volume stays linear instead of the fixed-width Θ(n²/2^b); both
+    //   gate scales resolve to the old 4-bit semantics over the
+    //   identical plane-matrix prefix, so their outputs are unchanged.
+    //   The oracle derives the same width from count(*) — adaptive in
+    //   both engines, never drifting. ──
     QueryDef("q46_rplsh_neardup",
       (s, dir) => {
         val e = emb(s, dir)
-        val bitCols = (0 until RpBits).map { b =>
+        // one cheap count sizes the band width — the q48 probe-pass
+        // pattern; vec_id-only scan, negligible next to the signature
+        val bits = rpBandBits(e.count())
+        val bitCols = (0 until RpBands * bits).map { b =>
           (VectorKernels.dotFast(col("embedding"), Hyperplanes(b)) >= 0).cast("int")
         }
         val withBits = e.select(col("vec_id"), col("embedding"),
           array(bitCols: _*).as("bits"))
         val bandCols = (0 until RpBands).map { j =>
           struct(lit(j).as("band_idx"),
-            (element_at(col("bits"), 4 * j + 1) * 8 + element_at(col("bits"), 4 * j + 2) * 4 +
-             element_at(col("bits"), 4 * j + 3) * 2 + element_at(col("bits"), 4 * j + 4))
-              .as("band_val"))
+            (0 until bits).map(k =>
+              element_at(col("bits"), j * bits + k + 1) * (1 << (bits - 1 - k)))
+              .reduce(_ + _).as("band_val"))
         }
         // persisted: banded feeds BOTH sides of the band self-join, and
-        // the 16-hyperplane signature pass is the expensive part — derive
-        // it once (the q114 lesson; uncached this was the 2nd-slowest
-        // query in the suite at 3.8 s). NARROW: the 4-bit bands give a
-        // CONSTANT 64 buckets, so raw candidates are Θ(n²/buckets) by
-        // design — carrying both 64-dim embeddings through that join
-        // shuffled ~12 GB at sf1 (353 s, the full-sweep cliff). The
-        // candidate join moves only ids; embeddings re-attach per DISTINCT
-        // surviving pair by id equi-joins — the shape the oracle always
-        // had (sf1: 353 → ~13 s).
+        // the signature pass is the expensive part — derive it once
+        // (the q114 lesson; uncached this was the 2nd-slowest query in
+        // the suite at 3.8 s). NARROW: the candidate join moves only
+        // ids; embeddings re-attach per DISTINCT surviving pair by id
+        // equi-joins — carrying both 64-dim embeddings through the
+        // band join shuffled ~12 GB at sf1 (353 s, the round-8
+        // full-sweep cliff).
         val banded = withBits
           .select(col("vec_id"), explode(array(bandCols: _*)).as("band"))
           .select(col("vec_id"),
@@ -562,7 +585,7 @@ object VectorQueries {
           .orderBy(col("id_a"), col("id_b"))
       },
       Some {
-        val planes = (0 until RpBits).map { b =>
+        val planes = (0 until RpBitsMax).map { b =>
           (0 until RpDim).map(i => hyperplaneSign(b, i)).map(v =>
             if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
         }
@@ -570,14 +593,20 @@ object VectorQueries {
           s"CASE WHEN list_sum(list_transform(range(1, ${RpDim + 1}), i -> CAST(embedding[i] AS DOUBLE) * ($p)[i])) >= 0 THEN 1 ELSE 0 END"
         }.mkString("[", ",\n               ", "]")
         s"""
-        WITH sigs AS (
+        WITH nb AS (SELECT count(*) AS n FROM embeddings),
+        bw AS (
+          SELECT COALESCE(min(t.b), 8) AS b
+          FROM (VALUES (4), (5), (6), (7), (8)) t(b), nb
+          WHERE 125 * (1::BIGINT << t.b) >= nb.n),
+        sigs AS (
           SELECT vec_id, embedding,
                  $bitsSql AS bits
           FROM embeddings),
         banded AS (
           SELECT vec_id, embedding, j AS band_idx,
-                 bits[4*j+1]*8 + bits[4*j+2]*4 + bits[4*j+3]*2 + bits[4*j+4] AS band_val
-          FROM sigs, UNNEST([0, 1, 2, 3]) AS t(j)),
+                 list_sum(list_transform(range(0, bw.b), k ->
+                   bits[j * bw.b + k + 1] * (1::BIGINT << (bw.b - 1 - k)))) AS band_val
+          FROM sigs, bw, UNNEST([0, 1, 2, 3]) AS t(j)),
         cand AS (
           SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
           FROM banded a JOIN banded b
