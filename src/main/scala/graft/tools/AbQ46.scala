@@ -3,20 +3,20 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch A/B harness for q46's documented scale knob: band WIDTH.
+/** Scratch A/B harness that MOTIVATED q46's adaptive band width.
   *
-  * q46's defined semantics are 16 sign-bit hyperplanes banded 4×4 — a
-  * CONSTANT 64-bucket space, so raw candidates are Θ(n²/64) by design
-  * (measured: 515k raw pairs at sf0.1 → 51.6M at sf1, max bucket 1795 —
-  * quadratic, as the in-code comment has always said). A q31-style
-  * bucket cap is the WRONG cure here: with 16 values per band the mean
-  * sf1 bucket (~1250) already exceeds any sane cap, so capping would
-  * empty the candidate set rather than trim a saturated tail. The
-  * documented mitigation is "more bits/band cuts candidates" — this
-  * harness MEASURES that claim by running the identical pipeline with
-  * 8-bit bands (4×8 = 32 planes from the same LCG stream; the first 16
-  * rows are byte-identical to the gated constants) against the gated
-  * 4-bit shape at the same scale.
+  * Until round 10, q46's semantics were 16 sign-bit hyperplanes banded
+  * 4×4 — a CONSTANT 64-bucket space, so raw candidates were Θ(n²/64)
+  * (measured: 515k raw pairs at sf0.1 → 51.6M at sf1, max bucket 1795).
+  * A q31-style bucket cap is the WRONG cure here: with 16 values per
+  * band the mean sf1 bucket (~1250) already exceeds any sane cap, so
+  * capping would empty the candidate set rather than trim a saturated
+  * tail. This harness measured the width lever (4-bit 20.5 s steady at
+  * sf1 vs 8-bit 4.2 s, 6-bit between) — the numbers behind
+  * `VectorQueries.rpBandBits`, whose adaptive width is now the gated,
+  * oracle-mirrored semantics. "registered" mode therefore now runs the
+  * ADAPTIVE query; the fixed-width modes remain for re-measuring the
+  * cliff.
   *
   * `sbt 'runMain graft.tools.AbQ46 /root/repo/testdata-sf1'`
   */

@@ -63,6 +63,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "fill-down formulation must not join:\n" + p.take(2000))
   }
 
+  test("q24: intersection counting — no array payload survives into the join/verify stages") {
+    val p = plan("q24_ngram_jaccard")
+    assert(!p.contains("array_intersect") && !p.contains("sort_array"),
+      "the round-8 array verify must stay retired (its array SMJ payload was GC-bimodal at sf1):\n" + p.take(3000))
+    assert(p.contains("Window"),
+      "the df-cap is a count window over (blk, shingle):\n" + p.take(3000))
+    assert(p.contains("InMemoryTableScan"),
+      "the capped inverted index is persisted — three consumers must read the cache, not re-shingle:\n" + p.take(3000))
+  }
+
   test("q46: RP-LSH banded self-join is a hash join on (band, value)") {
     val p = plan("q46_rplsh_neardup")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
