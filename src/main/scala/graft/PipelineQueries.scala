@@ -349,10 +349,15 @@ object PipelineQueries {
             expr(s"((ck - $ckMn) * 256) div (${ckMx} - $ckMn + 1)"))
           .withColumn("bb",
             expr(s"((cents - $ceMn) * 256) div (${ceMx} - $ceMn + 1)"))
+          // bit interleave unrolled to a flat shift/mask sum: the HOF form
+          // (aggregate over sequence(0,7) with power(2,·) weights) built a
+          // per-row array and evaluated 16 double pow()s per row — measured
+          // most of q96's sf1 cost. Identical integer arithmetic.
           .withColumn("zv", expr(
-            """aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, i) ->
-               acc + (shiftright(ba, CAST(i AS INT)) & 1) * CAST(power(2, 2 * i) AS BIGINT)
-                   + (shiftright(bb, CAST(i AS INT)) & 1) * CAST(power(2, 2 * i + 1) AS BIGINT))"""))
+            (0 to 7).map(i =>
+              s"(shiftright(ba, $i) & 1) * CAST(${1L << (2 * i)} AS BIGINT)" +
+                s" + (shiftright(bb, $i) & 1) * CAST(${1L << (2 * i + 1)} AS BIGINT)")
+              .mkString(" + ")))
           .groupBy(expr("zv div 256").as("z_block"))
           .agg(count(lit(1)).as("n"), sum(col("zv")).as("z_sum"))
           .orderBy(col("z_block"))

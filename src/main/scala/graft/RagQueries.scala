@@ -160,10 +160,19 @@ object RagQueries {
           .distinct()
         val vocab = TextEmbed.withEmbed(
           dt.select(col("token")).distinct(), "token", "tvec")
+        // dot(qv, tvec) depends only on (query token, vocab token) — score
+        // the VOCABULARY cross the query tokens (|vocab|·|qtoks| dots, a
+        // Heaps'-law-sized table), then join the scalar back to the
+        // (doc, token) incidence list. The pre-r10 shape computed the
+        // 384-dim dot per INCIDENCE×qtok row — ~25× the flops at sf1 for
+        // identical arithmetic (same operands, same 6dp round, so the
+        // output is bit-equal; gate hashes unchanged).
+        val scored = broadcast(
+          vocab.join(qt, lit(true))
+            .withColumn("m", round(VectorKernels.dotFast(col("qv"), col("tvec")), 6))
+            .select(col("token"), col("qid"), col("qtok"), col("m")))
         val w = Window.partitionBy(col("qid")).orderBy(col("s_int").desc, col("doc_id").asc)
-        dt.join(vocab, Seq("token"))
-          .join(qt, lit(true))
-          .withColumn("m", round(VectorKernels.dotFast(col("qv"), col("tvec")), 6))
+        dt.join(scored, Seq("token"))
           .groupBy(col("qid"), col("qtok"), col("doc_id"))
           .agg(max(col("m")).as("mx"))
           .withColumn("mx_int", floor(col("mx") * lit(1e6) + lit(0.5)).cast("long"))

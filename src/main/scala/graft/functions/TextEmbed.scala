@@ -66,33 +66,15 @@ object TextEmbed {
     * apply to the same token array either way.
     */
   def withEmbedFromTokens(df: DataFrame, toksCol: String, outCol: String,
-                          dim: Int = DefaultDim): DataFrame = {
-    val toks = "__embed_toks"
-    val bkts = "__embed_buckets"
-    val raw = "__embed_raw"
-    val nrm = "__embed_norm"
-    df.withColumn(toks, {
-        val kept = filter(col(toksCol), t => !t.isin(Stopwords.map(lit): _*))
-        concat(kept, transform(kept, t => substring(t, 1, 5)))
-      })
-      .withColumn(bkts, transform(col(toks), t => {
-        val h = XHash.hash60(t)
-        struct((h % lit(dim.toLong)).as("b"),
-          when(shiftright(h, 8).bitwiseAND(1) === 1, lit(1.0)).otherwise(lit(-1.0)).as("s"))
-      }))
-      .withColumn(raw, transform(sequence(lit(0L), lit(dim - 1L)),
-        i => {
-          val signed = aggregate(
-            filter(col(bkts), e => e.getField("b") === i),
-            lit(0.0), (acc, e) => acc + e.getField("s"))
-          signum(signed) * sqrt(abs(signed))
-        }))
-      .withColumn(nrm, sqrt(aggregate(col(raw), lit(0.0), (acc, x) => acc + x * x)))
-      .withColumn(outCol,
-        when(col(nrm) === 0.0, col(raw))
-          .otherwise(transform(col(raw), x => x / col(nrm))))
-      .drop(toks, bkts, raw, nrm)
-  }
+                          dim: Int = DefaultDim): DataFrame =
+    // One codegen'd kernel (EmbedSig) replaced the staged HOF pipeline —
+    // the per-row cost fell from O(dim·tokens) interpreted lambda calls
+    // (the raw stage FILTERED the whole bucket array once per output
+    // dimension) to O(tokens + dim), bit-identically (TextEmbedSpec).
+    df.withColumn(outCol,
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        EmbedSig(org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          col(toksCol)), dim)))
 
   /** Driver-side Scala twin of `withEmbed` — for embedding query strings
     * once on the driver (broadcast as a literal), exactly matching the
