@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.{CdcCuts, MinHashSig, ShingleHash60, TextOps, XHash}
+import graft.functions.{CdcCuts, MinHashSig, ShingleHash60, TextKernels, TextOps, XHash}
 
 /** Text-pipeline operators over the `documents` table: exact dedup,
   * MinHash-LSH, SimHash, n-gram Jaccard, language scoring, quality
@@ -821,8 +821,10 @@ object TextQueries {
     QueryDef("q72_normalize",
       (s, dir) =>
         docs(s, dir)
-          .withColumn("norm", trim(regexp_replace(
-            regexp_replace(lower(col("text")), "[^a-z0-9 ]+", " "), " +", " ")))
+          // single-pass NormalizeTextKernel == the oracle's
+          // trim(regexp_replace(regexp_replace(lower(text),
+          //   '[^a-z0-9 ]+', ' '), ' +', ' ')) chain (TextKernelsSpec)
+          .withColumn("norm", TextKernels.normalize(col("text")))
           .select(col("doc_id"),
             length(col("text")).cast("long").as("n_chars_raw"),
             length(col("norm")).cast("long").as("n_chars_norm"),

@@ -13,10 +13,11 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Lowercased alphanumeric word tokens, empties dropped.
-    * Spark `split` and DuckDB `string_split_regex` agree on this pattern. */
-  def tokens(text: Column): Column =
-    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+  /** Lowercased alphanumeric word tokens, empties dropped — semantics of
+    * filter(split(lower(text), "[^a-z0-9]+"), len > 0), which Spark `split`
+    * and DuckDB `string_split_regex` agree on; evaluated by the single-pass
+    * TokensKernel (TextKernelsSpec pins equality with the split form). */
+  def tokens(text: Column): Column = TextKernels.tokens(text)
 
   def tokensSql(expr: String): String =
     s"list_filter(string_split_regex(lower($expr), '[^a-z0-9]+'), t -> len(t) > 0)"
@@ -34,10 +35,11 @@ object TextOps {
       transform(sequence(lit(0), size(toks) - lit(n)),
         i => array_join(slice(toks, i + 1, lit(n)), " ")))
 
-  /** Character-level punctuation ratio: non-alphanumeric-non-space chars / chars. */
-  def punctRatio(text: Column): Column =
-    when(length(text) === 0, lit(0.0)).otherwise(
-      length(regexp_replace(text, "[a-zA-Z0-9\\s]", "")).cast("double") / length(text))
+  /** Character-level punctuation ratio: non-alphanumeric-non-space chars /
+    * chars (0.0 when empty) — semantics of
+    * length(regexp_replace(text, "[a-zA-Z0-9\\s]", "")) / length(text),
+    * evaluated by the single-pass PunctRatioKernel. */
+  def punctRatio(text: Column): Column = TextKernels.punctRatio(text)
 
   /** Stopword ratio against a fixed wordlist (language-quality heuristic). */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
@@ -46,10 +48,11 @@ object TextOps {
       size(filter(toks, t => t.isin(stopwords.map(lit): _*))).cast("double") / size(toks))
   }
 
-  /** Document fingerprint: md5 of whitespace-normalized lowercased text.
+  /** Document fingerprint: md5 of whitespace-normalized lowercased text —
+    * semantics of md5(trim(regexp_replace(lower(text), "\\s+", " "))),
+    * evaluated by the single-pass FingerprintKernel.
     * Exact-dedup key (SURVEY.md scale extensions). */
-  def fingerprint(text: Column): Column =
-    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+  def fingerprint(text: Column): Column = TextKernels.fingerprint(text)
 
   def fingerprintSql(expr: String): String =
     s"md5(trim(regexp_replace(lower($expr), '\\s+', ' ', 'g')))"
