@@ -41,6 +41,20 @@ object VectorQueries {
   // ── q67 constants + oracle generator (declared before `defs`, which
   //    evaluates them eagerly) ──
   private val KmK = 8
+  /** Adaptive cluster count (the q46 adaptive-band pattern, applied to
+    * the whole trained-kmeans family q12/q67/q73/q85/q88): nlist =
+    * greatest(KmK, n div KmCell), derived integer-exactly from ONE
+    * count in both engines (a kk CTE over count(*) in the oracle), so
+    * mean cluster size stays ~KmCell as the corpus grows. With a FIXED
+    * nlist both q85's intra-cluster pair enumeration (Θ(n²/nlist)) and
+    * q12's probed candidate set (nprobe/nlist of the corpus per query)
+    * are quadratic families; with nlist ∝ n both are linear — the
+    * SemDeDup paper's own scale argument, and how a real IVF sizes
+    * nlist. Gate scales resolve to the KmK floor (200 and 2000 vectors
+    * → 8), so sf0.01/sf0.1 outputs are byte-identical to the fixed-k
+    * semantics (verified against pre-change dumps). */
+  private val KmCell = 250
+  private[graft] def kmNlist(n: Long): Int = math.max(KmK, (n / KmCell).toInt)
   private val KmRounds = 2
   /** Distances are over ×1e6-quantized vectors; /1e12 restores original
     * units before the 6dp round. */
@@ -83,7 +97,9 @@ object VectorQueries {
                    list_transform(embedding,
                      v -> floor(CAST(v AS DOUBLE) * 1000000 + 0.5)) AS qv
                  FROM embeddings),
-           c0 AS (SELECT vec_id AS cell, qv AS cv FROM q WHERE vec_id < $k),
+           kk AS (SELECT greatest($k, count(*) // $KmCell) AS k FROM q),
+           c0 AS (SELECT vec_id AS cell, qv AS cv FROM q
+                  WHERE vec_id < (SELECT k FROM kk)),
            $stages"""
   }
 
@@ -322,9 +338,10 @@ object VectorQueries {
     val probed = withQv.filter(col("vec_id") % 5 === 0)
       .select(col("vec_id").as("qid"), col("qv"), col("embedding").as("qv_orig"))
       .join(broadcast(centDf), lit(true))
+      // sqdist_f32: identical index-order fold to the zip_with+aggregate
+      // HOF it replaced, one codegen'd loop per (query, centroid) row
       .withColumn("cdist", round(
-        aggregate(zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, t) => acc + t) / lit(KmScale), 6))
+        VectorKernels.sqDistFast(col("qv"), col("cv")) / lit(KmScale), 6))
       .withColumn("crnk", row_number().over(wq))
       .filter(col("crnk") <= KnnNprobe)
       .select(col("qid"), col("cell"), col("qv_orig"))
@@ -364,7 +381,8 @@ object VectorQueries {
 
     // ── q12: k-NN join (1-nn for a sampled left side; J4 at scale).
     //   BOUNDED since round 10: candidates come from the trained IVF
-    //   coarse quantizer's probed cells (KnnNprobe of KmK), never the
+    //   coarse quantizer's probed cells (KnnNprobe of the adaptive
+    //   nlist — see kmNlist; candidates per query ≈ nprobe·KmCell), never the
     //   whole corpus — see knnJoinCandidates. The 1-NN rerank runs
     //   through the native TopKAgg heap (k=1), so partial aggregation
     //   combines map-side and the scored candidates never shuffle as
@@ -683,8 +701,7 @@ object VectorQueries {
         val wq = Window.partitionBy(col("qid")).orderBy(col("cdist").asc, col("cell").asc)
         val probed = queries.join(broadcast(centDf), lit(true))
           .withColumn("cdist", round(
-            aggregate(zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
-              lit(0.0), (acc, t) => acc + t) / lit(KmScale), 6))
+            VectorKernels.sqDistFast(col("qv"), col("cv")) / lit(KmScale), 6))
           .withColumn("crnk", row_number().over(wq))
           .filter(col("crnk") <= 2)
           .select(col("qid"), col("cell"))
@@ -812,8 +829,7 @@ object VectorQueries {
         val wq = Window.partitionBy(col("qid")).orderBy(col("cdist").asc, col("cell").asc)
         val probed = queries.join(broadcast(centDf), lit(true))
           .withColumn("cdist", round(
-            aggregate(zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
-              lit(0.0), (acc, t) => acc + t) / lit(KmScale), 6))
+            VectorKernels.sqDistFast(col("qv"), col("cv")) / lit(KmScale), 6))
           .withColumn("crnk", row_number().over(wq))
           .filter(col("crnk") <= 2)
           .select(col("qid"), col("cell"))
@@ -1178,6 +1194,9 @@ object VectorQueries {
         transform(col("embedding").cast("array<double>"),
           v => floor(v * 1e6 + 0.5).cast("double")).as("qv"))
       .localCheckpoint()
-    (q, graft.vector.IvfKMeans.trainCents(q, "vec_id", "qv", KmK, KmRounds, KmScale))
+    // one count() probe sizes nlist (the q48 one-pass regime); q is
+    // checkpointed so the count costs a cached-partition sweep, not a scan
+    (q, graft.vector.IvfKMeans.trainCents(q, "vec_id", "qv", kmNlist(q.count()),
+      KmRounds, KmScale))
   }
 }

@@ -218,10 +218,56 @@ case class SignPack(child: Expression, off: Int)
   override def prettyName: String = "sign_pack"
 }
 
+/** sqdist(a, b) = Σ (a_i − b_i)², left-to-right — the exact fold of
+  * aggregate(zip_with(a, b, (x,y) → (x−y)·(x−y)), 0.0, acc + t), fused
+  * into one codegen'd loop (the k-means probe/assignment distance). */
+case class SqDist(left: Expression, right: Expression) extends VectorKernel {
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements() || hasNulls(a, n) || hasNulls(b, n)) return null
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      val t = get(a, i, leftIsFloat) - get(b, i, rightIsFloat)
+      sum += t * t; i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      val t = ctx.freshName("t")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; } else {
+         |  double $sum = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $t = ${getJ(a, i, leftIsFloat)} - ${getJ(b, i, rightIsFloat)};
+         |    $sum += $t * $t;
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $sum; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "sqdist_f32"
+}
+
 object VectorKernels {
   /** Column wrappers (fast path; bit-identical to VectorOps.dot/cosine). */
   def dotFast(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def sqDistFast(a: Column, b: Column): Column =
+    ColumnBridge.column(SqDist(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def cosineFast(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 

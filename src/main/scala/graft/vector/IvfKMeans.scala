@@ -93,19 +93,22 @@ object IvfKMeans {
   def assignCells(df: DataFrame, vecCol: String,
                   cents: Seq[(Long, Seq[Double])], scale: Double): DataFrame = {
     require(cents.nonEmpty, "assignCells: no centroids")
-    val matrix: Seq[Seq[Double]] = cents.map(_._2)
-    val cells: Seq[Long] = cents.map(_._1)
-    df.withColumn("dists", transform(typedLit(matrix), cv =>
-        round(
-          aggregate(
-            zip_with(col(vecCol).cast("array<double>"), cv,
-              (x, y) => (x - y) * (x - y)),
-            lit(0.0), (acc, t) => acc + t) / lit(scale),
-          6)))
-      .withColumn("dist6", array_min(col("dists")))
-      .withColumn("cell",
-        element_at(typedLit(cells), expr("array_position(dists, dist6)").cast("int")))
-      .drop("dists")
+    // One codegen'd CellArgMin pass. The HOF formulation it replaced —
+    // transform(typedLit(matrix), cv → round(aggregate(zip_with(…))/scale, 6))
+    // + array_min + array_position — evaluated k·(2·dim) interpreted lambda
+    // calls per row, which the adaptive nlist turned into the dominant
+    // trainer cost; the kernel keeps the identical index-order fold, Spark
+    // Round semantics, and first-min tiebreak (KmeansKernelSpec).
+    val matrix: Array[Array[Double]] = cents.map(_._2.toArray).toArray
+    val cells: Array[Long] = cents.map(_._1).toArray
+    df.withColumn("__cam",
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.functions.CellArgMin(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+              col(vecCol).cast("array<double>")), matrix, cells, scale)))
+      .withColumn("dist6", col("__cam.dist6"))
+      .withColumn("cell", col("__cam.cell"))
+      .drop("__cam")
   }
 
   /** One Lloyd's update: per-cell per-dimension mean, collected to the
