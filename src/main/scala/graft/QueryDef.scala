@@ -80,6 +80,16 @@ object GraftSession {
     */
   def applyExtraConf(b: org.apache.spark.sql.SparkSession.Builder)
       : org.apache.spark.sql.SparkSession.Builder = {
+    // 16m scan splits (default 128m): the driver ships each table as ONE
+    // parquet file, so at sf1 a 114 MB lineitem scan under the default is
+    // a SINGLE task — every pass over it serializes on one core while 31
+    // idle (q48 measured 8.3 s isolated, ~3 single-threaded passes).
+    // 16m re-splits big local files along row-group bounds (6 for sf1
+    // lineitem) while gate-scale files (≤ 11 MB) stay one split, so
+    // sf0.01/sf0.1 task layouts — and outputs, which are engineered
+    // partition-independent anyway — are untouched. On a real cluster
+    // the same setting only trims the high end of split sizes.
+    b.config("spark.sql.files.maxPartitionBytes", "16m")
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").filter(_.contains("="))
       .foreach { kv => val Array(k, v) = kv.split("=", 2); b.config(k, v) })
     b

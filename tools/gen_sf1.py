@@ -33,7 +33,12 @@ N_EMB = 2000 * SF
 
 
 def write(name, table):
-    pq.write_table(table, f"{OUT}/{name}.parquet")
+    # 250k-row row groups: a single-row-group file is unsplittable for
+    # Spark no matter what maxPartitionBytes says, which serializes every
+    # scan of the big tables on one task — unrepresentative of any real
+    # multi-file 100 TB layout. Row VALUES are unchanged (same seed, same
+    # order); only the physical chunking differs.
+    pq.write_table(table, f"{OUT}/{name}.parquet", row_group_size=250000)
     print(f"{name}: {table.num_rows} rows")
 
 
