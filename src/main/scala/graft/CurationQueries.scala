@@ -417,28 +417,31 @@ object CurationQueries {
       // x/y-only explode. (A pre-explode InSet filter on concat'd pair
       // keys was also measured SLOWER — 0.40 vs 0.30 s/step: 64-way
       // string concat+probe per token loses to vectorized aggregation.)
-      val exploded = t.select(explode(expr(
-        "transform(slice(toks, 1, size(toks) - 1)," +
-          " (t, i) -> struct(t AS x, toks[i + 1] AS y," +
-          "   CASE WHEN i > 0 THEN toks[i - 1] ELSE NULL END AS wp," +
-          "   get(toks, i + 2) AS wn))")).as("p"))
-        .select(col("p.x").as("x"), col("p.y").as("y"),
-          col("p.wp").as("wp"), col("p.wn").as("wn"))
-      val counts = exploded.groupBy(col("x"), col("y"))
-        .agg(count(lit(1)).as("c"))
-      // max new-pair count each pair could mint, via its neighbor
-      // triples (side × neighbor, then max over the pair)
-      val tripleMax = exploded
-        .select(col("x"), col("y"), explode(array(
-          struct(lit("p").as("side"), col("wp").as("w")),
-          struct(lit("n").as("side"), col("wn").as("w")))).as("e"))
-        .filter(col("e.w").isNotNull)
-        .groupBy(col("x"), col("y"), col("e.side"), col("e.w"))
-        .agg(count(lit(1)).as("cnt"))
-        .groupBy(col("x"), col("y"))
-        .agg(max(col("cnt")).as("mx"))
+      // ONE aggregation chain for counts AND mint bounds: every pair
+      // occurrence explodes to a 'c' marker row plus its non-null
+      // neighbor rows, the fine groupBy counts (x, y, side, w) groups,
+      // and the regroup derives c = the 'c' group's count (exactly the
+      // occurrence count) and mx = max over the neighbor groups — the
+      // same values the former two-branch plan (counts ⋈ tripleMax)
+      // computed, but the exploded subtree evaluates ONCE and the join
+      // disappears (the two branches' exchanges had different keys, so
+      // ReuseExchange could never fire and the explode ran twice).
       val stats = tick("stats")(
-        counts.join(tripleMax, Seq("x", "y"), "left")
+        t.select(explode(expr(
+          "transform(slice(toks, 1, size(toks) - 1)," +
+            " (t, i) -> struct(t AS x, toks[i + 1] AS y," +
+            "   CASE WHEN i > 0 THEN toks[i - 1] ELSE NULL END AS wp," +
+            "   get(toks, i + 2) AS wn))")).as("p"))
+          .select(col("p.x").as("x"), col("p.y").as("y"), explode(array(
+            struct(lit("c").as("side"), lit(null).cast("string").as("w")),
+            struct(lit("p").as("side"), col("p.wp").as("w")),
+            struct(lit("n").as("side"), col("p.wn").as("w")))).as("e"))
+          .filter(col("e.side") === "c" || col("e.w").isNotNull)
+          .groupBy(col("x"), col("y"), col("e.side"), col("e.w"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("x"), col("y"))
+          .agg(max(when(col("side") === "c", col("cnt"))).as("c"),
+            max(when(col("side") =!= "c", col("cnt"))).as("mx"))
           .orderBy(col("c").desc, col("x"), col("y"))
           .limit(math.max(maxBatch * 4, 8))
           .collect()
