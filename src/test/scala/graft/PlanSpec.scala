@@ -184,4 +184,32 @@ class PlanSpec extends SparkSpec {
     assert(p.indexOf("HashAggregate", exchange) > exchange,
       "expected partial HashAggregate under the Exchange:\n" + p.take(2000))
   }
+
+  test("q96: the z-value interleave carries no HOF and no pow() — a flat shift/mask sum") {
+    val p = plan("q96_zorder")
+    assert(!p.contains("aggregate(sequence") && !p.toLowerCase.contains("power("),
+      "the unrolled interleave must not reintroduce the per-row HOF/pow form:\n" + p.take(3000))
+    assert(p.contains("shiftright"), p.take(3000))
+  }
+
+  test("q99: the dot product is scored vocabulary-first and broadcast back to the incidence list") {
+    val p = plan("q99_maxsim")
+    assert(p.contains("BroadcastHashJoin"),
+      "scored vocab table must broadcast-equi-join the (doc, token) incidence list:\n" + p.take(3000))
+    // dot_f32 must sit on the vocab×qtok side, i.e. appear exactly once in
+    // the whole plan (the old shape evaluated it per incidence×qtok row
+    // downstream of the join)
+    assert("dot_f32".r.findAllIn(p).size >= 1, p.take(3000))
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    assert(p.lastIndexOf("dot_f32") > joinIdx,
+      "dot_f32 must be computed below the broadcast join (vocab side), " +
+        "not above it (per incidence row):\n" + p.take(3000))
+  }
+
+  test("kmeans assignment plans through cell_argmin, never the HOF argmin tree") {
+    val p = plan("q67_ivf_kmeans")
+    assert(p.contains("cell_argmin"), p.take(3000))
+    assert(!p.contains("array_position"),
+      "the HOF argmin (transform + array_min + array_position) must be gone:\n" + p.take(3000))
+  }
 }
