@@ -177,7 +177,7 @@ object StreamQueries {
           val px = Array.tabulate(w * h * ch)(i => ((docId * 31 + i * 7) % 256).toByte)
           graft.operators.SimplePng.encode(graft.operators.SimplePng.Image(w, h, ch, px))
         }
-        val media = s.read.parquet(s"$dir/documents.parquet")
+        val media = Par(s.read.parquet(s"$dir/documents.parquet"))
           .select(col("doc_id"),
             (lit(4) + col("doc_id") % 5).cast("int").as("w"),
             (lit(4) + col("doc_id") % 3).cast("int").as("h"),
@@ -233,7 +233,7 @@ object StreamQueries {
           graft.operators.SimpleWav.encode(
             graft.operators.SimpleWav.Audio(rate, ch, 16, samples))
         }
-        val media = s.read.parquet(s"$dir/documents.parquet")
+        val media = Par(s.read.parquet(s"$dir/documents.parquet"))
           .select(col("doc_id"),
             (lit(8000) + (col("doc_id") % 3) * 4000).cast("int").as("rate"),
             (lit(1) + col("doc_id") % 2).cast("int").as("ch"),
@@ -296,7 +296,7 @@ object StreamQueries {
             Array.tabulate(w * h)(i => ((docId * 13 + f * 5 + i * 3) % 4).toByte))
           graft.operators.SimpleGif.encode(w, h, palette, frames)
         }
-        val media = s.read.parquet(s"$dir/documents.parquet")
+        val media = Par(s.read.parquet(s"$dir/documents.parquet"))
           .select(col("doc_id"),
             (lit(4) + col("doc_id") % 4).cast("int").as("w"),
             (lit(3) + col("doc_id") % 3).cast("int").as("h"),
@@ -361,7 +361,7 @@ object StreamQueries {
             .orNull
         }
         val w = Window.partitionBy(col("doc_id")).orderBy(col("frame"))
-        s.read.parquet(s"$dir/documents.parquet")
+        Par(s.read.parquet(s"$dir/documents.parquet"))
           .select(col("doc_id"),
             (lit(4) + col("doc_id") % 4).cast("int").as("w"),
             (lit(3) + col("doc_id") % 3).cast("int").as("h"),
@@ -416,7 +416,7 @@ object StreamQueries {
           graft.operators.SimpleJpeg.encode(
             graft.operators.SimpleJpeg.Image(w, h, 1, px))
         }
-        val media = s.read.parquet(s"$dir/documents.parquet")
+        val media = Par(s.read.parquet(s"$dir/documents.parquet"))
           .select(col("doc_id"),
             ((lit(1) + col("doc_id") % 3) * 8).cast("int").as("w"),
             ((lit(1) + col("doc_id") % 2) * 8).cast("int").as("h"))

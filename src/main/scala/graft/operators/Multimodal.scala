@@ -211,9 +211,10 @@ object Multimodal {
       .withColumn("frame_bytes",
         expr(s"substring($payloadCol, cast(frame_idx * 256 + 1 as int), 256)"))
 
-  /** Demo source: wraps a text corpus as fake binary media rows. */
+  /** Demo source: wraps a text corpus as fake binary media rows (Par:
+    * the single-file scan must fan out before per-row payload work). */
   def fakeMediaFromDocs(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
+    graft.Par(spark.read.parquet(s"$dir/documents.parquet"))
       .select(col("doc_id"),
         col("text").cast("binary").as("payload"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
