@@ -584,9 +584,16 @@ object PipelineQueries {
       (s, dir) => {
         val tok = docs(s, dir).select(col("lang"),
           explode(TextOps.tokens(col("text"))).as("t"))
+        // byLang is the ONE aggregation that touches the exploded token
+        // frame; everything else (corpus totals, per-lang totals, the
+        // missing-term anti-join) derives from this vocabulary-sized
+        // frame. Before, `corpus` re-aggregated `tok` directly — its
+        // exchange keys on (t) vs byLang's (lang, t), so ReuseExchange
+        // could never fire and the scan+tokenize+explode ran twice.
         val byLang = tok.groupBy(col("lang"), col("t")).agg(count(lit(1)).as("cl"))
+          .persist()
         val nl = byLang.groupBy(col("lang")).agg(sum(col("cl")).as("nl"))
-        val corpus = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
+        val corpus = byLang.groupBy(col("t")).agg(sum(col("cl")).as("c"))
         // total token count as a 1-row broadcast frame (the oracle's `nn`
         // CTE), derived from the corpus agg — NOT tok.count(), which was an
         // extra driver-blocking full-scan job before the main plan ran
