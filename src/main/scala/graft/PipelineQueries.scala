@@ -592,6 +592,7 @@ object PipelineQueries {
         // could never fire and the scan+tokenize+explode ran twice.
         val byLang = tok.groupBy(col("lang"), col("t")).agg(count(lit(1)).as("cl"))
           .persist()
+        try {
         val nl = byLang.groupBy(col("lang")).agg(sum(col("cl")).as("nl"))
         val corpus = byLang.groupBy(col("t")).agg(sum(col("cl")).as("c"))
         // total token count as a 1-row broadcast frame (the oracle's `nn`
@@ -626,6 +627,13 @@ object PipelineQueries {
             floor(col("j_int").cast("double") * lit(0.5) + lit(0.5)) / lit(1e6))
           .select(col("lang"), col("n_support"), col("jsd"))
           .orderBy(col("lang"))
+          // eager: the per-lang result is ~|languages| rows; materializing
+          // it here lets the finally release byLang's cached blocks before
+          // the frame is returned — the repo's persist discipline (ADVICE
+          // r10: a non-bench caller otherwise leaks the cache until
+          // clearCache). The caller gets a lineage-free tiny frame.
+          .localCheckpoint()
+        } finally byLang.unpersist()
       },
       Some(s"""
         WITH tok AS (SELECT lang, unnest(${TextOps.tokensSql("text")}) AS t

@@ -167,10 +167,22 @@ object RagQueries {
         // 384-dim dot per INCIDENCE×qtok row — ~25× the flops at sf1 for
         // identical arithmetic (same operands, same 6dp round, so the
         // output is bit-equal; gate hashes unchanged).
-        val scored = broadcast(
-          vocab.join(qt, lit(true))
-            .withColumn("m", round(VectorKernels.dotFast(col("qv"), col("tvec")), 6))
-            .select(col("token"), col("qid"), col("qtok"), col("m")))
+        // SCALE BOUND (ADVICE r10): the scored table is |vocab|·|qtoks|
+        // rows of (token, qid, qtok, m) — vocabulary grows ~n^0.5 (Heaps)
+        // with the corpus, so at some corpus size this broadcast hits the
+        // driver/broadcast ceiling where the old shuffle-join degraded
+        // gracefully. sf1 vocab ≈ 30k × 17 qtoks ≈ 0.5M skinny rows
+        // (~20 MB serialized), orders of magnitude under the 8 GB
+        // broadcast limit; a 100×-vocab corpus is ~10× that (√100) and
+        // still fits. For corpora beyond it, SPARK_GRAFT_MAXSIM_NO_BCAST
+        // drops the hint and lets AQE pick the join strategy from runtime
+        // stats (identical output — only the exchange shape changes).
+        val scoredRaw = vocab.join(qt, lit(true))
+          .withColumn("m", round(VectorKernels.dotFast(col("qv"), col("tvec")), 6))
+          .select(col("token"), col("qid"), col("qtok"), col("m"))
+        val scored =
+          if (sys.env.contains("SPARK_GRAFT_MAXSIM_NO_BCAST")) scoredRaw
+          else broadcast(scoredRaw)
         val w = Window.partitionBy(col("qid")).orderBy(col("s_int").desc, col("doc_id").asc)
         dt.join(scored, Seq("token"))
           .groupBy(col("qid"), col("qtok"), col("doc_id"))

@@ -243,7 +243,14 @@ object TextQueries {
     val path = java.nio.file.Paths.get(base, s"npairs-$fp")
     val lock = pairLocks.computeIfAbsent(path.toString, _ => new Object)
     lock.synchronized {
-      if (!java.nio.file.Files.exists(path.resolve("_SUCCESS"))) {
+      vacuumArtifacts(path)
+      if (java.nio.file.Files.exists(path.resolve("_SUCCESS"))) {
+        // observability: the whole point of the artifact is that q31/q97/
+        // q98 REUSE one derivation — make reuse visible in driver logs
+        // instead of inferred from timings
+        println(s"[npairs] hit $path")
+      } else {
+        println(s"[npairs] build $path")
         java.nio.file.Files.createDirectories(path.getParent)
         val tmp = java.nio.file.Paths.get(
           s"$path.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -253,15 +260,62 @@ object TextQueries {
         catch { case _: java.nio.file.FileSystemException =>
           // lost a cross-process race — identical deterministic content
           // already installed; drop the duplicate
-          import scala.jdk.CollectionConverters._
-          scala.util.Using.resource(java.nio.file.Files.walk(tmp)) { w =>
-            w.iterator().asScala.toSeq.reverse
-              .foreach(java.nio.file.Files.deleteIfExists(_))
-          }
+          deleteTree(tmp)
         }
       }
     }
     s.read.parquet(path.toString)
+  }
+
+  /** Artifact lifecycle (round-11 verdict #3): the fingerprint-keyed
+    * npairs tables previously accumulated forever — every driver data
+    * regeneration minted a new fingerprint and orphaned the old table,
+    * and a writer that died between parquet-write and rename left its
+    * `.tmp-*` directory behind. Vacuum-on-open, age-gated: a SIBLING
+    * fingerprint is deleted only once it is older than
+    * `NpairsVacuumAgeMs` (24 h — concurrent processes on this box run
+    * DIFFERENT corpora, e.g. Verify at sf0.01 while Bench runs sf0.1,
+    * so a freshly-written non-current fingerprint is usually another
+    * process's LIVE artifact, not garbage); a crashed writer's `.tmp-*`
+    * goes after `NpairsTmpAgeMs` (1 h — far beyond any real derivation,
+    * short enough that crash debris never survives a day). The current
+    * fingerprint is never touched. Age = directory mtime, which the
+    * atomic rename sets at install time. */
+  private[graft] val NpairsVacuumAgeMs: Long = 24L * 3600 * 1000
+  private[graft] val NpairsTmpAgeMs: Long = 3600L * 1000
+  private[graft] def vacuumArtifacts(current: java.nio.file.Path): Unit = {
+    val dir = current.getParent
+    if (dir != null && java.nio.file.Files.isDirectory(dir)) {
+      val now = System.currentTimeMillis()
+      val victims = scala.util.Using.resource(java.nio.file.Files.list(dir)) { files =>
+        import scala.jdk.CollectionConverters._
+        files.iterator().asScala.filter { p =>
+          val name = p.getFileName.toString
+          val age = try now - java.nio.file.Files.getLastModifiedTime(p).toMillis
+                    catch { case _: java.io.IOException => -1L } // raced away: skip
+          if (p == current) false
+          else if (name.contains(".tmp-")) age > NpairsTmpAgeMs
+          else if (name.startsWith("npairs-")) age > NpairsVacuumAgeMs
+          else false
+        }.toSeq // materialize BEFORE closing the listing stream
+      }
+      victims.foreach { p =>
+        println(s"[npairs] vacuum $p")
+        try deleteTree(p)
+        catch { case e: java.io.IOException => // another process may be
+          // vacuuming concurrently; a half-gone sibling is not our problem
+          System.err.println(s"[npairs] vacuum failed for $p: ${e.getMessage}")
+        }
+      }
+    }
+  }
+
+  private def deleteTree(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    scala.util.Using.resource(java.nio.file.Files.walk(root)) { w =>
+      w.iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   private val pairLocks =

@@ -35,6 +35,36 @@ object VectorQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Par(s.read.parquet(s"$dir/embeddings.parquet"))
 
+  /** q13 data-shape guard (round-11 verdict #2): q13 keeps the
+    * reference's J4 contract — the within-label similarity MATRIX is the
+    * output — so its work is Θ(Σ block²) with block sizes defined by the
+    * DATA, not the plan. Every other pair enumeration in the engine
+    * carries an enforced bound (q24 df-cap, q31 band-cap, q46 adaptive
+    * width, q12 probed cells); q13 cannot bound without changing the
+    * contracted output, so instead it refuses loudly — the SchemaGuard
+    * pattern applied to data shape. One cheap count probe per execution
+    * (a groupBy over the label column, ~ms); any label block above
+    * `Q13BlockCap` throws, naming the offending labels and the env
+    * override. Default 16384 is 8× the sf1 maximum block (2,065) —
+    * far beyond it, block² cosine work is no longer the query the user
+    * thinks they are running, and the scale path is q85's learned
+    * blocking (SemDeDup). `SPARK_GRAFT_Q13_BLOCK_CAP` raises the bound
+    * for a deliberate large-block run. */
+  private[graft] def q13BlockCap: Int =
+    sys.env.get("SPARK_GRAFT_Q13_BLOCK_CAP").map(_.toInt).getOrElse(16384)
+  private[graft] def guardBlocks(e: DataFrame, cap: Int = q13BlockCap): Unit = {
+    val worst = e.groupBy(col("label")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > cap)
+      .orderBy(col("n").desc, col("label")).limit(5)
+      .collect().map(r => s"${r.get(0)}=${r.getLong(1)}")
+    if (worst.nonEmpty)
+      throw new IllegalStateException(
+        s"q13 block guard: label block(s) exceed cap=$cap " +
+          s"(${worst.mkString(", ")}). Within-label pair enumeration is " +
+          "Θ(block²); for corpora at this scale use q85 (learned blocking) " +
+          "or raise SPARK_GRAFT_Q13_BLOCK_CAP deliberately.")
+  }
+
   /** q120 Matryoshka prefix dimension (of 64). */
   private val MrDim = 16
 
@@ -405,6 +435,7 @@ object VectorQueries {
     QueryDef("q13_neardup_cosine",
       (s, dir) => {
         val e = emb(s, dir)
+        guardBlocks(e) // Θ(block²) semantics: refuse a data-defined flood
         val a = e.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("va"))
         val b = e.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("vb"))
         a.join(b, Seq("label")).filter(col("id_a") < col("id_b"))

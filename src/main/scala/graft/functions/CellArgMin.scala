@@ -14,9 +14,12 @@ object CellArgMinImpl {
 
   /** Spark's `round(x, 6)`: string-based BigDecimal (valueOf), HALF_UP —
     * NOT scala.BigDecimal(d), which is the exact binary value and can
-    * round differently on ties. */
+    * round differently on ties. Non-finite passes through unchanged,
+    * exactly like Spark's Round (BigDecimal.valueOf THROWS on NaN/Inf —
+    * surfaced by the KmeansKernelSpec non-finite case, ADVICE r10). */
   @inline def round6(d: Double): Double =
-    java.math.BigDecimal.valueOf(d).setScale(6, java.math.RoundingMode.HALF_UP)
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
+    else java.math.BigDecimal.valueOf(d).setScale(6, java.math.RoundingMode.HALF_UP)
       .doubleValue()
 
   /** Σ(a_i − b_i)² in index order — the exact fold of
@@ -40,7 +43,17 @@ object CellArgMinImpl {
     while (k < matrix.length) {
       // dim-mismatched centroid → null dists entry in the HOF form,
       // which array_min skipped; skip it here too (unreachable when the
-      // V4 dim check holds)
+      // V4 dim check holds).
+      // NaN edge (also unreachable — the trainer feeds ×1e6-quantized
+      // FINITE inputs): with all-NaN distances the HOF form returned
+      // (NaN, first cell) via array_min/array_position, whereas the
+      // strict `v < best` below never updates and yields a NULL struct.
+      // NULL-on-no-finite-min is the kernel's intended semantics — a row
+      // whose distances are all undefined has no assignment — so the
+      // bit-identity claim is scoped to finite inputs (KmeansKernelSpec
+      // pins the non-finite behavior; writing that spec also surfaced
+      // that the unguarded round6 THREW on NaN — now it passes
+      // non-finite through like Spark's Round).
       if (vec.numElements() == matrix(k).length) {
         val v = round6(sqdist(vec, matrix(k)) / scale)
         if (v < best) { best = v; bestIdx = k } // strict: FIRST min wins

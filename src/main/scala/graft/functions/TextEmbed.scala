@@ -70,7 +70,13 @@ object TextEmbed {
     // One codegen'd kernel (EmbedSig) replaced the staged HOF pipeline —
     // the per-row cost fell from O(dim·tokens) interpreted lambda calls
     // (the raw stage FILTERED the whole bucket array once per output
-    // dimension) to O(tokens + dim), bit-identically (TextEmbedSpec).
+    // dimension) to O(tokens + dim), bit-identically (TextEmbedSpec)
+    // for non-null inputs. NULL token array → NULL embedding is the
+    // kernel's INTENDED semantics (TextEmbedSpec pins it): the old HOF
+    // chain emitted an array of `dim` nulls instead — a deliberate
+    // divergence, since "no tokens known" should propagate as SQL NULL,
+    // not as a vector-shaped value that every consumer must special-case
+    // (downstream dot/cosine yield NULL either way).
     df.withColumn(outCol,
       org.apache.spark.sql.graftbridge.ColumnBridge.column(
         EmbedSig(org.apache.spark.sql.graftbridge.ColumnBridge.expression(

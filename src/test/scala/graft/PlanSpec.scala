@@ -199,7 +199,9 @@ class PlanSpec extends SparkSpec {
     // dot_f32 must sit on the vocab×qtok side, i.e. appear exactly once in
     // the whole plan (the old shape evaluated it per incidence×qtok row
     // downstream of the join)
-    assert("dot_f32".r.findAllIn(p).size >= 1, p.take(3000))
+    assert("dot_f32".r.findAllIn(p).size === 1,
+      "dot_f32 must appear EXACTLY once (vocab×qtok side); more than one " +
+        "occurrence means the per-incidence shape is back:\n" + p.take(3000))
     val joinIdx = p.indexOf("BroadcastHashJoin")
     assert(p.lastIndexOf("dot_f32") > joinIdx,
       "dot_f32 must be computed below the broadcast join (vocab side), " +

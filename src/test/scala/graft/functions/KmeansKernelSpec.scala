@@ -1,6 +1,7 @@
 package graft.functions
 
 import graft.SparkSpec
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
 
 /** Bit-identity proof for the k-means kernels: CellArgMin (assignment)
@@ -60,6 +61,25 @@ class KmeansKernelSpec extends SparkSpec {
       aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, t) => acc + t).as("h")).collect()
     rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
+  test("CellArgMin on non-finite distances returns NULL struct (intended)") {
+    // All-NaN distances: the retired HOF returned (NaN, first cell); the
+    // kernel's strict `v < best` never updates → NULL assignment. Scoped
+    // divergence, unreachable with the trainer's quantized finite inputs —
+    // pinned here so the intent is explicit (ADVICE r10).
+    val nanVec = ArrayData.toArrayData(Array.fill(dim)(Double.NaN))
+    val matrix = cents.map(_._2.toArray).toArray
+    val cells = cents.map(_._1).toArray
+    assert(CellArgMinImpl.assign(nanVec, matrix, cells, scale) === null)
+    // a single finite-distance centroid still wins over NaN siblings
+    val fin = vecs(1)._2.toArray
+    val mixed = Array(Array.fill(dim)(Double.NaN), fin)
+    val got = CellArgMinImpl.assign(ArrayData.toArrayData(fin), mixed,
+      Array(7L, 9L), scale)
+    assert(got !== null)
+    assert(got.getLong(1) === 9L)
+    assert(got.getDouble(0) === 0.0)
   }
 
   test("round6 matches Spark's round(x, 6) on adversarial doubles") {

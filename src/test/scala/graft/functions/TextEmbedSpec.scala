@@ -33,6 +33,24 @@ class TextEmbedSpec extends SparkSpec {
     assert(near > far)
   }
 
+  test("NULL text / NULL token array embeds to NULL (intended kernel semantics)") {
+    // The EmbedSig kernel deliberately diverges from the retired HOF
+    // pipeline here: HOF produced an array of `dim` nulls for a null
+    // token array, the kernel propagates SQL NULL. Pin the intent so a
+    // future refactor can't silently flip it back (ADVICE r10).
+    val df = Seq((1L, Option("real text")), (2L, None: Option[String]))
+      .toDF("id", "text")
+    val got = TextEmbed.withEmbed(df, "text", "v").orderBy("id")
+      .select(col("v").isNull).as[Boolean].collect()
+    assert(got === Seq(false, true))
+    // same through the from-tokens entrypoint with an explicitly null array
+    val toks = Seq((1L, Option(Seq("a", "b"))), (2L, None: Option[Seq[String]]))
+      .toDF("id", "toks")
+    val got2 = TextEmbed.withEmbedFromTokens(toks, "toks", "v").orderBy("id")
+      .select(col("v").isNull).as[Boolean].collect()
+    assert(got2 === Seq(false, true))
+  }
+
   test("hash60 matches DuckDB semantics (md5-prefix)") {
     // md5('abc') = 900150983cd24fb0... → first 15 hex = 900150983cd24fb → 648541476951500027
     val h = Seq("abc").toDF("s").select(XHash.hash60(col("s"))).head().getLong(0)
