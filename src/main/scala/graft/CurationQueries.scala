@@ -330,16 +330,18 @@ object CurationQueries {
   private[graft] def bpeTrain(s: SparkSession, dir: String,
                               sampleOnly: Boolean = false,
                               target: Int = BpeMerges,
-                              maxBatch: Int = 16,
+                              maxBatch: Int = 32,
                               supersteps: Option[java.util.concurrent.atomic.AtomicInteger] = None)
       : (Seq[(Long, String, String, Long, Long)], DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val applyBatch = udf((toks: Seq[String], xs: Seq[String], ys: Seq[String]) => {
-      var cur = toks
-      var i = 0
-      while (i < xs.length) { cur = mergeScan(cur, xs(i), ys(i)); i += 1 }
-      cur
-    })
+    // one-pass linked-list encoder, NOT a mergeScan-per-merge loop: the
+    // r11 certified-chain batches run to 20+ merges, and composing
+    // mergeScan is O(batch × tokens) Seq rebuilds per doc per superstep
+    // (measured 1.9 s for a 21-merge checkpoint). encodeWithMerges is
+    // the same composition in O(tokens + applied) — equivalence pinned
+    // by BpeEncodeSpec on crafted overlap runs and the real corpus.
+    val applyBatch = udf((toks: Seq[String], xs: Seq[String], ys: Seq[String]) =>
+      encodeWithMerges(toks, xs.zip(ys)))
     val base = docs(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
     var t = (if (sampleOnly) base.filter(col("doc_id") % 4 === 0) else base)
@@ -471,23 +473,154 @@ object CurationQueries {
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
       if (top.isEmpty) exhausted = true
       else {
-        val picked = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
-        val used = scala.collection.mutable.Set.empty[String]
-        var mintMax = -1L // max possible count of any pair minted so far
-        var stop = false
-        var i = 0
-        while (!stop && i < top.length && picked.size < maxBatch &&
-               trained + picked.size < target) {
-          val (x, y, c) = top(i)
-          if (picked.nonEmpty && c <= mintMax) stop = true
-          else if (used(x) || used(y)) stop = true
-          else {
-            picked += ((x, y, c))
-            used += x; used += y
-            mintMax = math.max(mintMax, newBound.getOrElse((x, y), 0L))
+        // ── batch selection: DRIVER-SIDE SEQUENTIAL SIMULATION with exact
+        // count maintenance (round-11 verdict #4). The r10 rule stopped
+        // the batch at the FIRST pair sharing a token with a selected
+        // merge; r11 instrumentation showed every superstep stop was that
+        // conflict rule (avg batch 3.2 of 16) while the mint bound never
+        // bound (next count ~800 vs mint ~42) — and in the common case
+        // (hot shared LEFT token: (the,quick) then (the,brown)) the
+        // conflicting pair's count is provably UNCHANGED. So: simulate
+        // the sequential argmax loop on the driver, updating counts
+        // EXACTLY from the snapshot's neighbor-triple table.
+        //
+        // Exactness argument (each clause load-bearing, pinned by
+        // BpeBatchSpec equality + the end-of-training token audit):
+        //  * merging (x,y)→x_y never INCREASES an existing pair's count
+        //    (the minted token sits between its neighbors; no new
+        //    adjacency between existing tokens is ever created);
+        //  * for x≠y the only existing pairs destroyed are (w,x) — by
+        //    exactly #(w,x,y) occurrences — and (y,z) — by #(x,y,z);
+        //    sites partition by the third token, so decreases from
+        //    multiple merges never double-count;
+        //  * those triple counts are snapshot-EXACT unless an earlier
+        //    simulated merge touched them. Conservative poisoning covers
+        //    every staleness channel: a decrease row whose third token w
+        //    is dirty (an endpoint of an earlier admitted merge) poisons
+        //    its target instead of updating it — this also kills the
+        //    reversed-pair (y,x) double-count, since p's own endpoints
+        //    enter `dirty` before p's effects apply; a pair admitted
+        //    after being decreased (δ>0: some of its occurrences are
+        //    gone, so ITS OWN effect triples are stale by unknowable
+        //    4-gram amounts) poisons every pair sharing one of its
+        //    tokens; a self-pair (runs, leftmost-greedy overlap) poisons
+        //    its token's whole neighborhood. A poisoned pair carries its
+        //    last-known count as an UPPER bound (counts only decrease),
+        //    so selection stays sound: the batch ends when the ordered
+        //    argmax lands on a poisoned pair.
+        //  * sequential's argmax ranges over ALL pairs; ours over the
+        //    collected top-K. Uncollected pairs are ≤ floorC (the K-th
+        //    count) and only decrease, minted pairs are ≤ mintMax (the
+        //    max neighbor-triple count of applied merges, still an upper
+        //    bound post-destruction) — the batch ends when the argmax
+        //    count stops strictly exceeding both.
+        // The triple table is fetched LAZILY (one extra narrow job,
+        // pairs ∈ top-K ∧ w ∈ tokens(top-K)) only when the simulation
+        // first needs effects — a naturally-disjoint batch never pays.
+        val capacity = math.min(maxBatch, target - trained)
+        val limitK = math.max(maxBatch * 4, 8)
+        val floorC = if (top.length < limitK) Long.MinValue else top.map(_._3).min
+        def byteLt(a: String, b: String): Boolean = {
+          val ab = a.getBytes("UTF-8"); val bb = b.getBytes("UTF-8")
+          var i = 0
+          while (i < ab.length && i < bb.length) {
+            val c = (ab(i) & 0xff) - (bb(i) & 0xff)
+            if (c != 0) return c < 0
+            i += 1
           }
-          i += 1
+          ab.length < bb.length
         }
+        // (count desc, x asc, y asc) in Spark's binary string order — the
+        // exact ORDER BY of the stats job / sequential selection
+        def before(a: ((String, String), Long), b: ((String, String), Long)): Boolean =
+          a._2 > b._2 || (a._2 == b._2 && (byteLt(a._1._1, b._1._1) ||
+            (a._1._1 == b._1._1 && byteLt(a._1._2, b._1._2))))
+        val cur = scala.collection.mutable.LinkedHashMap.from(
+          top.map { case (x, y, c) => (x, y) -> c })
+        val poisoned = scala.collection.mutable.Set.empty[(String, String)]
+        val decreased = scala.collection.mutable.Set.empty[(String, String)]
+        val dirty = scala.collection.mutable.Set.empty[String]
+        var fine: Map[(String, String, String, String), Long] = null
+        def fetchFine(): Unit = if (fine == null) fine = tick("fine") {
+          val pairKeys = top.map { case (x, y, _) => x + "\u0001" + y }
+          val toks = top.flatMap { case (x, y, _) => Seq(x, y) }.distinct
+          t.select(explode(expr(
+            "transform(slice(toks, 1, size(toks) - 1)," +
+              " (t, i) -> struct(t AS x, toks[i + 1] AS y," +
+              "   CASE WHEN i > 0 THEN toks[i - 1] ELSE NULL END AS wp," +
+              "   get(toks, i + 2) AS wn))")).as("p"))
+            .filter(concat_ws("\u0001", col("p.x"), col("p.y"))
+              .isInCollection(pairKeys))
+            .select(col("p.x").as("x"), col("p.y").as("y"), explode(array(
+              struct(lit("p").as("side"), col("p.wp").as("w")),
+              struct(lit("n").as("side"), col("p.wn").as("w")))).as("e"))
+            .filter(col("e.w").isNotNull && col("e.w").isInCollection(toks))
+            .groupBy(col("x"), col("y"), col("e.side"), col("e.w"))
+            .agg(count(lit(1)).as("cnt"))
+            .collect()
+            .map(r => (r.getString(0), r.getString(1), r.getString(2),
+              r.getString(3)) -> r.getLong(4)).toMap
+        }
+        val picked = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+        var mintMax = -1L // upper bound on any pair minted so far
+        var stop = false
+        var why = "cap"
+        while (!stop && picked.size < capacity && cur.nonEmpty) {
+          val (p, cP) = cur.foldLeft(cur.head) { (b, e) => if (before(e, b)) e else b }
+          if (picked.nonEmpty && cP <= mintMax) { stop = true; why = "mint" }
+          else if (picked.nonEmpty && cP <= floorC) { stop = true; why = "floor" }
+          else if (poisoned(p)) { stop = true; why = "poisoned" }
+          else if (p._1 == p._2 && dirty(p._1)) { stop = true; why = "self-dirty" }
+          else {
+            picked += ((p._1, p._2, cP))
+            cur.remove(p)
+            mintMax = math.max(mintMax, newBound.getOrElse(p, 0L))
+            if (picked.size < capacity) { // effects only needed if continuing
+              if (p._1 == p._2) {
+                // self-merge: run/overlap dynamics — poison the whole
+                // token neighborhood, admit only disjoint pairs after
+                dirty += p._1
+                cur.keysIterator.filter(q => q._1 == p._1 || q._2 == p._1)
+                  .foreach(poisoned += _)
+              } else if (decreased(p)) {
+                // p lost occurrences to earlier merges: its own effect
+                // triples are stale (4-gram territory) — poison neighbors
+                dirty += p._1; dirty += p._2
+                cur.keysIterator.filter(q => q._1 == p._1 || q._2 == p._1 ||
+                  q._1 == p._2 || q._2 == p._2).foreach(poisoned += _)
+              } else {
+                fetchFine()
+                dirty += p._1; dirty += p._2 // BEFORE effects: reversed-pair guard
+                // NEVER touch a poisoned pair's stored value: it is the
+                // last certified count, kept as an UPPER bound (counts
+                // only decrease). Decreasing it further with a possibly-
+                // overcounted stale delta could push it BELOW the true
+                // count, and the ends-on-poisoned-argmax stop rule is
+                // only sound while stored ≥ true.
+                cur.keysIterator.toSeq.filterNot(poisoned).foreach { q =>
+                  // decrease of (w, p.x) = #(w, p.x, p.y); of (p.y, z) = #(p.x, p.y, z)
+                  val touchesP = q._2 == p._1 || q._1 == p._2
+                  if (touchesP) {
+                    val viaDirty = (q._2 == p._1 && dirty(q._1)) ||
+                      (q._1 == p._2 && dirty(q._2))
+                    if (viaDirty) {
+                      // the triple's third token was itself rewritten by an
+                      // earlier merge — its snapshot count is untrustworthy
+                      poisoned += q
+                    } else {
+                      val dp = if (q._2 == p._1)
+                        fine.getOrElse((p._1, p._2, "p", q._1), 0L) else 0L
+                      val dn = if (q._1 == p._2)
+                        fine.getOrElse((p._1, p._2, "n", q._2), 0L) else 0L
+                      if (dp + dn > 0) { cur(q) = cur(q) - dp - dn; decreased += q }
+                    }
+                  }
+                }
+              }
+            }
+          }
+        }
+        if (dbg) println(s"[bpe] batch=${picked.size} stop=$why mintMax=$mintMax floorC=$floorC")
         val selfA = selfApplied(picked.collect { case (x, y, _) if x == y => x }.toSeq)
         val sel = picked.map { case (x, y, c) =>
           (x, y, c, if (x == y) selfA(x) else c) }

@@ -37,11 +37,45 @@ class BpeBatchSpec extends SparkSpec {
 
   test("batched supersteps ≡ one-merge-per-barrier on overlap/conflict runs") {
     val dir = corpusDir()
-    for (target <- Seq(6, 12)) {
+    for (target <- Seq(6, 12); batch <- Seq(16, 32)) {
       val (seqMerges, seqToks) =
         CurationQueries.bpeTrain(spark, dir, target = target, maxBatch = 1)
       val (batMerges, batToks) =
-        CurationQueries.bpeTrain(spark, dir, target = target, maxBatch = 16)
+        CurationQueries.bpeTrain(spark, dir, target = target, maxBatch = batch)
+      assert(batMerges === seqMerges,
+        s"target=$target batch=$batch: merge tables diverge\nseq: $seqMerges\nbat: $batMerges")
+      val a = seqToks.orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+      val b = batToks.orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+      assert(a === b, s"target=$target batch=$batch: final tokenizations diverge")
+      seqToks.unpersist(); batToks.unpersist()
+    }
+  }
+
+  test("certified-chain batching ≡ sequential on a hot-shared-token corpus") {
+    // The r11 simulation's reason to exist: the count-ordered prefix is a
+    // CHAIN of pairs sharing one hot token ((the,quick), (the,brown), …),
+    // which the r10 disjointness rule cut at size 1. Sequential equality
+    // here exercises the exact-decrease path: left-shared chains (decrease
+    // 0), right-side consumers ((w,the) losing #(w,the,·) sites), the
+    // reversed pair (poisoned via the dirty guard), and a self-run block.
+    import spark.implicits._
+    val texts = Seq(
+      "the quick the brown the slow the fast the quick the brown",
+      "of the quick of the brown of the slow on the quick",
+      "the quick brown the quick slow the brown fast q q q q",
+      "on the quick the the quick the of of the brown the",
+      "the quick the quick the brown the slow of the fast on",
+      "quick the brown the slow the of the quick the brown q q")
+    val df = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", s"src${i % 2}", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("bpechain").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    for (target <- Seq(8, 16)) {
+      val (seqMerges, seqToks) =
+        CurationQueries.bpeTrain(spark, dir, target = target, maxBatch = 1)
+      val (batMerges, batToks) =
+        CurationQueries.bpeTrain(spark, dir, target = target, maxBatch = 32)
       assert(batMerges === seqMerges,
         s"target=$target: merge tables diverge\nseq: $seqMerges\nbat: $batMerges")
       val a = seqToks.orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
