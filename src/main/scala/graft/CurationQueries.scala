@@ -1395,9 +1395,12 @@ object CurationQueries {
           }
           SimplePng.encode(SimplePng.Image(16, 16, 1, px))
         }
+        // planner fence (see q124's lumSums note): without it the
+        // h.isNotNull filter pushes below the projection and re-evaluates
+        // the PNG encode+decode chain per row (2x the codec work)
         val phash = udf { (payload: Array[Byte]) =>
           ImageHash.aHashPng(payload).orNull
-        }
+        }.asNondeterministic()
         val hashes = docs(s, dir)
           .select(col("doc_id"), phash(mkPng(col("doc_id"))).as("h"))
           .filter(col("h").isNotNull)
@@ -1515,6 +1518,8 @@ object CurationQueries {
           }
           SimpleWav.encode(SimpleWav.Audio(16000, 1, 16, samples))
         }
+        // planner fence (see q124's lumSums note): keeps the WAV
+        // encode+decode chain out of the pushed h.isNotNull filter
         val fp = udf { (payload: Array[Byte]) =>
           SimpleWav.decode(payload).map { a =>
             val e = Array.tabulate(65) { f =>
@@ -1527,7 +1532,7 @@ object CurationQueries {
             }
             (0 until 64).map(f => if (e(f) > e(f + 1)) '1' else '0').mkString
           }.orNull
-        }
+        }.asNondeterministic()
         val hashes = docs(s, dir)
           .select(col("doc_id"), fp(mkWav(col("doc_id"))).as("h"))
           .filter(col("h").isNotNull)

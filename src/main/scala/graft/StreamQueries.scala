@@ -355,11 +355,19 @@ object StreamQueries {
             Array.tabulate(w * h)(i => ((docId * 13 + f * 5 + i * 3) % 4).toByte))
           graft.operators.SimpleGif.encode(w, h, palette, frames)
         }
+        // asNondeterministic is a PLANNER fence, not a semantics claim:
+        // the posexplode below made InferFiltersFromGenerate clone this
+        // whole encode+decode chain into a pre-Generate Filter
+        // (size(UDF(UDF(...))) > 0 AND isnotnull(...)), tripling the GIF
+        // work per row — the r10 "honest 4x" family tail was mostly this
+        // (sf1 q124 5.4 -> 1.6 s isolated after the fence). Catalyst
+        // never duplicates or reorders non-deterministic expressions, so
+        // the decode runs exactly once per row.
         val lumSums = udf { (payload: Array[Byte]) =>
           graft.operators.SimpleGif.decode(payload)
             .map(_.frames.map(fr => fr.lum.map(b => (b & 0xff).toLong).sum))
             .orNull
-        }
+        }.asNondeterministic()
         val w = Window.partitionBy(col("doc_id")).orderBy(col("frame"))
         Par(s.read.parquet(s"$dir/documents.parquet"))
           .select(col("doc_id"),
