@@ -42,23 +42,27 @@ object Bench {
     // and reports each query's minimum ACROSS sweeps;
     // SPARK_GRAFT_REPS additionally repeats each query back-to-back
     // within a sweep (minimum over all sweep×rep executions).
-    // Default sweeps=2, reps=1: same total executions as the old
-    // reps=2 default, but the two measurements of a query are separated
-    // by a full suite pass instead of running back-to-back. Back-to-back
-    // reps share whatever transient contention (GC epoch, a compaction
-    // of the box's page cache, another process's burst) happens to cover
-    // that suite position — r10's driver artifact read q97 5.09 s where
-    // isolated REPS=3 read 1.32 s on the same data, with BOTH in-suite
-    // reps inflated. Cross-sweep minima decorrelate the two samples, so
-    // the min is a steady-state reading, not min-over-one-contended-
-    // window. Sweep 1 additionally absorbs each plan's whole-stage
-    // codegen compile + JIT warmup (3-10 s swings on sub-second queries
-    // when billed), which is exactly what a min should exclude — at
-    // 100 TB per-stage compile amortizes over thousands of tasks.
-    // Both counts are emitted in the JSON.
+    // Default sweeps=2 AND reps=2 — the discipline the committed
+    // artifacts use, and both knobs are load-bearing:
+    //  * reps=2 (back-to-back): the second rep runs codegen-warm — the
+    //    first execution of a plan carries its whole-stage codegen
+    //    compile + JIT warmup (3-10 s swings on sub-second queries), and
+    //    with ~131 queries the codegen cache is long evicted by the time
+    //    the NEXT sweep returns, so only a back-to-back rep ever
+    //    measures warm steady state (r11 measured: sweeps=2×reps=1 read
+    //    a uniform 1.4× over the committed artifact — min-of-two-cold
+    //    executions, 163.9 s vs 103.5 s on identical data).
+    //  * sweeps=2 (cross-suite): back-to-back reps share whatever
+    //    transient contention covers that suite position — r10's driver
+    //    artifact read q97 5.09 s where isolated REPS=3 read 1.32 s on
+    //    the same data, BOTH in-suite reps inflated. The cross-sweep min
+    //    decorrelates the samples.
+    // Steady state is the regime that matters at 100 TB, where per-stage
+    // compile amortizes over thousands of tasks. Both counts are
+    // emitted in the JSON.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val sweeps = sys.env.getOrElse("SPARK_GRAFT_SWEEPS", "2").toInt
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val selected = SparkEntry.benchQueries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     canary(spark); canary(spark) // untimed warmups (codegen + JIT settle)
