@@ -34,7 +34,7 @@ object StreamingIngest {
     * Semantics identical to the batch date_trunc aggregation.
     */
   def hourlyEventCounts(outer: SparkSession, dir: String): DataFrame = {
-    val spark = streamSession(outer)
+    val spark = streamSession(outer, dir)
     // FileStreamSource requires a DIRECTORY; eventStream's pathGlobFilter
     // selects just the events table out of the shared testdata dir.
     val stream = eventStream(spark, dir)
@@ -46,26 +46,44 @@ object StreamingIngest {
         col("event_type"), col("n_events"))
   }
 
-  /** Stateful micro-batches pay a per-state-partition commit/snapshot cost
-    * every batch regardless of data volume; 32 shuffle partitions × (two
-    * sides of a join + dedup/agg state) dominated sub-second queries. The
-    * streaming queries run on a cloned session (shared SparkContext,
-    * private conf) with a smaller state partition count (4 — measured a
-    * further ~5% over 8 at sf0.1, mostly in the two-sided join state of
-    * q52) — on a real cluster you'd size this to executor count, and
-    * state is keyed, so capacity scales with active keys either way.
+  /** State partition count, sized to the INPUT, not a constant: stateful
+    * micro-batches pay a per-state-partition commit cost every batch, so
+    * small inputs want few state stores (4 beat 8 by ~5% at sf0.1, where
+    * commit overhead dominates sub-second queries; 2 regressed —
+    * parallelism loss beats commit savings), while at sf1 (20 MB events,
+    * 500k rows) the balance flips — compute dominates and 8 partitions
+    * measured q52+q53+q59 13.5 → 12.0 s (16 regressed q52: more commits
+    * again). One file-size probe decides; on a real cluster this knob is
+    * sized to executor count the same way, and state is keyed, so
+    * capacity scales with active keys either way.
     *
     * State-store provider: measured RocksDB vs the default HDFS-backed
     * store at sf0.1 / 8 partitions (q50+q52+q53+q59, min-of-2): 9.07 s vs
-    * 7.05 s — RocksDB's per-batch instance open/commit overhead loses
-    * when state fits in memory, so the default stays. RocksDB wins only
-    * once state outgrows executor heap (its point at 100 TB); flip via
+    * 7.05 s — re-measured at sf1 in r11 (22.3 vs 16.2 s): RocksDB's
+    * per-batch instance open/commit overhead loses while state fits in
+    * memory, so the default stays. RocksDB wins only once state outgrows
+    * executor heap (its point at 100 TB); flip via
     * SPARK_GRAFT_EXTRA_CONF=spark.sql.streaming.stateStore.providerClass=
     * ...RocksDBStateStoreProvider when it does.
     */
-  private def streamSession(spark: SparkSession): SparkSession = {
+  private def streamParts(dir: String): String =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", {
+      val bytes = try {
+        import scala.jdk.CollectionConverters._
+        scala.util.Using.resource(
+          java.nio.file.Files.list(java.nio.file.Paths.get(dir))) {
+          _.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .map(p => try java.nio.file.Files.size(p) catch { case _: java.io.IOException => 0L })
+            .foldLeft(0L)(math.max) // largest single table ~ the stream source
+        }
+      } catch { case _: java.io.IOException => 0L }
+      if (bytes >= 8L * 1024 * 1024) "8" else "4"
+    })
+
+  private def streamSession(spark: SparkSession, dir: String): SparkSession = {
     val s2 = spark.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2.conf.set("spark.sql.shuffle.partitions", streamParts(dir))
     // After the data batch, Spark runs an extra NO-DATA micro-batch when
     // the watermark advanced — it exists to flush watermark-gated
     // emissions (append-mode windowed aggs), but every operator here
@@ -76,8 +94,7 @@ object StreamingIngest {
     // sf0.1; the rest of the time is state INSERT + source reads — see
     // SCALE.md's streaming-floor note). On an UNBOUNDED pipeline keep it
     // on if an append-mode agg must emit without waiting for the next
-    // data batch. Partition count: 2 was also measured and REGRESSED
-    // (6.8 s) — parallelism loss beats commit savings; 4 stays.
+    // data batch.
     s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     s2 // nanosAsLong is set by whichever events reader runs first
        // (Events.load / eventsRawSchema) — harmless to set repeatedly
@@ -132,7 +149,7 @@ object StreamingIngest {
     * source; a reordering source surfaces here instead of corrupting
     * training sequences silently). */
   def streamingPack(outer: SparkSession, dir: String, cap: Long = 256L): DataFrame = {
-    val spark = streamSession(outer)
+    val spark = streamSession(outer, dir)
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val src = spark.readStream
@@ -182,7 +199,7 @@ object StreamingIngest {
     }
 
   def streamingTopK(outer: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val spark = streamSession(outer)
+    val spark = streamSession(outer, dir)
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val src = eventStream(spark, dir)
@@ -223,7 +240,7 @@ object StreamingIngest {
     * forever.
     */
   def clickViewJoin(outer: SparkSession, dir: String): DataFrame = {
-    val spark = streamSession(outer)
+    val spark = streamSession(outer, dir)
     val clicks = eventStream(spark, dir)
       .filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("ts").as("c_ts"))
@@ -246,7 +263,7 @@ object StreamingIngest {
     * exact here while state stays O(active keys), not O(stream).
     */
   def distinctUserHourType(outer: SparkSession, dir: String): DataFrame = {
-    val spark = streamSession(outer)
+    val spark = streamSession(outer, dir)
     val keyed = eventStream(spark, dir)
       .withWatermark("ts", "1 hour")
       .select(col("user_id"),
@@ -264,7 +281,7 @@ object StreamingIngest {
     * gaps-and-islands formulation of the same 30-minute sessions.
     */
   def sessionWindows(outer: SparkSession, dir: String): DataFrame = {
-    val spark = streamSession(outer)
+    val spark = streamSession(outer, dir)
     val sessions = eventStream(spark, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
