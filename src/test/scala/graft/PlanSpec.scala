@@ -192,6 +192,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("shiftright"), p.take(3000))
   }
 
+  test("q123/q124/q125: no decode UDF is duplicated into a Filter condition") {
+    // InferFiltersFromGenerate / pushed isNotNull filters used to clone
+    // the whole encode+decode UDF chain into Filter conditions (3x the
+    // codec work per row on q124 — sf1 5.4 -> 1.1 s when fenced). The
+    // asNondeterministic planner fence must keep every Filter free of
+    // scala UDF calls: the inferred/pushed conditions may reference the
+    // PROJECTED column, never re-evaluate the chain.
+    for (q <- Seq("q123_phash_dedup", "q124_frame_sample", "q125_audio_fingerprint")) {
+      val p = plan(q)
+      val offending = p.linesIterator
+        .filter(l => l.contains("Condition") || l.trim.startsWith("+- Filter") ||
+          l.trim.startsWith(":- Filter"))
+        .filter(_.contains("UDF"))
+        .toSeq
+      assert(offending.isEmpty,
+        s"$q: decode UDF leaked into a Filter condition:\n${offending.mkString("\n").take(2000)}")
+    }
+  }
+
   test("q99: the dot product is scored vocabulary-first and broadcast back to the incidence list") {
     val p = plan("q99_maxsim")
     assert(p.contains("BroadcastHashJoin"),
