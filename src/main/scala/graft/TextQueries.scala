@@ -249,6 +249,12 @@ object TextQueries {
         // q98 REUSE one derivation — make reuse visible in driver logs
         // instead of inferred from timings
         println(s"[npairs] hit $path")
+        // touch on use: age-based vacuum means an artifact built >24h ago
+        // but still ACTIVELY read (long-lived corpus) must not look like
+        // garbage to a sibling process vacuuming a different corpus
+        try java.nio.file.Files.setLastModifiedTime(path,
+          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+        catch { case _: java.io.IOException => () } // read-only dir: fine
       } else {
         println(s"[npairs] build $path")
         java.nio.file.Files.createDirectories(path.getParent)

@@ -85,4 +85,31 @@ class NpairsLifecycleSpec extends SparkSpec {
     assert(third.contains(s"[npairs] vacuum $debris"), s"got: $third")
     assert(!Files.exists(debris))
   }
+
+  test("a hit refreshes the artifact mtime, so an actively-used old artifact never ages out") {
+    import spark.implicits._
+    val dataDir = Files.createTempDirectory("npairs-touch").toString
+    (0L until 30L).map(i => (i, s"touch corpus doc number $i text"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("crafted"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dataDir/documents.parquet")
+    TextQueries.boundedPairs(spark, dataDir).count() // build
+    // locate the artifact: re-derive its path the way boundedPairs does
+    val docsPath = java.nio.file.Paths.get(s"$dataDir/documents.parquet")
+    val desc = s"$docsPath:${Files.size(docsPath)}:" +
+      s"${Files.getLastModifiedTime(docsPath).toMillis}"
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(desc.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val artifact = Paths.get(sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_DIR",
+      s"${System.getProperty("java.io.tmpdir")}/graft-artifacts"), s"npairs-$fp")
+    // simulate an artifact built long ago but still in use
+    Files.setLastModifiedTime(artifact,
+      FileTime.fromMillis(System.currentTimeMillis() - 30L * 24 * 3600 * 1000))
+    TextQueries.boundedPairs(spark, dataDir).count() // hit → touch
+    val age = System.currentTimeMillis() -
+      Files.getLastModifiedTime(artifact).toMillis
+    assert(age < TextQueries.NpairsVacuumAgeMs,
+      s"hit must refresh mtime (age still ${age}ms)")
+  }
 }
