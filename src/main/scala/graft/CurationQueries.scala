@@ -371,6 +371,13 @@ object CurationQueries {
       if (dbg) println(f"[bpe] $name: ${(System.nanoTime() - t0) / 1e9}%.3f s")
       r
     }
+    // ONE definition shared by the stats job's .limit and the floorC
+    // completeness test below: `floorC = MinValue when top.length <
+    // statsLimitK` is only sound because top.length < limit PROVES the
+    // collected set is the complete pair table — two copies of the
+    // expression drifting apart would silently break the batch-soundness
+    // stop rule (r11 review finding)
+    val statsLimitK = math.max(maxBatch * 4, 8)
     while (trained < target && !exhausted) {
       supersteps.foreach(_.incrementAndGet())
       // ── superstep: ONE pair-stats job, then a BATCH of merges whose
@@ -445,7 +452,7 @@ object CurationQueries {
           .agg(max(when(col("side") === "c", col("cnt"))).as("c"),
             max(when(col("side") =!= "c", col("cnt"))).as("mx"))
           .orderBy(col("c").desc, col("x"), col("y"))
-          .limit(math.max(maxBatch * 4, 8))
+          .limit(statsLimitK)
           .collect()
           .map(r => (r.getString(0), r.getString(1), r.getLong(2),
             if (r.isNullAt(3)) 0L else r.getLong(3))))
@@ -518,8 +525,7 @@ object CurationQueries {
         // pairs ∈ top-K ∧ w ∈ tokens(top-K)) only when the simulation
         // first needs effects — a naturally-disjoint batch never pays.
         val capacity = math.min(maxBatch, target - trained)
-        val limitK = math.max(maxBatch * 4, 8)
-        val floorC = if (top.length < limitK) Long.MinValue else top.map(_._3).min
+        val floorC = if (top.length < statsLimitK) Long.MinValue else top.map(_._3).min
         def byteLt(a: String, b: String): Boolean = {
           val ab = a.getBytes("UTF-8"); val bb = b.getBytes("UTF-8")
           var i = 0

@@ -251,7 +251,14 @@ object TextQueries {
         println(s"[npairs] hit $path")
         // touch on use: age-based vacuum means an artifact built >24h ago
         // but still ACTIVELY read (long-lived corpus) must not look like
-        // garbage to a sibling process vacuuming a different corpus
+        // garbage to a sibling process vacuuming a different corpus.
+        // The touch is a LEASE, renewed at open: a process that holds the
+        // returned lazy frame across a full vacuum age without re-opening
+        // can still observe a sibling's delete (bounded TOCTOU at the age
+        // boundary) — the failure is one aborted read, and the next open
+        // rebuilds deterministically; full cross-process read/vacuum
+        // serialization would need lock files this single-box artifact
+        // doesn't warrant.
         try java.nio.file.Files.setLastModifiedTime(path,
           java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
         catch { case _: java.io.IOException => () } // read-only dir: fine
@@ -307,9 +314,12 @@ object TextQueries {
       }
       victims.foreach { p =>
         println(s"[npairs] vacuum $p")
+        // NonFatal, not just IOException: a concurrent vacuum racing this
+        // one surfaces as UncheckedIOException(NoSuchFileException) from
+        // the Files.walk ITERATION (a RuntimeException) — a half-gone
+        // sibling is not our problem either way (r11 review finding)
         try deleteTree(p)
-        catch { case e: java.io.IOException => // another process may be
-          // vacuuming concurrently; a half-gone sibling is not our problem
+        catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[npairs] vacuum failed for $p: ${e.getMessage}")
         }
       }

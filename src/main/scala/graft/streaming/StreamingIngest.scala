@@ -68,16 +68,15 @@ object StreamingIngest {
     */
   private def streamParts(dir: String): String =
     sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", {
-      val bytes = try {
-        import scala.jdk.CollectionConverters._
-        scala.util.Using.resource(
-          java.nio.file.Files.list(java.nio.file.Paths.get(dir))) {
-          _.iterator().asScala
-            .filter(_.getFileName.toString.endsWith(".parquet"))
-            .map(p => try java.nio.file.Files.size(p) catch { case _: java.io.IOException => 0L })
-            .foldLeft(0L)(math.max) // largest single table ~ the stream source
-        }
-      } catch { case _: java.io.IOException => 0L }
+      // probe the STREAM SOURCES only (events for the event operators,
+      // documents for the doc-stream packers) — a max over every table
+      // in the dir would let a large BATCH table (sf0.1 lineitem,
+      // 10.8 MB) flip the streaming family to 8 partitions at exactly
+      // the scale where 4 measured best (r11 review finding)
+      val bytes = Seq("events.parquet", "documents.parquet").map { f =>
+        try java.nio.file.Files.size(java.nio.file.Paths.get(dir, f))
+        catch { case _: java.io.IOException => 0L }
+      }.max
       if (bytes >= 8L * 1024 * 1024) "8" else "4"
     })
 
