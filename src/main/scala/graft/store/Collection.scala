@@ -298,8 +298,17 @@ class Collection private (
       rewriteSwap("insert") { tmp =>
         conformed.write.mode(SaveMode.Overwrite).parquet(tmp)
       }
-    } else
+    } else {
+      // once the collection is non-empty its schema is FIXED: appending a
+      // batch with different columns would create the mixed-schema
+      // directory the comment above warns about (reads then surface
+      // whichever footer Spark samples) — refuse loudly (r11 review)
+      require(batchCols == declared,
+        s"insert: batch schema [${conformed.schema.fieldNames.mkString(",")}] does not " +
+          s"match $name's declared [${df.schema.fieldNames.mkString(",")}] — " +
+          "conform the batch (or rebuild the collection) before appending")
       conformed.write.mode(SaveMode.Append).parquet(dataDir)
+    }
   }
 
   /** Upsert by primary key (Milvus's `upsert`): incoming rows REPLACE
@@ -364,10 +373,11 @@ class Collection private (
       if (src.isDirectory)
         linkTree(src, new java.io.File(dstRoot + side))
     }
-    val c = Collection.open(spark, root, newName)
-    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dstRoot/_current"),
-      "v1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    c
+    // the pointer commits through the same tmp+ATOMIC_MOVE discipline as
+    // every other marker: a crash mid-write must never leave a truncated
+    // _current that bricks the clone's currentVersion parse (r11 review)
+    writeMarker(s"$dstRoot/_current", "v1")
+    Collection.open(spark, root, newName)
   }
 
   /** Snapshot diff — the time-travel companion (Delta's CHANGE DATA FEED
@@ -422,7 +432,23 @@ class Collection private (
     }.getOrElse(-1L)
     if (batchId <= applied) false
     else {
-      upsert(batch)
+      // a CDC micro-batch may legitimately carry several events for one
+      // key in a single trigger; upsert's unique-id contract would kill
+      // the stream AND wedge it (the marker is unwritten, so the same
+      // batch replays on restart and throws again). Compact to one row
+      // per id first — winner chosen by max all-column fingerprint:
+      // arbitrary but DETERMINISTIC, which replay-idempotence requires
+      // (a crash between upsert and marker re-applies the batch; a
+      // partition-order-dependent winner could differ on replay and
+      // break the exactly-once observable effect). Sources that care
+      // which event wins must compact upstream with their own recency
+      // column. (r11 review)
+      val fp = md5(to_json(struct(batch.columns.sorted.map(col): _*)))
+      val w = Window.partitionBy(col("id")).orderBy(col("__fp").desc)
+      val compacted = batch.withColumn("__fp", fp)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__fp", "__rn")
+      upsert(compacted)
       writeMarker(s"$path/_stream_batch", s"$streamId:$batchId")
       true
     }
@@ -501,12 +527,7 @@ class Collection private (
         .distinct().collect().map(_.getLong(0)).toSeq
       oldMatched.unpersist()
       // partition-pruning predicate typed to the INFERRED partition column
-      // (a cast on the column side would defeat pruning)
-      val cellIn: Column = df.schema("cell").dataType match {
-        case IntegerType => col("cell").isin(affected.map(_.toInt): _*)
-        case LongType    => col("cell").isin(affected: _*)
-        case _           => col("cell").isin(affected.map(_.toString): _*)
-      }
+      val cellIn: Column = cellPredicate(df.schema("cell").dataType, "cell", affected)
       // survivors of the affected cells + the whole batch; staged to a
       // sibling dir because Spark (correctly) refuses a write that reads
       // from its own destination
@@ -561,13 +582,21 @@ class Collection private (
         if (pqStamp.contains(model.contentId))
           maintainPqCodes(model, batch, batchIds, affected)
       } finally rmTree(new java.io.File(stage))
-      if (ivfDrift > maxDrift) {
+      // the drift probe costs a full df.count() — skip it entirely under
+      // the default no-retrain policy instead of comparing to +Inf
+      if (maxDrift != Double.PositiveInfinity && ivfDrift > maxDrift) {
         val (nl, rd) = readMarker(s"$path.__ivf/_build_params")
           .map(_.split(" "))
           .map(a => (a(0).toInt, a(1).toInt))
           .getOrElse((model.cells.length, 3))
-        buildIvf(nl, rd)
-        ()
+        // a PQ'd collection retrains PQ TOO: buildIvf alone would mint a
+        // new quantizer contentId and leave searchIvfPq refusing until a
+        // manual rebuild — the opposite of the self-enforcing contract
+        // this knob exists for (r11 review)
+        readMarker(s"$path.__pq/_meta").map(_.split(" ")) match {
+          case Some(meta) => buildIvfPq(nl, meta(0).toInt, meta(1).toInt, rd); ()
+          case None => buildIvf(nl, rd); ()
+        }
       }
       (replaced, nNew - matched, moved)
     } finally { batch.unpersist(); () }
@@ -752,11 +781,7 @@ class Collection private (
     require(cbs.forall(_.nonEmpty), "maintainPqCodes: empty codebook")
     val centDf = model.cells.zip(model.centroids.map(_.toSeq)).toSeq.toDF("cell", "__cv")
     val old = spark.read.parquet(codesDir)
-    val cellIn: Column = old.schema("cell").dataType match {
-      case IntegerType => col("cell").isin(affected.map(_.toInt): _*)
-      case LongType    => col("cell").isin(affected: _*)
-      case _           => col("cell").isin(affected.map(_.toString): _*)
-    }
+    val cellIn: Column = cellPredicate(old.schema("cell").dataType, "cell", affected)
     val survivors = old.filter(cellIn)
       .withColumn("cell", col("cell").cast("long"))
       .join(batchIds, Seq("id"), "left_anti")
@@ -833,18 +858,21 @@ class Collection private (
       val cent = centByCell(c)
       val rq = Array.tabulate(queryVec.length)(i => queryVec(i) - cent(i))
       c -> (for (s <- 0 until m; code <- 0 until pqK) yield {
-        val cv = cbs((s, code.toLong))
-        var d = 0.0; var i = 0
-        while (i < subDim) { val t = rq(s * subDim + i) - cv(i); d += t * t; i += 1 }
-        d
+        // a codebook can legitimately carry FEWER than pqK entries
+        // (trainCents drops emptied clusters on degenerate subspaces);
+        // codes never reference the absent slots, so the distance is
+        // unreachable — fill +Inf rather than crash (r11 review)
+        cbs.get((s, code.toLong)) match {
+          case None => Double.PositiveInfinity
+          case Some(cv) =>
+            var d = 0.0; var i = 0
+            while (i < subDim) { val t = rq(s * subDim + i) - cv(i); d += t * t; i += 1 }
+            d
+        }
       })
     }.toMap
     val codes = spark.read.parquet(s"$path.__pqcodes")
-    val cellIn: Column = codes.schema("cell").dataType match {
-      case IntegerType => col("cell").isin(cells.map(_.toInt): _*)
-      case LongType    => col("cell").isin(cells: _*)
-      case _           => col("cell").isin(cells.map(_.toString): _*)
-    }
+    val cellIn: Column = cellPredicate(codes.schema("cell").dataType, "cell", cells)
     val tbl = element_at(typedLit(tables), col("cell").cast("long"))
     val adist = (0 until m).map(s =>
         element_at(col("__tbl"), lit(s * pqK + 1) + element_at(col("codes"), s + 1)))
@@ -866,11 +894,8 @@ class Collection private (
       val cand = adcTop.select(col("id"), col("cell")).collect()
       val ids = cand.map(_.getLong(0))
       val cellVals = cand.map(_.getLong(1)).distinct
-      val cellPick: Column = df.schema("cell").dataType match {
-        case IntegerType => col("cell").isin(cellVals.map(_.toInt): _*)
-        case LongType    => col("cell").isin(cellVals: _*)
-        case _           => col("cell").isin(cellVals.map(_.toString): _*)
-      }
+      val cellPick: Column =
+        cellPredicate(df.schema("cell").dataType, "cell", cellVals.toSeq)
       df.filter(cellPick && col("id").isin(ids: _*))
         .withColumn("adist", aggregate(
           zip_with(col("vector").cast("array<double>"), typedLit(queryVec.toSeq),
@@ -881,6 +906,20 @@ class Collection private (
         .limit(k)
     }
   }
+
+  /** ONE owner for the typed cell-membership predicate: the hive-inferred
+    * partition column may surface as INT, BIGINT, or STRING depending on
+    * layout history, and a cast on the COLUMN side would defeat partition
+    * pruning — so the literal side always adopts the column's type.
+    * Shared by every pruned path (upsertIvf, maintainPqCodes,
+    * searchIvfPq rerank, searchCells); the copy-pasted blocks this
+    * replaces had already omitted the hot search path (r11 review). */
+  private def cellPredicate(dt: DataType, cellCol: String, cells: Seq[Long]): Column =
+    dt match {
+      case IntegerType => col(cellCol).isin(cells.map(_.toInt): _*)
+      case LongType    => col(cellCol).isin(cells: _*)
+      case _           => col(cellCol).isin(cells.map(_.toString): _*)
+    }
 
   /** Marker commit = tmp + ATOMIC_MOVE, like `commitPointer`: a crash
     * mid-write can never leave a truncated/empty marker (which readers
@@ -968,16 +1007,20 @@ class Collection private (
   /** Cosine top-k over only the given cells; the cell predicate becomes a
     * PartitionFilter (directory pruning), not a row filter. */
   def searchCells(queryVec: Array[Double], cellCol: String, cells: Seq[Long], k: Int = 5): DataFrame =
-    df.filter(col(cellCol).isin(cells: _*))
+    df.filter(cellPredicate(df.schema(cellCol).dataType, cellCol, cells))
       .withColumn("score", VectorKernels.cosineFast(col("vector"), lit(queryVec).cast("array<double>")))
       .orderBy(col("score").desc, col("id").asc)
       .limit(k)
 
-  /** S6: describe — entityCount, dimension, metric. */
+  /** S6: describe — entityCount, dimension, metric. Row-free on an empty
+    * collection: head() on a zero-row projection would throw, so the
+    * dimension reports 0 until the first insert defines it (the schema
+    * carries the element type but not the length). */
   def describe(): CollectionInfo = {
     val d = df
-    val dim = d.select(size(col("vector"))).head().getInt(0)
-    CollectionInfo(name, d.count(), dim, metric)
+    val dimRow = d.select(size(col("vector"))).limit(1).collect()
+    CollectionInfo(name, d.count(),
+      if (dimRow.isEmpty) 0 else dimRow(0).getInt(0), metric)
   }
 
   /** S9: full scan (pagination dropped by design). */
@@ -1041,17 +1084,43 @@ object Collection {
     StructField("text", StringType, nullable = true)))
 
   /** S5: create (drop-then-create when overwrite, mirroring
-    * `chunking_strategy_docker.py:131-146`). */
+    * `chunking_strategy_docker.py:131-146`). Overwrite also clears the
+    * index sidecars a previous incarnation left beside the data dir —
+    * a recreated collection must never probe a dead quantizer. The
+    * declared metric persists in a `_metric` marker so `open` in
+    * another process reports the truth, not a hard-coded default. */
   def create(spark: SparkSession, root: String, name: String,
              dim: Int, metric: String = "COSINE", overwrite: Boolean = false): Collection = {
+    if (overwrite) drop(root, name)
     val c = new Collection(spark, root, name, metric)
     val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], entitySchema(dim))
     empty.write.mode(if (overwrite) SaveMode.Overwrite else SaveMode.Ignore).parquet(s"$root/$name")
+    val marker = java.nio.file.Paths.get(s"$root/$name/_metric")
+    if (!java.nio.file.Files.exists(marker)) writeMarkerStatic(marker.toString, metric)
     c
   }
 
-  def open(spark: SparkSession, root: String, name: String): Collection =
-    new Collection(spark, root, name, "COSINE")
+  def open(spark: SparkSession, root: String, name: String): Collection = {
+    val metric = try {
+      val p = java.nio.file.Paths.get(s"$root/$name/_metric")
+      if (java.nio.file.Files.exists(p))
+        new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+      else "COSINE"
+    } catch { case _: java.io.IOException => "COSINE" }
+    new Collection(spark, root, name, metric)
+  }
+
+  /** Static twin of the instance marker commit (tmp + ATOMIC_MOVE). */
+  private def writeMarkerStatic(file: String, content: String): Unit = {
+    val tmp = java.nio.file.Paths.get(file + ".__tmp")
+    java.nio.file.Files.write(tmp,
+      content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(file),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
 
   /** S6: list collections under a root. */
   def list(spark: SparkSession, root: String): Seq[String] = {
@@ -1069,5 +1138,13 @@ object Collection {
     }
     val f = new java.io.File(s"$root/$name")
     if (f.exists) rm(f)
+    // index sidecars (.__ivf/.__pq/.__pqcodes) and crashed stage dirs
+    // live BESIDE the collection dir — orphaning them leaks disk and
+    // traps a recreated collection into probing a dead quantizer via
+    // the unchecked legacy-compat path (r11 review)
+    Option(new java.io.File(root).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.startsWith(s"$name.__"))
+      .foreach(rm)
   }
 }
