@@ -106,9 +106,16 @@ object Agents {
   def answerWithCot(questions: DataFrame, collection: DataFrame, k: Int = 3,
                     llm: LlmClient = ExtractiveLlm): DataFrame = {
     val thoughts = udf((q: String) => RagServer.retrievalThoughts(q))
+    // the thoughts widen only the RETRIEVAL text; the original question
+    // column rides through to the LLM and the output — overwriting it
+    // made RecordedLlm (keyed on real questions) miss every lookup and
+    // broke question-keyed joins on the result (r11 review). RagServer's
+    // /query/stream has always had this split; the batch path now
+    // matches it via answerBatch's retrievalCol.
     val staged = questions
       .withColumn("thoughts", thoughts(col("question")))
-      .withColumn("question", concat_ws(" ", col("question"), col("thoughts")))
-    RagPipeline.answerBatch(staged.select("qid", "question"), collection, k, llm = llm)
+      .withColumn("__retrieval", concat_ws(" ", col("question"), col("thoughts")))
+    RagPipeline.answerBatch(staged.select("qid", "question", "__retrieval"),
+      collection, k, llm = llm, retrievalCol = "__retrieval")
   }
 }

@@ -46,7 +46,11 @@ object RagPipeline {
     */
   def bm25All(questions: DataFrame, collection: DataFrame, k: Int): DataFrame = {
     import collection.sparkSession.implicits._
-    val toks = collection.select(col("id"), TextOps.tokens(col("text")).as("toks"))
+    // null text tokenizes to NULL and size(NULL) = -1 under the legacy
+    // default, silently corrupting avgdl (r11 review) — a null-text doc
+    // is a zero-length doc
+    val toks = collection.select(col("id"),
+        coalesce(TextOps.tokens(col("text")), array().cast("array<string>")).as("toks"))
       .withColumn("dl", size(col("toks")).cast("double"))
     // corpus stats as a 1-row broadcast frame folded into the main plan —
     // previously a driver-blocking .head() job (its own corpus scan) that
@@ -104,10 +108,14 @@ object RagPipeline {
     * a full ranking, and fusion joins |questions|·k-row frames.
     */
   def retrieveHybrid(questions: DataFrame, collection: DataFrame, k: Int,
-                     rrfC: Int = 60, withMaxSim: Boolean = false): DataFrame = {
+                     rrfC: Int = 60, withMaxSim: Boolean = false,
+                     retrievalCol: String = "question"): DataFrame = {
     val cos = retrieveAll(questions, collection, k)
       .select(col("qid"), col("id"), col("rnk").as("cos_rnk"))
-    val bm = bm25All(questions.select(col("qid"), col("question")), collection, k)
+    // the lexical legs read the RETRIEVAL text (CoT widens it; the
+    // original question column rides through untouched for the LLM)
+    val bm = bm25All(questions.select(col("qid"), col(retrievalCol).as("question")),
+        collection, k)
       .select(col("qid"), col("id"), col("rnk").as("bm_rnk"))
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id").asc)
     def rrf(c: Column): Column = coalesce(lit(1.0) / (lit(rrfC) + c), lit(0.0))
@@ -115,7 +123,8 @@ object RagPipeline {
     val pooled =
       if (!withMaxSim) twoWay.withColumn("score", rrf(col("cos_rnk")) + rrf(col("bm_rnk")))
       else {
-        val ms = maxSimAll(questions.select(col("qid"), col("question")), collection, k)
+        val ms = maxSimAll(questions.select(col("qid"), col(retrievalCol).as("question")),
+          collection, k)
           .select(col("qid"), col("id"), col("rnk").as("ms_rnk"))
         twoWay.join(ms, Seq("qid", "id"), "full_outer")
           .withColumn("score",
@@ -146,10 +155,18 @@ object RagPipeline {
       .distinct()
     val vocab = TextEmbed.withEmbed(dt.select(col("token")).distinct(), "token", "tvec")
     val w = Window.partitionBy(col("qid")).orderBy(col("ms").desc, col("id").asc)
-    dt.join(vocab, Seq("token"))
-      .join(broadcast(qt), lit(true))
-      .withColumn("m", floor(round(VectorKernels.dotFast(col("qv"), col("tvec")), 6) *
-        lit(1e6) + lit(0.5)).cast("long"))
+    // VOCABULARY-first for real (the q99 shape, r11 review): the dot
+    // depends only on (vocab token, query token), so score that small
+    // cross first and join the SCALAR back to the (id, token) incidence
+    // list — the pre-fix plan carried both vectors through the widest
+    // frame and re-ran the O(dim) kernel once per incidence row.
+    // Identical arithmetic (same operands, same 6dp lift) → same output.
+    val scored = broadcast(
+      vocab.join(qt, lit(true))
+        .withColumn("m", floor(round(VectorKernels.dotFast(col("qv"), col("tvec")), 6) *
+          lit(1e6) + lit(0.5)).cast("long"))
+        .select(col("token"), col("qid"), col("qtok"), col("m")))
+    dt.join(scored, Seq("token"))
       .groupBy(col("qid"), col("qtok"), col("id"))
       .agg(max(col("m")).as("mx"))
       .groupBy(col("qid"), col("id"))
@@ -191,19 +208,40 @@ object RagPipeline {
       k: Int = 5,
       dim: Int = TextEmbed.DefaultDim,
       llm: LlmClient = ExtractiveLlm,
-      withMaxSim: Boolean = false): DataFrame = {
+      withMaxSim: Boolean = false,
+      retrievalCol: String = "question"): DataFrame = {
     import org.apache.spark.sql.types.StringType
-    val q = TextEmbed.withEmbed(questions, "question", "qv", dim)
-    val hits = retrieveHybrid(q, collection, k, withMaxSim = withMaxSim)
+    // retrievalCol lets a caller retrieve on WIDENED text (CoT thoughts)
+    // while the LLM and the output still see the original question —
+    // overwriting `question` broke RecordedLlm lookups and question-keyed
+    // joins downstream (r11 review)
+    val q = TextEmbed.withEmbed(questions, retrievalCol, "qv", dim)
+    val hits = retrieveHybrid(q, collection, k, withMaxSim = withMaxSim,
+      retrievalCol = retrievalCol)
     val gathered = hits
-      .groupBy(col("qid"), col("question"))
-      .agg(sort_array(collect_list(struct(col("rnk"), col("id"), col("text")))).as("hits"))
+      .groupBy(col("qid"))
+      // a null-text row can rank into the top-k (cosine reads only the
+      // vector) and a null context element NPEs the LlmClient boundary
+      // (the server path already guarded this; r11 review)
+      .agg(sort_array(collect_list(struct(col("rnk"), col("id"),
+        coalesce(col("text"), lit("")).as("text")))).as("hits"))
       .withColumn("context", transform(col("hits"), h => h.getField("text")))
       .withColumn("source_ids", transform(col("hits"), h => h.getField("id")))
-      .select("qid", "question", "context", "source_ids")
-    val qIdx = gathered.schema.fieldIndex("question")
-    val cIdx = gathered.schema.fieldIndex("context")
-    withLlmColumn(gathered, llm, "answer", StringType) { (client, r) =>
+      .select("qid", "context", "source_ids")
+    // LEFT join from the question set: a question whose retrieval came
+    // back empty must surface as a fallback success=false row, not
+    // vanish (the reference collapses failures to success=false,
+    // app.py:105-111; r11 review). Empty context → ExtractiveLlm answers
+    // the verbatim fallback.
+    val withAll = questions.select(col("qid"), col("question"))
+      .join(gathered, Seq("qid"), "left")
+      .withColumn("context",
+        coalesce(col("context"), array().cast("array<string>")))
+      .withColumn("source_ids",
+        coalesce(col("source_ids"), array().cast("array<bigint>")))
+    val qIdx = withAll.schema.fieldIndex("question")
+    val cIdx = withAll.schema.fieldIndex("context")
+    withLlmColumn(withAll, llm, "answer", StringType) { (client, r) =>
       client.answer(r.getString(qIdx), r.getSeq[String](cIdx))
     }
       .withColumn("n_context", size(col("context")))

@@ -152,12 +152,35 @@ final class RagServer(
                       .takeWhile(_ => !cancelled)
                       .foreach(d => queue.put(Some(
                         s"""{"choices":[{"delta":{"content":${RagServer.jstr(d)}}}]}""")))
+                  } catch { case scala.util.control.NonFatal(e) =>
+                    // a swallowed LLM failure used to produce a clean 200
+                    // with just [DONE] — indistinguishable from an empty
+                    // answer (r11 review). Surface it as a terminal error
+                    // payload in the stream (the 200 headers are already
+                    // on the wire; an SSE client sees the error object
+                    // where the next delta would be).
+                    queue.put(Some(
+                      s"""{"error":{"message":${RagServer.jstr(
+                        Option(e.getMessage).getOrElse(e.getClass.getName))}}}"""))
                   } finally queue.put(None) // end-of-stream even on failure
                 }, "rag-sse-producer")
+                producer.setDaemon(true) // a wedged producer must never pin JVM exit
                 producer.start()
                 try RagServer.sse(x,
                   Iterator.continually(queue.take()).takeWhile(_.isDefined).map(_.get))
-                finally { cancelled = true; producer.join() }
+                finally {
+                  cancelled = true
+                  // bounded join + interrupt: cancellation is only checked
+                  // BETWEEN deltas, so a producer blocked inside a stalled
+                  // answerStream would wedge this handler thread forever —
+                  // four wedges and the fixed 4-thread pool stops serving
+                  // /health too (r11 review). Interrupt targets the
+                  // blocking call; the last join is a bounded best-effort
+                  // (the daemon flag keeps a truly stuck thread from
+                  // pinning shutdown).
+                  producer.join(5000)
+                  if (producer.isAlive) { producer.interrupt(); producer.join(1000) }
+                }
               }
           }
         }
@@ -273,8 +296,14 @@ object RagServer {
             case 'b'  => sb += '\b'; i += 2
             case 'f'  => sb += '\f'; i += 2
             case 'u' if i + 5 < body.length =>
-              try { sb += Integer.parseInt(body.substring(i + 2, i + 6), 16).toChar; i += 6 }
-              catch { case _: NumberFormatException => return None }
+              val hex = body.substring(i + 2, i + 6)
+              // strict 4-hex-digit form: Integer.parseInt(_, 16) accepts a
+              // leading sign, so "\u-061" would otherwise parse to a
+              // wrapped garbage char instead of the 422 a real JSON
+              // parser returns (r11 review)
+              if (!hex.forall(c => c.isDigit || ('a' <= c && c <= 'f') ||
+                ('A' <= c && c <= 'F'))) return None
+              sb += Integer.parseInt(hex, 16).toChar; i += 6
             case _ => return None
           }
         case c => sb += c; i += 1

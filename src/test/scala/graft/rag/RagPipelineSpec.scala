@@ -42,6 +42,42 @@ class RagPipelineSpec extends SparkSpec {
     assert(ExtractiveLlm.answer("anything", Nil) === ExtractiveLlm.Fallback)
   }
 
+  test("a question with ZERO retrieval hits surfaces as a fallback success=false row, not a vanished row (r11)") {
+    val emptyColl = collection.filter(col("id") < 0) // zero rows
+    val qs = Seq((0L, "what is the currency of veridia called"),
+      (1L, "who rules the country")).toDF("qid", "question")
+    val got = RagPipeline.answerBatch(qs, emptyColl, k = 3)
+      .orderBy("qid").collect()
+    assert(got.length === 2, "every input question must produce an output row")
+    got.foreach { r =>
+      assert(r.getAs[String]("answer") === ExtractiveLlm.Fallback)
+      assert(!r.getAs[Boolean]("success"))
+      assert(r.getAs[Int]("n_context") === 0)
+    }
+  }
+
+  test("a null-text row ranking into the top-k does not NPE the LLM boundary (r11)") {
+    val withNull = collection.unionByName(
+      Seq((9L, null.asInstanceOf[String])).toDF("id", "text")
+        .withColumn("vector",
+          typedlit(TextEmbed.embedScala("currency of veridia crown").toSeq)))
+    val qs = Seq((0L, "what is the currency of veridia called")).toDF("qid", "question")
+    val got = RagPipeline.answerBatch(qs, withNull, k = 3).collect().head
+    assert(got.getAs[Boolean]("success"), "real context must still answer")
+  }
+
+  test("answerWithCot keeps the ORIGINAL question for the LLM and the output (r11)") {
+    val q = "what is the currency of veridia called"
+    val recorded = new RecordedLlm(Map(q -> "The Veridian Crown."))
+    val got = graft.rag.Agents.answerWithCot(
+      Seq((0L, q)).toDF("qid", "question"), collection, k = 2, llm = recorded)
+      .collect().head
+    assert(got.getAs[String]("question") === q,
+      "output question column must be the caller's text, not the widened retrieval text")
+    assert(got.getAs[String]("answer") === "The Veridian Crown.",
+      "a RecordedLlm keyed on the real question must hit")
+  }
+
   test("judge: F1-style grade in [0,1], 1.0 on exact match, 0.0 on disjoint") {
     assert(ExtractiveLlm.judge("q", "the veridian crown", "the veridian crown") === 1.0)
     assert(ExtractiveLlm.judge("q", "alpha beta", "gamma delta") === 0.0)

@@ -56,6 +56,18 @@ class RagServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(r.statusCode() === 200, r.body())
   }
 
+  test("signed unicode escapes are rejected as malformed, not wrapped to garbage chars (r11)") {
+    // Integer.parseInt(_, 16) accepts a leading sign, so backslash-u-061
+    // used to parse to a wrapped char instead of the 422 a real JSON
+    // parser gives. (Inputs are concatenated because the Scala 2 lexer
+    // itself processes unicode escapes inside string literals.)
+    val bsU = "\\" + "u"
+    def body(esc: String) = s"""{"question": "x ${bsU}$esc x"}"""
+    assert(RagServer.parseQuestion(body("-061")).isEmpty)
+    assert(RagServer.parseQuestion(body("+123")).isEmpty)
+    assert(RagServer.parseQuestion(body("0041")).contains("x A x"))
+  }
+
   test("concurrent queries are served correctly (Spark driver actions are thread-safe)") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
@@ -77,8 +89,8 @@ class RagServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     * status line, Transfer-Encoding header, and each chunk frame the
     * server's per-event flush produced. Returns (status line, headers,
     * chunk frames). */
-  private def rawStream(body: String): (String, Map[String, String], Vector[String]) = {
-    val sock = new java.net.Socket("127.0.0.1", port)
+  private def rawStream(body: String, onPort: Int = -1): (String, Map[String, String], Vector[String]) = {
+    val sock = new java.net.Socket("127.0.0.1", if (onPort > 0) onPort else port)
     try {
       val bytes = body.getBytes("UTF-8")
       val req = s"POST /query/stream HTTP/1.1\r\nHost: 127.0.0.1:$port\r\n" +
@@ -153,6 +165,32 @@ class RagServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     val (contents, done) = sseContents(frames)
     assert(done)
     assert(contents.mkString === ExtractiveLlm.Fallback)
+  }
+
+  test("an LLM failure mid-stream surfaces as an SSE error event, not a clean empty 200 (r11)") {
+    // the 200 + chunked headers are already on the wire when answerStream
+    // runs, so the only honest signal is an in-stream error payload — the
+    // producer used to swallow the exception and emit a well-formed
+    // zero-delta stream ending in [DONE]
+    val root = java.nio.file.Files.createTempDirectory("rag-err").toString
+    val c = Collection.create(spark, root, "d2", DiaryFixture.Dim, overwrite = true)
+    c.insert(DiaryFixture.windowedCollection(spark))
+    val boom = new LlmClient {
+      override def answer(q: String, ctx: Seq[String]): String = "unused"
+      override def answerStream(q: String, ctx: Seq[String]): Iterator[String] =
+        throw new RuntimeException("upstream 503")
+      override def judge(q: String, e: String, pr: String): Double = 0.0
+    }
+    val srv = new RagServer(c, llm = boom, k = 20, dim = DiaryFixture.Dim)
+    val p2 = srv.start(0)
+    try {
+      val (status, _, frames) =
+        rawStream("""{"question": "What is the currency of Veridia called?"}""", p2)
+      val all = frames.mkString
+      assert(status.startsWith("HTTP/1.1 200"), status)
+      assert(all.contains("\"error\"") && all.contains("upstream 503"), all)
+      assert(all.contains("[DONE]"), all)
+    } finally srv.stop()
   }
 
   test("POST /query/stream without a question field is a 422, not a stream") {
