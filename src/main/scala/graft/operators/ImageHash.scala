@@ -56,7 +56,14 @@ object ImageHash {
     sb.toString
   }
 
-  /** Decode a PNG payload and hash it; None for non-PNG/corrupt bytes. */
+  /** Decode a PNG payload and hash it; None for non-PNG/corrupt bytes —
+    * and for dims the exact box-downsample can't hash (not multiples of
+    * 8): aHash's require would otherwise throw on a perfectly valid
+    * 100x50 PNG inside an orNull UDF that promises null-for-unhashable
+    * (r11 review). */
   def aHashPng(bytes: Array[Byte]): Option[String] =
-    SimplePng.decode(bytes).map(aHash)
+    SimplePng.decode(bytes)
+      .filter(i => i.width > 0 && i.height > 0 &&
+        i.width % 8 == 0 && i.height % 8 == 0)
+      .map(aHash)
 }

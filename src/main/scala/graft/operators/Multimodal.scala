@@ -182,8 +182,11 @@ object Multimodal {
   def resizeStub(df: DataFrame, payloadCol: String, mediaTypeCol: String,
                  targetW: Int, targetH: Int): DataFrame = {
     require(targetW > 0 && targetH > 0)
+    // its own column name: decode() already emits "meta", and composing
+    // the two operators must not produce duplicate field names (r11
+    // review — AMBIGUOUS_REFERENCE on any downstream col("meta"))
     val outSchema = StructType(df.schema.fields :+
-      StructField("resized", BinaryType) :+ StructField("meta", MediaMetaSchema))
+      StructField("resized", BinaryType) :+ StructField("resize_meta", MediaMetaSchema))
     val payloadIdx = df.schema.fieldIndex(payloadCol)
     val typeIdx = df.schema.fieldIndex(mediaTypeCol)
     val budget = targetW * targetH
@@ -205,11 +208,13 @@ object Multimodal {
   /** Frame sampling for video payloads: every nth 256-byte "frame" of the
     * binary payload becomes a row (stride pattern of real frame samplers).
     */
-  def frameSample(df: DataFrame, payloadCol: String, everyN: Int): DataFrame =
+  def frameSample(df: DataFrame, payloadCol: String, everyN: Int): DataFrame = {
+    require(everyN > 0, s"frameSample: need everyN > 0, got $everyN")
     df.withColumn("frame_idx",
         explode(expr(s"sequence(0L, greatest((length($payloadCol) - 1) div 256, 0L), $everyN)")))
       .withColumn("frame_bytes",
         expr(s"substring($payloadCol, cast(frame_idx * 256 + 1 as int), 256)"))
+  }
 
   /** Demo source: wraps a text corpus as fake binary media rows (Par:
     * the single-file scan must fan out before per-row payload work). */

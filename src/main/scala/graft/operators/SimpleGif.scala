@@ -87,7 +87,12 @@ object SimpleGif {
       }
       val fs = frames.result()
       if (fs.isEmpty) None else Some(Gif(sw, sh, fs))
-    } catch { case _: IndexOutOfBoundsException => None }
+    } catch {
+      // NegativeArraySizeException: a corrupt descriptor can overflow
+      // w*h Int arithmetic into a negative allocation size — same
+      // stub-fallback contract as a short read (r11 review)
+      case _: IndexOutOfBoundsException | _: NegativeArraySizeException => None
+    }
   }
 
   private def readPalette(bytes: Array[Byte], size: Int)(at: Int): (Array[Int], Int) = {

@@ -155,13 +155,21 @@ object SimpleWebm {
                     }
                   }
                 case Cluster =>
-                  walk(b, s2, e2) { (id3, s3, e3) =>
-                    if (id3 == SimpleBlock) frames += 1
-                    else if (id3 == BlockGroup)
-                      walk(b, s3, e3) { (id4, _, _) =>
-                        if (id4 == Block) frames += 1
-                      }
-                  }
+                  // recursive: a STREAMED (unknown-size) Cluster's extent
+                  // runs to the Segment end, so every following sibling
+                  // Cluster surfaces as a nested element of this walk —
+                  // without the recursion their blocks were silently
+                  // dropped from nFrames (r11 review)
+                  def countBlocks(cs: Int, ce: Int): Unit =
+                    walk(b, cs, ce) { (id3, s3, e3) =>
+                      if (id3 == SimpleBlock) frames += 1
+                      else if (id3 == BlockGroup)
+                        walk(b, s3, e3) { (id4, _, _) =>
+                          if (id4 == Block) frames += 1
+                        }
+                      else if (id3 == Cluster) countBlocks(s3, e3)
+                    }
+                  countBlocks(s2, e2)
                 case _ => ()
               }
             }

@@ -18,6 +18,8 @@ import org.apache.spark.sql.types._
   * insert's O(k) shift beats heap bookkeeping.
   */
 final class TopKState(val k: Int) {
+  require(k >= 1, s"topK: need k >= 1, got $k") // fail at construction,
+  // not as an opaque ArrayIndexOutOfBounds inside the first insert
   val vs = new Array[Double](k)
   val ids = new Array[Long](k)
   var n = 0

@@ -31,8 +31,11 @@ object ZOrder {
       s"zorder: buckets must be a power of two in [2, 65536], got $buckets")
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
     val cast = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
-    cols.map { c =>
-      val bs = cast.stat.approxQuantile(c, probs, 0.001)
+    // ONE sketch job for every column (the multi-column overload) — the
+    // per-column form launched a full input scan per column, 4x the
+    // sketch IO on a 4-column layout (r11 review)
+    val all = cast.stat.approxQuantile(cols.toArray, probs, 0.001)
+    cols.zip(all).map { case (c, bs) =>
       // approxQuantile returns an EMPTY array for a column with no
       // non-null castable values (all-null, or e.g. a date passed through
       // cast(double)); silently proceeding would interleave bucket 0 for

@@ -66,4 +66,12 @@ class ImageHashSpec extends AnyFunSuite {
   test("non-multiple-of-8 dims are rejected loudly") {
     intercept[IllegalArgumentException](ImageHash.aHash(gray(15, 16, _ => 0)))
   }
+
+  test("aHashPng honors its None-for-unhashable contract on valid non-x8 PNGs (r11)") {
+    // a perfectly valid 100x50 PNG can't be exact-box-downsampled; the
+    // orNull UDF wrapping aHashPng expects None, not a throw
+    val png = SimplePng.encode(gray(100, 50, i => (i * 7) % 256))
+    assert(SimplePng.decode(png).isDefined, "fixture must be a decodable PNG")
+    assert(ImageHash.aHashPng(png).isEmpty)
+  }
 }

@@ -283,8 +283,10 @@ class MultimodalSpec extends SparkSpec {
 
   test("resize stub: byte budget enforced, meta carries target dims, small payloads pass through") {
     val out = Multimodal.resizeStub(media, "payload", "media_type", 16, 16)
+    // resize_meta, not meta: composing with decode() (which emits "meta")
+    // must not create duplicate field names (r11 review)
     assert(out.schema.fieldNames.toSeq ===
-      Seq("id", "payload", "media_type", "resized", "meta"))
+      Seq("id", "payload", "media_type", "resized", "resize_meta"))
     val rows = out.orderBy("id").collect()
     // 11-byte payload under the 256-byte budget passes through untouched
     assert(rows(0).getAs[Array[Byte]]("resized").toSeq === "hello world".getBytes("UTF-8").toSeq)
@@ -293,8 +295,14 @@ class MultimodalSpec extends SparkSpec {
     assert(vid.length === 256)
     assert(vid.forall(_ == 7))
     // meta reports the TARGET dims (the fixed-tensor-shape contract)
-    val meta = rows(1).getStruct(rows(1).fieldIndex("meta"))
+    val meta = rows(1).getStruct(rows(1).fieldIndex("resize_meta"))
     assert((meta.getInt(1), meta.getInt(2)) === ((16, 16)))
+    // the composition that used to produce AMBIGUOUS_REFERENCE
+    val composed = Multimodal.resizeStub(
+      Multimodal.decodeStub(media, "payload", "media_type"),
+      "payload", "media_type", 8, 8)
+    assert(composed.select(org.apache.spark.sql.functions.col("meta"),
+      org.apache.spark.sql.functions.col("resize_meta")).count() === 3)
     // null payload → empty bytes, never a crash
     assert(rows(2).getAs[Array[Byte]]("resized").length === 0)
   }
@@ -407,6 +415,40 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.durationMs === 1500L) // 1500 ticks x 1ms
     assert(meta.tracks === List(SimpleWebm.Track("video", "V_VP9", 640, 480)))
     assert(meta.nFrames === 5)
+  }
+
+  test("WebM STREAMED (unknown-size) clusters: blocks in every cluster are counted (r11)") {
+    // live-muxed files write the cluster size as the all-ones unknown
+    // marker; its extent then runs to the Segment end, so following
+    // sibling clusters surface as nested elements — the parser must
+    // recurse into them instead of dropping their blocks
+    def ebmlUnknownSize(id: Long): Array[Byte] = {
+      val idBytes = (0 until 4).reverse.map(i => ((id >> (8 * i)) & 0xFF).toByte).toArray
+      idBytes ++ (Array(0x01.toByte) ++ Array.fill(7)(0xFF.toByte))
+    }
+    val header = ebml(0x1A45DFA3L, ebml(0x4282L, "webm".getBytes))
+    def blocksBytes(n: Int) =
+      (1 to n).map(_ => ebml(0xA3L, Array[Byte](0x81.toByte, 0, 0, 0))).reduce(_ ++ _)
+    val streamedCluster1 = ebmlUnknownSize(0x1F43B675L) ++ blocksBytes(3)
+    val cluster2 = ebml(0x1F43B675L, blocksBytes(4))
+    val segment = ebml(0x18538067L, streamedCluster1 ++ cluster2)
+    val meta = SimpleWebm.parse(header ++ segment).get
+    assert(meta.nFrames === 7,
+      s"expected 3 + 4 blocks across both clusters, got ${meta.nFrames}")
+  }
+
+  test("GIF with a dimension-overflow descriptor falls back to None, never a crash (r11)") {
+    // 65535x65535 overflows w*h Int arithmetic into a negative
+    // allocation; the decoder must take the documented stub-fallback
+    // path (NegativeArraySizeException is not an IndexOutOfBounds)
+    val good = graft.operators.SimpleGif.encode(2, 2,
+      Array(0x000000, 0xFFFFFF, 0x808080, 0x404040),
+      Seq(Array[Byte](0, 1, 2, 3)))
+    val descriptor = good.indexWhere(_ == 0x2C.toByte, 13)
+    assert(descriptor > 0, "fixture must contain an image descriptor")
+    val evil = good.clone()
+    for (off <- 5 to 8) evil(descriptor + off) = 0xFF.toByte // w = h = 65535
+    assert(graft.operators.SimpleGif.decode(evil).isEmpty)
   }
 
   test("WebM malformed structure is refused") {
