@@ -36,6 +36,11 @@ object SkewJoin {
     require(SupportedJoinTypes.map(_.replace("_", "")).contains(normalized),
       s"saltedJoin: joinType '$joinType' would duplicate unmatched small-side rows " +
         s"${saltBuckets}x; supported: inner, left[_outer], left_semi, left_anti")
+    // the internal column must not silently eat a caller's column of the
+    // same name (withColumn REPLACES, and the final drop would then
+    // remove the user's data from the output; r11 review)
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "saltedJoin: inputs must not carry a '__salt' column (internal name)")
     val salted = big.withColumn("__salt", (rand(seed = 7) * saltBuckets).cast("int"))
     val exploded = small
       .withColumn("__salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
