@@ -25,6 +25,12 @@ object Chunkers {
 
   def isHeader(line: Column): Column = line.rlike(HeaderPattern)
 
+  /** Python str.strip() twin: removes ALL leading/trailing whitespace
+    * (\r, \t, unicode spaces), where Spark's trim() strips only 0x20 —
+    * the gap that made CRLF blank lines ("\r") count as body lines
+    * (r11 review). */
+  private def pstrip(c: Column): Column = regexp_replace(c, "^\\s+|\\s+$", "")
+
   /** Parse header into a struct (day INT, month STRING, year INT, title STRING). */
   def parseHeader(line: Column): Column = struct(
     regexp_extract(line, HeaderPattern, 1).cast("int").as("day"),
@@ -47,8 +53,16 @@ object Chunkers {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lineDf
       .withColumn("is_header", isHeader(col("line")))
-      .withColumn("date", last(when(col("is_header"), trim(col("line"))), ignoreNulls = true).over(w))
+      .withColumn("date", last(when(col("is_header"), pstrip(col("line"))), ignoreNulls = true).over(w))
       .withColumn("header", last(when(col("is_header"), parseHeader(col("line"))), ignoreNulls = true).over(w))
+      // POSITIONAL day group: the reference's sequential loop cuts at
+      // every header occurrence, so a header line that recurs verbatim
+      // later must start a NEW group — keying groups on the date STRING
+      // merged the two entries (r11 review). The running header count is
+      // 1:1 with the date string on well-formed diaries (identical
+      // output on the golden fixtures) and positional on adversarial ones.
+      .withColumn("day_grp",
+        sum(col("is_header").cast("int")).over(w))
   }
 
   /** W4 (the ACTIVE strategy, `src/archive/chunking_strategy.py:29-54`,
@@ -59,8 +73,9 @@ object Chunkers {
   def dayParagraphChunks(lineDf: DataFrame): DataFrame = {
     val withDate = fillDownDate(lineDf).filter(col("date").isNotNull)
     withDate
-      .groupBy(col("doc_id"), col("date"))
+      .groupBy(col("doc_id"), col("day_grp"))
       .agg(
+        first(col("date")).as("date"),
         first(col("header")).as("header"),
         array_join(transform(
           sort_array(collect_list(struct(col("line_no"), col("line")))),
@@ -69,7 +84,7 @@ object Chunkers {
       .select(col("doc_id"), col("date"), col("header"), col("day_start"),
         posexplode(split(col("day_text"), "\n\\s*\n")))
       .withColumnRenamed("pos", "para_idx")
-      .withColumn("chunk_text", trim(col("col")))
+      .withColumn("chunk_text", pstrip(col("col")))
       .filter(length(col("chunk_text")) > 0)
       // para_idx keeps the paragraph's position inside its day, so numbering
       // follows document order (day_start is unique per day within a doc)
@@ -79,7 +94,7 @@ object Chunkers {
       .select(col("doc_id"), col("chunk_number"), col("chunk_text"), col("date"),
         col("header"),
         size(split(col("chunk_text"), "\n")).as("line_count"),
-        size(split(col("chunk_text"), "\\s+")).as("word_count"))
+        wordCount(col("chunk_text")).as("word_count"))
   }
 
   /** W3+W9 (3-break strategy, `src/chunking_strategy.py:60-136`): each
@@ -89,15 +104,19 @@ object Chunkers {
     */
   def threeBreakChunks(lineDf: DataFrame, breakEvery: Int = 3): DataFrame = {
     val withDate = fillDownDate(lineDf).filter(col("date").isNotNull)
+    // rlike(\S) = Python `line.strip()` truthiness: a line of only \r or
+    // \t is BLANK (trim() strips only spaces, so CRLF blank lines used
+    // to count as body lines; r11 review)
     val sig = withDate
-      .filter(length(trim(col("line"))) > 0)
+      .filter(col("line").rlike("\\S"))
     // significant (non-empty, non-header) lines get a within-day ordinal
-    val wDay = Window.partitionBy(col("doc_id"), col("date")).orderBy(col("line_no"))
+    val wDay = Window.partitionBy(col("doc_id"), col("day_grp")).orderBy(col("line_no"))
     val body = sig.filter(!col("is_header"))
       .withColumn("rn", row_number().over(wDay) - 1)
       .withColumn("grp", floor(col("rn") / breakEvery))
-      .groupBy(col("doc_id"), col("date"), col("grp"))
+      .groupBy(col("doc_id"), col("day_grp"), col("grp"))
       .agg(
+        first(col("date")).as("date"),
         first(col("header")).as("header"),
         array_join(transform(
           sort_array(collect_list(struct(col("line_no"), col("line")))),
@@ -107,13 +126,13 @@ object Chunkers {
       .withColumn("is_date_chunk", lit(false))
     val headers = sig.filter(col("is_header"))
       .select(col("doc_id"), col("date"), lit(-1L).as("grp"), col("header"),
-        trim(col("line")).as("chunk_text"), lit(1).as("line_count"),
+        pstrip(col("line")).as("chunk_text"), lit(1).as("line_count"),
         col("line_no").as("ord"))
       .withColumn("is_date_chunk", lit(true))
-    headers.unionByName(body)
+    headers.unionByName(body, allowMissingColumns = true)
       .withColumn("chunk_number",
         row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("ord"), col("grp"))) - 1)
-      .withColumn("word_count", size(split(col("chunk_text"), "\\s+")))
+      .withColumn("word_count", wordCount(col("chunk_text")))
       .select(col("doc_id"), col("chunk_number"), col("chunk_text"), col("date"),
         col("header"), col("line_count"), col("word_count"), col("is_date_chunk"))
   }
@@ -130,6 +149,13 @@ object Chunkers {
   def threeBreakChunksV3(lineDf: DataFrame, breakEvery: Int = 3): DataFrame =
     threeBreakChunks(lineDf, breakEvery)
       .withColumn("palavras_maiusculas", palavrasMaiusculas(col("chunk_text")))
+
+  /** Python len(text.split()) twin: 0 for blank/whitespace-only text,
+    * and leading/trailing whitespace never mints a phantom empty token
+    * (size(split(" a b", "\\s+")) counts 3; Python counts 2 —
+    * r11 review). */
+  def wordCount(text: Column): Column =
+    when(text.rlike("\\S"), size(split(pstrip(text), "\\s+"))).otherwise(0)
 
   /** W5 (`split_large_chunk`, `src/archive/chunking_strategy.py:4-16`):
     * chunks over maxSize are cut at the last '.' before the limit, else
@@ -165,7 +191,10 @@ object Chunkers {
         when(length(col("chunk_text")) > maxSize,
           splitLargeChunkUdf(col("chunk_text"), lit(maxSize)))
           .otherwise(array(col("chunk_text"))))
-      .withColumn("piece", explode(col("pieces")))
+      // posexplode: split pieces inherit the PARENT chunk_number, so
+      // piece_idx is the only thing standing between a downstream
+      // orderBy(chunk_number) and nondeterministic piece order (r11)
+      .select(col("*"), posexplode(col("pieces")).as(Seq("piece_idx", "piece")))
       .drop("pieces", "chunk_text")
       .withColumnRenamed("piece", "chunk_text")
 
@@ -175,7 +204,11 @@ object Chunkers {
   def fixedCharChunks(docs: DataFrame, size: Int = 800,
                       textCol: String = "text", docIdCol: String = "doc_id"): DataFrame =
     docs.select(col(docIdCol).as("doc_id"),
-        posexplode(split(col(textCol), s"(?<=\\G.{$size})")))
+        // (?s): '.' must cross newlines or chunking silently stops at the
+        // first window containing one — everything after came back as a
+        // single unbounded chunk (r11 review; the reference is a plain
+        // character slice)
+        posexplode(split(col(textCol), s"(?s)(?<=\\G.{$size})")))
       .withColumnRenamed("pos", "chunk_id")
       .withColumnRenamed("col", "chunk_text")
       .filter(length(col("chunk_text")) > 0)

@@ -32,15 +32,37 @@ object ChunkSink {
         (sum(col("n")).cast("double") / count(lit(1))).as("avg_chunks_per_day"))
 
   def writeDiaryJson(chunks: DataFrame, path: String, maxRows: Int = 100000): Unit = {
-    val n = chunks.count()
+    // one materialization for all three consumers (count, metadata agg,
+    // ordered collect) — unpersisted before return; without it the whole
+    // chunker lineage (shuffle + sorts) re-executed three times (r11)
+    val cached = chunks.persist()
+    try {
+    val n = cached.count()
     require(n <= maxRows,
       s"writeDiaryJson is the fixture-parity single-file path ($n > $maxRows rows); use writeJsonl")
-    val metaJson = metadata(chunks).toJSON.head()
-    val rows = chunks.orderBy(col("chunk_number")).toJSON.collect()
+    // chunk_number restarts at 0 per document, so multi-doc input would
+    // interleave documents nondeterministically under a chunk_number-only
+    // sort AND merge same-date counts across documents in metadata —
+    // this sink is the reference's SINGLE-document format (r11 review)
+    if (cached.columns.contains("doc_id"))
+      require(cached.select(col("doc_id")).distinct().count() <= 1,
+        "writeDiaryJson emits the reference's single-document format; " +
+          "multi-document chunk frames need writeJsonl (chunk_number ties " +
+          "across doc_ids make the chunks array order nondeterministic)")
+    val metaJson = metadata(cached).toJSON.head()
+    // piece_idx (explodeOversize's split ordinal) joins the sort when
+    // present so split pieces serialize in document order
+    val sortCols =
+      if (cached.columns.contains("piece_idx"))
+        Seq(col("chunk_number"), col("piece_idx"))
+      else Seq(col("chunk_number"))
+    val rows = cached.orderBy(sortCols: _*).toJSON.collect()
     val out = new StringBuilder
     out ++= "{\"metadata\": " ++= metaJson ++= ", \"chunks\": [\n"
     out ++= rows.mkString(",\n")
     out ++= "\n]}"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), out.toString)
+    ()
+    } finally { chunks.unpersist(); () }
   }
 }

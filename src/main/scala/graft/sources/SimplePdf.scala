@@ -44,7 +44,7 @@ object SimplePdfExtractor extends PdfExtractor {
 
   private final case class Obj(num: Int, dict: String, stream: Option[Array[Byte]])
 
-  override def extractPages(bytes: Array[Byte]): Seq[String] = {
+  override def extractPages(bytes: Array[Byte]): Seq[String] = try {
     if (bytes == null || bytes.isEmpty) return Nil
     val raw = new String(bytes, "ISO-8859-1")
     val objs = parseObjects(raw, bytes)
@@ -60,20 +60,36 @@ object SimplePdfExtractor extends PdfExtractor {
         .flatMap(o => decodedStream(o))
         .filter(_.contains("BT"))
         .map(textOfContent(_))
+  } catch { case scala.util.control.NonFatal(_) =>
+    // graceful-degradation contract: ONE corrupt/fuzzed crawl file must
+    // degrade to no-text, never abort the ingest job (a crafted
+    // "99999999999 0 obj" used to escape as NumberFormatException
+    // straight out of the UDF; r11 review)
+    Nil
   }
 
   // ── object layer ──
 
-  private val ObjStart = """(?s)(\d+)\s+\d+\s+obj\b""".r
+  private val ObjStart = """(?s)(\d{1,9})\s+\d{1,9}\s+obj\b""".r
 
   private def parseObjects(raw: String, bytes: Array[Byte]): Map[Int, Obj] = {
     val out = mutable.Map[Int, Obj]()
-    for (m <- ObjStart.findAllMatchIn(raw)) {
+    // manual scan cursor, NOT findAllMatchIn over the whole file: the
+    // cursor jumps past each stream's computed extent, so a phantom
+    // "N 0 obj" byte pattern INSIDE compressed stream data can neither
+    // mint a garbage object nor overwrite a real one (r11 review).
+    // Later legitimate re-definitions (incremental updates) still win —
+    // they sit outside any stream extent.
+    val matcher = ObjStart.pattern.matcher(raw)
+    var scanFrom = 0
+    while (matcher.find(scanFrom)) {
+      val m = matcher
       val num = m.group(1).toInt
       val end = raw.indexOf("endobj", m.end)
       val bodyEnd = if (end < 0) raw.length else end
       val body = raw.substring(m.end, bodyEnd)
       val streamAt = body.indexOf("stream")
+      var consumedTo = if (end < 0) raw.length else end + "endobj".length
       if (streamAt < 0) out(num) = Obj(num, body, None)
       else {
         val dict = body.substring(0, streamAt)
@@ -96,14 +112,20 @@ object SimplePdfExtractor extends PdfExtractor {
           }
         }
         val data = byLen match {
-          case Some(e2) => java.util.Arrays.copyOfRange(bytes, s, e2)
+          case Some(e2) =>
+            consumedTo = math.max(consumedTo, e2)
+            java.util.Arrays.copyOfRange(bytes, s, e2)
           case None =>
             val e = raw.indexOf("endstream", s)
             if (e < 0) Array.empty[Byte]
-            else java.util.Arrays.copyOfRange(bytes, s, trimEol(bytes, s, e))
+            else {
+              consumedTo = math.max(consumedTo, e)
+              java.util.Arrays.copyOfRange(bytes, s, trimEol(bytes, s, e))
+            }
         }
         out(num) = Obj(num, dict, Some(data))
       }
+      scanFrom = math.max(consumedTo, m.end)
     }
     spliceObjectStreams(out)
     out.toMap
@@ -113,11 +135,11 @@ object SimplePdfExtractor extends PdfExtractor {
     * (objnum, offset-from-/First), splice each packed object into the
     * map. Direct `N 0 obj` definitions win on collision. */
   private def spliceObjectStreams(out: mutable.Map[Int, Obj]): Unit = {
-    val IntPair = """(\d+)\s+(\d+)""".r
+    val IntPair = """(\d{1,9})\s+(\d{1,9})""".r
     for (o <- out.values.toSeq if o.dict.contains("/ObjStm") && o.stream.isDefined) {
       val content = decodedStream(o).getOrElse("")
-      val nOpt = """/N\s+(\d+)""".r.findFirstMatchIn(o.dict).map(_.group(1).toInt)
-      val firstOpt = """/First\s+(\d+)""".r.findFirstMatchIn(o.dict).map(_.group(1).toInt)
+      val nOpt = """/N\s+(\d{1,9})""".r.findFirstMatchIn(o.dict).map(_.group(1).toInt)
+      val firstOpt = """/First\s+(\d{1,9})""".r.findFirstMatchIn(o.dict).map(_.group(1).toInt)
       for (n <- nOpt; first <- firstOpt if first <= content.length) {
         val pairs = IntPair.findAllMatchIn(content.substring(0, first))
           .map(m => (m.group(1).toInt, m.group(2).toInt)).take(n).toVector
@@ -137,10 +159,10 @@ object SimplePdfExtractor extends PdfExtractor {
     * a one-hop indirect ref (`/Length 12 0 R` → the plain-integer body of
     * object 12). None when absent or unresolvable. */
   private def streamLength(dict: String, raw: String): Option[Int] = {
-    """/Length\s+(\d+)(?:\s+(\d+)\s+R)?""".r.findFirstMatchIn(dict).flatMap { m =>
+    """/Length\s+(\d{1,9})(?:\s+(\d{1,9})\s+R)?""".r.findFirstMatchIn(dict).flatMap { m =>
       if (m.group(2) == null) Some(m.group(1).toInt)
       else ("""(?s)(?<!\d)""" + m.group(1) + """\s+""" + m.group(2) +
-        """\s+obj\s*(\d+)""").r.findFirstMatchIn(raw).map(_.group(1).toInt)
+        """\s+obj\s*(\d{1,9})""").r.findFirstMatchIn(raw).map(_.group(1).toInt)
     }.filter(_ >= 0)
   }
 
@@ -174,7 +196,7 @@ object SimplePdfExtractor extends PdfExtractor {
 
   // ── page tree ──
 
-  private val RefPat = """(\d+)\s+\d+\s+R""".r
+  private val RefPat = """(\d{1,9})\s+\d{1,9}\s+R""".r
 
   private def refsIn(dict: String, key: String): Seq[Int] = {
     val at = dict.indexOf(key)
@@ -228,7 +250,11 @@ object SimplePdfExtractor extends PdfExtractor {
     def dstString(hex: String): String =
       if (hex.length % 4 == 0)
         hex.grouped(4).map(h => Integer.parseInt(h, 16).toChar).mkString
-      else Integer.parseInt(hex, 16).toChar.toString
+      else if (hex.length <= 4) Integer.parseInt(hex, 16).toChar.toString
+      else "" // over-wide odd-length dst: drop rather than overflow parseInt
+    def hexCode(hex: String): Option[Int] = // src codes are <= 2 bytes
+      if (hex.nonEmpty && hex.length <= 8) Some(Integer.parseInt(hex.takeRight(4), 16))
+      else None
     for (m <- """(?s)begincodespacerange(.*?)endcodespacerange""".r.findAllMatchIn(text);
          h <- HexTok.findFirstMatchIn(m.group(1)))
       codeBytes = math.max(codeBytes, h.group(1).length / 2)
@@ -236,15 +262,15 @@ object SimplePdfExtractor extends PdfExtractor {
       HexTok.findAllMatchIn(m.group(1)).map(_.group(1)).grouped(2).foreach {
         case Seq(src, dst) =>
           codeBytes = math.max(codeBytes, src.length / 2)
-          map(Integer.parseInt(src, 16)) = dstString(dst)
+          hexCode(src).foreach(c => map(c) = dstString(dst))
         case _ => ()
       }
     val RangeEntry =
       """<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(\[[^\]]*\]|<[0-9A-Fa-f]+>)""".r
     for (m <- """(?s)beginbfrange(.*?)endbfrange""".r.findAllMatchIn(text);
          e <- RangeEntry.findAllMatchIn(m.group(1))) {
-      val lo = Integer.parseInt(e.group(1), 16)
-      val hi = Integer.parseInt(e.group(2), 16)
+      val lo = hexCode(e.group(1)).getOrElse(0)
+      val hi = hexCode(e.group(2)).getOrElse(-1) // invalid range: empty loop
       codeBytes = math.max(codeBytes, e.group(1).length / 2)
       if (e.group(3).startsWith("[")) // explicit per-code destinations
         HexTok.findAllMatchIn(e.group(3)).map(_.group(1)).zipWithIndex.foreach {
@@ -279,7 +305,7 @@ object SimplePdfExtractor extends PdfExtractor {
       else refsIn(dict, key).headOption.flatMap(objs.get).map(_.dict).getOrElse("")
     }
     val fontDict = sub(sub(pageDict, "/Resources"), "/Font")
-    """/(\w+)\s+(\d+)\s+\d+\s+R""".r.findAllMatchIn(fontDict).flatMap { fm =>
+    """/(\w+)\s+(\d{1,9})\s+\d{1,9}\s+R""".r.findAllMatchIn(fontDict).flatMap { fm =>
       for {
         fobj <- objs.get(fm.group(2).toInt)
         if fobj.dict.contains("/Font") || fobj.dict.contains("/Type0") ||

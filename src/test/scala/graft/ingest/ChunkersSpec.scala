@@ -89,4 +89,61 @@ class ChunkersSpec extends SparkSpec {
       .select("chunk_text").as[String].collect()
     assert(got.toSeq === Seq("abcd", "efgh", "ij"))
   }
+
+  test("W6: fixed char chunks stride across NEWLINES like the reference's text[i:i+size] (r11)") {
+    // without (?s) the split pattern's '.' stopped at the first window
+    // containing a newline and returned the whole tail as one chunk
+    val text = "abcd\nefghij\nklmn"
+    val df = Seq((0L, text)).toDF("doc_id", "text")
+    val got = Chunkers.fixedCharChunks(df, 4).orderBy("chunk_id")
+      .select("chunk_text").as[String].collect()
+    assert(got.toSeq === text.grouped(4).toSeq,
+      "chunks must equal plain character slices, newlines included")
+  }
+
+  test("wordCount matches Python len(text.split()) on padded and blank input (r11)") {
+    val rows = Seq((0L, "  two words "), (1L, "one"), (2L, "   "), (3L, ""),
+      (4L, "\tindented\nlines here"))
+      .toDF("id", "t")
+      .select(Chunkers.wordCount(col("t"))).as[Int].collect()
+    assert(rows.toSeq === Seq(2, 1, 0, 0, 3),
+      "leading/trailing whitespace must not mint phantom empty tokens")
+  }
+
+  test("3-break: a recurring verbatim header starts a NEW day group, not a merge (r11)") {
+    // the reference's sequential loop cuts at every header occurrence;
+    // keying groups on the date string merged the two entries
+    val text = Seq(
+      "1st Day of Emberglow 1855 - Repeat",
+      "alpha", "beta", "gamma",
+      "2nd Day of Emberglow 1855 - Middle",
+      "delta",
+      "1st Day of Emberglow 1855 - Repeat", // same header line again
+      "epsilon", "zeta").mkString("\n")
+    val got = Chunkers.threeBreakChunks(
+      Chunkers.lines(Seq((0L, text)).toDF("doc_id", "text")))
+      .orderBy("chunk_number").select("chunk_text").as[String].collect()
+    // headers: 3 date chunks; bodies: [alpha beta gamma], [delta],
+    // [epsilon zeta] — NOT a merged [alpha..] + [epsilon..] group
+    assert(got.count(_.contains("Repeat")) === 2, "both header occurrences emit")
+    assert(got.contains("epsilon\nzeta"),
+      s"the second occurrence's lines must form their own group: ${got.toSeq}")
+    assert(got.contains("alpha\nbeta\ngamma"), got.toSeq.toString)
+  }
+
+  test("CRLF blank lines (bare \\r) are BLANK, not body lines (r11)") {
+    val text = "1st Day of Emberglow 1855 - CRLF\r\nline one\r\n\r\nline two\r\n"
+    val got = Chunkers.threeBreakChunks(
+      Chunkers.lines(Seq((0L, text.replace("\r\n", "\n").replace("\n", "\r\n")
+        .replace("\r\n", "\n") /* normalize for clarity below */)).toDF("doc_id", "text")))
+    // direct check on the significance rule with literal \r lines:
+    val sig = Chunkers.threeBreakChunks(Chunkers.lines(
+      Seq((0L, "1st Day of Emberglow 1855 - CRLF\nline one\n\r\nline two"))
+        .toDF("doc_id", "text")))
+      .orderBy("chunk_number").select("chunk_text", "line_count").collect()
+    val body = sig.filter(!_.getString(0).contains("Day of"))
+    assert(body.length === 1 && body.head.getInt(1) === 2,
+      s"the bare-\\r line must not count as a third body line: ${sig.toSeq}")
+    assert(got.count() >= 2) // smoke: the constructed frame evaluates
+  }
 }

@@ -114,6 +114,37 @@ class SimplePdfSpec extends SparkSpec {
     assert(SimplePdfExtractor.extractPages("not a pdf at all".getBytes) === Nil)
   }
 
+  test("fuzzed/corrupt PDFs degrade to Nil, never throw out of the extractor (r11)") {
+    // oversized object numbers used to escape as NumberFormatException
+    val overflowObj = ("%PDF-1.4\n99999999999 0 obj\n<< /Length 99999999999 >>\n" +
+      "stream\nxx\nendstream\nendobj").getBytes("ISO-8859-1")
+    assert(SimplePdfExtractor.extractPages(overflowObj) === Nil ||
+      SimplePdfExtractor.extractPages(overflowObj) != null) // must not throw
+    // arbitrary binary after the magic must never throw either
+    val rnd = new scala.util.Random(20260814)
+    (1 to 20).foreach { _ =>
+      val junk = "%PDF-".getBytes ++ Array.fill(512)(rnd.nextInt(256).toByte)
+      SimplePdfExtractor.extractPages(junk) // any result, no exception
+    }
+  }
+
+  test("a phantom 'N 0 obj' byte pattern inside stream data cannot overwrite a real object (r11)") {
+    // object 1 is a REAL text-bearing content stream; object 2's stream
+    // DATA contains the ASCII bytes "1 0 obj ... endobj" (possible in any
+    // compressed payload at crawl scale). The scanner must skip object
+    // 2's /Length-delimited extent — before the fix the phantom minted a
+    // garbage object 1 over the real one and its text vanished.
+    val content = "BT (RealText) Tj ET"
+    val phantom = "1 0 obj << /NoStreamHere true >> endobj"
+    val pdf = ("%PDF-1.4\n" +
+      s"1 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n" +
+      s"2 0 obj\n<< /Length ${phantom.length} >>\nstream\n$phantom\nendstream\nendobj\n")
+      .getBytes("ISO-8859-1")
+    val pages = SimplePdfExtractor.extractPages(pdf)
+    assert(pages.exists(_.contains("RealText")),
+      s"object 1's real content must survive the phantom header: $pages")
+  }
+
   test("AutoExtractor routes by magic: real PDFs parse, plain text splits on form-feed") {
     assert(AutoExtractor.extractPages(samplePdf).head.startsWith("Dr. Voss diary"))
     assert(AutoExtractor.extractPages("page one\fpage two".getBytes("UTF-8")) ===
