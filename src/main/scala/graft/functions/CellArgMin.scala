@@ -95,8 +95,13 @@ case class CellArgMin(child: Expression, matrix: Array[Array[Double]],
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val mRef = ctx.addReferenceObj("matrix", matrix, "double[][]")
     val cRef = ctx.addReferenceObj("cells", cells, "long[]")
+    // assign() returns null for a no-finite-min row (all-NaN / no
+    // dim-matched centroid); the generated code must surface that as
+    // SQL NULL — without the isNull assignment the interpreted path
+    // returned NULL while codegen NPE'd downstream (r11 review)
     nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.CellArgMinImpl.assign($a, $mRef, $cRef, $scale);")
+      s"${ev.value} = graft.functions.CellArgMinImpl.assign($a, $mRef, $cRef, $scale); " +
+        s"${ev.isNull} = ${ev.value} == null;")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =

@@ -35,19 +35,10 @@ object EmbedSigKernel {
     s
   }
 
-  private val Md = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
   private def addToken(signed: Array[Double],
                        digest: java.security.MessageDigest,
                        bytes: Array[Byte], dim: Int): Unit = {
-    val d = digest.digest(bytes) // digest() resets for the next token
-    var h = 0L
-    var k = 0
-    while (k < 7) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
-    h = (h << 4) | ((d(7) & 0xf0L) >>> 4) // 60 bits, non-negative
+    val h = XHash.md5Prefix60(digest.digest(bytes)) // digest() resets
     val sign = if (((h >> 8) & 1L) == 1L) 1.0 else -1.0
     signed((h % dim).toInt) += sign
   }
@@ -55,7 +46,7 @@ object EmbedSigKernel {
   def compute(toks: ArrayData, dim: Int): ArrayData = {
     val n = toks.numElements()
     val signed = new Array[Double](dim)
-    val digest = Md.get()
+    val digest = XHash.Md5.get()
     var i = 0
     while (i < n) {
       if (!toks.isNullAt(i)) {

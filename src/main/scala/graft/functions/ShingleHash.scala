@@ -33,23 +33,8 @@ case class ShingleHash60(child: Expression, n: Int)
       s"shingle_hash60 requires ARRAY<STRING>, got ${dt.simpleString}")
   }
 
-  @transient private lazy val md = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
-  private val HexChars = "0123456789abcdef".toCharArray
-
-  private def hash60(bytes: Array[Byte]): Long = {
-    val digest = md.get()
-    digest.reset()
-    val d = digest.digest(bytes)
-    // first 15 hex chars = 60 bits: 7.5 bytes
-    var h = 0L
-    var i = 0
-    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
-    (h << 4) | ((d(7) & 0xf0L) >> 4)
-  }
+  private def hash60(bytes: Array[Byte]): Long =
+    XHash.md5Prefix60(XHash.Md5.get().digest(bytes))
 
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]

@@ -104,10 +104,6 @@ object TextKernelsImpl {
   }
 
   private val HexDigits = "0123456789abcdef".getBytes
-  private val Md = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
 
   /** fingerprint: md5(trim(regexp_replace(lower(text), "\\s+", " "))) —
     * \s runs collapse to one interior space, then lowercase-hex md5. */
@@ -128,7 +124,7 @@ object TextKernelsImpl {
       }
       i += 1
     }
-    val d = Md.get().digest(java.util.Arrays.copyOf(norm, o))
+    val d = XHash.Md5.get().digest(java.util.Arrays.copyOf(norm, o))
     val hex = new Array[Byte](32)
     i = 0
     while (i < 16) {

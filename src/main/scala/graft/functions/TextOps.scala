@@ -22,8 +22,14 @@ object TextOps {
   def tokensSql(expr: String): String =
     s"list_filter(string_split_regex(lower($expr), '[^a-z0-9]+'), t -> len(t) > 0)"
 
-  /** Whitespace token count (reference word_count semantics,
-    * `src/chunking_strategy.py:131-132` `len(chunk_text.split())`). */
+  /** ALPHANUMERIC-RUN token count — size of `tokens(text)`, i.e. the
+    * count the oracle-paired hygiene queries (q70/q95/...) define their
+    * thresholds over. NOT Python `len(text.split())`: hyphens and
+    * apostrophes split here ("don't" → 2), where whitespace-split counts
+    * 1 — the chunker-side reference semantics live in
+    * `Chunkers.wordCount` (r11 review: the old doc claimed the Python
+    * contract this function never had; both engines' oracle SQL uses
+    * THIS definition, so behavior is pinned and unchanged). */
   def wordCount(text: Column): Column = size(tokens(text))
 
   /** Word n-gram shingles from an ALREADY-STAGED tokens column (stage the

@@ -41,7 +41,13 @@ object VectorOps {
   def distSq(a: Column, b: Column): Column =
     aggregate(zip_with(asD(a), asD(b), (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
 
-  /** L2-normalize; an all-zero vector normalizes to itself (not NaN). */
+  /** L2-normalize; an all-zero vector normalizes to itself (not NaN).
+    * COST: the norm aggregate sits inside the transform lambda, so it
+    * re-evaluates per output element — O(dim²) per row (Catalyst has no
+    * CSE inside lambdas; TextEmbed's header documents the blow-up). Fine
+    * for specs and one-off columns; for a HOT path stage the norm as its
+    * own column first (the EmbedSig kernel does exactly that for the
+    * embed pipeline). */
   def l2Normalize(a: Column): Column = {
     val n = normL2(a)
     transform(asD(a), x => when(n === lit(0.0), lit(0.0)).otherwise(x / n))

@@ -17,6 +17,26 @@ import org.apache.spark.sql.functions._
   */
 object XHash {
 
+  /** ONE per-thread MD5 instance for the whole kernel tier (digest()
+    * resets the instance) — EmbedSig, TextKernels and ShingleHash each
+    * carried their own copy before (r11 review). */
+  val Md5: ThreadLocal[java.security.MessageDigest] =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** Byte-level twin of hash60's "first 15 hex chars" definition: bytes
+    * 0..6 plus the high nibble of byte 7 = 60 bits, non-negative. ONE
+    * owner — the two hand-unrolled copies this replaces had to be kept
+    * in lockstep with the hex-prefix oracle definition by eye. */
+  def md5Prefix60(d: Array[Byte]): Long = {
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    (h << 4) | ((d(7) & 0xf0L) >>> 4)
+  }
+
   /** 60-bit non-negative hash of a string column (md5-prefix). */
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")

@@ -67,7 +67,11 @@ final class ParquetEmbedder(path: String, override val dim: Int = 384) extends E
         require(v.length == dim,
           s"fixture row '$text': dim ${v.length}, declared $dim")
         val norm = math.sqrt(v.map(x => x * x).sum)
-        require(math.abs(norm - 1.0) < 1e-6,
+        // 1e-4, not 1e-6: real dumps normalize in FLOAT32 (the reference
+        // pipeline's sentence-transformer does), and widening ~384
+        // components of 2^-24 precision to double legitimately leaves
+        // |norm - 1| around 1e-5 (r11 review)
+        require(math.abs(norm - 1.0) < 1e-4,
           s"fixture row '$text': not L2-normalized (|v| = $norm)")
         t.put(text, v)
         g = reader.read()
@@ -98,8 +102,18 @@ object Embedder {
     df.mapPartitions { rows =>
       embedder.open() // once per partition — executor-lifetime init point
       rows.grouped(batchSize).flatMap { batch =>
-        val vecs = embedder.embedBatch(batch.map(r => Option(r.getString(idx)).getOrElse("")))
-        batch.zip(vecs).map { case (r, v) => Row.fromSeq(r.toSeq :+ v.toSeq) }
+        // NULL text → NULL vector, matching the column path (EmbedSig's
+        // NULL-in → NULL-out): the old ""-coercion emitted a zero vector
+        // that still PARTICIPATED in ranking, so the two documented-
+        // interchangeable embed paths disagreed on null rows (r11 review)
+        val texts = batch.map(r => if (r.isNullAt(idx)) null else r.getString(idx))
+        val vecs = embedder.embedBatch(texts.filter(_ != null))
+        var vi = 0
+        batch.zip(texts).map { case (r, t) =>
+          val out = if (t == null) null
+                    else { val v = vecs(vi); vi += 1; v.toSeq }
+          Row.fromSeq(r.toSeq :+ out)
+        }
       }
     }(RowEncoder.encoderFor(outSchema))
   }

@@ -117,6 +117,10 @@ object IvfKMeans {
     */
   def updateCents(assigned: DataFrame, vecCol: String): Seq[(Long, Seq[Double])] =
     assigned.select(col("cell"), posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
+      // a NULL cell (cell_argmin's no-finite-min row) must be DROPPED,
+      // not folded into cell 0 — Row.getLong on a null unboxes to 0L and
+      // silently corrupted that centroid (r11 review)
+      .filter(col("cell").isNotNull)
       .groupBy("cell", "pos").agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
       .collect()
       .groupBy(_.getLong(0)).toSeq

@@ -82,6 +82,21 @@ class KmeansKernelSpec extends SparkSpec {
     assert(got.getDouble(0) === 0.0)
   }
 
+  test("CellArgMin CODEGEN path surfaces the no-finite-min case as SQL NULL (r11)") {
+    // the interpreted path returned NULL while the generated code left
+    // ev.isNull false and NPE'd downstream — drive the expression through
+    // a real (whole-stage-codegen) plan with a NaN row mixed in
+    val rows = Seq(
+      (1L, Seq.fill(dim)(Double.NaN)),
+      (2L, vecs(1)._2)
+    ).toDF("vec_id", "qv")
+    val got = graft.vector.IvfKMeans.assignCells(rows, "qv", cents, scale)
+      .select(col("vec_id"), col("cell"))
+      .orderBy("vec_id").collect()
+    assert(got(0).isNullAt(1), "all-NaN row must assign to NULL, not crash")
+    assert(!got(1).isNullAt(1), "finite row still assigns")
+  }
+
   test("round6 matches Spark's round(x, 6) on adversarial doubles") {
     val xs = Seq(0.1234565, 0.12345649999, 1.0 / 3.0, 2.5e-7, -0.1234565,
       123456.789012345, 1e-13, 0.9999995) ++ Seq.fill(200)(rnd.nextDouble())
