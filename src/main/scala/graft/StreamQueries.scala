@@ -47,7 +47,8 @@ object StreamQueries {
       Some("""
         WITH c AS (SELECT user_id, event_id,
                           CAST(round(value * 100) AS BIGINT) AS cents
-                   FROM events WHERE event_type = 'purchase'),
+                   FROM events
+                   WHERE event_type = 'purchase' AND value IS NOT NULL),
         ranked AS (
           SELECT user_id, event_id, cents,
                  row_number() OVER (PARTITION BY user_id

@@ -9,13 +9,15 @@ import graft.functions.VectorOps
   */
 object Stats {
 
-  /** A6: text-length stats (`test_vector.py:44-47`). */
+  /** A6: text-length stats (`test_vector.py:44-47`). avg over NON-NULL
+    * lengths like the reference's pandas mean (and like min/max here) —
+    * sum/count(*) deflated the average on null-text rows (r11 review). */
   def textLengthStats(df: DataFrame, textCol: String = "text"): DataFrame =
     df.agg(
       count(lit(1)).as("n"),
       min(length(col(textCol))).as("min_len"),
       max(length(col(textCol))).as("max_len"),
-      (sum(length(col(textCol))).cast("double") / count(lit(1))).as("avg_len"))
+      avg(length(col(textCol))).as("avg_len"))
 
   /** A7: distribution over a categorical column (`test_vector.py:50-58`). */
   def distribution(df: DataFrame, keyCol: String): DataFrame =

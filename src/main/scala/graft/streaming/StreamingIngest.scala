@@ -100,9 +100,16 @@ object StreamingIngest {
   }
 
   private def eventStream(spark: SparkSession, dir: String): DataFrame =
+    eventStreamWithSchema(spark, dir, eventsRawSchema(spark, dir))
+
+  /** Schema-probed variant: a two-source self-join (clickViewJoin) reads
+    * the footer ONCE and shares it across both legs instead of planning
+    * two batch footer reads per invocation (r11 review). */
+  private def eventStreamWithSchema(spark: SparkSession, dir: String,
+                                    schema: StructType): DataFrame =
     graft.Events.normalize(
       spark.readStream
-        .schema(eventsRawSchema(spark, dir))
+        .schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir))
 
@@ -114,14 +121,6 @@ object StreamingIngest {
     spark.table(name)
   }
 
-  /** Streaming per-user top-k purchase values — the bounded TopK buffer
-    * (`operators.TopK.insert`, the SAME primitive the batch Aggregator
-    * folds with) held in GroupState across micro-batches, so streaming ≡
-    * batch by construction and state is O(k) per user forever — the
-    * leaderboard/alerting shape where a windowed sort would accrete
-    * unbounded state. Each batch emits the group's current buffer with a
-    * monotone sequence number; the caller keeps each user's last
-    * emission (deterministic: file-source batches are ordered). */
   /** documents.parquet schema for the doc-stream operators. */
   val DocsRawSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType),
@@ -197,12 +196,26 @@ object StreamingIngest {
       out.iterator
     }
 
+  /** Streaming per-user top-k purchase values — the bounded TopK buffer
+    * (`operators.TopK.insert`, the SAME primitive the batch Aggregator
+    * folds with) held in GroupState across micro-batches, so streaming ≡
+    * batch by construction and state is O(k) per user forever — the
+    * leaderboard/alerting shape where a windowed sort would accrete
+    * unbounded state. Each batch emits the group's current buffer with a
+    * monotone sequence number; the caller keeps each user's last
+    * emission (deterministic: file-source batches are ordered).
+    * (Doc reattached in r11 — it had drifted onto DocsRawSchema.) */
   def streamingTopK(outer: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val spark = streamSession(outer, dir)
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val src = eventStream(spark, dir)
-      .filter(col("event_type") === "purchase")
+      // value IS NOT NULL is part of the contract (mirrored in the q108
+      // oracle): an amount-less purchase can't rank, and a NULL cents
+      // would kill the primitive-tuple deserialization mid-batch —
+      // crashing the stream where the oracle quietly ranked the row
+      // last (r11 review)
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
       .select(col("user_id"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"), col("event_id"))
       .as[(Long, Long, Long)]
@@ -240,11 +253,12 @@ object StreamingIngest {
     */
   def clickViewJoin(outer: SparkSession, dir: String): DataFrame = {
     val spark = streamSession(outer, dir)
-    val clicks = eventStream(spark, dir)
+    val schema = eventsRawSchema(spark, dir) // ONE footer probe for both legs
+    val clicks = eventStreamWithSchema(spark, dir, schema)
       .filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("ts").as("c_ts"))
       .withWatermark("c_ts", "1 hour")
-    val views = eventStream(spark, dir)
+    val views = eventStreamWithSchema(spark, dir, schema)
       .filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("event_id").as("view_id"), col("ts").as("v_ts"))
       .withWatermark("v_ts", "1 hour")
