@@ -28,6 +28,10 @@ object Bench {
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // same TZ pin as Verify: timestamp-literal filters and window
+      // buckets must select the SAME rows the correctness gate verified,
+      // regardless of the host's default zone (r11 review)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions) // KernelRewrite active in the bench
     val spark = GraftSession.applyExtraConf(builder).getOrCreate()
@@ -140,7 +144,11 @@ object Bench {
     // regressions diff mechanically instead of from prose
     val artifact =
       if (sfDir.replace("/", "").endsWith("sf1")) "BENCH_sf1.json" else "BENCH_full.json"
-    try {
+    // narrowed profiling runs (SPARK_GRAFT_ONLY) must not truncate the
+    // committed full-suite artifact — the file exists to be the durable
+    // record of EVERY benched query (r11 review; this also retires the
+    // git-checkout-after-profiling ritual)
+    try if (only.isEmpty) {
       val benchOut = sys.env.get("SPARK_GRAFT_BENCH_OUT")
         .map(java.nio.file.Paths.get(_))
         .getOrElse {
@@ -152,6 +160,7 @@ object Bench {
             .getOrElse(java.nio.file.Paths.get(artifact).toAbsolutePath)
         }
       java.nio.file.Files.write(benchOut, (line + "\n").getBytes("UTF-8"))
+      ()
     } catch { case e: Throwable => System.err.println(s"[bench] $artifact write failed: ${e.getMessage}") }
     spark.stop()
   }

@@ -22,14 +22,22 @@ import graft.functions.{CosineSim, DotProduct, KernelRewrite}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    def binary(name: String, mk: (Expression, Expression) => Expression)
+        (args: Seq[Expression]): Expression = {
+      // a clear arity error instead of IndexOutOfBoundsException from
+      // deep inside analysis (r11 review)
+      require(args.length == 2,
+        s"$name expects exactly 2 arguments (vecA, vecB), got ${args.length}")
+      mk(args(0), args(1))
+    }
     e.injectFunction((
       FunctionIdentifier("dot_f32"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_f32"),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+      binary("dot_f32", DotProduct.apply) _))
     e.injectFunction((
       FunctionIdentifier("cosine_f32"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_f32"),
-      (args: Seq[Expression]) => CosineSim(args(0), args(1))))
+      binary("cosine_f32", CosineSim.apply) _))
     e.injectOptimizerRule(_ => KernelRewrite)
   }
 }

@@ -137,11 +137,19 @@ object ExactPercentiles {
     * same v either way, so lo/hi/interp are deterministic in both
     * shapes. */
   def ranked(df: DataFrame, key: String, value: String): DataFrame = {
+    // NULL values are SKIPPED, matching both Spark's percentile and
+    // DuckDB's quantile_cont (r11 review: a null row would otherwise
+    // rank first and shift every endpoint, and n would over-count)
     val base = df.select(col(key), col(value).as("v"))
+      .filter(col("v").isNotNull)
     val nb = 32
+    // probe boundaries as DOUBLE regardless of the value column's type:
+    // approx_percentile on a BIGINT column returns array<bigint>, which
+    // getSeq[Double] would ClassCastException on (r11 review); boundary
+    // PRECISION is irrelevant — exactness comes from counting
     val probe = base.agg(
       count(lit(1)).as("n"),
-      expr(s"approx_percentile(v, array(${(1 until nb).map(_.toDouble / nb).mkString(",")}), 100)")
+      expr(s"approx_percentile(CAST(v AS DOUBLE), array(${(1 until nb).map(_.toDouble / nb).mkString(",")}), 100)")
         .as("bs")).head()
     if (probe.getLong(0) <= SmallSortRows) {
       val wLoc = Window.partitionBy(col(key)).orderBy(col("v"))
@@ -150,7 +158,9 @@ object ExactPercentiles {
         .withColumn("n", count(lit(1)).over(Window.partitionBy(col(key))))
         .select(col(key), col("v"), col("rn"), col("n"))
     } else {
-      val bounds = probe.getSeq[Double](1).distinct.sorted
+      // null when every value was null (unreachable after the isNotNull
+      // filter unless the big input is ALL null — degenerate but guarded)
+      val bounds = Option(probe.getSeq[Double](1)).getOrElse(Seq.empty).distinct.sorted
       val bucket =
         if (bounds.isEmpty) lit(0)
         else bounds.map(b => when(col("v") > lit(b), 1).otherwise(0))
@@ -183,8 +193,16 @@ object ExactPercentiles {
 }
 
 object QueryRegistry {
-  def all: Seq[QueryDef] =
-    RelationalQueries.defs ++ AdvancedQueries.defs ++ VectorQueries.defs ++
-      TextQueries.defs ++ PipelineQueries.defs ++ CurationQueries.defs ++
-      RagQueries.defs ++ StreamQueries.defs
+  def all: Seq[QueryDef] = {
+    val defs =
+      RelationalQueries.defs ++ AdvancedQueries.defs ++ VectorQueries.defs ++
+        TextQueries.defs ++ PipelineQueries.defs ++ CurationQueries.defs ++
+        RagQueries.defs ++ StreamQueries.defs
+    // a duplicate name would be SILENTLY dropped by SparkEntry's .toMap —
+    // the shadowed query would vanish from the gate, the dumps and the
+    // bench with zero errors anywhere (r11 review)
+    val dup = defs.groupBy(_.name).collect { case (n, ds) if ds.size > 1 => n }
+    require(dup.isEmpty, s"duplicate QueryDef name(s): ${dup.mkString(", ")}")
+    defs
+  }
 }

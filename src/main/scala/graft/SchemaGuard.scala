@@ -35,13 +35,13 @@ object SchemaGuard {
         "p_retailprice" -> "double"),
       "orders" -> (one("o_orderkey" -> "bigint", "o_custkey" -> "bigint",
         "o_orderstatus" -> "string", "o_totalprice" -> "double") ++
-        Seq(("o_orderdate", tsEncodings)) ++
+        Seq(("o_orderdate", tsEncodingsNormalized)) ++
         one("o_orderpriority" -> "string")),
       "lineitem" -> (one("l_orderkey" -> "bigint", "l_partkey" -> "bigint",
         "l_suppkey" -> "bigint", "l_linenumber" -> "int", "l_quantity" -> "double",
         "l_extendedprice" -> "double", "l_discount" -> "double", "l_tax" -> "double",
         "l_returnflag" -> "string", "l_linestatus" -> "string") ++
-        Seq(("l_shipdate", tsEncodings))),
+        Seq(("l_shipdate", tsEncodingsNormalized))),
       "events" -> (one("event_id" -> "bigint") ++ Seq(("ts", tsEncodings)) ++
         one("user_id" -> "bigint", "event_type" -> "string",
           "value" -> "double", "props" -> "string")),
@@ -52,9 +52,16 @@ object SchemaGuard {
   }
 
   /** The timestamp encodings the query layer normalizes: raw nanos long
-    * (legacy conf), naive micros (NTZ), session-TZ timestamp. */
+    * (legacy conf), naive micros (NTZ), session-TZ timestamp. ONLY
+    * events.ts has a normalizer (`Events.normalize`); orders/lineitem are
+    * read raw, so their date columns must refuse the bigint raw-nanos
+    * shape — accepting it would pass the guard and then fail (or
+    * silently miscompute) mid-query, exactly what the guard exists to
+    * prevent (r11 review). */
   private def tsEncodings: Set[String] =
     Set(LongType, TimestampNTZType, TimestampType).map(_.simpleString)
+  private def tsEncodingsNormalized: Set[String] =
+    Set(TimestampNTZType, TimestampType).map(_.simpleString)
 
   private def describe(schema: StructType): String =
     schema.fields.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")
