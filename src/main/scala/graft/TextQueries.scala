@@ -29,8 +29,12 @@ object TextQueries {
       .filter(size(col("sh")) > 0)
       .withColumn("h31", transform(col("sh"), h => h % 2147483647L))
       .persist()
+    // doc_id + signature columns ONLY — carrying `sh` here misled readers
+    // into thinking shingle sets flow into the band join (they must not;
+    // the candidates dedup on ids precisely to keep the exchange narrow,
+    // and shSets re-reads the persisted `d` for the verify joins)
     val sig = d.withColumn("sigv", MinHashSig(col("h31"), perms.length))
-      .select(col("doc_id") +: col("sh") +:
+      .select(col("doc_id") +:
         perms.indices.map(i => element_at(col("sigv"), i + 1).as(s"mh_$i")): _*)
     // candidates dedup on ids ONLY (distinct over heavy shingle arrays
     // would hash megabytes per pair); shingle sets join back after.
@@ -206,8 +210,13 @@ object TextQueries {
     val pairs = a.join(b, Seq("band_idx", "band_val"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming")).distinct()
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+      // hamming BEFORE distinct: it is functionally determined by the
+      // pair, so filtering first is identical — and the dedup exchange
+      // then carries only near-dup pairs instead of every band collision
+      // (the dominant volume on a saturated corpus; r11 review)
       .filter(col("hamming") <= 3)
+      .distinct()
     // bound #2: per-doc nearest-SimNeighborCap emission — heap agg,
     // (−hamming DESC, id ASC) ≡ (hamming ASC, id_b ASC)
     pairs
@@ -232,15 +241,27 @@ object TextQueries {
     * in-process threads serialize on a per-path lock (Verify's dump
     * pool runs q31/q97/q98 concurrently), cross-process races resolve
     * by atomic rename with losers discarded. */
-  private[graft] def boundedPairs(s: SparkSession, dir: String): DataFrame = {
+  /** ONE owner of the artifact path derivation (the lifecycle spec reads
+    * it too — a duplicated formula drifted the moment the fingerprint
+    * grew its semantics suffix). The fingerprint covers the CORPUS *and*
+    * the derivation semantics: without the constants, changing
+    * SimBandCap/SimNeighborCap/the hamming threshold would silently
+    * serve a warm artifact built under the OLD semantics for up to the
+    * vacuum age (r11 review). */
+  private[graft] def npairsPath(dir: String): java.nio.file.Path = {
     val docsPath = java.nio.file.Paths.get(s"$dir/documents.parquet")
     val desc = s"$docsPath:${java.nio.file.Files.size(docsPath)}:" +
-      s"${java.nio.file.Files.getLastModifiedTime(docsPath).toMillis}"
+      s"${java.nio.file.Files.getLastModifiedTime(docsPath).toMillis}:" +
+      s"simhash-band:$SimBandCap:$SimNeighborCap:ham3"
     val fp = java.security.MessageDigest.getInstance("MD5")
       .digest(desc.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
     val base = sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_DIR",
       s"${System.getProperty("java.io.tmpdir")}/graft-artifacts")
-    val path = java.nio.file.Paths.get(base, s"npairs-$fp")
+    java.nio.file.Paths.get(base, s"npairs-$fp")
+  }
+
+  private[graft] def boundedPairs(s: SparkSession, dir: String): DataFrame = {
+    val path = npairsPath(dir)
     val lock = pairLocks.computeIfAbsent(path.toString, _ => new Object)
     lock.synchronized {
       vacuumArtifacts(path)
@@ -682,8 +703,16 @@ object TextQueries {
     // ── q54: TF-IDF top terms per document — the inverted-index shape
     //   (explode → tf per (doc, term) → df per term → join back) whose
     //   only shuffles are the two aggregations and the term join. Ranking
-    //   happens on the ROUNDED score with a term tiebreak, so last-ulp ln
-    //   drift between engines can't reorder. ──
+    //   happens on the ROUNDED score with a term tiebreak. HONEST
+    //   RESIDUAL (r11 review): ln is not correctly rounded, so JVM
+    //   Math.log and DuckDB's libm CAN differ in the last ulp on the
+    //   same input; the 6dp round converts that drift into a RARE
+    //   boundary divergence rather than eliminating it (unlike +,*,/
+    //   and sqrt, which are identical IEEE ops). The inputs here are
+    //   small integer ratios, every gate value sits far from a
+    //   boundary, and the same residual applies to q87/q90's ln — a
+    //   shared-rational-approximation ln would close it at real cost;
+    //   accepted as the one transcendental seam. ──
     QueryDef("q54_tfidf",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window

@@ -463,11 +463,18 @@ object VectorQueries {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val e = emb(s, dir)
-        // centroids: per-label, per-position mean, rounded (deterministic)
+        // centroids: per-label, per-position mean over ×1e6-QUANTIZED
+        // elements — the q67 discipline applied here (r11 review): a raw
+        // double sum is accumulation-order dependent under Spark's
+        // partial-aggregate merge, so a mean within ulps of a 6dp
+        // boundary could round differently run-to-run or vs DuckDB's
+        // sequential sum. Integer sums are exact at any order.
         val cents = e
-          .select(col("label"), posexplode(col("embedding").cast("array<double>")))
+          .select(col("label"), posexplode(
+            transform(col("embedding").cast("array<double>"),
+              v => floor(v * lit(1e6) + lit(0.5)).cast("long"))))
           .groupBy(col("label"), col("pos"))
-          .agg(round(sum(col("col")) / count(lit(1)), 6).as("c"))
+          .agg(round(sum(col("col")).cast("double") / count(lit(1)) / lit(1e6), 6).as("c"))
           .groupBy(col("label"))
           .agg(transform(sort_array(collect_list(struct(col("pos"), col("c")))),
             x => x.getField("c")).as("cv"))
@@ -495,7 +502,9 @@ object VectorQueries {
           SELECT label, i, CAST(embedding[i] AS DOUBLE) AS v
           FROM embeddings, UNNEST(range(1, 65)) AS t(i)),
         cent AS (
-          SELECT label, i, round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS c
+          SELECT label, i,
+                 round(CAST(sum(CAST(floor(v * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                       / count(*) / 1000000.0, 6) AS c
           FROM elems GROUP BY label, i),
         centv AS (SELECT label, list(c ORDER BY i) AS cv FROM cent GROUP BY label),
         q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
@@ -675,18 +684,27 @@ object VectorQueries {
       (s, dir) =>
         emb(s, dir)
           .select(col("label"),
-            VectorOps.normL2(col("embedding")).as("nrm"),
+            // per-row norm is a deterministic sequential fold; the
+            // AVERAGE integer-lifts each 6dp-rounded norm before the sum
+            // so the aggregate is accumulation-order independent — a raw
+            // avg(double) depends on Spark's partial-merge order and can
+            // cross a 6dp boundary vs DuckDB's sequential sum (r11
+            // review; the q90/q101 lifting discipline applied here)
+            floor(round(VectorOps.normL2(col("embedding")), 6) * lit(1e6) + lit(0.5))
+              .cast("long").as("nrm6"),
             array_min(col("embedding")).cast("double").as("mn"),
             array_max(col("embedding")).cast("double").as("mx"))
           .groupBy(col("label"))
           .agg(count(lit(1)).as("n"),
-               round(avg(col("nrm")), 6).as("avg_norm"),
+               round(sum(col("nrm6")).cast("double") / count(lit(1)) / lit(1e6), 6)
+                 .as("avg_norm"),
                min(col("mn")).as("min_elem"),
                max(col("mx")).as("max_elem"))
           .orderBy(col("label")),
       Some(s"""
         SELECT label, count(*) AS n,
-               round(avg(${normSql("embedding")}), 6) AS avg_norm,
+               round(CAST(sum(CAST(floor(round(${normSql("embedding")}, 6) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                     / count(*) / 1000000.0, 6) AS avg_norm,
                min(CAST(list_aggregate(embedding, 'min') AS DOUBLE)) AS min_elem,
                max(CAST(list_aggregate(embedding, 'max') AS DOUBLE)) AS max_elem
         FROM embeddings GROUP BY label ORDER BY label""")),

@@ -32,6 +32,15 @@ object Verify {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
+    // Periodic cache hygiene (r11 review): several queries persist()
+    // intermediates whose lifecycle ends with their dump, and unlike
+    // Bench this harness has no between-queries clear — a full run
+    // accumulated every query's blocks for the session's lifetime,
+    // thrashing late queries' caches under LRU pressure. Clearing every
+    // 16 completions is CORRECTNESS-safe (all cached frames here are
+    // deterministic; an evicted frame recomputes identically) and bounds
+    // storage pressure without serializing the pool.
+    val done = new java.util.concurrent.atomic.AtomicInteger(0)
     val futures = SparkEntry.queries.toSeq.filter(kv => only(kv._1)).map { case (name, fn) =>
       scala.concurrent.Future {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -39,6 +48,7 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        if (done.incrementAndGet() % 16 == 0) spark.catalog.clearCache()
       }
     }
     scala.concurrent.Await.result(

@@ -95,14 +95,7 @@ class NpairsLifecycleSpec extends SparkSpec {
       .withColumn("n_chars", length(col("text")).cast("long"))
       .write.mode("overwrite").parquet(s"$dataDir/documents.parquet")
     TextQueries.boundedPairs(spark, dataDir).count() // build
-    // locate the artifact: re-derive its path the way boundedPairs does
-    val docsPath = java.nio.file.Paths.get(s"$dataDir/documents.parquet")
-    val desc = s"$docsPath:${Files.size(docsPath)}:" +
-      s"${Files.getLastModifiedTime(docsPath).toMillis}"
-    val fp = java.security.MessageDigest.getInstance("MD5")
-      .digest(desc.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
-    val artifact = Paths.get(sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_DIR",
-      s"${System.getProperty("java.io.tmpdir")}/graft-artifacts"), s"npairs-$fp")
+    val artifact = TextQueries.npairsPath(dataDir) // the ONE path owner
     // simulate an artifact built long ago but still in use
     Files.setLastModifiedTime(artifact,
       FileTime.fromMillis(System.currentTimeMillis() - 30L * 24 * 3600 * 1000))
