@@ -125,6 +125,7 @@ object CurationQueries {
   def rebasePacked(packed0: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val packed = packed0.persist()
+    try {
     // key columns renamed on the rollup side: both join inputs derive
     // from the same `packed` subtree, and a shared-attribute equi-join
     // through a streaming memory-table view trips Spark's conflicting-
@@ -141,12 +142,72 @@ object CurationQueries {
         col("source") === col("b_source") && col("range_id") === col("b_range"))
       .select(col("source"), col("doc_id"), col("n_tok"),
         (col("base") + col("bin")).as("seq_id"), col("fill").as("seq_fill"))
+      // eager tiny result (one row per doc) so the finally can release
+      // the packed cache before return — the r11 persist discipline
+      // (previously every caller outside Bench leaked the blocks for
+      // the session lifetime)
+      .localCheckpoint()
+    } finally { packed0.unpersist(); () }
   }
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Par(s.read.parquet(s"$dir/documents.parquet"))
 
   private def events(s: SparkSession, dir: String): DataFrame = Events.load(s, dir)
+
+  /** Shared banded-Hamming near-dup pair recovery (q123 images, q125
+    * audio — ONE owner since r11; the two hand-copied blocks differed
+    * only in the threshold and had to be fixed in lockstep).
+    * Exact-dedup BEFORE the quadratic stage: near-dups arrive in
+    * exact-hash clusters, so band-join + Hamming run once per DISTINCT
+    * hash pair, never per doc pair — the doc-level pair list is
+    * recovered by two equi-joins. At 100 TB this is the difference
+    * between Hamming over |docs|²/band and |distinct hashes|²/band.
+    * bits = the 64-bit hash as a long, so Hamming is one xor+popcount.
+    * `hashes` must carry (doc_id, h) with h a 64-char bit string. */
+  private def bandedHammingPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    val bits = shiftleft(conv(substring(col("h"), 1, 32), 2, 10)
+      .cast("long"), 32)
+      .bitwiseOR(conv(substring(col("h"), 33, 32), 2, 10).cast("long"))
+    val uniq = hashes.select(col("h")).distinct()
+      .withColumn("bits", bits).persist()
+    val bands = uniq.select(col("h"), col("bits"), posexplode(array(
+      (0 until 8).map(b => substring(col("h"), b * 8 + 1, 8)): _*)))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key")
+    val hp = bands.select(col("band_idx"), col("band_key"),
+        col("h").as("ha"), col("bits").as("ba"))
+      .join(bands.select(col("band_idx"), col("band_key"),
+        col("h").as("hb"), col("bits").as("bb")), Seq("band_idx", "band_key"))
+      .filter(col("ha") < col("hb"))
+      .select(col("ha"), col("hb"), col("ba"), col("bb")).distinct()
+      .withColumn("hamming",
+        bit_count(col("ba").bitwiseXOR(col("bb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("ha"), col("hb"), col("hamming"))
+    // every ordered hash pair (incl. self at Hamming 0), so each output
+    // doc pair appears exactly once under the doc_a < doc_b filter
+    val sym = hp
+      .union(hp.select(col("hb").as("ha"), col("ha").as("hb"), col("hamming")))
+      .union(uniq.select(col("h").as("ha"), col("h").as("hb"),
+        lit(0L).as("hamming")))
+    sym
+      .join(hashes.select(col("doc_id").as("doc_a"), col("h").as("ha")), Seq("ha"))
+      .join(hashes.select(col("doc_id").as("doc_b"), col("h").as("hb")), Seq("hb"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+
+  /** HLL small-range correction table: est(zeros) = 64·ln(64/zeros) for
+    * zeros ∈ 1..64, computed ONCE on the JVM and embedded as literals in
+    * BOTH engines (element_at lookup here, a list literal in the oracle
+    * SQL) — Double.toString round-trips exactly, so the two engines use
+    * bit-identical constants and the libm-vs-JVM ln ulp gap vanishes. */
+  private[graft] val HllSmallRange: Seq[Double] =
+    (1 to 64).map(z => 64.0 * math.log(64.0 / z))
+  private[graft] val HllSmallRangeSql: String =
+    HllSmallRange.map(_.toString).mkString("[", ", ", "]")
 
   /** Winnowing k-gram/window sizes (Schleimer et al., SIGMOD'03): word
     * 5-grams, window 4 — fingerprint density ≈ 2/(w+1) of all grams. */
@@ -173,6 +234,7 @@ object CurationQueries {
       .agg(sum(size(split(col("text"), " ")).cast("long")).as("toks"))
       .withColumn("m", least(col("toks"), lit(1500L)))
       .persist()
+    try {
     val tot = per.agg(sum(col("m")).as("mm"))
     val q = per.crossJoin(broadcast(tot))
       .withColumn("base", expr("(100000 * m) div mm"))
@@ -186,6 +248,8 @@ object CurationQueries {
       .select(col("source"), col("toks"), col("quota"),
         expr("quota div toks").as("full_epochs"),
         expr("quota % toks").as("tail_toks"))
+      .localCheckpoint() // eager |sources|-row result; finally frees per
+    } finally { per.unpersist(); () }
   }
 
   /** The matching oracle chain, ending in CTE `quota`. */
@@ -355,6 +419,15 @@ object CurationQueries {
     // (r10 measured: q129 isolated 5.41 s at 8 → 4.86 s at 4, REPS=3;
     // on a real cluster the trainer input is a per-executor SAMPLE, so
     // narrow is correct there too).
+    // SERIALIZED conf mutation (r11 review): Verify runs q128 and q129
+    // concurrently on ONE SparkSession from its dump pool, and an
+    // unsynchronized save/set/restore races — one trainer's finally
+    // could restore mid-training of the other, then the other's finally
+    // would leave the TRAINING conf (AQE off, 4 partitions) live for
+    // every remaining query of the session. The JVM-wide lock makes the
+    // save/mutate/train/restore atomic; the two BPE queries simply
+    // serialize (seconds) instead of corrupting the session.
+    BpeConfLock.synchronized {
     val prevAqe = s.conf.get("spark.sql.adaptive.enabled", "true")
     val prevParts = s.conf.get("spark.sql.shuffle.partitions", "32")
     s.conf.set("spark.sql.adaptive.enabled", "false")
@@ -677,7 +750,10 @@ object CurationQueries {
       s.conf.set("spark.sql.adaptive.enabled", prevAqe)
       s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
+    }
   }
+
+  private object BpeConfLock
 
   /** q128 oracle: one BPE merge iteration as chained CTEs. Leftmost-greedy
     * merging of overlapping occurrences (the only overlaps are consecutive
@@ -743,7 +819,9 @@ object CurationQueries {
       .withColumn("nstop",
         size(filter(col("toks"), t => t.isInCollection(Stops))))
       .withColumn("ndist", size(array_distinct(col("toks"))))
-      .withColumn("tot", aggregate(col("toks"), lit(0), (a, t) => a + length(t)))
+      // LONG accumulator (oracle sums BIGINT): an Int would silently wrap
+      // on a pathological >2^31-char document in Spark only (r11 review)
+      .withColumn("tot", aggregate(col("toks"), lit(0L), (a, t) => a + length(t).cast("long")))
       .withColumn("nalpha", size(filter(col("toks"), t => t.rlike("[a-z]"))))
       .select(
         r6(least(col("wc"), lit(300)).cast("double") / lit(300.0)).as("x1"),
@@ -1302,8 +1380,13 @@ object CurationQueries {
           .withColumn("zeros", col("z0p") + (lit(m) - col("mp")))
           .withColumn("raw", lit(alpha) * lit(m) * lit(m) / col("z"))
           .withColumn("est",
+            // small-range correction via the SHARED constant table: ln is
+            // a libm transcendental that can differ by 1 ulp between the
+            // JVM and DuckDB (the file's own cross-engine rule) — zeros
+            // has only 64 possible values, so both engines index the
+            // identical JVM-computed literals instead (r11 review)
             when(col("raw") <= lit(2.5 * m) && col("zeros") > 0,
-              lit(m) * log(lit(m) / col("zeros").cast("double")))
+              element_at(typedlit(HllSmallRange), col("zeros").cast("int")))
               .otherwise(col("raw")))
         val truth = toks.select(col("source"), col("t")).distinct()
           .groupBy(col("source")).agg(count(lit(1)).as("true_distinct"))
@@ -1341,7 +1424,7 @@ object CurationQueries {
                  CASE WHEN (0.7213 / (1.0 + 1.079 / 64.0)) * 64.0 * 64.0 /
                              (zp + (64.0 - mp)) <= 2.5 * 64.0
                        AND (z0p + (64 - mp)) > 0
-                      THEN 64.0 * ln(64.0 / CAST(z0p + (64 - mp) AS DOUBLE))
+                      THEN ($HllSmallRangeSql)[CAST(z0p + (64 - mp) AS INT)]
                       ELSE (0.7213 / (1.0 + 1.079 / 64.0)) * 64.0 * 64.0 /
                              (zp + (64.0 - mp))
                  END AS est
@@ -1418,36 +1501,7 @@ object CurationQueries {
         // 100 TB this is the difference between Hamming over |docs|^2/band
         // and over |distinct images|^2/band. bits = the 64-bit hash as a
         // long, so Hamming is one xor + popcount instead of 64 substrings.
-        val bits = shiftleft(conv(substring(col("h"), 1, 32), 2, 10)
-          .cast("long"), 32)
-          .bitwiseOR(conv(substring(col("h"), 33, 32), 2, 10).cast("long"))
-        val uniq = hashes.select(col("h")).distinct()
-          .withColumn("bits", bits).persist()
-        val bands = uniq.select(col("h"), col("bits"), posexplode(array(
-          (0 until 8).map(b => substring(col("h"), b * 8 + 1, 8)): _*)))
-          .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key")
-        val hp = bands.select(col("band_idx"), col("band_key"),
-            col("h").as("ha"), col("bits").as("ba"))
-          .join(bands.select(col("band_idx"), col("band_key"),
-            col("h").as("hb"), col("bits").as("bb")), Seq("band_idx", "band_key"))
-          .filter(col("ha") < col("hb"))
-          .select(col("ha"), col("hb"), col("ba"), col("bb")).distinct()
-          .withColumn("hamming",
-            bit_count(col("ba").bitwiseXOR(col("bb"))).cast("long"))
-          .filter(col("hamming") <= 6)
-          .select(col("ha"), col("hb"), col("hamming"))
-        // every ordered hash pair (incl. self at Hamming 0), so each output
-        // doc pair appears exactly once under the doc_a < doc_b filter
-        val sym = hp
-          .union(hp.select(col("hb").as("ha"), col("ha").as("hb"), col("hamming")))
-          .union(uniq.select(col("h").as("ha"), col("h").as("hb"),
-            lit(0L).as("hamming")))
-        sym
-          .join(hashes.select(col("doc_id").as("doc_a"), col("h").as("ha")), Seq("ha"))
-          .join(hashes.select(col("doc_id").as("doc_b"), col("h").as("hb")), Seq("hb"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b"), col("hamming"))
-          .orderBy(col("doc_a"), col("doc_b"))
+        bandedHammingPairs(hashes, maxHamming = 6)
       },
       Some("""
         WITH px AS (
@@ -1543,34 +1597,7 @@ object CurationQueries {
           .select(col("doc_id"), fp(mkWav(col("doc_id"))).as("h"))
           .filter(col("h").isNotNull)
           .persist()
-        val bits = shiftleft(conv(substring(col("h"), 1, 32), 2, 10)
-          .cast("long"), 32)
-          .bitwiseOR(conv(substring(col("h"), 33, 32), 2, 10).cast("long"))
-        val uniq = hashes.select(col("h")).distinct()
-          .withColumn("bits", bits).persist()
-        val bands = uniq.select(col("h"), col("bits"), posexplode(array(
-          (0 until 8).map(b => substring(col("h"), b * 8 + 1, 8)): _*)))
-          .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key")
-        val hp = bands.select(col("band_idx"), col("band_key"),
-            col("h").as("ha"), col("bits").as("ba"))
-          .join(bands.select(col("band_idx"), col("band_key"),
-            col("h").as("hb"), col("bits").as("bb")), Seq("band_idx", "band_key"))
-          .filter(col("ha") < col("hb"))
-          .select(col("ha"), col("hb"), col("ba"), col("bb")).distinct()
-          .withColumn("hamming",
-            bit_count(col("ba").bitwiseXOR(col("bb"))).cast("long"))
-          .filter(col("hamming") <= 3)
-          .select(col("ha"), col("hb"), col("hamming"))
-        val sym = hp
-          .union(hp.select(col("hb").as("ha"), col("ha").as("hb"), col("hamming")))
-          .union(uniq.select(col("h").as("ha"), col("h").as("hb"),
-            lit(0L).as("hamming")))
-        sym
-          .join(hashes.select(col("doc_id").as("doc_a"), col("h").as("ha")), Seq("ha"))
-          .join(hashes.select(col("doc_id").as("doc_b"), col("h").as("hb")), Seq("hb"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b"), col("hamming"))
-          .orderBy(col("doc_a"), col("doc_b"))
+        bandedHammingPairs(hashes, maxHamming = 3)
       },
       Some("""
         WITH p AS (

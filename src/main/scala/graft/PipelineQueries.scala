@@ -1094,7 +1094,11 @@ object PipelineQueries {
           val alpha = 0.7213 / (1.0 + 1.079 / m)
           val raw = alpha * m * m / z
           val est =
-            if (raw <= 2.5 * m && zeros > 0) m * math.log(m / zeros.toDouble)
+            // shared JVM-literal table (see CurationQueries.HllSmallRange):
+            // both engines use bit-identical constants for the small-range
+            // correction instead of racing libm-vs-JVM ln ulps (r11)
+            if (raw <= 2.5 * m && zeros > 0)
+              graft.CurationQueries.HllSmallRange(zeros.toInt - 1)
             else raw
           import s.implicits._
           Seq((label, trueD.toLong,
@@ -1134,7 +1138,7 @@ object PipelineQueries {
                  CASE WHEN (0.7213 / (1.0 + 1.079 / 64.0)) * 64.0 * 64.0 /
                              (z_present + (64.0 - m_present)) <= 2.5 * 64.0
                            AND (zeros_present + (64 - m_present)) > 0
-                      THEN 64.0 * ln(64.0 / CAST(zeros_present + (64 - m_present) AS DOUBLE))
+                      THEN (${graft.CurationQueries.HllSmallRangeSql})[CAST(zeros_present + (64 - m_present) AS INT)]
                       ELSE (0.7213 / (1.0 + 1.079 / 64.0)) * 64.0 * 64.0 /
                              (z_present + (64.0 - m_present)) END AS e
           FROM agg a JOIN t ON a.col_name = t.col_name)

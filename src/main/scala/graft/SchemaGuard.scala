@@ -71,6 +71,19 @@ object SchemaGuard {
     * full per-table diff on the first unexpected shape. Idempotent and
     * cheap — call it at the top of every entrypoint main. */
   def check(spark: SparkSession, dir: String): String = {
+    // The session-TZ pin is part of the data seam: every query that
+    // RENDERS a timestamp (date_format, window/session buckets, SCD2
+    // validity strings) produces wall-clock text in the session zone,
+    // and the DuckDB oracle is timezone-naive — correctness holds only
+    // under UTC, which Verify/Bench/SparkSpec all pin. A new entrypoint
+    // that forgets the pin must fail HERE, not as a silently shifted
+    // q121/q50 string 90 queries in (r11 review).
+    val tz = spark.conf.get("spark.sql.session.timeZone",
+      java.util.TimeZone.getDefault.getID)
+    require(tz == "UTC",
+      s"SchemaGuard: spark.sql.session.timeZone is '$tz' but the engine's " +
+        "timestamp-rendering queries are only oracle-correct under UTC — " +
+        "pin .config(\"spark.sql.session.timeZone\", \"UTC\") in the session builder")
     // TIMESTAMP(NANOS) footers are unreadable without the legacy conf —
     // the guard must be able to LOOK at either encoding to report it
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
