@@ -117,19 +117,22 @@ object CurationQueries {
 
   /** Re-base shard-local bins to global per-source seq_ids: each range
     * consumes `max(bin)+1` sequences, so a range's base is the exclusive
-    * prefix sum of bins over the ranges before it. The scan runs over
-    * the RANGE-cardinality frame (corpus/PackRangeDocs rows), so the window and
-    * the broadcast join-back cost nothing corpus-shaped; the packed
-    * frame persists because it feeds both the range rollup and the
-    * final projection. */
-  def rebasePacked(packed0: DataFrame): DataFrame = {
+    * prefix sum of bins over the ranges before it. The EAGER side is the
+    * RANGE-cardinality rollup (corpus/PackRangeDocs rows — tiny by
+    * construction): localCheckpointing it costs one corpus pass at
+    * definition time, pins only the tiny frame, and leaves the returned
+    * plan a LAZY broadcast-join over the un-persisted packed scan — one
+    * corpus pass per downstream action, no session-lifetime cache leak,
+    * and the executed plan stays inspectable (the r11 variant
+    * checkpointed the corpus-sized RESULT, which pinned one row per doc
+    * in block-manager storage and hid the plan behind an ExistingRDD).
+    * Recomputation of `packed` is deterministic: [[seqPackRanges]] hash-
+    * partitions by (source, range_id), sorts within partitions, and
+    * resets the cursor per group, so bins are a pure function of group
+    * content. Key columns are renamed on the rollup side so the
+    * equi-join condition binds unambiguously. */
+  def rebasePacked(packed: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val packed = packed0.persist()
-    try {
-    // key columns renamed on the rollup side: both join inputs derive
-    // from the same `packed` subtree, and a shared-attribute equi-join
-    // through a streaming memory-table view trips Spark's conflicting-
-    // references check instead of self-join dedup
     val bases = packed.groupBy(col("source"), col("range_id"))
       .agg((max(col("bin")) + lit(1L)).as("bins"))
       .withColumn("base", coalesce(
@@ -138,16 +141,11 @@ object CurationQueries {
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("source").as("b_source"), col("range_id").as("b_range"),
         col("base"))
+      .localCheckpoint() // eager TINY frame: |ranges| rows, never corpus
     packed.join(broadcast(bases),
         col("source") === col("b_source") && col("range_id") === col("b_range"))
       .select(col("source"), col("doc_id"), col("n_tok"),
         (col("base") + col("bin")).as("seq_id"), col("fill").as("seq_fill"))
-      // eager tiny result (one row per doc) so the finally can release
-      // the packed cache before return — the r11 persist discipline
-      // (previously every caller outside Bench leaked the blocks for
-      // the session lifetime)
-      .localCheckpoint()
-    } finally { packed0.unpersist(); () }
   }
 
   private def docs(s: SparkSession, dir: String): DataFrame =

@@ -149,15 +149,16 @@ class PlanSpec extends SparkSpec {
 
   test("q126: packing is one corpus pass — single scan shape, range rollup broadcast back") {
     val p = plan("q126_seq_pack")
-    // the corpus packs in ONE mapPartitions pass served from cache; the
-    // window + join exist but run over the RANGE-cardinality rollup
-    // (corpus/1024 rows) and the join-back must be the broadcast of that
+    // the corpus packs in ONE lazy mapPartitions pass over the parquet
+    // scan; the window + join ran EAGERLY over the RANGE-cardinality
+    // rollup (corpus/1024 rows, localCheckpointed — it shows as the tiny
+    // ExistingRDD side) and the join-back must be the broadcast of that
     // tiny frame, never a corpus-shaped shuffle join
     val scans = p.linesIterator.filter(_.contains("FileScan parquet"))
       .map(l => l.substring(l.indexOf("FileScan")).replaceAll("#\\d+", "")).toSet
     assert(scans.size === 1, s"one distinct scan shape expected:\n${scans.mkString("\n")}")
-    assert(p.contains("InMemoryTableScan"),
-      "the packed frame must persist (it feeds the rollup AND the projection):\n" + p.take(2000))
+    assert(p.contains("ExistingRDD"),
+      "the range-base rollup must be the eager (checkpointed) side:\n" + p.take(2000))
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       "the re-base join must broadcast the range bases:\n" + p.take(3000))
