@@ -87,6 +87,97 @@ object AbQ24 {
         .select(col("id_a"), col("id_b"), col("jac"))
         .orderBy(col("id_a"), col("id_b"))
     }
+    // legs mode (r12): attribute the registered count-plan's time between
+    // (a) the corpus pass that builds+persists `kept` (tokenize, shingle,
+    // explode, df-window, filter), (b) the n_sh rollup, (c) the
+    // inverted-index self-join + jaccard + sort.
+    if (mode == "legs") {
+      for (rep <- 1 to reps) {
+        val kept = spark.read.parquet(s"$dir/documents.parquet")
+          .withColumn("blk", (col("n_chars") / 100).cast("long"))
+          .withColumn("toks", graft.functions.TextOps.tokens(col("text")))
+          .select(col("blk"), col("doc_id"),
+            explode(graft.functions.ShingleHash60(col("toks"), 3)).as("shingle"))
+          .repartition(col("blk"), col("shingle"))
+          .withColumn("df", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("blk"), col("shingle"))))
+          .filter(col("df") <= JacDfCap)
+          .select(col("blk"), col("doc_id"), col("shingle"))
+          .persist()
+        tick(s"legs rep$rep a:kept-build")(kept.count())
+        val nsh = kept.groupBy(col("blk"), col("doc_id"))
+          .agg(count(lit(1)).as("n_sh")).persist()
+        tick(s"legs rep$rep b:nsh")(nsh.count())
+        val inter = kept.select(col("blk"), col("shingle"), col("doc_id").as("id_a"))
+          .join(kept.select(col("blk"), col("shingle"), col("doc_id").as("id_b")),
+            Seq("blk", "shingle"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy(col("blk"), col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("inter"))
+        tick(s"legs rep$rep c:inter+join") {
+          inter
+            .join(nsh.select(col("blk"), col("doc_id").as("id_a"), col("n_sh").as("na")),
+              Seq("blk", "id_a"))
+            .join(nsh.select(col("blk"), col("doc_id").as("id_b"), col("n_sh").as("nb")),
+              Seq("blk", "id_b"))
+            .withColumn("jac", round(col("inter").cast("double") /
+              (col("na") + col("nb") - col("inter")), 6))
+            .filter(col("jac") >= 0.5)
+            .select(col("id_a"), col("id_b"), col("jac"))
+            .orderBy(col("id_a"), col("id_b"))
+            .write.format("noop").mode("overwrite").save()
+        }
+        spark.catalog.clearCache()
+      }
+      spark.stop(); return
+    }
+
+    // noban mode (r12): replace the df-WINDOW (whose WindowExec sorts the
+    // full 50M-row exploded frame on (blk, shingle)) with a groupBy over
+    // the SAME cached, co-partitioned frame (no sort, no extra exchange)
+    // + a broadcast anti-join of the rare banned shingles.
+    if (mode == "noban") {
+      for (rep <- 1 to reps) {
+        val ex = spark.read.parquet(s"$dir/documents.parquet")
+          .withColumn("blk", (col("n_chars") / 100).cast("long"))
+          .withColumn("toks", graft.functions.TextOps.tokens(col("text")))
+          .select(col("blk"), col("doc_id"),
+            explode(graft.functions.ShingleHash60(col("toks"), 3)).as("shingle"))
+          .repartition(col("blk"), col("shingle"))
+          .persist()
+        tick(s"noban rep$rep a:ex-build")(ex.count())
+        val banned = ex.groupBy(col("blk"), col("shingle"))
+          .agg(count(lit(1)).as("df")).filter(col("df") > JacDfCap)
+          .select(col("blk"), col("shingle"))
+        val kept = ex.join(broadcast(banned), Seq("blk", "shingle"), "left_anti")
+        val nsh = kept.groupBy(col("blk"), col("doc_id"))
+          .agg(count(lit(1)).as("n_sh")).persist()
+        tick(s"noban rep$rep b:nsh")(nsh.count())
+        val inter = kept.select(col("blk"), col("shingle"), col("doc_id").as("id_a"))
+          .join(kept.select(col("blk"), col("shingle"), col("doc_id").as("id_b")),
+            Seq("blk", "shingle"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy(col("blk"), col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("inter"))
+        tick(s"noban rep$rep c:inter+join") {
+          inter
+            .join(nsh.select(col("blk"), col("doc_id").as("id_a"), col("n_sh").as("na")),
+              Seq("blk", "id_a"))
+            .join(nsh.select(col("blk"), col("doc_id").as("id_b"), col("n_sh").as("nb")),
+              Seq("blk", "id_b"))
+            .withColumn("jac", round(col("inter").cast("double") /
+              (col("na") + col("nb") - col("inter")), 6))
+            .filter(col("jac") >= 0.5)
+            .select(col("id_a"), col("id_b"), col("jac"))
+            .orderBy(col("id_a"), col("id_b"))
+            .write.format("noop").mode("overwrite").save()
+        }
+        spark.catalog.clearCache()
+      }
+      spark.stop(); return
+    }
+
     if (mode == "count") {
       for (rep <- 1 to reps) {
         tick(s"count rep$rep") {
