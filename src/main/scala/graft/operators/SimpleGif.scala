@@ -25,6 +25,12 @@ import scala.collection.mutable.ArrayBuffer
   */
 object SimpleGif {
 
+  /** Per-frame decode budget: 2^24 px (4096×4096). lzwDecode preallocates
+    * the CLAIMED w×h output, so a tiny hostile descriptor declaring
+    * 65535×32767 would attempt a 2.1 GB allocation — OutOfMemoryError is
+    * an Error the decode catch never sees (r12 fuzz finding). */
+  private val MaxPixels = 1L << 24
+
   final case class Frame(width: Int, height: Int, lum: Array[Byte])
   final case class Gif(width: Int, height: Int, frames: Vector[Frame])
 
@@ -59,6 +65,7 @@ object SimpleGif {
           case 0x2C =>
             u16(); u16() // left, top
             val w = u16(); val h = u16()
+            if (w.toLong * h.toLong > MaxPixels) return None // see MaxPixels
             val ipacked = u8()
             val local: Array[Int] =
               if ((ipacked & 0x80) != 0) readPalette(bytes, 2 << (ipacked & 7))(p) match {

@@ -28,6 +28,11 @@ package graft.operators
   */
 object SimpleJpeg {
 
+  /** Per-task decode budget: 2^24 px (a 4096×4096 frame) keeps the
+    * 8-byte-double coefficient planes of 32 concurrent decode tasks
+    * inside executor memory no matter what a corpus row claims. */
+  private val MaxPixels = 1L << 24
+
   /** Decoded image: channels ∈ {1, 3}, row-major interleaved pixels. */
   final case class Image(width: Int, height: Int, channels: Int, pixels: Array[Byte]) {
     require(pixels.length == width * height * channels,
@@ -386,7 +391,12 @@ object SimpleJpeg {
             pos += 3 // Ss/Se/AhAl
             // ── the single interleaved scan ──
             if (width <= 0 || height <= 0) return None
+            // Allocation bound (r12 fuzz finding): the coefficient planes
+            // are CLAIMED-dimension sized doubles — a tiny hostile file
+            // declaring 65535×65535 would attempt multi-GB allocations,
+            // and OutOfMemoryError is an Error the catch below never sees.
             val bw = (width + 7) / 8; val bh = (height + 7) / 8
+            if (bw * 8L * bh * 8L > MaxPixels) return None
             val planes = Array.fill(nc)(new Array[Double](bw * 8 * bh * 8))
             val in = new BitReader(bytes, pos)
             val pred = new Array[Int](nc)

@@ -141,21 +141,38 @@ object SimplePng {
       }
       if (width <= 0 || height <= 0 || depth != 8 || interlace != 0) return None
       channelsOf(ctype).flatMap { ch =>
-        val stride = width * ch
-        val raw = inflate(idat.toByteArray, (stride + 1) * height)
-        if (raw.length < (stride + 1) * height) None
-        else Some(Image(width, height, ch, defilter(raw, width, height, ch)))
+        // Allocation bound (r12 fuzz finding): the raw scanline buffer is
+        // CLAIMED-dimension sized, so a tiny hostile file declaring huge
+        // dims — or a deflate bomb hiding behind small dims — must refuse
+        // BEFORE allocating: OutOfMemoryError is an Error the catch below
+        // never sees, and it would kill the whole executor, not the row.
+        val expectedL = (width.toLong * ch + 1L) * height.toLong
+        if (expectedL > MaxRawBytes) None
+        else {
+          val expected = expectedL.toInt
+          val raw = inflate(idat.toByteArray, expected)
+          if (raw.length < expected) None
+          else Some(Image(width, height, ch, defilter(raw, width, height, ch)))
+        }
       }
     } catch { case _: Exception => None }
   }
+
+  /** Per-task decoded-scanline budget: 2^27 B ≈ 134 MB raw (a 6550×6550
+    * RGB image). Claimed dims past this refuse to the stub path — the
+    * bound is what keeps 32 concurrent decode tasks inside executor
+    * memory no matter what a corpus row claims about itself. */
+  private val MaxRawBytes = 1L << 27
 
   private def inflate(data: Array[Byte], expected: Int): Array[Byte] = {
     val inf = new Inflater()
     try {
       inf.setInput(data)
-      val out = new java.io.ByteArrayOutputStream(expected)
+      // grow-as-decoded, capped at `expected`: never preallocate the
+      // claimed size, never inflate past what the dims can use (bomb guard)
+      val out = new java.io.ByteArrayOutputStream(math.min(expected, 1 << 16))
       val buf = new Array[Byte](8192)
-      while (!inf.finished() && !inf.needsInput()) {
+      while (!inf.finished() && !inf.needsInput() && out.size < expected) {
         val n = inf.inflate(buf)
         if (n > 0) out.write(buf, 0, n)
         else if (n == 0 && !inf.finished()) return out.toByteArray

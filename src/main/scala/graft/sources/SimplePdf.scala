@@ -178,13 +178,19 @@ object SimplePdfExtractor extends PdfExtractor {
     if (o.dict.contains("/FlateDecode")) inflate(data) else new String(data, "ISO-8859-1")
   }
 
+  /** Decoded-stream budget: 2^26 B = 64 MB per content stream. Real page
+    * streams are kilobytes; a deflate bomb expanding past this would OOM
+    * the task (an Error the catch below never sees — r12 fuzz finding),
+    * so inflation stops at the cap and the prefix is what gets parsed. */
+  private val MaxStreamBytes = 1 << 26
+
   private def inflate(data: Array[Byte]): String = {
     val inf = new Inflater()
     try {
       inf.setInput(data)
-      val out = new java.io.ByteArrayOutputStream(data.length * 4)
+      val out = new java.io.ByteArrayOutputStream(1 << 16) // grow-as-decoded
       val buf = new Array[Byte](8192)
-      while (!inf.finished() && !inf.needsInput()) {
+      while (!inf.finished() && !inf.needsInput() && out.size < MaxStreamBytes) {
         val n = inf.inflate(buf)
         if (n > 0) out.write(buf, 0, n)
         else if (n == 0 && !inf.finished()) return new String(out.toByteArray, "ISO-8859-1")

@@ -52,6 +52,27 @@ class AhoCorasickSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](AhoCorasick.build(Seq("ok", "")))
   }
 
+  test("randomized: automaton equals the naive indexOf oracle on a dense 2-char alphabet (150 samples)") {
+    // {a,b} forces heavy pattern overlap/nesting — the regime where the
+    // failure-link and suffix-output construction actually gets exercised
+    val rnd = new scala.util.Random(0xAC5EED)
+    def s(len: Int) = (0 until len).map(_ => if (rnd.nextBoolean()) 'a' else 'b').mkString
+    for (round <- 1 to 150) {
+      val patterns = (0 until 1 + rnd.nextInt(8)).map(_ => s(1 + rnd.nextInt(6)))
+      val text = s(rnd.nextInt(200))
+      val ac = AhoCorasick.build(patterns)
+      val naive = for {
+        (p, id) <- patterns.zipWithIndex
+        at <- Iterator.iterate(text.indexOf(p))(i => text.indexOf(p, i + 1))
+          .takeWhile(_ >= 0)
+      } yield (id, at + p.length)
+      assert(ac.findAll(text).sorted === naive.sorted,
+        s"round=$round patterns=${patterns.mkString(",")} text=$text")
+      assert(ac.matchedPatterns(text).toSeq === naive.map(_._1).distinct.sorted,
+        s"round=$round presence scan diverged")
+    }
+  }
+
   test("serializable (ships in task closures)") {
     val ac = AhoCorasick.build(Seq("he", "she"))
     val bos = new java.io.ByteArrayOutputStream()
