@@ -405,6 +405,10 @@ object CurationQueries {
     val applyBatch = udf((toks: Seq[String], xs: Seq[String], ys: Seq[String]) =>
       encodeWithMerges(toks, xs.zip(ys)))
     val base = docs(s, dir)
+      // a NULL text row yields a NULL toks array, which NPEs the
+      // batch-apply UDF (r12 hostile-content finding) — and a tokenizer
+      // trains on content, so absence rows are dropped, not imputed
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
     var t = (if (sampleOnly) base.filter(col("doc_id") % 4 === 0) else base)
       .persist()
@@ -1654,7 +1658,12 @@ object CurationQueries {
       (s, dir) => {
         val toks = docs(s, dir)
           .select(col("source"), col("doc_id"),
-            size(split(col("text"), " ")).cast("long").as("n_tok"))
+            // NULL text → NULL size would violate PackRIn's non-nullable
+            // n_tok (r12 hostile-content finding); an absent doc packs as
+            // zero tokens — it occupies a slot in doc_id order but never
+            // opens a new sequence
+            coalesce(size(split(col("text"), " ")).cast("long"), lit(0L))
+              .as("n_tok"))
         rebasePacked(seqPackRanges(toks))
           .orderBy(col("source"), col("doc_id"))
       },
@@ -1752,6 +1761,7 @@ object CurationQueries {
         val ms = merges.map(m => (m._2, m._3))
         val encode = udf { (toks: Seq[String]) => encodeWithMerges(toks, ms) }
         docs(s, dir)
+          .filter(col("text").isNotNull) // same contract as bpeTrain (r12)
           .select(col("lang"), split(col("text"), " ").as("w"))
           .withColumn("toks", encode(col("w")))
           .select(col("lang"), size(col("w")).cast("long").as("nw"),

@@ -159,18 +159,21 @@ object PipelineQueries {
         docs(s, dir)
           .withColumn("toks", TextOps.tokens(col("text")))
           .withColumn("n_words", size(col("toks")).cast("long"))
-          .withColumn("mean_wlen", round(
+          // zero-token docs: NULL ratios on both engines (ANSI Spark
+          // throws on /0 where DuckDB's NULL-on-zero-divide propagates a
+          // NULL list_sum — the guard is the shared semantics; r12)
+          .withColumn("mean_wlen", when(col("n_words") > 0, round(
             expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))").cast("double") /
-              col("n_words"), 6))
-          .withColumn("alpha_frac", round(
+              col("n_words"), 6)))
+          .withColumn("alpha_frac", when(col("n_words") > 0, round(
             size(filter(col("toks"), t => t.rlike("[a-z]"))).cast("double") /
-              col("n_words"), 6))
+              col("n_words"), 6)))
           .withColumn("stop_hits",
             size(filter(col("toks"), t => array_contains(stopsArr, t))).cast("long"))
-          .withColumn("keep",
+          .withColumn("keep", coalesce( // NULL rule inputs never keep (= the oracle's CASE ELSE 0)
             (col("n_words").between(30, 100000) &&
               col("mean_wlen").between(3.8, 10.0) &&
-              col("alpha_frac") >= 0.8 && col("stop_hits") >= 2).cast("long"))
+              col("alpha_frac") >= 0.8 && col("stop_hits") >= 2).cast("long"), lit(0L)))
           .select(col("doc_id"), col("n_words"), col("mean_wlen"),
             col("alpha_frac"), col("stop_hits"), col("keep"))
           .orderBy(col("doc_id"))

@@ -956,7 +956,11 @@ object TextQueries {
           .select(col("doc_id"), col("n_tokens"), col("n_words"),
             round(col("n_tokens").cast("double") / col("n_words"), 6)
               .as("tokens_per_word"),
-            round(length(col("text")).cast("double") / col("n_tokens"), 6)
+            // empty/whitespace-only docs tokenize to zero: NULL ratio on
+            // BOTH engines (ANSI Spark throws on /0, DuckDB yields inf —
+            // the CASE is the only shared semantics; r12 hostile finding)
+            when(col("n_tokens") > 0,
+              round(length(col("text")).cast("double") / col("n_tokens"), 6))
               .as("chars_per_token"))
           .orderBy(col("doc_id")),
       Some("""
@@ -966,7 +970,8 @@ object TextQueries {
                FROM documents)
         SELECT doc_id, n_tokens, n_words,
                round(n_tokens / CAST(n_words AS DOUBLE), 6) AS tokens_per_word,
-               round(length(text) / CAST(n_tokens AS DOUBLE), 6) AS chars_per_token
+               CASE WHEN n_tokens > 0
+                    THEN round(length(text) / CAST(n_tokens AS DOUBLE), 6) END AS chars_per_token
         FROM t ORDER BY doc_id""")),
 
     // ── q75: dedup keep-best — real pipelines don't just DETECT
@@ -1012,10 +1017,20 @@ object TextQueries {
     //   The redacted text is fingerprinted with the shared md5-prefix
     //   hash, so a single surviving or over-eaten byte hash-mismatches.
     //   100 TB shape: pure per-row map — no shuffle at all; counts and
-    //   replacement happen in one codegen'd projection. ──
+    //   replacement happen in one codegen'd projection.
+    //   Quantifiers are RFC-BOUNDED ({1,64} local part, {1,253} domain —
+    //   RFC 5321's own limits), not open-ended `+`: Java's backtracking
+    //   engine makes `[...]+@` QUADRATIC on an unbroken character run
+    //   (each find() start re-scans the rest of the run before failing at
+    //   the '@'), and real corpora carry 100k+-char base64/minified-JS
+    //   tokens — HostileContentSpec's 200k-char doc hung a task for
+    //   minutes (r12). Bounded repeats cap the per-position scan at 64
+    //   chars, restoring O(64·n); DuckDB's RE2 is linear either way, and
+    //   the pattern stays in the Java∩RE2 subset so both engines keep
+    //   matching the same spans. ──
     QueryDef("q81_pii_redact",
       (s, dir) => {
-        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val email = "[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,253}\\.[A-Za-z]{2,63}"
         val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
         val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
         docs(s, dir)
@@ -1052,12 +1067,12 @@ object TextQueries {
                  '-' || (1000 + doc_id % 9000)::VARCHAR ELSE '' END AS aug
           FROM documents)
         SELECT doc_id,
-          CAST(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+          CAST(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,253}\\.[A-Za-z]{2,63}')) AS BIGINT) AS n_emails,
           CAST(len(regexp_extract_all(aug, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ips,
           CAST(len(regexp_extract_all(aug, '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS BIGINT) AS n_phones,
           ${XHash.hash60Sql(
             "regexp_replace(regexp_replace(regexp_replace(aug, " +
-            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'), " +
+            "'[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,253}\\.[A-Za-z]{2,63}', '[EMAIL]', 'g'), " +
             "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g'), " +
             "'\\b\\d{3}-\\d{3}-\\d{4}\\b', '[PHONE]', 'g')")} AS redacted_fp
         FROM aug ORDER BY doc_id""")),

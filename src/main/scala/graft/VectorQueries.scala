@@ -32,8 +32,21 @@ object VectorQueries {
   private def score6(a: Column, b: Column): Column =
     round(VectorKernels.cosineFast(a, b), 6)
 
+  /** Corpus-validity seam (r12 hostile-content finding): a NULL vector,
+    * a NaN/±Inf cell, or a cell past the 1e6 magnitude domain is corrupt
+    * data — real embeddings are unit-normalized. Without this filter one
+    * poisoned row kills the JOB, not the row: the trainers (Lloyd's, PQ,
+    * PCA) collect() vectors driver-side and NPE on a null array, q14/q15's
+    * integer-lifted exact sums overflow under ANSI on 1e38 cells, and
+    * q93's exact decimal power sums overflow outright. Dropped once here,
+    * for every vector query — the same contract as the r11 NULL-cell drop
+    * in IvfKMeans, widened to the whole family. The per-row `exists` scan
+    * is one pass over 64 floats, noise next to any dot product.
+    */
   private def emb(s: SparkSession, dir: String): DataFrame =
     Par(s.read.parquet(s"$dir/embeddings.parquet"))
+      .filter(col("embedding").isNotNull &&
+        !exists(col("embedding"), c => isnan(c) || abs(c) > lit(1e6f)))
 
   /** q13 data-shape guard (round-11 verdict #2): q13 keeps the
     * reference's J4 contract — the within-label similarity MATRIX is the

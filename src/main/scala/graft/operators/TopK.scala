@@ -31,6 +31,11 @@ object TopK {
     * the streaming GroupState fold (`StreamingIngest.streamingTopK`):
     * one definition, so batch ≡ streaming by construction. */
   def insert(k: Int, buf: List[(Double, Long)], x: (Double, Long)): List[(Double, Long)] = {
+    // NaN never ranks (same contract as a NULL score) — see
+    // TopKState.insert: a NaN would land order-dependently because every
+    // comparison against it is false. Mirrored here so batch, native-agg,
+    // and streaming folds agree on corrupt-score rows.
+    if (x._1.isNaN) return buf
     val (before, after) = buf.span(e => lt(e, x))
     val merged = before ::: x :: after
     if (merged.length > k) merged.take(k) else merged

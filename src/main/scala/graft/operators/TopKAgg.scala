@@ -25,6 +25,12 @@ final class TopKState(val k: Int) {
   var n = 0
 
   def insert(v: Double, id: Long): Unit = {
+    // NaN never ranks (same contract as a NULL score): every comparison
+    // against NaN is false, so it would insert at the FRONT of a non-full
+    // buffer but be REJECTED by a full one — an order-dependent result
+    // that varies with partitioning. A NaN score is corrupt data (NaN
+    // embedding cells); excluding it is the only deterministic total order.
+    if (v != v) return
     if (n == k) {
       // full buffer: reject anything not better than the current tail
       val lv = vs(k - 1); val li = ids(k - 1)

@@ -157,7 +157,8 @@ object StreamingIngest {
       .select(col("source"),
         expr(s"doc_id div ${graft.CurationQueries.PackRangeDocs}").as("range_id"),
         col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tok"))
+        // NULL text packs as zero tokens — the q126 batch contract (r12)
+        coalesce(size(split(col("text"), " ")).cast("long"), lit(0L)).as("n_tok"))
       .as[graft.CurationQueries.PackRIn]
     val packed = src.groupByKey(r => (r.source, r.range_id))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(

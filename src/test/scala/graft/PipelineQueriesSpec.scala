@@ -182,6 +182,32 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("top-k primitives: NaN scores never rank, regardless of arrival order (r12)") {
+    // NaN compares false against everything, so without the explicit
+    // exclusion a NaN inserted into a NON-full buffer landed at the front
+    // while a full buffer rejected it — an order-dependent result that
+    // varied with partitioning. Contract: NaN == NULL score, never ranks.
+    val clean = Seq((5.0, 3L), (7.0, 9L), (1.0, 2L), (3.0, 8L))
+    val expected = clean.sortBy { case (v, id) => (-v, id) }.take(3).toList
+    for (at <- 0 to clean.length) {
+      val (a, b) = clean.splitAt(at)
+      val xs = a ++ Seq((Double.NaN, 99L)) ++ b
+      // typed buffer
+      val typed = xs.foldLeft(List.empty[(Double, Long)])(
+        (buf, x) => graft.operators.TopK.insert(3, buf, x))
+      assert(typed === expected, s"typed: NaN at $at")
+      // native state
+      val s = new graft.operators.TopKState(3)
+      xs.foreach { case (v, id) => s.insert(v, id) }
+      assert((0 until s.n).map(j => (s.vs(j), s.ids(j))).toList === expected,
+        s"native: NaN at $at")
+    }
+    // all-NaN input → empty result, not a NaN row
+    val s = new graft.operators.TopKState(3)
+    s.insert(Double.NaN, 1L); s.insert(Double.NaN, 2L)
+    assert(s.n === 0)
+  }
+
   test("q101: JSD is bounded by ln 2 and zero only for a slice identical to the corpus") {
     val rows = run("q101_jsd").collect()
     assert(rows.length > 1)
