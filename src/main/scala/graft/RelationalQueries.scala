@@ -20,7 +20,13 @@ object RelationalQueries {
 
   private val D = DecimalType(18, 2)
   /** sum through exact decimal, emit double */
-  private def dsum(c: Column): Column = sum(c.cast(D)).cast("double")
+  // domain-guarded exact sum: a value outside Decimal(18,2)'s range
+  // (corrupt +-1e18 / NaN metrics) contributes NULL -- excluded -- instead
+  // of killing the job under ANSI cast semantics (r12 hostile-content
+  // finding); business-domain values always fit, so results on clean
+  // data are bit-identical
+  private def dsum(c: Column): Column =
+    sum(when(c.between(-9.9e15, 9.9e15), c).cast(D)).cast("double")
   /** mean through exact decimal sum / count, emit double */
   private def davg(c: Column): Column = sum(c.cast(D)).cast("double") / count(lit(1))
 

@@ -48,7 +48,8 @@ object StreamQueries {
         WITH c AS (SELECT user_id, event_id,
                           CAST(round(value * 100) AS BIGINT) AS cents
                    FROM events
-                   WHERE event_type = 'purchase' AND value IS NOT NULL),
+                   WHERE event_type = 'purchase' AND value IS NOT NULL
+                     AND NOT isnan(value) AND abs(value) < 9e15),
         ranked AS (
           SELECT user_id, event_id, cents,
                  row_number() OVER (PARTITION BY user_id

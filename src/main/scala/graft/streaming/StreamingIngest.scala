@@ -215,8 +215,12 @@ object StreamingIngest {
       // oracle): an amount-less purchase can't rank, and a NULL cents
       // would kill the primitive-tuple deserialization mid-batch —
       // crashing the stream where the oracle quietly ranked the row
-      // last (r11 review)
-      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      // last (r11 review). NaN and out-of-cents-domain values are the
+      // same contract (r12 hostile finding): CAST(round(NaN*100) AS
+      // BIGINT) under ANSI kills the STREAM, the worst failure mode —
+      // a crash loop on a poisoned event replayed from the checkpoint.
+      .filter(col("event_type") === "purchase" && col("value").isNotNull &&
+        !isnan(col("value")) && abs(col("value")) < 9e15)
       .select(col("user_id"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"), col("event_id"))
       .as[(Long, Long, Long)]
@@ -400,6 +404,9 @@ object StreamingIngest {
     import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000L * 1000L
     graft.Events.load(spark, dir)
+      // a NULL key can't sessionize and a NULL event time can't order —
+      // either would kill the primitive-tuple encoder, not the row (r12)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("user_id"), unix_micros(col("ts")))
       .as[(Long, Long)]
       .groupByKey(_._1)
