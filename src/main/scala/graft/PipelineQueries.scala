@@ -683,6 +683,10 @@ object PipelineQueries {
         import org.apache.spark.sql.expressions.Window
         val w = Window.orderBy(col("key").desc, col("doc_id").asc)
         docs(s, dir)
+          // zero/NULL-length docs have zero sampling weight — excluded on
+          // BOTH engines (A-ES key = ln(u)/w is undefined at w=0, and the
+          // engines disagree on NULL-key DESC placement; r12 hostile)
+          .filter(col("n_chars") > 0)
           .withColumn("u",
             (XHash.hash31(concat(lit("ws:"), col("doc_id"))) + lit(1L))
               .cast("double") / lit(2147483648.0))
@@ -699,7 +703,7 @@ object PipelineQueries {
           SELECT doc_id, n_chars,
                  ln((${XHash.hash31Sql("('ws:' || doc_id)")} + 1)::DOUBLE
                     / 2147483648.0) / n_chars AS key
-          FROM documents),
+          FROM documents WHERE n_chars > 0),
         ranked AS (
           SELECT doc_id, n_chars, key,
                  row_number() OVER (ORDER BY key DESC, doc_id ASC) AS rnk
@@ -721,7 +725,8 @@ object PipelineQueries {
           .orderBy(col("ts"), col("event_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val v = events(s, dir).filter(col("event_type") === "purchase")
-          .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+          .withColumn("cents", // NaN / |v|>=9e15 can't lift to cents: NULL, not a job-killing ANSI cast overflow (r12); NULL value stays NULL on both engines
+            expr("CASE WHEN NOT isnan(value) AND abs(value) < 9e15 THEN CAST(round(value * 100) AS BIGINT) END"))
           .withColumn("run_max", max(col("cents")).over(wRun))
         v.groupBy(col("user_id"))
           .agg(count(lit(1)).as("n"),
@@ -733,7 +738,7 @@ object PipelineQueries {
       Some("""
         WITH v AS (
           SELECT user_id, event_id, ts,
-                 CAST(round(value * 100) AS BIGINT) AS cents
+                 CASE WHEN NOT isnan(value) AND abs(value) < 9e15 THEN CAST(round(value * 100) AS BIGINT) END AS cents
           FROM events WHERE event_type = 'purchase'),
         r AS (
           SELECT user_id, cents,
@@ -762,7 +767,8 @@ object PipelineQueries {
         // MAD pass AND the outlier pass — persist both so the scan+rank
         // subtrees derive once each (q114 lesson)
         val v = events(s, dir)
-          .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+          .withColumn("cents", // NaN / |v|>=9e15 can't lift to cents: NULL, not a job-killing ANSI cast overflow (r12); NULL value stays NULL on both engines
+            expr("CASE WHEN NOT isnan(value) AND abs(value) < 9e15 THEN CAST(round(value * 100) AS BIGINT) END"))
           .select(col("event_type"), col("cents"))
           .persist()
         val med = ranked(v, "event_type", "cents")
@@ -786,7 +792,7 @@ object PipelineQueries {
       },
       Some("""
         WITH v AS (SELECT event_type,
-                          CAST(round(value * 100) AS BIGINT) AS cents
+                          CASE WHEN NOT isnan(value) AND abs(value) < 9e15 THEN CAST(round(value * 100) AS BIGINT) END AS cents
                    FROM events),
         med AS (SELECT event_type, round(quantile_cont(cents, 0.5), 6) AS med_cents
                 FROM v GROUP BY event_type),

@@ -47,7 +47,11 @@ object ExtractiveLlm extends LlmClient {
   val Fallback = "Could not find relevant data within the document"
 
   private def toks(s: String): Array[String] =
-    s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    // null-safe: a hostile corpus produces null question/answer strings
+    // through the QA zip, and judge()/answer() run inside mapPartitions
+    // where an NPE kills the task, not the row (r12 hostile finding)
+    if (s == null) Array.empty
+    else s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
 
   /** question-side stopwords: interrogatives + glue that match every
     * sentence and drown the discriminative terms */
