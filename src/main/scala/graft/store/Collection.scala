@@ -92,7 +92,7 @@ class Collection private (
     * hive layout — re-partition afterwards if the collection was
     * cell-partitioned (buildIvf's own rewrite of course does).
     */
-  private def rewriteSwap(op: String)(write: String => Unit): Unit = {
+  private[store] def rewriteSwap(op: String)(write: String => Unit): Unit = {
     requireNotStreamManaged(op)
     val next = currentVersion.getOrElse(0) + 1
     val tmp = s"$path/.v${next}__building"
@@ -101,7 +101,21 @@ class Collection private (
     try {
       write(tmp)
       val nextDir = new java.io.File(s"$path/v$next")
-      rmTree(nextDir) // a dead JVM's uncommitted install is garbage
+      // A leftover v<next> is EITHER a dead JVM's uncommitted install
+      // (crash between rename and pointer flip — garbage, cleared below)
+      // OR the COMMITTED snapshot of a concurrent writer that read the
+      // same base version and won the race. Deleting the latter is
+      // catastrophic: `_current` already resolves to it, so readers race
+      // a missing directory and a failed re-install bricks the
+      // collection. Collections are SINGLE-WRITER by contract — the
+      // pointer re-read turns a violated contract into a loud error
+      // instead of a silently destroyed commit (r12 review).
+      if (currentVersion.exists(_ >= next))
+        throw new IllegalStateException(
+          s"$op: concurrent writer detected — v$next was committed after " +
+            "this rewrite read its base version. Collections are " +
+            "single-writer: serialize mutations, or re-open and retry.")
+      rmTree(nextDir) // now provably a dead JVM's uncommitted install
       require(new java.io.File(tmp).renameTo(nextDir),
         s"$op: could not install ${nextDir.getPath}")
       commitPointer(next)

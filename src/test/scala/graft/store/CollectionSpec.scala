@@ -30,6 +30,54 @@ class CollectionSpec extends SparkSpec {
     assert(Collection.list(spark, root).contains("c1"))
   }
 
+
+  test("single-writer guard: a raced committed snapshot refuses loudly, never deleted (r12)") {
+    Collection.drop(root, "crace")
+    val c = Collection.create(spark, root, "crace", TextEmbed.DefaultDim, overwrite = true)
+    c.insert(seeded) // appends, no version yet: the first rewrite targets v1
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    @volatile var thrown: Option[Throwable] = None
+    // the "slow" writer: reads its base version (targets v1), then stalls
+    // inside its write callback while the fast writer commits v1
+    val slow = new Thread(() => {
+      try c.rewriteSwap("race-test") { tmp =>
+        started.countDown()
+        release.await()
+        new java.io.File(tmp).mkdirs() // produce SOMETHING installable
+        ()
+      } catch { case t: Throwable => thrown = Some(t) }
+    }, "race-slow-writer")
+    slow.start()
+    started.await()
+    c.delete("id = 0") // the fast writer: copy-on-write, commits v1
+    val fastRows = c.df.count()
+    release.countDown()
+    slow.join(30000)
+    assert(!slow.isAlive, "slow writer wedged")
+    // the race must surface as the single-writer violation...
+    assert(thrown.exists(_.isInstanceOf[IllegalStateException]),
+      s"expected IllegalStateException, got $thrown")
+    assert(thrown.get.getMessage.contains("concurrent writer"))
+    // ...and the fast writer's committed snapshot must be intact
+    assert(new java.io.File(s"$root/crace/v1").exists, "committed v1 was deleted")
+    assert(c.df.count() === fastRows)
+  }
+
+  test("dead-JVM orphan install is still garbage-collected by the next rewrite (r12)") {
+    Collection.drop(root, "crash")
+    val c = Collection.create(spark, root, "crash", TextEmbed.DefaultDim, overwrite = true)
+    c.insert(seeded)
+    // simulate a crash between rename and pointer flip: v1 exists with
+    // junk, but _current was never written
+    val orphan = new java.io.File(s"$root/crash/v1")
+    assert(orphan.mkdirs())
+    java.nio.file.Files.write(orphan.toPath.resolve("junk"), Array[Byte](1, 2, 3))
+    c.delete("id = 0") // must clear the orphan and commit a real v1
+    assert(c.df.count() === 3)
+    assert(!new java.io.File(s"$root/crash/v1/junk").exists, "orphan junk survived the install")
+  }
+
   test("getByIds is a point lookup") {
     val c = Collection.open(spark, root, "c1")
     val got = c.getByIds(Seq(1L, 3L)).select("id").as[Long].collect().sorted
