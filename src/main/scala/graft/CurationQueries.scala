@@ -813,7 +813,7 @@ object CurationQueries {
   /** q117/q130 engine-side trainer pieces: the feature frame, the micro-
     * unit z column for a weight vector, and the gradient-descent loop.
     * Kept bit-identical to the oracle chain below. */
-  private def logregFeatures(s: SparkSession, dir: String): DataFrame =
+  private[graft] def logregFeatures(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .withColumn("toks", TextOps.tokens(col("text")))
       .withColumn("wc", size(col("toks")))
@@ -835,16 +835,16 @@ object CurationQueries {
           col("nalpha").cast("double") / col("wc") >= 0.8 &&
           col("nstop") >= 2, lit(1.0)).otherwise(lit(0.0)).as("y"))
 
-  private def zCol(w: Array[Long]): Column =
+  private[graft] def zCol(w: Array[Long]): Column =
     lit(w(0)) / lit(1e6) + lit(w(1)) / lit(1e6) * col("x1") +
       lit(w(2)) / lit(1e6) * col("x2") + lit(w(3)) / lit(1e6) * col("x3") +
       lit(w(4)) / lit(1e6) * col("x4")
 
   /** The algebraic sigmoid shared by trainer and calibration scoring. */
-  private def sigCol: Column =
+  private[graft] def sigCol: Column =
     lit(0.5) * (lit(1.0) + col("z") / (lit(1.0) + abs(col("z"))))
 
-  private def logregTrain(f: DataFrame, n: Long): Array[Long] = {
+  private[graft] def logregTrain(f: DataFrame, n: Long): Array[Long] = {
     val w = Array.fill(5)(0L) // micro-unit ints: bias, w1..w4
     def liftSum(c: Column): Column = sum(floor(c * lit(1e6) + lit(0.5)).cast("long"))
     for (_ <- 1 to LrIters) {

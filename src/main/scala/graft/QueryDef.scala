@@ -26,10 +26,42 @@ final case class QueryDef(
   * runs on one core — locally and, worse, on one executor of a thousand.
   * The shuffle moves only the raw rows (cheap) and buys full parallelism
   * for the expensive projection that follows.
+  *
+  * ADAPTIVE (r13, verdict-r12 #1): the rationale above only holds when the
+  * source under-supplies partitions. At 100 TB a parquet scan arrives in
+  * thousands of splits already, and an unconditional `repartition(n)` would
+  * make every query pay a full read-shuffle-write of the corpus it doesn't
+  * need (PLANS.md r12 q01 showed the RoundRobinPartitioning exchange sitting
+  * below the partial aggregate). So probe first — the `streamParts` idiom
+  * from StreamingIngest applied to batch — and insert the spread only when
+  * the scan actually arrives narrow. The probe is driver-side plan
+  * inspection; no job runs.
   */
 object Par {
-  def apply(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  import org.apache.spark.sql.DataFrame
+
+  def apply(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (plannedPartitions(df).exists(_ >= target)) df
+    else df.repartition(target)
+  }
+
+  /** Planned partition count — computed ONLY when the physical plan is
+    * exchange-free (a file scan, or a narrow chain over one). There the
+    * count is a driver-side file-split computation: no Spark job, and no
+    * AQE query stage exists to materialize. A plan WITH an exchange
+    * returns None and keeps the explicit repartition: probing it through
+    * `.rdd` would execute its shuffle stages under AQE, paying the
+    * query's cost twice — and a shuffled plan already carries
+    * `spark.sql.shuffle.partitions`-wide output anyway, so the
+    * conservative arm only ever adds a cheap narrow-input spread.
+    */
+  private def plannedPartitions(df: DataFrame): Option[Int] = {
+    val exchangeFree = df.queryExecution.sparkPlan
+      .find(_.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
+      .isEmpty
+    if (exchangeFree) Some(df.rdd.getNumPartitions) else None
+  }
 }
 
 /** Shared events.parquet loader. The driver's generator has shipped two

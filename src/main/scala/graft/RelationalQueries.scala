@@ -19,16 +19,24 @@ import org.apache.spark.sql.types.DecimalType
 object RelationalQueries {
 
   private val D = DecimalType(18, 2)
+  // Largest double BELOW Decimal(18,2)'s 1e16 integer-part bound (ulp at
+  // this magnitude is 2, so the next representable double is exactly 1e16,
+  // which overflows the cast). Values beyond contribute NULL -- excluded --
+  // instead of killing the job under ANSI cast semantics (r12
+  // hostile-content finding). No clean-data oracle divergence remains: any
+  // double the guard drops would overflow DuckDB's DECIMAL(18,2) cast too
+  // (r12-advice: the previous 9.9e15 bound silently dropped legitimate
+  // values in [9.9e15, 1e16) that the type can hold).
+  private val DMax = 9.999999999999998e15
+  private def dguard(c: Column): Column = when(c.between(-DMax, DMax), c)
   /** sum through exact decimal, emit double */
-  // domain-guarded exact sum: a value outside Decimal(18,2)'s range
-  // (corrupt +-1e18 / NaN metrics) contributes NULL -- excluded -- instead
-  // of killing the job under ANSI cast semantics (r12 hostile-content
-  // finding); business-domain values always fit, so results on clean
-  // data are bit-identical
-  private def dsum(c: Column): Column =
-    sum(when(c.between(-9.9e15, 9.9e15), c).cast(D)).cast("double")
-  /** mean through exact decimal sum / count, emit double */
-  private def davg(c: Column): Column = sum(c.cast(D)).cast("double") / count(lit(1))
+  private def dsum(c: Column): Column = sum(dguard(c).cast(D)).cast("double")
+  /** mean through exact decimal sum / count, emit double — the numerator
+    * carries the same domain guard as dsum (one corrupt 1e18 killed davg
+    * queries just as dead, r12-advice); the denominator stays count(*) to
+    * preserve avg semantics on clean data. */
+  private def davg(c: Column): Column =
+    sum(dguard(c).cast(D)).cast("double") / count(lit(1))
 
   /** Exact integer cents of a 2-dp double column. Products of money
     * columns CANNOT go through a double→DECIMAL cast (Spark and DuckDB

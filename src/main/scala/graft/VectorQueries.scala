@@ -43,7 +43,7 @@ object VectorQueries {
     * in IvfKMeans, widened to the whole family. The per-row `exists` scan
     * is one pass over 64 floats, noise next to any dot product.
     */
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  private[graft] def emb(s: SparkSession, dir: String): DataFrame =
     Par(s.read.parquet(s"$dir/embeddings.parquet"))
       .filter(col("embedding").isNotNull &&
         !exists(col("embedding"), c => isnan(c) || abs(c) > lit(1e6f)))
@@ -1184,7 +1184,7 @@ object VectorQueries {
     * caller localCheckpoints `q` so they share one materialization) and
     * returns (`wide`: nid, code0..code{M-1}; per-subspace ADC distance
     * tables for query ids < 10: qid, codeM, dM). */
-  private def pqTrained(s: SparkSession, q: DataFrame): (DataFrame, Seq[DataFrame]) = {
+  private[graft] def pqTrained(s: SparkSession, q: DataFrame): (DataFrame, Seq[DataFrame]) = {
     import s.implicits._
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -1224,7 +1224,7 @@ object VectorQueries {
     * adist ASC maps onto the aggregator's value-DESC order by negation
     * (an exact IEEE sign flip, recovered exactly on output); the id ASC
     * tiebreak is nid ASC, the same total order the window used. */
-  private def adcRank(s: SparkSession, withCodes: DataFrame,
+  private[graft] def adcRank(s: SparkSession, withCodes: DataFrame,
                       dts: Seq[DataFrame]): DataFrame = {
     val looked = (0 until PqM).foldLeft(withCodes) {
       (acc, m) => acc.join(broadcast(dts(m)), Seq("qid", s"code$m"))
@@ -1249,7 +1249,7 @@ object VectorQueries {
     * assignment-only path). localCheckpoint because every round
     * re-collects.
     */
-  private def trainedKMeans(s: SparkSession, dir: String)
+  private[graft] def trainedKMeans(s: SparkSession, dir: String)
       : (DataFrame, Seq[(Long, Seq[Double])]) = {
     val q = emb(s, dir)
       .select(col("vec_id"),

@@ -31,6 +31,14 @@ object SimpleGif {
     * an Error the decode catch never sees (r12 fuzz finding). */
   private val MaxPixels = 1L << 24
 
+  /** Whole-FILE decode budget: 2^26 px (= 64 MB of luminance bytes),
+    * mirroring SimplePdf's per-stream cap. The per-frame cap alone is not
+    * enough: LZW expands up to ~2700×, so a ~1 MB blob can legitimately
+    * carry ~170 frames each at the per-frame cap and accumulate multiple
+    * GB in the frames Vector (r12-advice). Cumulative pixels across
+    * frames exceeding this → None, same stub-fallback contract. */
+  private val MaxTotalPixels = 1L << 26
+
   final case class Frame(width: Int, height: Int, lum: Array[Byte])
   final case class Gif(width: Int, height: Int, frames: Vector[Frame])
 
@@ -54,6 +62,7 @@ object SimpleGif {
           case (pal, np) => p = np; pal
         } else Array.empty
       val frames = Vector.newBuilder[Frame]
+      var totalPixels = 0L // file-wide budget accumulator (see MaxTotalPixels)
       var done = false
       while (!done && p < bytes.length) {
         u8() match {
@@ -66,6 +75,8 @@ object SimpleGif {
             u16(); u16() // left, top
             val w = u16(); val h = u16()
             if (w.toLong * h.toLong > MaxPixels) return None // see MaxPixels
+            totalPixels += w.toLong * h.toLong
+            if (totalPixels > MaxTotalPixels) return None // see MaxTotalPixels
             val ipacked = u8()
             val local: Array[Int] =
               if ((ipacked & 0x80) != 0) readPalette(bytes, 2 << (ipacked & 7))(p) match {

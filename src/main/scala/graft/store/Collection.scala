@@ -116,8 +116,22 @@ class Collection private (
             "this rewrite read its base version. Collections are " +
             "single-writer: serialize mutations, or re-open and retry.")
       rmTree(nextDir) // now provably a dead JVM's uncommitted install
-      require(new java.io.File(tmp).renameTo(nextDir),
-        s"$op: could not install ${nextDir.getPath}")
+      // Install via Files.move WITHOUT replace-existing: if a concurrent
+      // writer installed v<next> between the orphan sweep above and this
+      // rename, the move throws instead of clobbering — shrinking the
+      // check-then-act window from [pointer re-read .. rename] to the
+      // rename itself (r12-advice; full closure needs a lock the
+      // single-writer contract doesn't require).
+      try java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp), nextDir.toPath)
+      catch {
+        case e @ (_: java.nio.file.FileAlreadyExistsException |
+                  _: java.nio.file.DirectoryNotEmptyException) =>
+          throw new IllegalStateException(
+            s"$op: concurrent writer detected — v$next appeared during " +
+              "install. Collections are single-writer: serialize " +
+              "mutations, or re-open and retry.", e)
+      }
       commitPointer(next)
       installed = true
       autoVacuum(next)

@@ -281,4 +281,74 @@ class ParserFuzzSpec extends AnyFunSuite {
     out.write(0x3B)
     assert(SimpleGif.decode(out.toByteArray).isEmpty)
   }
+
+  // ── r12-advice: the per-frame cap alone is not enough — LZW expands up
+  // to ~2700x, so a small blob can carry MANY frames each under the
+  // per-frame cap and accumulate GBs in the frames Vector. Build a real
+  // LZW bomb (KwKwK dictionary growth, then the longest code repeated):
+  // each 4096x4096 frame decodes from ~9 KB of data. ──
+
+  /** LZW data decoding to >= nPixels, mirroring SimpleGif.lzwDecode's
+    * dictionary-growth and code-width timing exactly. */
+  private def lzwBombFrame(minCode: Int, nPixels: Long): Array[Byte] = {
+    val clear = 1 << minCode; val end = clear + 1
+    var dictSize = end + 1; var codeSize = minCode + 1
+    val body = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var accBits = 0
+    def emit(code: Int): Unit = {
+      acc |= code.toLong << accBits; accBits += codeSize
+      while (accBits >= 8) { body.write((acc & 0xFF).toInt); acc >>>= 8; accBits -= 8 }
+    }
+    emit(0) // first literal: prev = "0", 1 px
+    var outCount = 1L
+    var prevLen = 1
+    while (outCount < nPixels) {
+      if (dictSize < 4096) {
+        emit(dictSize) // KwKwK: emits prev + its first byte, adds that entry
+        prevLen += 1; outCount += prevLen; dictSize += 1
+        if (dictSize == (1 << codeSize) && codeSize < 12) codeSize += 1
+      } else {
+        emit(4095) // dict full: longest entry, ~4091 px per 12-bit code
+        prevLen = 4091; outCount += prevLen
+      }
+    }
+    if (accBits > 0) body.write((acc & 0xFF).toInt)
+    body.toByteArray
+  }
+
+  /** Animated GIF of nFrames 4096x4096 bomb frames over a 4-color palette. */
+  private def bombGif(nFrames: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(Array[Byte](0, 0x10, 0, 0x10)) // screen 4096x4096 (LE)
+    out.write(0x81); out.write(0); out.write(0) // global palette, 4 entries
+    out.write(Array.fill[Byte](12)(0x55))
+    val data = lzwBombFrame(2, 4096L * 4096L)
+    for (_ <- 0 until nFrames) {
+      out.write(0x2C); out.write(Array[Byte](0, 0, 0, 0)) // left, top
+      out.write(Array[Byte](0, 0x10, 0, 0x10)) // w = h = 4096
+      out.write(0) // no local palette
+      out.write(2) // LZW min code
+      var o = 0
+      while (o < data.length) {
+        val n = math.min(255, data.length - o)
+        out.write(n); out.write(data, o, n); o += n
+      }
+      out.write(0)
+    }
+    out.write(0x3B)
+    out.toByteArray
+  }
+
+  test("GIF multi-frame bomb: cumulative pixels beyond the file budget refuse; under it decode") {
+    // 4 frames = exactly the 2^26-px file budget -> decodes (proves the
+    // frames are REAL, not refused for being malformed)...
+    val ok = SimpleGif.decode(bombGif(4))
+    assert(ok.exists(_.frames.size == 4), "4-frame bomb must decode fully")
+    assert(ok.exists(_.frames.forall(f => f.width == 4096 && f.height == 4096)))
+    // ...and the 8-frame variant (~75 KB on disk, 1 GB decoded) must come
+    // back None at the budget check, not OOM accumulating frames
+    assert(SimpleGif.decode(bombGif(8)).isEmpty,
+      "cumulative frame budget must refuse the multi-frame bomb")
+  }
 }

@@ -93,6 +93,52 @@ class StoreHardeningSpec extends SparkSpec {
     assert(Collection.open(spark, root, "l2coll").describe().metric === "L2")
   }
 
+  // ── verdict-r12 #6: writer-crash matrix for the single-writer commit
+  // protocol. Two crash points bracket the pointer flip; both must leave a
+  // collection that re-opens consistent and self-heals on the next commit. ──
+
+  test("writer crash between snapshot install and pointer flip: readers keep the old snapshot, next rewrite heals") {
+    val c = Collection.create(spark, root, "crashA", dim = 8, overwrite = true)
+    c.insert(vecs(6))
+    c.delete("id = 0") // -> v1 committed, 5 rows
+    // simulate the crash: a writer installed v2 but died before commitPointer
+    spark.range(3).toDF("junk")
+      .write.mode("overwrite").parquet(s"$root/crashA/v2")
+    // pointer still resolves v1 — the orphan is invisible to readers
+    val re = Collection.open(spark, root, "crashA")
+    assert(re.df.count() === 5, "uncommitted install must not be readable")
+    assert(re.df.columns.toSeq === Seq("id", "vector", "text"))
+    // the next rewrite claims v2: sweeps the dead JVM's orphan, installs
+    // its own snapshot through the atomic move, and flips the pointer
+    re.delete("id = 1")
+    val healed = Collection.open(spark, root, "crashA")
+    assert(healed.df.count() === 4)
+    assert(healed.df.columns.toSeq === Seq("id", "vector", "text"),
+      "healed snapshot must be the rewrite's data, not the orphan's")
+    assert(healed.history().map(_.version).contains(2))
+  }
+
+  test("writer crash after pointer flip before vacuum: stale snapshots stay invisible and the next commit sweeps them") {
+    val c = Collection.create(spark, root, "crashB", dim = 8, overwrite = true)
+    c.insert(vecs(6))
+    c.delete("id = 0") // v1
+    c.delete("id = 1") // v2 (retention 2: v1 + v2 retained)
+    c.delete("id = 2") // v3; autoVacuum drops v1
+    assert(!new java.io.File(s"$root/crashB/v1").exists)
+    // simulate the crash: pointer flipped to v3 but the vacuum never ran,
+    // so the superseded v1 is still on disk
+    spark.range(4).toDF("junk")
+      .write.mode("overwrite").parquet(s"$root/crashB/v1")
+    val re = Collection.open(spark, root, "crashB")
+    assert(re.df.count() === 3, "pointer governs; the stale snapshot is unread")
+    // next commit's autoVacuum treats the leftover like any other expired
+    // version: swept along with v2 once v4 commits (horizon 2)
+    re.delete("id = 3") // v4
+    assert(!new java.io.File(s"$root/crashB/v1").exists, "resurrected stale v1 must be vacuumed")
+    assert(!new java.io.File(s"$root/crashB/v2").exists)
+    assert(re.df.count() === 2)
+  }
+
   test("searchIvfPq survives a degenerate subspace whose codebook has fewer than pqK entries") {
     val c = Collection.create(spark, root, "pq1", dim = 8, overwrite = true)
     c.insert(vecs(60)) // dims 4-7 constant → subspace 2 residuals collapse
