@@ -211,16 +211,23 @@ object AdvancedQueries {
     QueryDef("q48_approx_quantile",
       (s, dir) => {
         import ExactPercentiles._
-        // the sketch runs on its OWN branch over a Par'd scan: fed from the
-        // window's output it inherits the 3-partition (one per key) shuffle
-        // and builds its QuantileSummaries on 3 tasks — measured 4.9 s vs
-        // ~1.2 s split out (the partial aggregate then uses every core and
-        // merges only 3 groups)
+        import s.implicits._
+        // the sketch rides the ranked() PROBE job (r13, AbQ48): the probe's
+        // per-key GK cut list contains 0.5 at the same accuracy, so the
+        // former dedicated percentile_approx branch — a full extra corpus
+        // pass, ~1.0 s of sf1 wall clock — folds away; its 3 collected
+        // values come back as a broadcast-joined local table instead.
+        // (Earlier shape history: the branch itself was split out from the
+        // window's output in r10 — 4.9 s vs 1.2 s — because it inherited
+        // the 3-partition shuffle; this removes it entirely.)
         val li = Par(t(s, dir, "lineitem")
           .select(col("l_returnflag"), col("l_extendedprice")))
-        val approx = li.groupBy(col("l_returnflag"))
-          .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx"))
-        ranked(li, "l_returnflag", "l_extendedprice")
+        val (rk, approxRows) =
+          rankedWithApprox(li, "l_returnflag", "l_extendedprice", 1000)
+        val approx = approxRows
+          .map { case (k, a) => (k.asInstanceOf[String], a) }
+          .toDF("l_returnflag", "approx")
+        rk
           .groupBy(col("l_returnflag"))
           .agg(max(col("n")).as("n"),
                lo(0.5).as("lo"), hi(0.5).as("hi"))

@@ -433,7 +433,8 @@ object CurationQueries {
     val prevAqe = s.conf.get("spark.sql.adaptive.enabled", "true")
     val prevParts = s.conf.get("spark.sql.shuffle.partitions", "32")
     s.conf.set("spark.sql.adaptive.enabled", "false")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_BPE_PARTS", "4"))
     try {
     var total = t.agg(sum(size(col("toks"))).cast("long")).collect()(0).getLong(0)
     val merges = Seq.newBuilder[(Long, String, String, Long, Long)]
@@ -834,6 +835,15 @@ object CurationQueries {
           (col("tot").cast("double") / col("wc")).between(3.8, 10.0) &&
           col("nalpha").cast("double") / col("wc") >= 0.8 &&
           col("nstop") >= 2, lit(1.0)).otherwise(lit(0.0)).as("y"))
+      // Narrow the PERSISTED frame, not the compute: tokenization/HOF
+      // feature extraction above runs at full scan width, then this
+      // exchange ships 5 doubles/row so the 16 sequential GD jobs each
+      // scan 4 cached partitions instead of 32. The r13 AbConst
+      // attribution put q130's cost in exactly those jobs (2.8 of 3.9 s
+      // = per-task overhead on KB-sized cached data, 17 × 33 tasks);
+      // same narrow-training rationale as bpeTrain's 4-partition window.
+      // Results are partition-independent (integer-lifted sums).
+      .repartition(4)
 
   private[graft] def zCol(w: Array[Long]): Column =
     lit(w(0)) / lit(1e6) + lit(w(1)) / lit(1e6) * col("x1") +
@@ -847,16 +857,29 @@ object CurationQueries {
   private[graft] def logregTrain(f: DataFrame, n: Long): Array[Long] = {
     val w = Array.fill(5)(0L) // micro-unit ints: bias, w1..w4
     def liftSum(c: Column): Column = sum(floor(c * lit(1e6) + lit(0.5)).cast("long"))
-    for (_ <- 1 to LrIters) {
-      val staged = f.withColumn("z", zCol(w)).withColumn("s", sigCol)
-      val g = staged.select(
-        liftSum(col("s") - col("y")).as("gb"),
-        liftSum(col("x1") * (col("s") - col("y"))).as("g1"),
-        liftSum(col("x2") * (col("s") - col("y"))).as("g2"),
-        liftSum(col("x3") * (col("s") - col("y"))).as("g3"),
-        liftSum(col("x4") * (col("s") - col("y"))).as("g4")).head()
-      for (j <- 0 to 4)
-        w(j) = w(j) - math.floor(Lr * g.getLong(j).toDouble / n + 0.5).toLong
+    // Same classic-planning window as bpeTrain, same lock: 16 sequential
+    // KB-sized aggregate jobs over the 4-partition cached feature frame
+    // are exactly the shape where AQE's per-stage re-planning round-trips
+    // dominate (the r13 AbConst attribution put q130's cost here). The
+    // shared lock serializes every trainer's save/mutate/restore so a
+    // concurrent trainer's finally can't restore mid-window.
+    val s = f.sparkSession
+    BpeConfLock.synchronized {
+      val prevAqe = s.conf.get("spark.sql.adaptive.enabled", "true")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        for (_ <- 1 to LrIters) {
+          val staged = f.withColumn("z", zCol(w)).withColumn("s", sigCol)
+          val g = staged.select(
+            liftSum(col("s") - col("y")).as("gb"),
+            liftSum(col("x1") * (col("s") - col("y"))).as("g1"),
+            liftSum(col("x2") * (col("s") - col("y"))).as("g2"),
+            liftSum(col("x3") * (col("s") - col("y"))).as("g3"),
+            liftSum(col("x4") * (col("s") - col("y"))).as("g4")).head()
+          for (j <- 0 to 4)
+            w(j) = w(j) - math.floor(Lr * g.getLong(j).toDouble / n + 0.5).toLong
+        }
+      } finally s.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
     w
   }

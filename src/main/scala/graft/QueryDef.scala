@@ -148,9 +148,9 @@ object ExactPercentiles {
 
   /** (key, v, rn, n): 0-based rank of v within key, and the group size.
     *
-    * ONE cheap pre-pass (count + approx_percentile in a single aggregate
-    * job — boundary ACCURACY is irrelevant, exactness comes from
-    * counting) sizes the input and picks the shape:
+    * ONE cheap pre-pass (per-key count + approx_percentile in a single
+    * aggregate job — boundary ACCURACY is irrelevant, exactness comes
+    * from counting) sizes the input and picks the shape:
     *
     *  - small: `row_number() OVER (PARTITION BY key ORDER BY v)` — the
     *    plan both engines would write, fastest when every key fits a
@@ -168,7 +168,28 @@ object ExactPercentiles {
     * Ties order arbitrarily within equal v — rank endpoints pick the
     * same v either way, so lo/hi/interp are deterministic in both
     * shapes. */
-  def ranked(df: DataFrame, key: String, value: String): DataFrame = {
+  def ranked(df: DataFrame, key: String, value: String): DataFrame =
+    rankedWithApprox(df, key, value, 100)._1
+
+  /** `ranked` plus the per-key approx median FROM THE SAME PROBE JOB.
+    *
+    * q48 used to run a second full-corpus aggregation just for its
+    * percentile_approx sketch branch; but the probe pass already builds a
+    * per-key GK sketch whose cut list contains 0.5 (16/32), so one job
+    * serves all three consumers — the regime choice (Σ per-key n), the
+    * bucket boundaries (merged per-key cuts), and the sketch output
+    * (bit-identical: same accuracy, same column, same sketch — r13
+    * AbQ48 measured the folded pass at ~1.0 s of sf1 wall clock).
+    * Returned approx rows are (key value, approx-p50-or-null). */
+  def rankedWithApprox(df: DataFrame, key: String, value: String,
+                       accuracy: Int): (DataFrame, Seq[(Any, Option[Double])]) =
+    rankedWithApprox(df, key, value, accuracy, SmallSortRows)
+
+  /** Test seam: `smallSortRows` forces the bucketed regime on small data
+    * so its exact-rank equivalence to the window regime is spec-checkable
+    * without a >1.5M-row fixture (`ExactPercentilesSpec`). */
+  private[graft] def rankedWithApprox(df: DataFrame, key: String, value: String,
+                       accuracy: Int, smallSortRows: Long): (DataFrame, Seq[(Any, Option[Double])]) = {
     // NULL values are SKIPPED, matching both Spark's percentile and
     // DuckDB's quantile_cont (r11 review: a null row would otherwise
     // rank first and shift every endpoint, and n would over-count)
@@ -179,37 +200,49 @@ object ExactPercentiles {
     // approx_percentile on a BIGINT column returns array<bigint>, which
     // getSeq[Double] would ClassCastException on (r11 review); boundary
     // PRECISION is irrelevant — exactness comes from counting
-    val probe = base.agg(
+    val probe = base.groupBy(col(key)).agg(
       count(lit(1)).as("n"),
-      expr(s"approx_percentile(CAST(v AS DOUBLE), array(${(1 until nb).map(_.toDouble / nb).mkString(",")}), 100)")
-        .as("bs")).head()
-    if (probe.getLong(0) <= SmallSortRows) {
-      val wLoc = Window.partitionBy(col(key)).orderBy(col("v"))
-      base
-        .withColumn("rn", row_number().over(wLoc).cast("long") - 1L)
-        .withColumn("n", count(lit(1)).over(Window.partitionBy(col(key))))
-        .select(col(key), col("v"), col("rn"), col("n"))
-    } else {
-      // null when every value was null (unreachable after the isNotNull
-      // filter unless the big input is ALL null — degenerate but guarded)
-      val bounds = Option(probe.getSeq[Double](1)).getOrElse(Seq.empty).distinct.sorted
-      val bucket =
-        if (bounds.isEmpty) lit(0)
-        else bounds.map(b => when(col("v") > lit(b), 1).otherwise(0))
-          .reduce(_ + _)
-      val withB = base.withColumn("b", bucket)
-      val wLoc = Window.partitionBy(col(key), col("b")).orderBy(col("v"))
-      val wOff = Window.partitionBy(col(key)).orderBy(col("b"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offs = withB.groupBy(col(key), col("b")).agg(count(lit(1)).as("cnt"))
-        .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
-        .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col(key))))
-        .select(col(key), col("b"), col("off"), col("n"))
-      withB
-        .withColumn("lrn", row_number().over(wLoc).cast("long") - 1L)
-        .join(broadcast(offs), Seq(key, "b"))
-        .select(col(key), col("v"), (col("off") + col("lrn")).as("rn"), col("n"))
+      expr(s"approx_percentile(CAST(v AS DOUBLE), array(${(1 until nb).map(_.toDouble / nb).mkString(",")}), $accuracy)")
+        .as("bs")).collect()
+    val total = probe.map(_.getLong(1)).sum
+    val approx = probe.toSeq.map { r =>
+      r.get(0) -> Option(r.getSeq[Double](2)).map(_(nb / 2 - 1))
     }
+    val rankedDf =
+      if (total <= smallSortRows) {
+        val wLoc = Window.partitionBy(col(key)).orderBy(col("v"))
+        base
+          .withColumn("rn", row_number().over(wLoc).cast("long") - 1L)
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col(key))))
+          .select(col(key), col("v"), col("rn"), col("n"))
+      } else {
+        // per-key cut lists merge into one global boundary set (any
+        // monotone boundaries are valid — exactness comes from counting),
+        // thinned back to <= nb-1 so the bucket expression stays flat;
+        // empty when every value was null (degenerate but guarded)
+        val merged = probe.flatMap(r =>
+          Option(r.getSeq[Double](2)).getOrElse(Seq.empty)).distinct.sorted.toSeq
+        val bounds =
+          if (merged.length <= nb - 1) merged
+          else (1 until nb).map(i => merged((i * merged.length) / nb - 1))
+        val bucket =
+          if (bounds.isEmpty) lit(0)
+          else bounds.map(b => when(col("v") > lit(b), 1).otherwise(0))
+            .reduce(_ + _)
+        val withB = base.withColumn("b", bucket)
+        val wLoc = Window.partitionBy(col(key), col("b")).orderBy(col("v"))
+        val wOff = Window.partitionBy(col(key)).orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = withB.groupBy(col(key), col("b")).agg(count(lit(1)).as("cnt"))
+          .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+          .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col(key))))
+          .select(col(key), col("b"), col("off"), col("n"))
+        withB
+          .withColumn("lrn", row_number().over(wLoc).cast("long") - 1L)
+          .join(broadcast(offs), Seq(key, "b"))
+          .select(col(key), col("v"), (col("off") + col("lrn")).as("rn"), col("n"))
+      }
+    (rankedDf, approx)
   }
 
   def pos(p: Double): Column = lit(p) * (col("n") - 1).cast("double")

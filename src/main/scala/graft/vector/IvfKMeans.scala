@@ -137,14 +137,28 @@ object IvfKMeans {
     */
   def trainCents(vectors: DataFrame, idCol: String, vecCol: String,
                  nlist: Int, rounds: Int, scale: Double = 1.0): Seq[(Long, Seq[Double])] = {
+    // Narrow TRAINING view (r13 AbConst attribution): the Lloyd's loop is
+    // rounds+1 driver-synchronized jobs over at most a few MB of vectors
+    // (trainers are sample-bounded at scale — SCALE.md), yet the input
+    // usually arrives at the corpus scan's 32 partitions, so every
+    // seed/assign/update job paid 32 tasks of scheduling for KB-sized
+    // partitions. 8 partitions keep the CellArgMin assignment multi-core
+    // (the only CPU in the loop) while collapsing per-job overhead; the
+    // CALLER's corpus frame is untouched — only this internal view
+    // narrows. Persisted because every round re-scans it; results are
+    // partition-independent (integer-valued sums, per-row assignment,
+    // deterministic orderBy seed).
     val q = vectors
       .select(col(idCol).cast("long").as("__id"), col(vecCol).cast("array<double>").as("__v"))
-    var cents: Seq[(Long, Seq[Double])] =
-      q.orderBy(col("__id")).limit(nlist).collect()
-        .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
-    for (_ <- 1 to rounds)
-      cents = updateCents(assignCells(q, "__v", cents, scale), "__v")
-    cents
+      .repartition(8).persist()
+    try {
+      var cents: Seq[(Long, Seq[Double])] =
+        q.orderBy(col("__id")).limit(nlist).collect()
+          .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
+      for (_ <- 1 to rounds)
+        cents = updateCents(assignCells(q, "__v", cents, scale), "__v")
+      cents
+    } finally { q.unpersist(); () }
   }
 
   /** Train a coarse quantizer over raw vectors. The returned model may
