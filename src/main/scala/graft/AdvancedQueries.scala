@@ -22,12 +22,10 @@ object AdvancedQueries {
   // domain-guarded exact sum: a value outside Decimal(18,2)'s range
   // (corrupt +-1e18 / NaN metrics) contributes NULL -- excluded -- instead
   // of killing the job under ANSI cast semantics (r12 hostile-content
-  // finding). Bound = largest double below the type's true 1e16 limit
-  // (see RelationalQueries.DMax): anything the guard drops would overflow
-  // DuckDB's cast too, so clean data stays bit-identical.
+  // finding). The guard is RelationalQueries.dguard — ONE owner for the
+  // bound (r13 review: the embedded literal here already drifted once).
   private def dsum(c: Column): Column =
-    sum(when(c.between(-9.999999999999998e15, 9.999999999999998e15), c)
-      .cast(D)).cast("double")
+    sum(RelationalQueries.dguard(c).cast(D)).cast("double")
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")

@@ -837,13 +837,18 @@ object CurationQueries {
           col("nstop") >= 2, lit(1.0)).otherwise(lit(0.0)).as("y"))
       // Narrow the PERSISTED frame, not the compute: tokenization/HOF
       // feature extraction above runs at full scan width, then this
-      // exchange ships 5 doubles/row so the 16 sequential GD jobs each
-      // scan 4 cached partitions instead of 32. The r13 AbConst
-      // attribution put q130's cost in exactly those jobs (2.8 of 3.9 s
-      // = per-task overhead on KB-sized cached data, 17 × 33 tasks);
-      // same narrow-training rationale as bpeTrain's 4-partition window.
-      // Results are partition-independent (integer-lifted sums).
-      .repartition(4)
+      // exchange ships 5 doubles/row so the 16 sequential GD jobs scan
+      // few cached partitions instead of 32. The r13 AbConst attribution
+      // put q130's cost in exactly those jobs (2.8 of 3.9 s = per-task
+      // overhead on KB-sized cached data, 17 × 33 tasks); same
+      // narrow-training rationale as bpeTrain's window. The target is
+      // CLUSTER-PROPORTIONAL (r13 review: a hardcoded 4 capped a
+      // corpus-sized frame at 4-way parallelism at any cluster size):
+      // an eighth of defaultParallelism, floored at the measured-best
+      // local 4 — a 1000-executor run keeps hundreds of partitions for
+      // the cache and the GD aggregates. Results are
+      // partition-independent (integer-lifted sums).
+      .repartition(math.max(4, s.sparkContext.defaultParallelism / 8))
 
   private[graft] def zCol(w: Array[Long]): Column =
     lit(w(0)) / lit(1e6) + lit(w(1)) / lit(1e6) * col("x1") +

@@ -56,7 +56,7 @@ object Par {
     * `spark.sql.shuffle.partitions`-wide output anyway, so the
     * conservative arm only ever adds a cheap narrow-input spread.
     */
-  private def plannedPartitions(df: DataFrame): Option[Int] = {
+  private[graft] def plannedPartitions(df: DataFrame): Option[Int] = {
     val exchangeFree = df.queryExecution.sparkPlan
       .find(_.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
       .isEmpty
@@ -146,6 +146,10 @@ object ExactPercentiles {
     * per-key sorts become the sf1 cliff (q48 65 s) and bucketing wins. */
   private val SmallSortRows = 1500000L
 
+  /** Probe-collect cardinality ceiling — see the guard in
+    * rankedWithApprox. */
+  private val MaxProbeKeys = 65536
+
   /** (key, v, rn, n): 0-based rank of v within key, and the group size.
     *
     * ONE cheap pre-pass (per-key count + approx_percentile in a single
@@ -200,10 +204,21 @@ object ExactPercentiles {
     // approx_percentile on a BIGINT column returns array<bigint>, which
     // getSeq[Double] would ClassCastException on (r11 review); boundary
     // PRECISION is irrelevant — exactness comes from counting
+    // The per-key probe collects one row per distinct key (each with a
+    // 31-double cut array) — fine for the few-key group-bys this helper
+    // serves (return flags, event types), DRIVER-SIZED, not data-sized,
+    // only while key cardinality stays bounded. The limit+require makes a
+    // high-cardinality misuse fail loudly before the collect materializes
+    // millions of rows (r13 review); per-key percentiles at that
+    // cardinality want the plain window shape, not this helper.
     val probe = base.groupBy(col(key)).agg(
       count(lit(1)).as("n"),
       expr(s"approx_percentile(CAST(v AS DOUBLE), array(${(1 until nb).map(_.toDouble / nb).mkString(",")}), $accuracy)")
-        .as("bs")).collect()
+        .as("bs")).limit(MaxProbeKeys + 1).collect()
+    require(probe.length <= MaxProbeKeys,
+      s"ranked($key): grouping-key cardinality exceeds $MaxProbeKeys — " +
+        "this helper probes per key and is built for low-cardinality " +
+        "keys; use a per-key window percentile for keys at this scale")
     val total = probe.map(_.getLong(1)).sum
     val approx = probe.toSeq.map { r =>
       r.get(0) -> Option(r.getSeq[Double](2)).map(_(nb / 2 - 1))

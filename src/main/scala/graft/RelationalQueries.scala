@@ -27,16 +27,22 @@ object RelationalQueries {
   // double the guard drops would overflow DuckDB's DECIMAL(18,2) cast too
   // (r12-advice: the previous 9.9e15 bound silently dropped legitimate
   // values in [9.9e15, 1e16) that the type can hold).
-  private val DMax = 9.999999999999998e15
-  private def dguard(c: Column): Column = when(c.between(-DMax, DMax), c)
+  private[graft] val DMax = 9.999999999999998e15
+  /** ONE owner for the domain guard (r13 review: the bound was embedded
+    * as a second literal in AdvancedQueries, and this exact value was
+    * already wrong once across both copies). */
+  private[graft] def dguard(c: Column): Column = when(c.between(-DMax, DMax), c)
   /** sum through exact decimal, emit double */
   private def dsum(c: Column): Column = sum(dguard(c).cast(D)).cast("double")
-  /** mean through exact decimal sum / count, emit double — the numerator
-    * carries the same domain guard as dsum (one corrupt 1e18 killed davg
-    * queries just as dead, r12-advice); the denominator stays count(*) to
-    * preserve avg semantics on clean data. */
+  /** mean through exact decimal sum / count, emit double. BOTH legs read
+    * the guarded value (r13 review): numerator-only guarding produced a
+    * silently diluted mean on hostile data — sum(valid)/count(all) is
+    * neither include nor exclude semantics. Now avg = mean over VALID
+    * values (the dsum 'excluded' contract); on clean data the guarded
+    * count equals the row count (the money/quantity columns are
+    * non-null in-domain) and the oracle pairs it with count(col). */
   private def davg(c: Column): Column =
-    sum(dguard(c).cast(D)).cast("double") / count(lit(1))
+    sum(dguard(c).cast(D)).cast("double") / count(dguard(c))
 
   /** Exact integer cents of a 2-dp double column. Products of money
     * columns CANNOT go through a double→DECIMAL cast (Spark and DuckDB
@@ -89,9 +95,9 @@ object RelationalQueries {
                $revenueSql AS sum_disc_price,
                CAST(sum(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})
                         * (100 + ${centsSql("l_tax")})) AS DOUBLE) / 1000000.0 AS sum_charge,
-               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
-               CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+               CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(l_discount) AS avg_disc,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

@@ -57,8 +57,10 @@ object AbConst {
       println("q88 phases:")
       val (q, cents) = time("  coarse: ckpt+count+train") { graft.VectorQueries.trainedKMeans(spark, dir) }
       val (wide, dts) = time("  pq: 4 subspace trainings") { graft.VectorQueries.pqTrained(spark, q) }
-      time("  probe+adc tail (materialize)") {
-        sink(wide.limit(1)) // wide/dts are lazy plans over q; force a cheap leg
+      time("  codes+tables (materialize)") {
+        // sink wide FULLY (r13 review: limit(1) short-circuited after one
+        // row and measured none of the 4-way code-assignment work)
+        sink(wide)
         dts.foreach(d => sink(d))
       }
       println(s"    (cents=${cents.length})")

@@ -138,19 +138,27 @@ object IvfKMeans {
   def trainCents(vectors: DataFrame, idCol: String, vecCol: String,
                  nlist: Int, rounds: Int, scale: Double = 1.0): Seq[(Long, Seq[Double])] = {
     // Narrow TRAINING view (r13 AbConst attribution): the Lloyd's loop is
-    // rounds+1 driver-synchronized jobs over at most a few MB of vectors
-    // (trainers are sample-bounded at scale — SCALE.md), yet the input
-    // usually arrives at the corpus scan's 32 partitions, so every
-    // seed/assign/update job paid 32 tasks of scheduling for KB-sized
-    // partitions. 8 partitions keep the CellArgMin assignment multi-core
-    // (the only CPU in the loop) while collapsing per-job overhead; the
-    // CALLER's corpus frame is untouched — only this internal view
-    // narrows. Persisted because every round re-scans it; results are
-    // partition-independent (integer-valued sums, per-row assignment,
-    // deterministic orderBy seed).
-    val q = vectors
+    // rounds+1 driver-synchronized jobs, and when the training set is
+    // small (the query-side callers train over gate-scale corpora; real
+    // deployments sample their trainers) every seed/assign/update job
+    // paid 32 tasks of scheduling for KB-sized partitions. The target is
+    // CLUSTER-PROPORTIONAL, not a constant (r13 review): a quarter of
+    // defaultParallelism, floored at 8 — locally that is the measured-
+    // best 8 (back-to-back A/B: 8 → 3.3 s q88, 16 → 4.0 s, 32 → 4.0 s),
+    // on a 1000-executor cluster it scales to thousands of tasks so a
+    // full-collection buildIvf keeps a wide CellArgMin assignment. An
+    // input already at or below the target skips the exchange entirely
+    // (the Par probe — no job). The CALLER's corpus frame is untouched —
+    // only this internal view narrows. Persisted because every round
+    // re-scans it; results are partition-independent (integer-valued
+    // sums, per-row assignment, deterministic orderBy seed).
+    val q0 = vectors
       .select(col(idCol).cast("long").as("__id"), col(vecCol).cast("array<double>").as("__v"))
-      .repartition(8).persist()
+    val target = math.max(8, vectors.sparkSession.sparkContext.defaultParallelism / 4)
+    val q = (graft.Par.plannedPartitions(q0) match {
+      case Some(p) if p <= target => q0
+      case _ => q0.repartition(target)
+    }).persist()
     try {
       var cents: Seq[(Long, Seq[Double])] =
         q.orderBy(col("__id")).limit(nlist).collect()
