@@ -42,7 +42,13 @@ object Par {
 
   def apply(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (plannedPartitions(df).exists(_ >= target)) df
+    // A STREAMING frame cannot be planned outside writeStream.start()
+    // (the probe would throw UnsupportedOperationChecker); keep the
+    // unconditional spread there — micro-batch sources size their own
+    // partitions and the repartition is a per-batch hint, exactly the
+    // pre-r13 behavior.
+    if (df.isStreaming) df.repartition(target)
+    else if (plannedPartitions(df).exists(_ >= target)) df
     else df.repartition(target)
   }
 

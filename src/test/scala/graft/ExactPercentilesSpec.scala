@@ -40,6 +40,21 @@ class ExactPercentilesSpec extends SparkSpec {
     a.zip(b).foreach { case (x, y) => assert(x === y) }
   }
 
+  test("high-cardinality grouping key fails loudly at the probe, before the driver collect") {
+    val wide = spark.range(70000)
+      .selectExpr("CAST(id AS STRING) AS k", "CAST(id AS DOUBLE) AS v")
+    val e = intercept[IllegalArgumentException] {
+      ExactPercentiles.rankedWithApprox(wide, "k", "v", 100)
+    }
+    assert(e.getMessage.contains("cardinality"), e.getMessage)
+  }
+
+  test("Par on a streaming frame keeps the unconditional spread instead of throwing at the probe") {
+    val stream = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    val out = Par(stream) // pre-r13 behavior: plain repartition, no plan probe
+    assert(out.isStreaming)
+  }
+
   test("probe-folded approx equals a dedicated percentile_approx aggregate at the same accuracy") {
     val (_, approx) = ExactPercentiles.rankedWithApprox(
       li, "l_returnflag", "l_extendedprice", 1000, Long.MaxValue)
