@@ -1177,7 +1177,20 @@ object PipelineQueries {
         // previously a driver-blocking count() job before the plan ran
         val nn = pres.agg(countDistinct(col("doc_id")).cast("double").as("n"))
         val singles = pres.groupBy(col("t")).agg(count(lit(1)).as("c"))
-        val pairs = pres.as("x").join(pres.as("y"), Seq("doc_id"))
+        // Apriori prune (Agrawal '93 downward closure): c_ab <= min(c_a,
+        // c_b), so a token below the 5% support floor cannot appear in ANY
+        // surviving pair — drop it BEFORE the per-document self-join, not
+        // after the count. Exact: only pairs the floor filter would discard
+        // are pruned, so c_ab for every surviving pair is unchanged. The
+        // synthetic ~100-token vocabulary mostly passes the floor (no local
+        // effect), but a natural Zipfian vocabulary is overwhelmingly BELOW
+        // a 5% doc-frequency floor — at 100 TB this is the difference
+        // between pairing the full per-doc token set (len² explosion) and
+        // pairing the few hundred frequent types.
+        val freq = singles.crossJoin(nn)
+          .filter(col("c") >= lit(0.05) * col("n")).select(col("t"))
+        val presF = pres.join(broadcast(freq), Seq("t"))
+        val pairs = presF.as("x").join(presF.as("y"), Seq("doc_id"))
           .filter(col("x.t") < col("y.t"))
           .groupBy(col("x.t").as("a"), col("y.t").as("b"))
           .agg(count(lit(1)).as("c_ab"))

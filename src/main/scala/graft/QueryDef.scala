@@ -52,21 +52,61 @@ object Par {
     else df.repartition(target)
   }
 
-  /** Planned partition count — computed ONLY when the physical plan is
-    * exchange-free (a file scan, or a narrow chain over one). There the
-    * count is a driver-side file-split computation: no Spark job, and no
-    * AQE query stage exists to materialize. A plan WITH an exchange
-    * returns None and keeps the explicit repartition: probing it through
-    * `.rdd` would execute its shuffle stages under AQE, paying the
-    * query's cost twice — and a shuffled plan already carries
-    * `spark.sql.shuffle.partitions`-wide output anyway, so the
-    * conservative arm only ever adds a cheap narrow-input spread.
+  /** Planned partition count, determined WITHOUT running a job.
+    *
+    * Two safe sources, tried in order:
+    *   1. a static width: the optimized plan is a chain of
+    *      partitioning-preserving unary ops over an explicit
+    *      `repartition(n)` — the output width IS that n, read straight
+    *      off the plan (covers already-Par'd frames handed to trainers,
+    *      r13-advice #2);
+    *   2. an `.rdd` probe, ONLY when the optimized LOGICAL plan is
+    *      narrow end to end (leaf scans + narrow ops, no subqueries).
+    *      There the count is a driver-side file-split computation: no
+    *      shuffle stage exists for AQE to materialize.
+    *
+    * Everything else returns None and keeps the caller's explicit
+    * repartition. The gate must be the LOGICAL plan, not
+    * `queryExecution.sparkPlan`: sparkPlan is pre-EnsureRequirements, so
+    * the shuffles an aggregate/join/window/sort REQUIRES are not yet
+    * inserted and the plan looks exchange-free — probing such a frame
+    * through `.rdd` under AQE materializes every upstream query stage,
+    * running the query's cost twice (r13-advice #1, exercised by q43's
+    * Par over an orderBy + global aggregate). The whitelist is
+    * conservative: an unlisted node only ever costs the cheap spread the
+    * pre-r13 code always paid.
     */
   private[graft] def plannedPartitions(df: DataFrame): Option[Int] = {
-    val exchangeFree = df.queryExecution.sparkPlan
-      .find(_.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
-      .isEmpty
-    if (exchangeFree) Some(df.rdd.getNumPartitions) else None
+    val plan = df.queryExecution.optimizedPlan
+    staticWidth(plan).orElse {
+      val narrow = !plan.exists(n => !narrowNode(n)) && !plan.exists(
+        _.expressions.exists(_.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])))
+      if (narrow) Some(df.rdd.getNumPartitions) else None
+    }
+  }
+
+  import org.apache.spark.sql.catalyst.plans.logical._
+
+  /** Output width read statically off the plan: narrow unary ops preserve
+    * their child's partitioning, so the nearest explicit shuffle
+    * `repartition(n)` below them fixes the width with zero execution. */
+  @annotation.tailrec
+  private def staticWidth(p: LogicalPlan): Option[Int] = p match {
+    case r: Repartition if r.shuffle            => Some(r.numPartitions)
+    case r: RepartitionByExpression             => r.optNumPartitions
+    case u: UnaryNode if narrowNode(u)          => staticWidth(u.child)
+    case _                                      => None
+  }
+
+  /** Nodes that neither shuffle nor change the partition count (Union
+    * concatenates children's partitions — still jobless to probe). */
+  private def narrowNode(p: LogicalPlan): Boolean = p match {
+    case _: LeafNode | _: Project | _: Filter | _: Generate | _: Union |
+         _: LocalLimit | _: Sample | _: TypedFilter | _: Expand => true
+    case _: SerializeFromObject | _: DeserializeToObject |
+         _: MapElements | _: MapPartitions => true
+    case _ => false
   }
 }
 
@@ -217,17 +257,27 @@ object ExactPercentiles {
     // high-cardinality misuse fail loudly before the collect materializes
     // millions of rows (r13 review); per-key percentiles at that
     // cardinality want the plain window shape, not this helper.
+    // TWO sketches in the one aggregate (r13-advice #4): bucket boundaries
+    // only need to be monotone (exactness comes from counting), so their
+    // sketch stays at the cheap fixed accuracy 100; the folded p50 — the
+    // value a caller like q48 actually OUTPUTS — gets its own
+    // single-percentile sketch at the caller's accuracy. Same GK sketch +
+    // same data + same percentile ⇒ the p50 is bit-identical to the old
+    // array-extraction form, at ~1/10th the per-key probe weight when the
+    // caller asks for accuracy 1000.
     val probe = base.groupBy(col(key)).agg(
       count(lit(1)).as("n"),
-      expr(s"approx_percentile(CAST(v AS DOUBLE), array(${(1 until nb).map(_.toDouble / nb).mkString(",")}), $accuracy)")
-        .as("bs")).limit(MaxProbeKeys + 1).collect()
+      expr(s"approx_percentile(CAST(v AS DOUBLE), array(${(1 until nb).map(_.toDouble / nb).mkString(",")}), 100)")
+        .as("bs"),
+      expr(s"approx_percentile(CAST(v AS DOUBLE), 0.5D, $accuracy)")
+        .as("p50")).limit(MaxProbeKeys + 1).collect()
     require(probe.length <= MaxProbeKeys,
       s"ranked($key): grouping-key cardinality exceeds $MaxProbeKeys — " +
         "this helper probes per key and is built for low-cardinality " +
         "keys; use a per-key window percentile for keys at this scale")
     val total = probe.map(_.getLong(1)).sum
     val approx = probe.toSeq.map { r =>
-      r.get(0) -> Option(r.getSeq[Double](2)).map(_(nb / 2 - 1))
+      r.get(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3)))
     }
     val rankedDf =
       if (total <= smallSortRows) {

@@ -122,8 +122,15 @@ class Collection private (
       // check-then-act window from [pointer re-read .. rename] to the
       // rename itself (r12-advice; full closure needs a lock the
       // single-writer contract doesn't require).
+      // ATOMIC_MOVE (r13-advice): without it, Files.move silently falls
+      // back to copy+delete if tmp and the version dir ever land on
+      // different stores, and that fallback's DirectoryNotEmptyException
+      // would masquerade as a writer race below. The commit protocol
+      // RELIES on rename atomicity — make a cross-store layout fail
+      // loudly as AtomicMoveNotSupportedException instead.
       try java.nio.file.Files.move(
-        java.nio.file.Paths.get(tmp), nextDir.toPath)
+        java.nio.file.Paths.get(tmp), nextDir.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch {
         case e @ (_: java.nio.file.FileAlreadyExistsException |
                   _: java.nio.file.DirectoryNotEmptyException) =>
@@ -131,6 +138,11 @@ class Collection private (
             s"$op: concurrent writer detected — v$next appeared during " +
               "install. Collections are single-writer: serialize " +
               "mutations, or re-open and retry.", e)
+        case e: java.nio.file.AtomicMoveNotSupportedException =>
+          throw new IllegalStateException(
+            s"$op: snapshot install requires an atomic rename, but " +
+              s"$tmp -> $nextDir crosses file stores. Keep the " +
+              "collection directory on one store.", e)
       }
       commitPointer(next)
       installed = true

@@ -269,4 +269,43 @@ class PlanSpec extends SparkSpec {
       rm(dir)
     }
   }
+
+  test("Par never runs a job at call time — aggregate/sort frames skip the probe") {
+    // r13-advice #1: the probe used to gate on queryExecution.sparkPlan,
+    // which is pre-EnsureRequirements — an orderBy + global aggregate (the
+    // q43 chunks shape) carries no Exchange node THERE, so the probe
+    // called df.rdd and AQE materialized every upstream stage, executing
+    // the query once at Par() time and again when the result ran. The
+    // logical-plan gate must classify such frames as non-narrow (no probe,
+    // keep the spread) and still probe pure narrow chains joblessly.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val agg = spark.range(1000).toDF("id")
+        .orderBy(col("id").desc)
+        .agg(sum(col("id")).as("s"))
+        .select(explode(array(col("s"), col("s"))).as("v"))
+      assert(Par.plannedPartitions(agg).isEmpty,
+        "aggregate/sort-bearing plan must not be probed")
+      val spread = Par(agg)
+      assert(spread.queryExecution.executedPlan.toString
+        .contains("RoundRobinPartitioning"))
+
+      // narrow chain over an explicit repartition: width reads statically
+      // off the plan — Some(n) with zero execution (r13-advice #2)
+      val repar = spark.range(1000).toDF("id").repartition(7)
+        .filter(col("id") > 10).select((col("id") * 2).as("x"))
+      assert(Par.plannedPartitions(repar) === Some(7))
+
+      Thread.sleep(500) // listener bus is async; drain before asserting
+      assert(jobs.get() === 0,
+        s"plan probing must be driver-side only, but ${jobs.get()} job(s) ran")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
