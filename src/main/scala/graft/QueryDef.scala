@@ -257,27 +257,34 @@ object ExactPercentiles {
     // high-cardinality misuse fail loudly before the collect materializes
     // millions of rows (r13 review); per-key percentiles at that
     // cardinality want the plain window shape, not this helper.
-    // TWO sketches in the one aggregate (r13-advice #4): bucket boundaries
-    // only need to be monotone (exactness comes from counting), so their
-    // sketch stays at the cheap fixed accuracy 100; the folded p50 — the
-    // value a caller like q48 actually OUTPUTS — gets its own
-    // single-percentile sketch at the caller's accuracy. Same GK sketch +
-    // same data + same percentile ⇒ the p50 is bit-identical to the old
-    // array-extraction form, at ~1/10th the per-key probe weight when the
-    // caller asks for accuracy 1000.
+    // Boundary sketch at the FIXED cheap accuracy 100 (r13-advice #4):
+    // bucket boundaries only need to be monotone — exactness comes from
+    // counting. The folded p50 — the value a caller like q48 actually
+    // OUTPUTS — rides the same sketch when the caller's accuracy is
+    // already 100 (its cut list contains 0.5), and otherwise gets its own
+    // single-percentile sketch at the caller's accuracy in the SAME
+    // aggregate. Same GK sketch + same data + same percentile ⇒ the p50
+    // is bit-identical to the old array-extraction form, without the
+    // ~10× boundary-sketch weight at accuracy 1000 — and without a
+    // second sketch build for the accuracy-100 callers (q19) that
+    // discard the approx.
+    val p50Col =
+      if (accuracy == 100) expr(s"NULL") // extracted from bs below
+      else expr(s"approx_percentile(CAST(v AS DOUBLE), 0.5D, $accuracy)")
     val probe = base.groupBy(col(key)).agg(
       count(lit(1)).as("n"),
       expr(s"approx_percentile(CAST(v AS DOUBLE), array(${(1 until nb).map(_.toDouble / nb).mkString(",")}), 100)")
         .as("bs"),
-      expr(s"approx_percentile(CAST(v AS DOUBLE), 0.5D, $accuracy)")
-        .as("p50")).limit(MaxProbeKeys + 1).collect()
+      p50Col.as("p50")).limit(MaxProbeKeys + 1).collect()
     require(probe.length <= MaxProbeKeys,
       s"ranked($key): grouping-key cardinality exceeds $MaxProbeKeys — " +
         "this helper probes per key and is built for low-cardinality " +
         "keys; use a per-key window percentile for keys at this scale")
     val total = probe.map(_.getLong(1)).sum
     val approx = probe.toSeq.map { r =>
-      r.get(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+      r.get(0) -> (if (accuracy == 100)
+        Option(r.getSeq[Double](2)).map(_(nb / 2 - 1))
+      else if (r.isNullAt(3)) None else Some(r.getDouble(3)))
     }
     val rankedDf =
       if (total <= smallSortRows) {

@@ -303,6 +303,32 @@ class PlanSpec extends SparkSpec {
         .filter(col("id") > 10).select((col("id") * 2).as("x"))
       assert(Par.plannedPartitions(repar) === Some(7))
 
+      // battery over every shuffle-bearing shape the whitelist must
+      // reject — a future whitelist edit that lets one through would
+      // re-open the AQE double-execution (each would show up as jobs > 0
+      // below, and most immediately as a non-None here)
+      val base = spark.range(100).toDF("id")
+        .withColumn("k", col("id") % 7).withColumn("v", col("id") * 3)
+      val shuffleShapes: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+        "groupBy" -> base.groupBy(col("k")).agg(sum(col("v")).as("s")),
+        "join" -> base.join(base.withColumnRenamed("v", "v2"), Seq("k")),
+        "window" -> base.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
+            .orderBy(col("v")))),
+        "sort" -> base.orderBy(col("v")),
+        "distinct" -> base.select(col("k")).distinct(),
+        "globalLimit-over-sort" -> base.orderBy(col("v")).limit(5),
+        "subquery-filter" -> {
+          base.createOrReplaceTempView("par_probe_base")
+          spark.sql(
+            "SELECT id FROM par_probe_base WHERE v > (SELECT avg(v) FROM par_probe_base)")
+        }
+      )
+      shuffleShapes.foreach { case (label, frame) =>
+        assert(Par.plannedPartitions(frame).isEmpty,
+          s"$label must not be probed (shuffle-bearing)")
+      }
+
       Thread.sleep(500) // listener bus is async; drain before asserting
       assert(jobs.get() === 0,
         s"plan probing must be driver-side only, but ${jobs.get()} job(s) ran")
