@@ -831,26 +831,38 @@ object PipelineQueries {
         val train = d.filter(col("doc_id") % 2 === 0)
         val test = d.filter(col("doc_id") % 2 === 1)
         val trainTok = train.select(col("lang"), explode(col("toks")).as("t")).persist()
-        val stats = trainTok.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
         val vocabV = trainTok.select(col("t")).distinct().count()
         val nTrainDocs = train.count()
-        val priors = train.groupBy(col("lang")).agg(count(lit(1)).as("dl"))
+        // the per-lang model scalars (nl, dl — 5 rows each) collect to the
+        // driver and come back as LOCAL frames: the q111 lesson — an
+        // in-plan aggregate subtree behind a broadcast costs a full
+        // (cached) pass per consumer, and stats fed THREE (lik's join,
+        // defaults, priors). The arithmetic below is unchanged — the same
+        // longs now arrive as literals instead of aggregate outputs.
+        import s.implicits._
+        val statsLocal: Seq[(String, Long)] = trainTok.groupBy(col("lang"))
+          .agg(count(lit(1)).as("nl")).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq
+        val dlLocal: Seq[(String, Long)] = train.groupBy(col("lang"))
+          .agg(count(lit(1)).as("dl")).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq
+        val priors = dlLocal.toDF("lang", "dl")
           .withColumn("prior", floor(round(
             log(col("dl").cast("double") / lit(nTrainDocs.toDouble)), 6) *
             lit(1e6) + lit(0.5)).cast("long"))
           .select(col("lang"), col("prior"))
         val lik = trainTok.groupBy(col("lang"), col("t")).agg(count(lit(1)).as("clt"))
-          .join(stats, Seq("lang"))
+          .join(broadcast(statsLocal.toDF("lang", "nl")), Seq("lang"))
           .withColumn("ll", floor(round(
             log((col("clt") + lit(1)).cast("double") /
               (col("nl") + lit(vocabV)).cast("double")), 6) * lit(1e6) + lit(0.5))
             .cast("long"))
           .select(col("lang"), col("t"), col("ll"))
-        val defaults = stats
+        val defaults = statsLocal.toDF("cand", "nl")
           .withColumn("ll0", floor(round(
             log(lit(1.0) / (col("nl") + lit(vocabV)).cast("double")), 6) *
             lit(1e6) + lit(0.5)).cast("long"))
-          .select(col("lang").as("cand"), col("ll0"))
+          .select(col("cand"), col("ll0"))
         val testTok = test.select(col("doc_id"), col("lang").as("true_lang"),
             explode(col("toks")).as("t"))
           .groupBy(col("doc_id"), col("true_lang"), col("t"))
@@ -1173,35 +1185,46 @@ object PipelineQueries {
           .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
           .distinct()
           .persist() // feeds singles, both self-join sides, and the N frame
-        // doc count as a 1-row broadcast frame (the oracle's `nn` CTE) —
-        // previously a driver-blocking count() job before the plan ran
-        val nn = pres.agg(countDistinct(col("doc_id")).cast("double").as("n"))
         val singles = pres.groupBy(col("t")).agg(count(lit(1)).as("c"))
         // Apriori prune (Agrawal '93 downward closure): c_ab <= min(c_a,
         // c_b), so a token below the 5% support floor cannot appear in ANY
         // surviving pair — drop it BEFORE the per-document self-join, not
         // after the count. Exact: only pairs the floor filter would discard
-        // are pruned, so c_ab for every surviving pair is unchanged. The
-        // synthetic ~100-token vocabulary mostly passes the floor (no local
-        // effect), but a natural Zipfian vocabulary is overwhelmingly BELOW
-        // a 5% doc-frequency floor — at 100 TB this is the difference
-        // between pairing the full per-doc token set (len² explosion) and
-        // pairing the few hundred frequent types.
-        val freq = singles.crossJoin(nn)
-          .filter(col("c") >= lit(0.05) * col("n")).select(col("t"))
-        val presF = pres.join(broadcast(freq), Seq("t"))
+        // are pruned, so c_ab for every surviving pair is unchanged. This
+        // is the classic two-pass shape: pass 1 is a vocabulary-sized
+        // doc-frequency rollup COLLECTED to the driver (the model table is
+        // ≪ corpus by construction), pushed back as an InSet filter inside
+        // the self-join sides — not a broadcast-join subtree, which would
+        // re-derive singles+nn as extra aggregate passes (measured +1.0 s
+        // here). The two pre-jobs pay for themselves: the collected table
+        // replaces BOTH in-plan singles broadcasts with local frames and
+        // the nn crossJoin with a literal, so pass 2 is just self-join →
+        // pair count → local-table lookups. The synthetic ~100-token
+        // vocabulary mostly passes the floor (no local pruning), but a
+        // natural Zipfian vocabulary is overwhelmingly BELOW a 5%
+        // doc-frequency floor — at 100 TB this is the difference between
+        // pairing the full per-doc token set (len² explosion) and pairing
+        // the few hundred frequent types.
+        val pass1 = singles.collect() // (t, c): c IS doc-freq — pres is distinct
+        val nD = pres.agg(countDistinct(col("doc_id"))).head().getLong(0).toDouble
+        val freqToks = pass1.filter(_.getLong(1) >= 0.05 * nD)
+          .map(_.getString(0)).toSeq
+        val presF =
+          if (freqToks.length == pass1.length) pres // nothing below floor
+          else pres.filter(col("t").isin(freqToks: _*))
         val pairs = presF.as("x").join(presF.as("y"), Seq("doc_id"))
           .filter(col("x.t") < col("y.t"))
           .groupBy(col("x.t").as("a"), col("y.t").as("b"))
           .agg(count(lit(1)).as("c_ab"))
+        import s.implicits._
+        val singlesLocal = pass1.map(r => (r.getString(0), r.getLong(1))).toSeq
         val w = Window.orderBy(col("pmi_int").desc, col("a").asc, col("b").asc)
         pairs
-          .join(broadcast(singles.select(col("t").as("a"), col("c").as("c_a"))), Seq("a"))
-          .join(broadcast(singles.select(col("t").as("b"), col("c").as("c_b"))), Seq("b"))
-          .crossJoin(broadcast(nn))
-          .filter(col("c_ab") >= lit(0.05) * col("n")) // 5% support floor
+          .join(broadcast(singlesLocal.toDF("a", "c_a")), Seq("a"))
+          .join(broadcast(singlesLocal.toDF("b", "c_b")), Seq("b"))
+          .filter(col("c_ab") >= lit(0.05) * lit(nD)) // 5% support floor
           .withColumn("pmi_int", floor(round(
-            log((col("c_ab") * col("n")).cast("double") /
+            log((col("c_ab") * lit(nD)).cast("double") /
               (col("c_a") * col("c_b")).cast("double")), 6) * lit(1e6) + lit(0.5))
             .cast("long"))
           .orderBy(col("pmi_int").desc, col("a").asc, col("b").asc).limit(20)
