@@ -302,6 +302,12 @@ class PlanSpec extends SparkSpec {
       val repar = spark.range(1000).toDF("id").repartition(7)
         .filter(col("id") > 10).select((col("id") * 2).as("x"))
       assert(Par.plannedPartitions(repar) === Some(7))
+      val reparBy = spark.range(1000).toDF("id").withColumn("k", col("id") % 3)
+        .repartition(6, col("k")).filter(col("id") > 10)
+      assert(Par.plannedPartitions(reparBy) === Some(6))
+      val reparByNoN = spark.range(1000).toDF("id").withColumn("k", col("id") % 3)
+        .repartition(col("k")) // width comes from a conf, not the plan → None
+      assert(Par.plannedPartitions(reparByNoN).isEmpty)
 
       // battery over every shuffle-bearing shape the whitelist must
       // reject — a future whitelist edit that lets one through would
