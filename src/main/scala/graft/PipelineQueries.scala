@@ -1174,10 +1174,13 @@ object PipelineQueries {
     //   (Agrawal '93 support/lift, turned log-scale as PMI): which terms
     //   co-occur far beyond chance. Presence-based: c_a = docs containing
     //   a, c_ab = docs containing both; lift = c_ab·N/(c_a·c_b), PMI =
-    //   ln lift, 6dp-integer-lifted for the rank. 100 TB shape: the
-    //   pair generation is a PER-DOCUMENT self-join (bounded by doc
-    //   length², never corpus²), pair counts map-side combine, and the
-    //   singles table is vocabulary-sized and broadcast. ──
+    //   ln lift, 6dp-integer-lifted for the rank. 100 TB shape: Apriori
+    //   two-pass — pass 1 rolls up doc frequencies and keeps only tokens
+    //   above the support floor (≤ 20·avgDistinctTokensPerDoc on ANY
+    //   corpus, so driver-sized); pass 2's pair generation is a
+    //   PER-DOCUMENT self-join over frequent tokens only (bounded by
+    //   frequent-per-doc², never corpus²), pair counts map-side combine,
+    //   and the frequent-singles table re-enters as local frames. ──
     QueryDef("q111_assoc_pmi",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
@@ -1191,26 +1194,37 @@ object PipelineQueries {
         // surviving pair — drop it BEFORE the per-document self-join, not
         // after the count. Exact: only pairs the floor filter would discard
         // are pruned, so c_ab for every surviving pair is unchanged. This
-        // is the classic two-pass shape: pass 1 is a vocabulary-sized
-        // doc-frequency rollup COLLECTED to the driver (the model table is
-        // ≪ corpus by construction), pushed back as an InSet filter inside
-        // the self-join sides — not a broadcast-join subtree, which would
-        // re-derive singles+nn as extra aggregate passes (measured +1.0 s
-        // here). The two pre-jobs pay for themselves: the collected table
-        // replaces BOTH in-plan singles broadcasts with local frames and
-        // the nn crossJoin with a literal, so pass 2 is just self-join →
-        // pair count → local-table lookups. The synthetic ~100-token
+        // is the classic two-pass shape: pass 1 is a doc-frequency rollup
+        // COLLECTED to the driver and pushed back as an InSet filter
+        // inside the self-join sides — not a broadcast-join subtree, which
+        // would re-derive singles+nn as extra aggregate passes (measured
+        // +1.0 s here). The two pre-jobs pay for themselves: the collected
+        // table replaces BOTH in-plan singles broadcasts with local frames
+        // and the nn crossJoin with a literal, so pass 2 is just self-join
+        // → pair count → local-table lookups. The synthetic ~100-token
         // vocabulary mostly passes the floor (no local pruning), but a
         // natural Zipfian vocabulary is overwhelmingly BELOW a 5%
         // doc-frequency floor — at 100 TB this is the difference between
         // pairing the full per-doc token set (len² explosion) and pairing
         // the few hundred frequent types.
-        val pass1 = singles.collect() // (t, c): c IS doc-freq — pres is distinct
-        val nD = pres.agg(countDistinct(col("doc_id"))).head().getLong(0).toDouble
-        val freqToks = pass1.filter(_.getLong(1) >= 0.05 * nD)
-          .map(_.getString(0)).toSeq
+        //
+        // The floor is applied IN-ENGINE, so the collect is bounded on ANY
+        // corpus — including a pathological all-unique-token one where raw
+        // vocabulary is corpus-sized: Σ doc-freq = |pres| ≤ n·avgDistinct,
+        // so at most avgDistinct/0.05 = 20·avgDistinct tokens can clear a
+        // 0.05·n doc-frequency floor. DRIVER-SIZED by construction, not by
+        // corpus good manners (the collected-pass-1 contract).
+        val hd = pres.agg(countDistinct(col("doc_id")).as("nd"),
+          countDistinct(col("t")).as("v")).head()
+        val (nD, vocabN) = (hd.getLong(0).toDouble, hd.getLong(1))
+        val pass1 = singles.filter(col("c") >= lit(0.05) * lit(nD)).collect()
+        val freqToks = pass1.map(_.getString(0)).toSeq
+        // skip the membership filter when NOTHING fell below the floor
+        // (the local corpus): an always-true InSet still hashes every
+        // token twice through the self-join sides — measured +0.2 s of
+        // pure overhead at sf0.1
         val presF =
-          if (freqToks.length == pass1.length) pres // nothing below floor
+          if (freqToks.length == vocabN) pres
           else pres.filter(col("t").isin(freqToks: _*))
         val pairs = presF.as("x").join(presF.as("y"), Seq("doc_id"))
           .filter(col("x.t") < col("y.t"))
