@@ -840,12 +840,26 @@ object PipelineQueries {
         // defaults, priors). The arithmetic below is unchanged — the same
         // longs now arrive as literals instead of aggregate outputs.
         import s.implicits._
-        val statsLocal: Seq[(String, Long)] = trainTok.groupBy(col("lang"))
-          .agg(count(lit(1)).as("nl")).collect()
-          .map(r => (r.getString(0), r.getLong(1))).toSeq
-        val dlLocal: Seq[(String, Long)] = train.groupBy(col("lang"))
-          .agg(count(lit(1)).as("dl")).collect()
-          .map(r => (r.getString(0), r.getLong(1))).toSeq
+        // label cardinality is bounded by the TASK (a language classifier
+        // trains over a known class set), but `lang` is a data column — a
+        // hostile corpus with per-doc unique labels would make these
+        // collects corpus-sized. The rankedWithApprox idiom: cap the
+        // materialization and fail loudly (the old broadcast-subtree form
+        // had the same hazard as a driver-side broadcast OOM, just quieter)
+        val MaxLangs = 65536
+        def langRollup(df: DataFrame, cnt: String): Seq[(String, Long)] = {
+          val rows = df.limit(MaxLangs + 1).collect()
+            .map(r => (r.getString(0), r.getLong(1))).toSeq
+          require(rows.size <= MaxLangs,
+            s"q105: lang cardinality exceeds $MaxLangs — the per-class " +
+              "model tables are driver-collected; a label column at this " +
+              s"cardinality is not a classification target ($cnt rollup)")
+          rows
+        }
+        val statsLocal = langRollup(trainTok.groupBy(col("lang"))
+          .agg(count(lit(1)).as("nl")), "nl")
+        val dlLocal = langRollup(train.groupBy(col("lang"))
+          .agg(count(lit(1)).as("dl")), "dl")
         val priors = dlLocal.toDF("lang", "dl")
           .withColumn("prior", floor(round(
             log(col("dl").cast("double") / lit(nTrainDocs.toDouble)), 6) *
