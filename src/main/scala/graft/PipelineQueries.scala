@@ -1222,16 +1222,25 @@ object PipelineQueries {
         // pairing the full per-doc token set (len² explosion) and pairing
         // the few hundred frequent types.
         //
-        // The floor is applied IN-ENGINE, so the collect is bounded on ANY
-        // corpus — including a pathological all-unique-token one where raw
-        // vocabulary is corpus-sized: Σ doc-freq = |pres| ≤ n·avgDistinct,
-        // so at most avgDistinct/0.05 = 20·avgDistinct tokens can clear a
-        // 0.05·n doc-frequency floor. DRIVER-SIZED by construction, not by
-        // corpus good manners (the collected-pass-1 contract).
+        // The floor is applied IN-ENGINE, which bounds the collect at
+        // 20·avgDistinctTokensPerDoc on any corpus (Σ doc-freq = |pres| ≤
+        // n·avgDistinct, so at most avgDistinct/0.05 tokens clear a
+        // 0.05·n doc-frequency floor) — including the pathological
+        // all-unique-token corpus where raw vocabulary is corpus-sized.
+        // avgDistinct is still DATA, though (a few-docs/huge-docs corpus
+        // inflates it, r14 review), so the materialization also carries
+        // the loud limit+require cap — the rankedWithApprox idiom, same
+        // 65536 as q105's class guard.
+        val MaxFreqToks = 65536
         val hd = pres.agg(countDistinct(col("doc_id")).as("nd"),
           countDistinct(col("t")).as("v")).head()
         val (nD, vocabN) = (hd.getLong(0).toDouble, hd.getLong(1))
-        val pass1 = singles.filter(col("c") >= lit(0.05) * lit(nD)).collect()
+        val pass1 = singles.filter(col("c") >= lit(0.05) * lit(nD))
+          .limit(MaxFreqToks + 1).collect()
+        require(pass1.length <= MaxFreqToks,
+          s"q111: more than $MaxFreqToks tokens clear the support floor — " +
+            "the frequent-singles table is driver-collected; at this " +
+            "cardinality the pair space is not a top-20 PMI question")
         val freqToks = pass1.map(_.getString(0)).toSeq
         // skip the membership filter when NOTHING fell below the floor
         // (the local corpus): an always-true InSet still hashes every

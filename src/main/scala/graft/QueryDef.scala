@@ -100,8 +100,16 @@ object Par {
   }
 
   /** Nodes that neither shuffle nor change the partition count (Union
-    * concatenates children's partitions — still jobless to probe). */
+    * concatenates children's partitions — still jobless to probe).
+    *
+    * InMemoryRelation is a LeafNode but NOT probe-safe (r14 review): an
+    * UNMATERIALIZED cache of a shuffle-bearing plan builds its buffer RDD
+    * from cachedPlan.execute(), and under AQE that materializes the
+    * cached subtree's stages at probe time — jobs running inside what
+    * must be a driver-only inspection. No Par call site passes a
+    * persisted frame today; keep the latent path closed. */
   private def narrowNode(p: LogicalPlan): Boolean = p match {
+    case _: org.apache.spark.sql.execution.columnar.InMemoryRelation => false
     case _: LeafNode | _: Project | _: Filter | _: Generate | _: Union |
          _: LocalLimit | _: Sample | _: TypedFilter | _: Expand => true
     case _: SerializeFromObject | _: DeserializeToObject |

@@ -132,17 +132,24 @@ class Collection private (
         java.nio.file.Paths.get(tmp), nextDir.toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch {
-        case e @ (_: java.nio.file.FileAlreadyExistsException |
-                  _: java.nio.file.DirectoryNotEmptyException) =>
-          throw new IllegalStateException(
-            s"$op: concurrent writer detected — v$next appeared during " +
-              "install. Collections are single-writer: serialize " +
-              "mutations, or re-open and retry.", e)
+        // order matters: AtomicMoveNotSupported FIRST (it subclasses
+        // FileSystemException). The atomic branch calls rename(2)
+        // directly, and Linux reports dir-over-nonempty-dir as ENOTEMPTY,
+        // which the JDK surfaces as a GENERIC FileSystemException — not
+        // the FileAlreadyExists/DirectoryNotEmpty the pre-check-based
+        // non-atomic path threw (r14 review). So classify by EVIDENCE:
+        // any rename failure with v<next> now existing is the writer
+        // race; anything else (tmp vanished, EIO) rethrows unclassified.
         case e: java.nio.file.AtomicMoveNotSupportedException =>
           throw new IllegalStateException(
             s"$op: snapshot install requires an atomic rename, but " +
               s"$tmp -> $nextDir crosses file stores. Keep the " +
               "collection directory on one store.", e)
+        case e: java.nio.file.FileSystemException if nextDir.exists() =>
+          throw new IllegalStateException(
+            s"$op: concurrent writer detected — v$next appeared during " +
+              "install. Collections are single-writer: serialize " +
+              "mutations, or re-open and retry.", e)
       }
       commitPointer(next)
       installed = true

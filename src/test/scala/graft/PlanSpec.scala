@@ -278,15 +278,35 @@ class PlanSpec extends SparkSpec {
     // the query once at Par() time and again when the result ran. The
     // logical-plan gate must classify such frames as non-narrow (no probe,
     // keep the spread) and still probe pure narrow chains joblessly.
-    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    // The listener bus is async, so "no job ran" cannot be asserted off a
+    // fixed sleep (a late-delivered event would pass the test silently —
+    // r14 review). Instead record each job's GROUP and use FIFO sentinels:
+    // a flush sentinel drains any in-flight events from earlier tests,
+    // and a closing sentinel proves every probe-era event has been
+    // delivered — bus order guarantees a probe job's event would arrive
+    // BEFORE the closing sentinel's.
+    val groups = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        jobs.incrementAndGet(); ()
+        groups.add(Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+          .getOrElse("<none>")); ()
       }
+    }
+    def runSentinel(name: String): Unit = {
+      spark.sparkContext.setJobGroup(name, name)
+      try spark.range(1).count()
+      finally spark.sparkContext.clearJobGroup()
+      val deadline = System.currentTimeMillis + 60000
+      while (!groups.contains(name) && System.currentTimeMillis < deadline)
+        Thread.sleep(10)
+      assert(groups.contains(name), s"sentinel $name never observed")
     }
     spark.sparkContext.addSparkListener(listener)
     try {
+      runSentinel("par-probe-flush")
+      groups.clear()
       val agg = spark.range(1000).toDF("id")
         .orderBy(col("id").desc)
         .agg(sum(col("id")).as("s"))
@@ -335,9 +355,19 @@ class PlanSpec extends SparkSpec {
           s"$label must not be probed (shuffle-bearing)")
       }
 
-      Thread.sleep(500) // listener bus is async; drain before asserting
-      assert(jobs.get() === 0,
-        s"plan probing must be driver-side only, but ${jobs.get()} job(s) ran")
+      // a persisted-but-unmaterialized cached aggregate is a LeafNode
+      // (InMemoryRelation) — probing it would run the cached subtree's
+      // stages, so the whitelist must refuse it (r14 review)
+      val cached = base.groupBy(col("k")).agg(sum(col("v")).as("s")).persist()
+      try assert(Par.plannedPartitions(cached).isEmpty,
+        "unmaterialized cached aggregate must not be probed")
+      finally { cached.unpersist(); () }
+
+      runSentinel("par-probe-done")
+      val stray = scala.jdk.CollectionConverters.IteratorHasAsScala(
+        groups.iterator).asScala.toSeq.filterNot(_ == "par-probe-done")
+      assert(stray.isEmpty,
+        s"plan probing must be driver-side only, but these job(s) ran: $stray")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 }
