@@ -1238,18 +1238,30 @@ object TextQueries {
     val st = toks.agg(count(lit(1)).cast("double").as("n"),
       (sum(col("dl")) / count(lit(1))).as("avgdl")).head()
     val (n, avgdl) = (st.getDouble(0), st.getDouble(1))
-    val qrows = Seq(
+    val qSeq = Seq(
       (0L, "spark window join"), (1L, "vector hash group"),
       (2L, "customer order value"), (3L, "stream batch filter"),
-      (4L, "scan slow table")).toDF("qid", "qtext")
+      (4L, "scan slow table"))
+    val qrows = qSeq.toDF("qid", "qtext")
     val qterms = qrows
       .select(col("qid"), explode(TextOps.tokens(col("qtext"))).as("term"))
       .distinct()
+    // query-term membership INSIDE the array before the explode+groupBy
+    // (the q42 BM25 lesson, r12/r14): the old shape exploded and
+    // aggregated the FULL per-doc vocabulary — a corpus-token-sized
+    // shuffle — and only then semi-joined down to the ~dozen query
+    // terms. The query strings are literals, so the term set is
+    // driver-known; the filtered explode ships only query-term hits.
+    // AbQ113 measured the leg at 3.0 s warm at sf1 in the old shape —
+    // the groupBy shuffle, not the scoring, was the cost.
+    val termList = qSeq
+      .flatMap(_._2.toLowerCase.split("[^a-z0-9]+"))
+      .filter(_.nonEmpty).distinct
     val tf = toks
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .select(col("doc_id"), col("dl"),
+        explode(filter(col("toks"), t => t.isin(termList.map(lit): _*))).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
-      .join(broadcast(qterms.select("term").distinct()), Seq("term"), "left_semi")
     // df as a count window over the SAME tf frame: a groupBy+join-back
     // duplicates the whole corpus subtree (the two branches prune
     // differently, so ReuseExchange can't fire) and scans twice
