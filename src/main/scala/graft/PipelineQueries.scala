@@ -843,19 +843,21 @@ object PipelineQueries {
         // label cardinality is bounded by the TASK (a language classifier
         // trains over a known class set), but `lang` is a data column — a
         // hostile corpus with per-doc unique labels would make these
-        // collects corpus-sized. The rankedWithApprox idiom: cap the
-        // materialization and fail loudly (the old broadcast-subtree form
-        // had the same hazard as a driver-side broadcast OOM, just quieter)
-        val MaxLangs = 65536
-        def langRollup(df: DataFrame, cnt: String): Seq[(String, Long)] = {
-          val rows = df.limit(MaxLangs + 1).collect()
+        // collects corpus-sized. Cap sized to the DOWNSTREAM consumer,
+        // not the collect (r14 advice): scoring crossJoins every test doc
+        // against all L classes, so cost is linear in L per test row — at
+        // the old 65536 cap a 35k-class corpus PASSED the guard and then
+        // stalled in that ×L join (BoundedCollectSpec's first draft hit
+        // exactly this). 1024 is generous for any real classifier target
+        // (langid ~200, domains ~dozens) and keeps the ×L join trivially
+        // broadcastable.
+        val MaxLangs = 1024
+        def langRollup(df: DataFrame, cnt: String): Seq[(String, Long)] =
+          Bounded.collectBounded(df, MaxLangs, s"q105: lang",
+            "the per-class model tables are driver-collected and scoring " +
+              "enumerates ×L candidates per test doc; a label column at " +
+              s"this cardinality is not a classification target ($cnt rollup)")
             .map(r => (r.getString(0), r.getLong(1))).toSeq
-          require(rows.size <= MaxLangs,
-            s"q105: lang cardinality exceeds $MaxLangs — the per-class " +
-              "model tables are driver-collected; a label column at this " +
-              s"cardinality is not a classification target ($cnt rollup)")
-          rows
-        }
         val statsLocal = langRollup(trainTok.groupBy(col("lang"))
           .agg(count(lit(1)).as("nl")), "nl")
         val dlLocal = langRollup(train.groupBy(col("lang"))
@@ -1235,11 +1237,10 @@ object PipelineQueries {
         val hd = pres.agg(countDistinct(col("doc_id")).as("nd"),
           countDistinct(col("t")).as("v")).head()
         val (nD, vocabN) = (hd.getLong(0).toDouble, hd.getLong(1))
-        val pass1 = singles.filter(col("c") >= lit(0.05) * lit(nD))
-          .limit(MaxFreqToks + 1).collect()
-        require(pass1.length <= MaxFreqToks,
-          s"q111: more than $MaxFreqToks tokens clear the support floor — " +
-            "the frequent-singles table is driver-collected; at this " +
+        val pass1 = Bounded.collectBounded(
+          singles.filter(col("c") >= lit(0.05) * lit(nD)),
+          MaxFreqToks, "q111: support-floor-clearing token",
+          "the frequent-singles table is driver-collected; at this " +
             "cardinality the pair space is not a top-20 PMI question")
         val freqToks = pass1.map(_.getString(0)).toSeq
         // skip the membership filter when NOTHING fell below the floor

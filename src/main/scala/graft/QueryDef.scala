@@ -279,14 +279,14 @@ object ExactPercentiles {
     val p50Col =
       if (accuracy == 100) expr(s"NULL") // extracted from bs below
       else expr(s"approx_percentile(CAST(v AS DOUBLE), 0.5D, $accuracy)")
-    val probe = base.groupBy(col(key)).agg(
-      count(lit(1)).as("n"),
-      expr(s"approx_percentile(CAST(v AS DOUBLE), array(${(1 until nb).map(_.toDouble / nb).mkString(",")}), 100)")
-        .as("bs"),
-      p50Col.as("p50")).limit(MaxProbeKeys + 1).collect()
-    require(probe.length <= MaxProbeKeys,
-      s"ranked($key): grouping-key cardinality exceeds $MaxProbeKeys — " +
-        "this helper probes per key and is built for low-cardinality " +
+    val probe = Bounded.collectBounded(
+      base.groupBy(col(key)).agg(
+        count(lit(1)).as("n"),
+        expr(s"approx_percentile(CAST(v AS DOUBLE), array(${(1 until nb).map(_.toDouble / nb).mkString(",")}), 100)")
+          .as("bs"),
+        p50Col.as("p50")),
+      MaxProbeKeys, s"ranked($key): grouping-key",
+      "this helper probes per key and is built for low-cardinality " +
         "keys; use a per-key window percentile for keys at this scale")
     val total = probe.map(_.getLong(1)).sum
     val approx = probe.toSeq.map { r =>

@@ -122,6 +122,21 @@ class Collection private (
       // check-then-act window from [pointer re-read .. rename] to the
       // rename itself (r12-advice; full closure needs a lock the
       // single-writer contract doesn't require).
+      // Best-effort loud pre-check (r14-advice): ATOMIC_MOVE maps to
+      // rename(2), which on Linux silently REPLACES an existing EMPTY
+      // target directory — the one slice of the writer-race window the
+      // evidence-based catch below can never see (the move SUCCEEDS, so
+      // there is no exception to classify). A v<next> that reappeared
+      // since the orphan sweep above is a concurrent writer's install in
+      // progress; refuse before the rename can clobber it. Non-empty
+      // targets still fail inside the move and classify there — this
+      // check only restores the loud detection the old non-atomic path
+      // had for the empty-target case.
+      if (nextDir.exists())
+        throw new IllegalStateException(
+          s"$op: concurrent writer detected — v$next appeared between " +
+            "the orphan sweep and install. Collections are " +
+            "single-writer: serialize mutations, or re-open and retry.")
       // ATOMIC_MOVE (r13-advice): without it, Files.move silently falls
       // back to copy+delete if tmp and the version dir ever land on
       // different stores, and that fallback's DirectoryNotEmptyException
