@@ -1228,59 +1228,25 @@ object TextQueries {
     * `(doc_id, toks: array<string>, dl: double)` — the scoring body of
     * q87, extracted so q113's hybrid fusion can feed it the SAME
     * persisted tokenized frame its cosine leg embeds from (one corpus
-    * scan for both legs, VERDICT r7 #3). Callers own persistence; the
-    * stats `.head()` here is the 1-row corpus-constant barrier and
-    * doubles as the cache materializer when the input is persisted.
+    * scan for both legs, VERDICT r7 #3). Callers own persistence. The
+    * scoring arithmetic lives in `functions.Bm25.scoreTopK` — ONE
+    * kernel shared with q42's `RagPipeline.bm25All` (r14 verdict #1);
+    * this wrapper owns only the fixed query set and q87's output
+    * projection (qid, rnk, doc_id, 6dp score).
     */
   def bm25Leg(s: SparkSession, toks: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import s.implicits._
-    val st = toks.agg(count(lit(1)).cast("double").as("n"),
-      (sum(col("dl")) / count(lit(1))).as("avgdl")).head()
-    val (n, avgdl) = (st.getDouble(0), st.getDouble(1))
-    val qSeq = Seq(
+    // the query strings are literals, so the (qid, term) set is
+    // driver-known — tokenized by the kernel's OWN driver-side twin
+    // (TextKernels.tokensLocal), never a hand-rolled split, so the
+    // pre-explode membership filter inside Bm25.scoreTopK can never
+    // desynchronize from the corpus-side TextOps.tokens (r14 advice)
+    val qterms = Seq(
       (0L, "spark window join"), (1L, "vector hash group"),
       (2L, "customer order value"), (3L, "stream batch filter"),
       (4L, "scan slow table"))
-    val qrows = qSeq.toDF("qid", "qtext")
-    val qterms = qrows
-      .select(col("qid"), explode(TextOps.tokens(col("qtext"))).as("term"))
-      .distinct()
-    // query-term membership INSIDE the array before the explode+groupBy
-    // (the q42 BM25 lesson, r12/r14): the old shape exploded and
-    // aggregated the FULL per-doc vocabulary — a corpus-token-sized
-    // shuffle — and only then semi-joined down to the ~dozen query
-    // terms. The query strings are literals, so the term set is
-    // driver-known; the filtered explode ships only query-term hits.
-    // AbQ113 measured the leg at 3.0 s warm at sf1 in the old shape —
-    // the groupBy shuffle, not the scoring, was the cost.
-    val termList = qSeq
-      .flatMap(_._2.toLowerCase.split("[^a-z0-9]+"))
-      .filter(_.nonEmpty).distinct
-    val tf = toks
-      .select(col("doc_id"), col("dl"),
-        explode(filter(col("toks"), t => t.isin(termList.map(lit): _*))).as("term"))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).cast("double").as("tf"))
-    // df as a count window over the SAME tf frame: a groupBy+join-back
-    // duplicates the whole corpus subtree (the two branches prune
-    // differently, so ReuseExchange can't fire) and scans twice
-    val scored = tf
-      .withColumn("df", count(lit(1))
-        .over(Window.partitionBy(col("term"))).cast("double"))
-      .join(broadcast(qterms), Seq("term"))
-      .withColumn("sterm", floor(round(
-        log((lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
-          (col("tf") * lit(2.2) /
-            (col("tf") + lit(1.2) *
-              (lit(1.0) - lit(0.75) + lit(0.75) * (col("dl") / lit(avgdl))))),
-        6) * lit(1e6) + lit(0.5)).cast("long"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("s_int").desc, col("doc_id").asc)
-    scored.groupBy(col("qid"), col("doc_id"))
-      .agg(sum(col("sterm")).as("s_int"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 5)
+      .flatMap { case (qid, q) =>
+        graft.functions.TextKernels.tokensLocal(q).map(qid -> _) }
+    graft.functions.Bm25.scoreTopK(toks, "doc_id", qterms, 5)
       .withColumn("score", round(col("s_int") / lit(1e6), 6))
       .select(col("qid"), col("rnk"), col("doc_id"), col("score"))
       .orderBy(col("qid"), col("rnk"))

@@ -191,6 +191,17 @@ case class FingerprintKernel(child: Expression) extends TextKernel {
 object TextKernels {
   def tokens(text: Column): Column =
     ColumnBridge.column(TokensKernel(ColumnBridge.expression(text)))
+  /** DRIVER-SIDE twin of the `tokens` column kernel — same
+    * TextKernelsImpl.tokens byte-run pass, so a query-literal term set
+    * built on the driver can never desynchronize from the corpus-side
+    * tokenization (r14 advice: BM25's pre-explode membership filter
+    * hand-rolled `toLowerCase.split` in parallel with the kernel; any
+    * future divergence would silently drop tf rows while the qterms
+    * join still matched). One tokenizer, both sides —
+    * `TextKernelsSpec` pins local/column agreement. */
+  def tokensLocal(text: String): Seq[String] =
+    TextKernelsImpl.tokens(UTF8String.fromString(text))
+      .array.toSeq.map(_.toString)
   def punctRatio(text: Column): Column =
     ColumnBridge.column(PunctRatioKernel(ColumnBridge.expression(text)))
   def normalize(text: Column): Column =

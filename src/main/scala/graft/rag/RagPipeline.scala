@@ -3,7 +3,7 @@ package graft.rag
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.{TextEmbed, TextOps, VectorKernels}
+import graft.functions.{Bm25, TextEmbed, TextOps, VectorKernels}
 
 /** Batch RAG pipeline (SURVEY.md §3.1 / §3.3), vectorized.
   *
@@ -37,67 +37,41 @@ object RagPipeline {
   }
 
   /** Per-question BM25 top-k over the collection's text column — the
-    * lexical retriever `retrieveHybrid` fuses with cosine. Same
-    * inverted-index arithmetic as the oracle-checked q87_bm25 (Lucene
-    * idf ln(1+(N−df+0.5)/(df+0.5)), k1=1.2, b=0.75). Emits (qid, id,
-    * rnk). Scale shape: the corpus explodes to (id, term) once and is
-    * immediately semi-joined against the broadcast question-term set, so
-    * the only wide edges carry pre-shrunk data.
+    * lexical retriever `retrieveHybrid` fuses with cosine. Scoring and
+    * scale shape live in the ONE shared kernel `functions.Bm25.scoreTopK`
+    * (also behind the oracle-checked q87_bm25/q113_hybrid_rrf); this
+    * wrapper owns null-text scrubbing and the question-batch term
+    * collect. Emits (qid, id, rnk).
     */
   def bm25All(questions: DataFrame, collection: DataFrame, k: Int): DataFrame = {
-    import collection.sparkSession.implicits._
     // null text tokenizes to NULL and size(NULL) = -1 under the legacy
     // default, silently corrupting avgdl (r11 review) — a null-text doc
     // is a zero-length doc
     val toks = collection.select(col("id"),
         coalesce(TextOps.tokens(col("text")), array().cast("array<string>")).as("toks"))
       .withColumn("dl", size(col("toks")).cast("double"))
-    // corpus stats as a 1-row broadcast frame folded into the main plan —
-    // previously a driver-blocking .head() job (its own corpus scan) that
-    // ran before the real query started
-    val st = toks.agg(count(lit(1)).cast("double").as("n"),
-      (sum(col("dl")) / count(lit(1))).as("avgdl"))
     // the query-term set is tiny by construction (a question batch):
-    // collect it once so the corpus side can drop non-query tokens
-    // INSIDE the scan projection, before the explode — the exploded
-    // frame then carries only matching tokens instead of the corpus
-    val qtermRows = questions
-      .select(col("qid"), explode(TextOps.tokens(col("question"))).as("term"))
-      .distinct().as[(Long, String)].collect()
-    val termList = qtermRows.map(_._2).distinct.toSeq
-    val qterms = broadcast(qtermRows.toSeq.toDF("qid", "term"))
-    // membership via isin, NOT array_contains(typedLit(...)): the
-    // optimizer rewrites In to a hash-set InSet above 10 values, while
-    // array_contains on a literal array scans it per token — O(|terms|)
-    // × 50M corpus tokens dominated q42's sf1 time (3.4 s → 1.1 s for
-    // the whole leg, AbQ42)
-    val tf = toks.select(col("id"), col("dl"),
-        explode(filter(col("toks"), t => t.isin(termList: _*))).as("term"))
-      .groupBy(col("id"), col("dl"), col("term"))
-      .agg(count(lit(1)).cast("double").as("tf"))
-    // df as a count window over the SAME tf frame — a groupBy+join-back
-    // would duplicate the whole corpus subtree (each branch gets pruned
-    // differently, so ReuseExchange can't fire, and the corpus was
-    // scanned and aggregated twice — measured 1.37 s → 0.7 s here)
-    val w = Window.partitionBy(col("qid")).orderBy(col("bm_score").desc, col("id").asc)
-    tf.withColumn("df",
-        count(lit(1)).over(Window.partitionBy(col("term"))).cast("double"))
-      .join(broadcast(qterms), Seq("term"))
-      .crossJoin(broadcast(st))
-      // per-term scores are lifted to exact integers (6dp round-half-up,
-      // q87's discipline) before the per-document sum: a raw-double SUM
-      // is accumulation-order dependent, so near-tie documents could
-      // swap ranks across runs/partitionings
-      .withColumn("s",
-        floor(round(
-          log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
-            (col("tf") * lit(2.2) /
-              (col("tf") + lit(1.2) *
-                (lit(1.0) - lit(0.75) + lit(0.75) * (col("dl") / col("avgdl"))))),
-          6) * lit(1e6) + lit(0.5)).cast("long"))
-      .groupBy(col("qid"), col("id")).agg(sum(col("s")).as("bm_score"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    // collect it once — through the SAME TextOps.tokens kernel that
+    // tokenizes the corpus side — so Bm25.scoreTopK can drop non-query
+    // tokens INSIDE the scan projection, before the explode. Loud-capped
+    // (bounded-collect contract): a "question batch" at 64k distinct
+    // (qid, term) pairs is not a question batch.
+    val qterms = graft.Bounded.collectBounded(
+      questions
+        // cast, don't assume: qid arrives as int from some sources; the
+        // old .as[(Long, String)] encoder upcast it, getLong would throw
+        .select(col("qid").cast("long").as("qid"),
+          explode(TextOps.tokens(col("question"))).as("term"))
+        .distinct(),
+      65536, "bm25: query-term",
+      "the question batch's term set is driver-collected to pre-filter " +
+        "the corpus explode; batch the questions, don't stream a corpus " +
+        "through the qid column")
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // scoring arithmetic + 100 TB shape (InSet-inside-array, df window,
+    // 1-row stats broadcast, integer-score discipline) live in the ONE
+    // shared kernel — see functions.Bm25 (r14 verdict #1)
+    Bm25.scoreTopK(toks, "id", qterms, k)
       .select(col("qid"), col("id"), col("rnk"))
   }
 

@@ -67,6 +67,28 @@ class TextKernelsSpec extends SparkSpec {
       md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
   }
 
+  test("tokensLocal (driver-side) == tokens column kernel on every text") {
+    // ONE tokenizer governs both sides of BM25's pre-explode membership
+    // filter (r14 advice): a query-literal term set built on the driver
+    // must agree with the corpus-side column kernel on arbitrary text —
+    // including the non-ASCII and case-mapping one-offs above — or the
+    // filter silently drops tf rows while the qterms join still matches.
+    val df = texts.filter(_ != null).zipWithIndex.map(_.swap).toDF("id", "text")
+    val fromPlan = df.select(col("text"), TextKernels.tokens(col("text")).as("k"))
+      .collect()
+    fromPlan.foreach { r =>
+      val t = r.getString(0)
+      assert(TextKernels.tokensLocal(t) == r.getSeq[String](1),
+        s"tokensLocal diverged from the column kernel on '$t'")
+    }
+    // and on the exact q87/q113 query literals the BM25 leg ships
+    Seq("spark window join", "vector hash group", "customer order value",
+      "stream batch filter", "scan slow table").foreach { q =>
+      assert(TextKernels.tokensLocal(q) ==
+        q.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq)
+    }
+  }
+
   test("kernels survive both codegen and interpreted evaluation") {
     // eval path: force interpreted by disabling whole-stage codegen
     val prev = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
