@@ -70,9 +70,18 @@ object Bench {
     val selected = SparkEntry.benchQueries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     canary(spark); canary(spark) // untimed warmups (codegen + JIT settle)
-    val canaryBefore = canary(spark)
+    // Drift instrumentation (r14 verdict #2: a driver re-run read +25%
+    // vs same-tree builder runs, with only the before/after canary pair
+    // as the tell): a canary BETWEEN sweeps plus per-sweep totals make a
+    // box-drift multiplier visible INSIDE the artifact — a real
+    // regression moves specific queries in both sweeps; drift moves one
+    // sweep's total and its flanking canaries together while the
+    // per-query min (which `queries` already reports) shrugs it off.
+    val canaries = scala.collection.mutable.ArrayBuffer(canary(spark))
+    val sweepTotals = scala.collection.mutable.ArrayBuffer.empty[Double]
     val best = scala.collection.mutable.Map.empty[String, Double]
     for (_ <- 1 to sweeps) {
+      var sweepSum = 0.0
       selected.foreach { case (name, fn) =>
         val times = (1 to reps).flatMap { _ =>
           val t0 = System.nanoTime()
@@ -96,14 +105,18 @@ object Bench {
         // within-query reps still re-persist their own frames.
         spark.catalog.clearCache()
         times.minOption.foreach { t =>
+          sweepSum += t
           if (!best.get(name).exists(_ <= t)) best(name) = t
         }
       }
+      sweepTotals += sweepSum
+      canaries += canary(spark)
     }
     // all-executions-failed → an unmissable sentinel in the profile
     val results = selected.map { case (name, _) =>
       name -> best.getOrElse(name, 9999.0) }
-    val canaryAfter = canary(spark)
+    val canaryBefore = canaries.head
+    val canaryAfter = canaries.last
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
@@ -125,7 +138,9 @@ object Bench {
       java.security.MessageDigest.getInstance("MD5").digest(sb.toString.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(16)
     } catch { case _: Throwable => "unknown" }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","sweeps":$sweeps,"reps":$reps,"canary_before":$canaryBefore,"canary_after":$canaryAfter,"data_fingerprint":"$fingerprint","queries":$qs,"sf":"$sfDir"}"""
+    val canariesJson = canaries.mkString("[", ",", "]")
+    val sweepTotalsJson = sweepTotals.mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","sweeps":$sweeps,"reps":$reps,"canary_before":$canaryBefore,"canary_after":$canaryAfter,"canaries":$canariesJson,"sweep_totals":$sweepTotalsJson,"data_fingerprint":"$fingerprint","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // The driver keeps only the stdout TAIL of this process, and with ~115
     // queries the sorted timing dict truncates mid-line (BENCH_r06.json lost
