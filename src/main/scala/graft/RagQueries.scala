@@ -234,7 +234,7 @@ object RagQueries {
           .withColumn("cos_rnk", row_number().over(wCos).cast("long"))
           .filter(col("cos_rnk") <= 5)
           .select(col("qid"), col("doc_id"), col("cos_rnk"))
-        val bm = TextQueries.bm25Leg(s, toksF)
+        val bm = TextQueries.bm25Leg(toksF)
           .select(col("qid"), col("doc_id"), col("rnk").as("bm_rnk"))
         val wR = Window.partitionBy(col("qid"))
           .orderBy(col("score").desc, col("doc_id").asc)

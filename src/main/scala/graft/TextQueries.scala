@@ -1187,7 +1187,7 @@ object TextQueries {
         val toks = docs(s, dir)
           .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
           .withColumn("dl", size(col("toks")).cast("double"))
-        bm25Leg(s, toks)
+        bm25Leg(toks)
       },
       Some(s"""
         WITH qr AS (SELECT * FROM (VALUES
@@ -1234,7 +1234,7 @@ object TextQueries {
     * this wrapper owns only the fixed query set and q87's output
     * projection (qid, rnk, doc_id, 6dp score).
     */
-  def bm25Leg(s: SparkSession, toks: DataFrame): DataFrame = {
+  def bm25Leg(toks: DataFrame): DataFrame = {
     // the query strings are literals, so the (qid, term) set is
     // driver-known — tokenized by the kernel's OWN driver-side twin
     // (TextKernels.tokensLocal), never a hand-rolled split, so the

@@ -62,7 +62,7 @@ object AbQ113 {
       tick(s"rep$rep p3:cosine-leg(embed+rank)")(
         cos.write.format("noop").mode("overwrite").save())
 
-      val bm = graft.TextQueries.bm25Leg(spark, toksF)
+      val bm = graft.TextQueries.bm25Leg(toksF)
         .select(col("qid"), col("doc_id"), col("rnk").as("bm_rnk"))
       tick(s"rep$rep p4:bm25-leg-over-cached")(
         bm.write.format("noop").mode("overwrite").save())

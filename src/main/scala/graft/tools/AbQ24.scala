@@ -190,7 +190,11 @@ object AbQ24 {
     if (mode == "df2") {
       for (rep <- 1 to reps) {
         tick(s"df2 rep$rep") {
-          val kept = spark.read.parquet(s"$dir/documents.parquet")
+          // graft.Par, like the registered plan: at sf1 documents.parquet
+          // is a single small file, so without the adaptive spread the
+          // heavy tokenize+shingle+explode projection runs on 1-2 scan
+          // splits and the variant eats a fake penalty (r15 self-review)
+          val kept = graft.Par(spark.read.parquet(s"$dir/documents.parquet"))
             .withColumn("blk", (col("n_chars") / 100).cast("long"))
             .withColumn("toks", graft.functions.TextOps.tokens(col("text")))
             .select(col("blk"), col("doc_id"),
@@ -240,7 +244,8 @@ object AbQ24 {
     if (mode == "pairs") {
       for (rep <- 1 to reps) {
         tick(s"pairs rep$rep") {
-          val kept = spark.read.parquet(s"$dir/documents.parquet")
+          // graft.Par — same scan spread as the registered plan (see df2)
+          val kept = graft.Par(spark.read.parquet(s"$dir/documents.parquet"))
             .withColumn("blk", (col("n_chars") / 100).cast("long"))
             .withColumn("toks", graft.functions.TextOps.tokens(col("text")))
             .select(col("blk"), col("doc_id"),

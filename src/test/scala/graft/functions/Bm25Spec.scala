@@ -32,7 +32,14 @@ class Bm25Spec extends SparkSpec {
     def df(term: String) = toks.count(_._2.contains(term)).toDouble
     val perQ = qterms.distinct.groupBy(_._1)
     perQ.flatMap { case (qid, qts) =>
-      val scored = corpus.map(_._1).map { id =>
+      // a (qid, doc) pair is scored iff the doc CONTAINS one of that
+      // qid's terms — matching the kernel's tf-frame membership, NOT a
+      // nonzero-score test: a matching doc whose per-term scores all
+      // round to integer 0 still occupies a rank slot in the kernel and
+      // in the q87 oracle (r15 self-review)
+      val scored = corpus.map(_._1)
+        .filter(id => qts.map(_._2).exists(byId(id).contains))
+        .map { id =>
         val sInt = qts.map(_._2).distinct.map { term =>
           val tf = byId(id).count(_ == term).toDouble
           if (tf == 0) 0L
@@ -47,7 +54,7 @@ class Bm25Spec extends SparkSpec {
           }
         }.sum
         (id, sInt)
-      }.filter(_._2 != 0L)
+      }
       scored.sortBy { case (id, s) => (-s, id) }.take(k).zipWithIndex.map {
         case ((id, s), i) => (qid, id, s, (i + 1).toLong)
       }
