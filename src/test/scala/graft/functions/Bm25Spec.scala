@@ -103,4 +103,40 @@ class Bm25Spec extends SparkSpec {
   test("scoreTopK on an empty query set returns an empty frame") {
     assert(Bm25.scoreTopK(mkToks(corpus), "doc_id", Seq.empty, 5).count() == 0L)
   }
+
+  test("scoreTopK == scalar twin on seeded random corpora (ties, absent terms, empty docs)") {
+    // the oracle gate pins only q87's fixed query set; this sweeps the
+    // kernel over corpora the oracle never sees — duplicate docs (exact
+    // integer ties), query terms in no document, documents with no
+    // query terms, empty documents (dl=0 still counts toward avgdl),
+    // duplicated (qid, term) pairs
+    val rnd = new scala.util.Random(20260815L)
+    val vocab = Vector("ant", "bee", "cat", "dog", "elk", "fox", "gnu",
+      "hen", "ibis", "jay", "koi", "lark")
+    for (case_ <- 1 to 8) {
+      val nDocs = 4 + rnd.nextInt(12)
+      val base = (0 until nDocs).map { i =>
+        val len = rnd.nextInt(18) // 0 => empty doc
+        f"r$i%02d" -> Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      // force at least one nonempty doc (all-empty => avgdl 0/0 = NaN,
+      // not a meaningful corpus) and one exact-tie duplicate pair
+      val corpus = base ++ Seq(
+        "ranchor" -> "ant bee cat",
+        "rdup" -> "ant bee cat")
+      val qterms = (0 until 1 + rnd.nextInt(3)).flatMap { qid =>
+        val terms = Seq.fill(1 + rnd.nextInt(4))(
+          if (rnd.nextInt(5) == 0) "zebra" // absent from every doc
+          else vocab(rnd.nextInt(vocab.size)))
+        (terms ++ terms.take(1)).map(t => (qid.toLong, t)) // dup pair
+      }
+      val k = 1 + rnd.nextInt(6)
+      val got = Bm25.scoreTopK(mkToks(corpus), "doc_id", qterms, k)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == expected(corpus, qterms, k),
+        s"case $case_ diverged (docs=$nDocs k=$k qterms=$qterms)")
+    }
+  }
 }
