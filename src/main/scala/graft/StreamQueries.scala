@@ -458,6 +458,80 @@ object StreamQueries {
         SELECT bins.doc_id, bins.w AS width, bins.h AS height, bins.bin,
                round(COALESCE(cnt.c, 0)::DOUBLE / (bins.w * bins.h), 6) AS frac
         FROM bins LEFT JOIN cnt ON bins.doc_id = cnt.doc_id AND bins.bin = cnt.bin
-        ORDER BY bins.doc_id, bins.bin"""))
+        ORDER BY bins.doc_id, bins.bin""")),
+
+    // ── q133: frame PIXEL decode from a VIDEO CONTAINER — the r15 step
+    //   past q124's GIF leg: each doc muxes block-constant baseline
+    //   JPEGs into a real ISO-BMFF container (SimpleMp4.muxMjpeg), and
+    //   the decode side walks the real stsz/stsc/stco sample tables
+    //   (SimpleMp4.mjpegFrames) and pixel-decodes every frame with the
+    //   general SimpleJpeg decoder — motion JPEG is the one video codec
+    //   family that needs no codec library, so this is honestly real
+    //   end-to-end; H.264/VP8/VP9 stay the adjudicated boundary. Same
+    //   keyframe-selection shape as q124: sample every 2nd frame,
+    //   integer-exact luma sums (block-constant JPEG decode is bit-exact,
+    //   q89's argument), scene-change deltas via a doc-keyed lag. The
+    //   oracle recomputes the sums from the synthesis formula without
+    //   ever seeing a container — a sample walk that drops, reorders, or
+    //   mis-slices any frame hash-mismatches. 100 TB shape: per-row map
+    //   under the per-task decode budgets (MaxFrames / 64 MiB sample
+    //   bytes / SimpleJpeg.MaxPixels); only sampled (doc, frame, sum)
+    //   rows ever shuffle. ──
+    QueryDef("q133_mjpeg_frames",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val mkMp4 = udf { (docId: Long, w: Int, h: Int, nf: Int) =>
+          val bpr = w / 8
+          val frames = (0 until nf).map { f =>
+            val px = Array.tabulate(w * h) { i =>
+              val b = (i / w / 8) * bpr + (i % w / 8)
+              ((docId * 29 + f * 11 + b * 17) % 256).toByte
+            }
+            graft.operators.SimpleJpeg.encode(
+              graft.operators.SimpleJpeg.Image(w, h, 1, px))
+          }
+          graft.operators.SimpleMp4.muxMjpeg(w, h, frames)
+        }
+        // asNondeterministic: the q124 planner fence —
+        // InferFiltersFromGenerate would otherwise clone the whole
+        // mux+demux+decode chain into a pre-Generate Filter
+        val lumSums = udf { (payload: Array[Byte]) =>
+          graft.operators.SimpleMp4.mjpegFrames(payload).map(_.flatMap { fr =>
+            graft.operators.SimpleJpeg.decode(fr)
+              .map(img => img.pixels.map(b => (b & 0xff).toLong).sum)
+          }).orNull
+        }.asNondeterministic()
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("frame"))
+        Par(s.read.parquet(s"$dir/documents.parquet"))
+          .select(col("doc_id"),
+            ((lit(1) + col("doc_id") % 3) * 8).cast("int").as("w"),
+            ((lit(1) + col("doc_id") % 2) * 8).cast("int").as("h"),
+            (lit(2) + col("doc_id") % 4).cast("int").as("nf"))
+          .withColumn("sums",
+            lumSums(mkMp4(col("doc_id"), col("w"), col("h"), col("nf"))))
+          .select(col("doc_id"), posexplode(col("sums")))
+          .withColumnRenamed("pos", "frame").withColumnRenamed("col", "lum_sum")
+          .filter(col("frame") % 2 === 0) // the sample: every 2nd frame
+          .withColumn("frame", col("frame").cast("long"))
+          .withColumn("delta", abs(col("lum_sum") - lag(col("lum_sum"), 1).over(w)))
+          .select(col("doc_id"), col("frame"), col("lum_sum"), col("delta"))
+          .orderBy(col("doc_id"), col("frame"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id, (1 + doc_id % 3) * 8 AS w, (1 + doc_id % 2) * 8 AS h,
+                 2 + doc_id % 4 AS nf
+          FROM documents),
+        fs AS (
+          SELECT p.doc_id, CAST(f.f AS BIGINT) AS frame,
+                 CAST(list_sum(list_transform(range(0, (p.w // 8) * (p.h // 8)),
+                   b -> 64 * ((p.doc_id * 29 + f.f * 11 + b * 17) % 256)))
+                   AS BIGINT) AS lum_sum
+          FROM p, unnest(range(0, p.nf)) AS f(f)
+          WHERE f.f % 2 = 0)
+        SELECT doc_id, frame, lum_sum,
+               abs(lum_sum - lag(lum_sum) OVER (PARTITION BY doc_id
+                 ORDER BY frame)) AS delta
+        FROM fs ORDER BY doc_id, frame"""))
   )
 }

@@ -17,6 +17,14 @@ package graft.operators
   * version byte. Malformed structure (overrunning box, short payload)
   * throws internally and surfaces as None — refuse loudly, never decode
   * garbage (the SimpleJpeg discipline).
+  *
+  * Since r15 the parser also walks the sample tables (stsz sizes, stsc
+  * sample→chunk runs, stco/co64 chunk offsets — §8.7) to per-sample
+  * byte ranges, which makes frame PIXEL decode real for the one video
+  * codec family that needs no codec library: motion JPEG ('jpeg'/
+  * 'mjpa'/'mjpb' sample entries), where every sample is a baseline
+  * JPEG that [[SimpleJpeg]] already decodes. H.264/VP8/VP9 remain the
+  * adjudicated library boundary.
   */
 object SimpleMp4 {
 
@@ -131,5 +139,190 @@ object SimpleMp4 {
       if (!sawMoov || ts <= 0) None
       else Some(Meta(brand, ts, dur * 1000 / ts, tracks))
     } catch { case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException => None }
+  }
+
+  /** Motion-JPEG sample-entry fourccs — frames are standalone baseline
+    * JPEGs, so pixel decode needs only [[SimpleJpeg]]. */
+  private val MjpegCodecs = Set("jpeg", "mjpa", "mjpb")
+
+  /** Decode budgets for the sample-table walk: a hostile table can
+    * reference the same payload bytes thousands of times, so the guard
+    * is on what we ALLOCATE, not on what the file claims (the
+    * SimpleJpeg.MaxPixels discipline). */
+  private val MaxFrames = 4096
+  private val MaxTotalSampleBytes = 1L << 26 // 64 MiB per payload
+
+  /** Per-sample payloads of the first motion-JPEG video track, via the
+    * full stsz/stsc/stco walk. None when there is no such track, the
+    * container is malformed, any sample range falls outside the
+    * payload, or the table exceeds the decode budget — never garbage.
+    */
+  def mjpegFrames(b: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    if (!isMp4(b)) return None
+    try {
+      var out: Option[Seq[Array[Byte]]] = None
+      boxes(b, 0, b.length) { (t, s, e) =>
+        if (t == "moov") boxes(b, s, e) { (t2, s2, e2) =>
+          if (t2 == "trak" && out.isEmpty) {
+            var kind = "unknown"
+            var codec = ""
+            var sizes: Array[Int] = null
+            var stsc: Array[(Long, Long)] = null // (first_chunk, samples_per_chunk)
+            var chunkOffs: Array[Long] = null
+            boxes(b, s2, e2) { (t3, s3, e3) =>
+              if (t3 == "mdia") boxes(b, s3, e3) { (t4, s4, e4) =>
+                t4 match {
+                  case "hdlr" =>
+                    kind = if (fourcc(b, s4 + 8) == "vide") "video" else "other"
+                  case "minf" => boxes(b, s4, e4) { (t5, s5, e5) =>
+                    if (t5 == "stbl") boxes(b, s5, e5) { (t6, s6, e6) =>
+                      t6 match {
+                        case "stsd" if e6 - s6 >= 16 => codec = fourcc(b, s6 + 12)
+                        case "stsz" if e6 - s6 >= 12 =>
+                          val fixed = u32(b, s6 + 4)
+                          val n = u32(b, s6 + 8)
+                          if (n > MaxFrames)
+                            throw new IllegalArgumentException(s"stsz count $n over budget")
+                          sizes =
+                            if (fixed != 0) Array.fill(n.toInt)(fixed.toInt)
+                            else {
+                              if (s6 + 12 + n * 4 > e6)
+                                throw new IllegalArgumentException("stsz short")
+                              Array.tabulate(n.toInt)(i => u32(b, s6 + 12 + i * 4).toInt)
+                            }
+                        case "stsc" if e6 - s6 >= 8 =>
+                          val n = u32(b, s6 + 4)
+                          if (n > MaxFrames)
+                            throw new IllegalArgumentException("stsc count over budget")
+                          if (s6 + 8 + n * 12 > e6)
+                            throw new IllegalArgumentException("stsc short")
+                          stsc = Array.tabulate(n.toInt)(i =>
+                            (u32(b, s6 + 8 + i * 12), u32(b, s6 + 12 + i * 12)))
+                        case "stco" | "co64" if e6 - s6 >= 8 =>
+                          val wide = t6 == "co64"
+                          val n = u32(b, s6 + 4)
+                          if (n > MaxFrames)
+                            throw new IllegalArgumentException("stco count over budget")
+                          val step = if (wide) 8 else 4
+                          if (s6 + 8 + n * step > e6)
+                            throw new IllegalArgumentException("stco short")
+                          chunkOffs = Array.tabulate(n.toInt)(i =>
+                            if (wide) u64(b, s6 + 8 + i * 8) else u32(b, s6 + 8 + i * 4))
+                        case _ => ()
+                      }
+                    }
+                  }
+                  case _ => ()
+                }
+              }
+            }
+            if (kind == "video" && MjpegCodecs.contains(codec) &&
+                sizes != null && stsc != null && chunkOffs != null &&
+                stsc.nonEmpty && chunkOffs.nonEmpty) {
+              // resolve samples to byte ranges: stsc entries are runs —
+              // entry i applies from its first_chunk (1-based) until the
+              // next entry's; samples lie consecutively inside a chunk
+              var total = 0L
+              val frames = Array.newBuilder[Array[Byte]]
+              var sample = 0
+              var sci = 0
+              var chunk = 1
+              while (sample < sizes.length && chunk <= chunkOffs.length) {
+                while (sci + 1 < stsc.length && stsc(sci + 1)._1 <= chunk) sci += 1
+                if (stsc(sci)._1 > chunk)
+                  throw new IllegalArgumentException("stsc first_chunk gap")
+                val perChunk = stsc(sci)._2
+                if (perChunk <= 0 || perChunk > MaxFrames)
+                  throw new IllegalArgumentException("stsc run over budget")
+                var off = chunkOffs(chunk - 1)
+                var k = 0L
+                while (k < perChunk && sample < sizes.length) {
+                  val sz = sizes(sample)
+                  if (sz < 0 || off < 0 || off + sz > b.length)
+                    throw new IllegalArgumentException("sample outside payload")
+                  total += sz
+                  if (total > MaxTotalSampleBytes)
+                    throw new IllegalArgumentException("sample bytes over budget")
+                  frames += java.util.Arrays.copyOfRange(b, off.toInt, off.toInt + sz)
+                  off += sz
+                  sample += 1
+                  k += 1
+                }
+                chunk += 1
+              }
+              if (sample < sizes.length)
+                throw new IllegalArgumentException("chunk table exhausted before samples")
+              out = Some(frames.result().toSeq)
+            }
+          }
+        }
+      }
+      out
+    } catch { case _: IllegalArgumentException | _: ArrayIndexOutOfBoundsException => None }
+  }
+
+  /** Minimal single-track MJPEG muxer — the write-side twin the q133
+    * fixture and specs synthesize REAL containers with (the
+    * SimpleJpeg.encode precedent: a codec earns its decoder a
+    * round-trip oracle). One 'jpeg' video track, all samples in one
+    * chunk, 1-tick frame durations at the given timescale. The output
+    * parses with [[parse]] (brand/dims/nSamples) AND [[mjpegFrames]].
+    */
+  def muxMjpeg(width: Int, height: Int, frames: Seq[Array[Byte]],
+               timescale: Long = 30): Array[Byte] = {
+    require(frames.nonEmpty && width > 0 && height > 0, "muxMjpeg: empty input")
+    val bo = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+        ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def u16(v: Int): Array[Byte] = Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+      val body = payload.flatten.toArray
+      u32(body.length + 8L) ++ typ.getBytes("ISO-8859-1") ++ body
+    }
+    val n = frames.length
+    val mdatPayload = frames.flatten.toArray
+    val ftyp = box("ftyp", "isom".getBytes, u32(0), "isom".getBytes)
+    val firstSampleOff = ftyp.length + 8 // mdat header follows ftyp
+    val dur = n.toLong // 1 tick per frame
+    val mvhd = box("mvhd", u32(0), u32(0), u32(0), u32(timescale), u32(dur),
+      u32(0x00010000L), u16(0x0100), u16(0), u32(0), u32(0),
+      // identity matrix
+      u32(0x00010000L), u32(0), u32(0), u32(0), u32(0x00010000L), u32(0),
+      u32(0), u32(0), u32(0x40000000L),
+      Array.fill(24)(0.toByte), u32(2))
+    val tkhd = box("tkhd", u32(7) /* v0 + enabled|in-movie|in-preview */,
+      u32(0), u32(0), u32(1), u32(0), u32(dur), u32(0), u32(0),
+      u16(0), u16(0), u16(0), u16(0),
+      u32(0x00010000L), u32(0), u32(0), u32(0), u32(0x00010000L), u32(0),
+      u32(0), u32(0), u32(0x40000000L),
+      u32(width.toLong << 16), u32(height.toLong << 16))
+    val mdhd = box("mdhd", u32(0), u32(0), u32(0), u32(timescale), u32(dur),
+      u16(0x55C4) /* 'und' */, u16(0))
+    val hdlr = box("hdlr", u32(0), u32(0), "vide".getBytes,
+      u32(0), u32(0), u32(0), Array(0.toByte))
+    val sampleEntry =
+      u32(86L) ++ "jpeg".getBytes ++ Array.fill(6)(0.toByte) ++ u16(1) ++
+        u16(0) ++ u16(0) ++ Array.fill(12)(0.toByte) ++
+        u16(width) ++ u16(height) ++ u32(0x00480000L) ++ u32(0x00480000L) ++
+        u32(0) ++ u16(1) ++ Array.fill(32)(0.toByte) ++ u16(24) ++ u16(0xFFFF)
+    val stsd = box("stsd", u32(0), u32(1), sampleEntry)
+    val stts = box("stts", u32(0), u32(1), u32(n.toLong), u32(1))
+    val stsc = box("stsc", u32(0), u32(1), u32(1), u32(n.toLong), u32(1))
+    val stsz = box("stsz", u32(0), u32(0), u32(n.toLong),
+      frames.toArray.flatMap(f => u32(f.length.toLong)))
+    val stco = box("stco", u32(0), u32(1), u32(firstSampleOff.toLong))
+    val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
+    val vmhd = box("vmhd", u32(1), u16(0), u16(0), u16(0), u16(0))
+    val dref = box("dref", u32(0), u32(1), box("url ", u32(1)))
+    val dinf = box("dinf", dref)
+    val minf = box("minf", vmhd, dinf, stbl)
+    val mdia = box("mdia", mdhd, hdlr, minf)
+    val trak = box("trak", tkhd, mdia)
+    val moov = box("moov", mvhd, trak)
+    bo.write(ftyp)
+    bo.write(box("mdat", mdatPayload))
+    bo.write(moov)
+    bo.toByteArray
   }
 }

@@ -193,14 +193,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("shiftright"), p.take(3000))
   }
 
-  test("q123/q124/q125: no decode UDF is duplicated into a Filter condition") {
+  test("q123/q124/q125/q133: no decode UDF is duplicated into a Filter condition") {
     // InferFiltersFromGenerate / pushed isNotNull filters used to clone
     // the whole encode+decode UDF chain into Filter conditions (3x the
     // codec work per row on q124 — sf1 5.4 -> 1.1 s when fenced). The
     // asNondeterministic planner fence must keep every Filter free of
     // scala UDF calls: the inferred/pushed conditions may reference the
     // PROJECTED column, never re-evaluate the chain.
-    for (q <- Seq("q123_phash_dedup", "q124_frame_sample", "q125_audio_fingerprint")) {
+    for (q <- Seq("q123_phash_dedup", "q124_frame_sample", "q125_audio_fingerprint",
+         "q133_mjpeg_frames")) {
       val p = plan(q)
       val offending = p.linesIterator
         .filter(l => l.contains("Condition") || l.trim.startsWith("+- Filter") ||

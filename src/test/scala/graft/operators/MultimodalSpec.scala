@@ -479,4 +479,63 @@ class MultimodalSpec extends SparkSpec {
     assert(out.getAs[Int]("height") === 360)
     assert(out.getAs[Int]("n_frames") === 24)
   }
+
+  // ── MJPEG-in-MP4: frame PIXEL decode for real (r15) ──
+
+  /** Block-constant grayscale frame — the SimpleJpeg bit-exactness
+    * class: only the DC coefficient survives, integer-exact. */
+  private def jpegFrame(w: Int, h: Int, seed: Long): (Array[Byte], Array[Byte]) = {
+    val bpr = w / 8
+    val px = Array.tabulate(w * h) { i =>
+      val blk = (i / w / 8) * bpr + (i % w / 8)
+      ((seed + blk * 17) % 256).toByte
+    }
+    (SimpleJpeg.encode(SimpleJpeg.Image(w, h, 1, px)), px)
+  }
+
+  test("MJPEG-in-MP4 frames decode for REAL: mux -> sample tables -> bit-exact pixels") {
+    val (w, h) = (16, 8)
+    val made = (0 until 3).map(f => jpegFrame(w, h, 29 + f * 11))
+    val mp4 = SimpleMp4.muxMjpeg(w, h, made.map(_._1))
+    // the muxed container satisfies the metadata parser too
+    val meta = SimpleMp4.parse(mp4).get
+    assert(meta.brand === "isom")
+    val tr = meta.tracks.head
+    assert((tr.kind, tr.codec, tr.width, tr.height, tr.nSamples) ===
+      (("video", "jpeg", w, h, 3)))
+    // and the sample walk recovers every frame, pixel-exact
+    val frames = SimpleMp4.mjpegFrames(mp4).get
+    assert(frames.length === 3)
+    frames.zip(made).foreach { case (payload, (enc, px)) =>
+      assert(payload.sameElements(enc))
+      val img = SimpleJpeg.decode(payload).get
+      assert((img.width, img.height) === ((w, h)))
+      assert(img.pixels.sameElements(px))
+    }
+  }
+
+  test("MJPEG sample walk refuses hostile tables: OOB offsets, budget bombs, wrong codec") {
+    val (enc, _) = jpegFrame(8, 8, 3)
+    val mp4 = SimpleMp4.muxMjpeg(8, 8, Seq(enc, enc))
+    def patch(sig: String, at: Int, v: Long): Array[Byte] = {
+      val m = mp4.clone()
+      val pos = m.indices.indexWhere(i => i + 4 <= m.length &&
+        new String(m.slice(i, i + 4), "ISO-8859-1") == sig)
+      assert(pos > 0, s"$sig not found")
+      var x = v; var j = 3
+      while (j >= 0) { m(pos + at + j) = (x & 0xFF).toByte; x >>= 8; j -= 1 }
+      m
+    }
+    // stco box: ['stco' @pos] vf(+4) count(+8) offset(+12) — point the
+    // chunk past the payload
+    assert(SimpleMp4.mjpegFrames(patch("stco", 12, 0x7FFFFFF0L)).isEmpty)
+    // stsz count bomb: claim 100k samples (over the frame budget)
+    assert(SimpleMp4.mjpegFrames(patch("stsz", 12, 100000L)).isEmpty)
+    // a non-MJPEG track is not this decoder's business
+    assert(SimpleMp4.mjpegFrames(buildMp4()).isEmpty)
+    // truncation never throws and never fabricates frames
+    (0 until mp4.length by 37).foreach { k =>
+      assert(SimpleMp4.mjpegFrames(java.util.Arrays.copyOf(mp4, k)).forall(_.nonEmpty))
+    }
+  }
 }

@@ -131,6 +131,10 @@ class ParserFuzzSpec extends AnyFunSuite {
     ("gif", gifFix, b => SimpleGif.decode(b)),
     ("wav", wavFix, b => SimpleWav.decode(b)),
     ("mp4", mp4Fix, b => SimpleMp4.parse(b)),
+    ("mjpeg-mp4", SimpleMp4.muxMjpeg(16, 8, Seq.tabulate(3) { f =>
+      SimpleJpeg.encode(SimpleJpeg.Image(16, 8, 1,
+        Array.tabulate(128)(i => ((29 + f * 11 + ((i / 16 / 8) * 2 + (i % 16 / 8)) * 17) % 256).toByte)))
+    }), b => SimpleMp4.mjpegFrames(b)),
     ("webm", webmFix, b => SimpleWebm.parse(b)),
     ("pdf", pdfFix, b => SimplePdfExtractor.extractPages(b))
   )
