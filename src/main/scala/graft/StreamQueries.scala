@@ -496,10 +496,16 @@ object StreamQueries {
         // InferFiltersFromGenerate would otherwise clone the whole
         // mux+demux+decode chain into a pre-Generate Filter
         val lumSums = udf { (payload: Array[Byte]) =>
-          graft.operators.SimpleMp4.mjpegFrames(payload).map(_.flatMap { fr =>
-            graft.operators.SimpleJpeg.decode(fr)
-              .map(img => img.pixels.map(b => (b & 0xff).toLong).sum)
-          }).orNull
+          // all-or-nothing (the q124 precedent, r15 review #2): a frame
+          // whose JPEG decode fails must refuse the WHOLE doc — a
+          // flatMap would silently drop it, re-index every later frame
+          // under posexplode, and pair the lag-deltas wrong
+          graft.operators.SimpleMp4.mjpegFrames(payload).flatMap { frames =>
+            val sums = frames.map(fr =>
+              graft.operators.SimpleJpeg.decode(fr)
+                .map(img => img.pixels.map(b => (b & 0xff).toLong).sum))
+            if (sums.forall(_.isDefined)) Some(sums.map(_.get)) else None
+          }.orNull
         }.asNondeterministic()
         val w = Window.partitionBy(col("doc_id")).orderBy(col("frame"))
         Par(s.read.parquet(s"$dir/documents.parquet"))

@@ -271,6 +271,13 @@ object SimpleMp4 {
   def muxMjpeg(width: Int, height: Int, frames: Seq[Array[Byte]],
                timescale: Long = 30): Array[Byte] = {
     require(frames.nonEmpty && width > 0 && height > 0, "muxMjpeg: empty input")
+    // the round-trip guarantee in the scaladoc holds only INSIDE the
+    // decoder's own budgets — refuse loudly here rather than hand a
+    // caller a well-formed container mjpegFrames will None (r15 review)
+    require(frames.length <= MaxFrames,
+      s"muxMjpeg: ${frames.length} frames exceeds the $MaxFrames decode budget")
+    require(frames.iterator.map(_.length.toLong).sum <= MaxTotalSampleBytes,
+      s"muxMjpeg: total sample bytes exceed the $MaxTotalSampleBytes decode budget")
     val bo = new java.io.ByteArrayOutputStream()
     def u32(v: Long): Array[Byte] =
       Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,

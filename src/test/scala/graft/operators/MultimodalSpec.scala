@@ -533,9 +533,13 @@ class MultimodalSpec extends SparkSpec {
     assert(SimpleMp4.mjpegFrames(patch("stsz", 12, 100000L)).isEmpty)
     // a non-MJPEG track is not this decoder's business
     assert(SimpleMp4.mjpegFrames(buildMp4()).isEmpty)
-    // truncation never throws and never fabricates frames
+    // truncation never throws and never fabricates frames: the muxer
+    // writes moov LAST, so every strict prefix lacks the sample tables
+    // and must be None outright — not Some(empty), not partial frames
+    // (the forall(_.nonEmpty) first draft was vacuously true, r15 review)
     (0 until mp4.length by 37).foreach { k =>
-      assert(SimpleMp4.mjpegFrames(java.util.Arrays.copyOf(mp4, k)).forall(_.nonEmpty))
+      assert(SimpleMp4.mjpegFrames(java.util.Arrays.copyOf(mp4, k)).isEmpty,
+        s"truncation at $k fabricated frames")
     }
   }
 }
