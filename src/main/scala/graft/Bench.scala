@@ -140,7 +140,15 @@ object Bench {
     } catch { case _: Throwable => "unknown" }
     val canariesJson = canaries.mkString("[", ",", "]")
     val sweepTotalsJson = sweepTotals.mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","sweeps":$sweeps,"reps":$reps,"canary_before":$canaryBefore,"canary_after":$canaryAfter,"canaries":$canariesJson,"sweep_totals":$sweepTotalsJson,"data_fingerprint":"$fingerprint","queries":$qs,"sf":"$sfDir"}"""
+    // gate queries this artifact deliberately does NOT time, with the
+    // declared reason — 132-of-133 was previously explained only in
+    // prose (r15 verdict #5)
+    val excludedJson = QueryRegistry.all
+      .collect { case d if d.benchExclude.isDefined =>
+        "\"" + d.name + ": " + d.benchExclude.get.replace("\\", "\\\\")
+          .replace("\"", "\\\"") + "\"" }
+      .mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","sweeps":$sweeps,"reps":$reps,"canary_before":$canaryBefore,"canary_after":$canaryAfter,"canaries":$canariesJson,"sweep_totals":$sweepTotalsJson,"excluded":$excludedJson,"data_fingerprint":"$fingerprint","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // The driver keeps only the stdout TAIL of this process, and with ~115
     // queries the sorted timing dict truncates mid-line (BENCH_r06.json lost

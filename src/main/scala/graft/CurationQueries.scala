@@ -1892,6 +1892,58 @@ object CurationQueries {
                CAST(coalesce(agg.n_docs, 0) AS BIGINT) AS n_docs,
                CAST(coalesce(agg.n_hits, 0) AS BIGINT) AS n_hits
         FROM ph LEFT JOIN agg USING (phrase_id)
-        ORDER BY ph.phrase"""))
+        ORDER BY ph.phrase""")),
+
+    // ── q134: deterministic EPOCH SHUFFLE manifest — the "globally
+    //   reshuffle the corpus every epoch" primitive a training data
+    //   loader consumes, which the curation family had every neighbor
+    //   of (packing q126, mixing q127, placement q119) but not the
+    //   shuffle itself. Per (epoch, doc): h = hash60(doc_id ':' epoch)
+    //   is the doc's pseudo-random sort key for that epoch; shard =
+    //   h mod nShards assigns it to a loader shard; pos = rank of h
+    //   within the shard is its read position. Different epochs hash to
+    //   unrelated keys, so consecutive epochs decorrelate without any
+    //   stored permutation state (EpochShuffleSpec pins exactly-once
+    //   per epoch + cross-epoch decorrelation + shard balance).
+    //
+    //   100 TB shape: NO global sort anywhere — the assignment is a
+    //   pure per-row projection, and ordering happens only INSIDE a
+    //   shard (a rank window partitioned by (epoch, shard)). nShards is
+    //   the scale knob: choose corpus_size/shard_budget so each shard's
+    //   window sort stays executor-sized (at the gate it is pinned to 8
+    //   for stable oracle output); the shuffle then moves each row
+    //   exactly once to its shard, the same cost as writing the epoch's
+    //   file layout. Contrast: a row_number over the whole corpus —
+    //   the naive "shuffled index" — would serialize 100 TB through
+    //   one window partition. ──
+    QueryDef("q134_epoch_shuffle",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val nShards = 8
+        val perEpoch = docs(s, dir).select(col("doc_id"))
+          .withColumn("epoch", explode(typedlit(Seq(0L, 1L))))
+          .withColumn("h", XHash.hash60(
+            concat(col("doc_id").cast("string"), lit(":"),
+              col("epoch").cast("string"))))
+          .withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
+        val w = Window.partitionBy(col("epoch"), col("shard"))
+          .orderBy(col("h").asc, col("doc_id").asc)
+        perEpoch
+          .withColumn("pos", row_number().over(w).cast("long"))
+          .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
+          .orderBy(col("epoch"), col("shard"), col("pos"))
+      },
+      Some(s"""
+        WITH pe AS (
+          SELECT e.epoch AS epoch, d.doc_id AS doc_id,
+                 ${XHash.hash60Sql("d.doc_id::VARCHAR || ':' || e.epoch::VARCHAR")} AS h
+          FROM documents d, (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) AS e(epoch)),
+        sh AS (
+          SELECT epoch, doc_id, h, h % 8 AS shard FROM pe)
+        SELECT epoch, shard,
+               CAST(row_number() OVER (PARTITION BY epoch, shard
+                 ORDER BY h ASC, doc_id ASC) AS BIGINT) AS pos,
+               doc_id
+        FROM sh ORDER BY epoch, shard, pos"""))
   )
 }

@@ -18,7 +18,13 @@ final case class QueryDef(
     name: String,
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    benchmark: Boolean = true)
+    benchExclude: Option[String] = None) {
+  /** In the sf-scaled bench suite unless an exclusion reason is declared.
+    * The reason is not prose-only: Bench emits it in the artifact's
+    * `excluded` field, so a bench JSON is self-describing about which
+    * gate queries it does NOT time and why (r15 verdict #5). */
+  def benchmark: Boolean = benchExclude.isEmpty
+}
 
 /** Spread a small-file scan across the cluster before compute-heavy
   * per-row work (embedding, hashing, shingling, cosine). A single parquet

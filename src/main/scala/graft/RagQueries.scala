@@ -110,9 +110,12 @@ object RagQueries {
           .orderBy(col("qid"))
       },
       None,
-      // fixture-constant work (reads the reference corpus, not sfDir) —
-      // excluded from the sf-scaled bench line, still in the verify gate
-      benchmark = false),
+      // still in the verify gate; the reason lands in the bench JSON's
+      // `excluded` field so the artifact is self-describing
+      // ASCII only: the bench JSON line goes through stdout, whose JVM
+      // platform encoding can mangle non-ASCII into '?'
+      benchExclude = Some("fixture-constant: reads the reference corpus, " +
+        "not sfDir, so its time cannot scale with sf")),
 
     // ── q42: eval harness — QA pairs, judge grades, mean grade ──
     QueryDef("q42_rag_eval",

@@ -177,7 +177,16 @@ object SimpleMp4 {
                   case "minf" => boxes(b, s4, e4) { (t5, s5, e5) =>
                     if (t5 == "stbl") boxes(b, s5, e5) { (t6, s6, e6) =>
                       t6 match {
-                        case "stsd" if e6 - s6 >= 16 => codec = fourcc(b, s6 + 12)
+                        // frame decode reads entry_count, not just the first
+                        // fourcc: a multi-entry stsd can code samples under a
+                        // SECOND description (stsc sample_description_index),
+                        // so a first-entry-'jpeg' track could hand non-JPEG
+                        // sample bytes out as "MJPEG frames" (r15 advice).
+                        // entry_count == 1 makes every sample provably the
+                        // jpeg description; [[parse]] keeps the first-entry
+                        // read — it reports metadata, it never hands bytes out
+                        case "stsd" if e6 - s6 >= 16 =>
+                          codec = if (u32(b, s6 + 4) == 1L) fourcc(b, s6 + 12) else ""
                         case "stsz" if e6 - s6 >= 12 =>
                           val fixed = u32(b, s6 + 4)
                           val n = u32(b, s6 + 8)
@@ -264,13 +273,33 @@ object SimpleMp4 {
   /** Minimal single-track MJPEG muxer — the write-side twin the q133
     * fixture and specs synthesize REAL containers with (the
     * SimpleJpeg.encode precedent: a codec earns its decoder a
-    * round-trip oracle). One 'jpeg' video track, all samples in one
-    * chunk, 1-tick frame durations at the given timescale. The output
-    * parses with [[parse]] (brand/dims/nSamples) AND [[mjpegFrames]].
+    * round-trip oracle). One 'jpeg' video track, 1-tick frame durations
+    * at the given timescale. The output parses with [[parse]]
+    * (brand/dims/nSamples) AND [[mjpegFrames]].
+    *
+    * Chunk layout is a knob (r15 verdict #2: the decoder's multi-run
+    * stsc advance, multi-chunk stco walk, and co64 branch had green-path
+    * coverage only through refusal fixtures, because this muxer emitted
+    * exactly one layout): `chunkSizes` partitions the samples into
+    * chunks (empty = the legacy all-in-one-chunk layout, byte-identical
+    * output), consecutive equal counts compress into one stsc run so
+    * varying sizes exercise the run-advance loop; `co64` writes 64-bit
+    * chunk offsets; `chunkGap` inserts dead bytes BETWEEN chunks inside
+    * mdat (legal — samples are located by offset, so real-world
+    * interleaved files have exactly such non-contiguous chunks).
     */
   def muxMjpeg(width: Int, height: Int, frames: Seq[Array[Byte]],
-               timescale: Long = 30): Array[Byte] = {
+               timescale: Long = 30, chunkSizes: Seq[Int] = Nil,
+               co64: Boolean = false, chunkGap: Int = 0): Array[Byte] = {
     require(frames.nonEmpty && width > 0 && height > 0, "muxMjpeg: empty input")
+    // stsd carries width/height as u16 while tkhd carries 16.16 — a
+    // value over 65535 would silently truncate in one and not the other,
+    // emitting a self-disagreeing container (r15 advice); timescale is a
+    // u32 field in mvhd/mdhd
+    require(width <= 0xFFFF && height <= 0xFFFF,
+      s"muxMjpeg: dimensions ${width}x$height exceed the u16 sample-entry fields")
+    require(timescale > 0 && timescale <= 0xFFFFFFFFL,
+      s"muxMjpeg: timescale $timescale outside u32")
     // the round-trip guarantee in the scaladoc holds only INSIDE the
     // decoder's own budgets — refuse loudly here rather than hand a
     // caller a well-formed container mjpegFrames will None (r15 review)
@@ -278,19 +307,37 @@ object SimpleMp4 {
       s"muxMjpeg: ${frames.length} frames exceeds the $MaxFrames decode budget")
     require(frames.iterator.map(_.length.toLong).sum <= MaxTotalSampleBytes,
       s"muxMjpeg: total sample bytes exceed the $MaxTotalSampleBytes decode budget")
+    require(chunkGap >= 0, s"muxMjpeg: negative chunkGap $chunkGap")
+    require(chunkSizes.isEmpty ||
+        (chunkSizes.forall(_ > 0) && chunkSizes.sum == frames.length),
+      s"muxMjpeg: chunkSizes must be positive and sum to ${frames.length}")
     val bo = new java.io.ByteArrayOutputStream()
     def u32(v: Long): Array[Byte] =
       Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
         ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def u64b(v: Long): Array[Byte] = u32(v >>> 32) ++ u32(v & 0xFFFFFFFFL)
     def u16(v: Int): Array[Byte] = Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
     def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
       val body = payload.flatten.toArray
       u32(body.length + 8L) ++ typ.getBytes("ISO-8859-1") ++ body
     }
     val n = frames.length
-    val mdatPayload = frames.flatten.toArray
+    val chunks: Seq[Seq[Array[Byte]]] = {
+      val sizes = if (chunkSizes.isEmpty) Seq(n) else chunkSizes
+      val (out, rest) = sizes.foldLeft((Vector.empty[Seq[Array[Byte]]], frames)) {
+        case ((acc, rem), sz) => (acc :+ rem.take(sz), rem.drop(sz))
+      }
+      assert(rest.isEmpty); out
+    }
+    // dead gap bytes go BETWEEN chunks only — the single-chunk default
+    // stays byte-identical to the pre-knob layout
+    val mdatPayload = chunks.map(_.flatten.toArray)
+      .reduce((a, c) => a ++ Array.fill(chunkGap)(0.toByte) ++ c)
     val ftyp = box("ftyp", "isom".getBytes, u32(0), "isom".getBytes)
     val firstSampleOff = ftyp.length + 8 // mdat header follows ftyp
+    val chunkOffsets = chunks.map(_.iterator.map(_.length.toLong).sum)
+      .scanLeft(firstSampleOff.toLong)((off, bytes) => off + bytes + chunkGap)
+      .dropRight(1)
     val dur = n.toLong // 1 tick per frame
     val mvhd = box("mvhd", u32(0), u32(0), u32(0), u32(timescale), u32(dur),
       u32(0x00010000L), u16(0x0100), u16(0), u32(0), u32(0),
@@ -315,10 +362,22 @@ object SimpleMp4 {
         u32(0) ++ u16(1) ++ Array.fill(32)(0.toByte) ++ u16(24) ++ u16(0xFFFF)
     val stsd = box("stsd", u32(0), u32(1), sampleEntry)
     val stts = box("stts", u32(0), u32(1), u32(n.toLong), u32(1))
-    val stsc = box("stsc", u32(0), u32(1), u32(1), u32(n.toLong), u32(1))
+    // consecutive equal samples-per-chunk compress into one run — the
+    // §8.7.4 encoding the decoder's run-advance loop walks
+    val stscRuns = chunks.map(_.length).zipWithIndex.foldLeft(Vector.empty[(Int, Int)]) {
+      case (acc, (spc, i)) =>
+        if (acc.nonEmpty && acc.last._2 == spc) acc else acc :+ ((i + 1, spc))
+    }
+    val stsc = box("stsc", u32(0), u32(stscRuns.length.toLong),
+      stscRuns.toArray.flatMap { case (fc, spc) =>
+        u32(fc.toLong) ++ u32(spc.toLong) ++ u32(1) })
     val stsz = box("stsz", u32(0), u32(0), u32(n.toLong),
       frames.toArray.flatMap(f => u32(f.length.toLong)))
-    val stco = box("stco", u32(0), u32(1), u32(firstSampleOff.toLong))
+    val stco =
+      if (co64) box("co64", u32(0), u32(chunkOffsets.length.toLong),
+        chunkOffsets.toArray.flatMap(u64b))
+      else box("stco", u32(0), u32(chunkOffsets.length.toLong),
+        chunkOffsets.toArray.flatMap(u32))
     val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
     val vmhd = box("vmhd", u32(1), u16(0), u16(0), u16(0), u16(0))
     val dref = box("dref", u32(0), u32(1), box("url ", u32(1)))

@@ -54,8 +54,14 @@ object RagPipeline {
     // collect it once — through the SAME TextOps.tokens kernel that
     // tokenizes the corpus side — so Bm25.scoreTopK can drop non-query
     // tokens INSIDE the scan projection, before the explode. Loud-capped
-    // (bounded-collect contract): a "question batch" at 64k distinct
-    // (qid, term) pairs is not a question batch.
+    // (bounded-collect contract), and the cap is sized to the DOWNSTREAM
+    // consumer, not to driver memory (the q105 lesson, r15 advice): every
+    // distinct term becomes a string literal in the kernel's isin() —
+    // InSet probes stay O(1), but analysis time and serialized-plan size
+    // grow with the list, so 64k terms would stall planning long before
+    // the collect hurt. 4096 distinct (qid, term) pairs ≈ a few hundred
+    // questions — far above any real question batch, far below where the
+    // plan bloats.
     val qterms = graft.Bounded.collectBounded(
       questions
         // cast, don't assume: qid arrives as int from some sources; the
@@ -63,7 +69,7 @@ object RagPipeline {
         .select(col("qid").cast("long").as("qid"),
           explode(TextOps.tokens(col("question"))).as("term"))
         .distinct(),
-      65536, "bm25: query-term",
+      4096, "bm25: query-term",
       "the question batch's term set is driver-collected to pre-filter " +
         "the corpus explode; batch the questions, don't stream a corpus " +
         "through the qid column")

@@ -43,6 +43,107 @@ object AbQ42 {
     def questions: DataFrame =
       TextEmbed.withEmbed(qa.select(col("qid"), col("question")), "question", "qv")
 
+    // pair mode (r15 verdict #1): the kernel unification (82dea69) was
+    // waived an interleaved A/B on a byte-identical-plan claim, and q42
+    // then moved +22%/+27% in the committed two-scale artifacts. This
+    // interleaves the PRE-82dea69 bm25All (verbatim below: inline
+    // scoring, un-capped .as[(Long,String)].collect() term list) against
+    // the registered kernel-backed bm25All on the same collection —
+    // bm25All is the ONLY q42 subtree that commit touched, so a
+    // warm-identical pair verifies the claim; a gap names the cause.
+    if (args.drop(2).headOption.contains("pair")) {
+      def oldBm25All(questions: DataFrame, collection: DataFrame, k: Int): DataFrame = {
+        import spark.implicits._
+        import org.apache.spark.sql.expressions.Window
+        import graft.functions.TextOps
+        val toks = collection.select(col("id"),
+            coalesce(TextOps.tokens(col("text")), array().cast("array<string>")).as("toks"))
+          .withColumn("dl", size(col("toks")).cast("double"))
+        val st = toks.agg(count(lit(1)).cast("double").as("n"),
+          (sum(col("dl")) / count(lit(1))).as("avgdl"))
+        val qtermRows = questions
+          .select(col("qid"), explode(TextOps.tokens(col("question"))).as("term"))
+          .distinct().as[(Long, String)].collect()
+        val termList = qtermRows.map(_._2).distinct.toSeq
+        val qterms = broadcast(qtermRows.toSeq.toDF("qid", "term"))
+        val tf = toks.select(col("id"), col("dl"),
+            explode(filter(col("toks"), t => t.isin(termList: _*))).as("term"))
+          .groupBy(col("id"), col("dl"), col("term"))
+          .agg(count(lit(1)).cast("double").as("tf"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("bm_score").desc, col("id").asc)
+        tf.withColumn("df",
+            count(lit(1)).over(Window.partitionBy(col("term"))).cast("double"))
+          .join(broadcast(qterms), Seq("term"))
+          .crossJoin(broadcast(st))
+          .withColumn("s",
+            floor(round(
+              log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+                (col("tf") * lit(2.2) /
+                  (col("tf") + lit(1.2) *
+                    (lit(1.0) - lit(0.75) + lit(0.75) * (col("dl") / col("avgdl"))))),
+              6) * lit(1e6) + lit(0.5)).cast("long"))
+          .groupBy(col("qid"), col("id")).agg(sum(col("s")).as("bm_score"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= k)
+          .select(col("qid"), col("id"), col("rnk"))
+      }
+      val qs = qa.select(col("qid"), col("question"))
+      // the main jobs proved byte-identical (modulo aliases) in `plan`
+      // mode, so any pair gap must live in the qterm collect the tick
+      // includes — time the two collect idioms alone, interleaved
+      if (args.drop(3).headOption.contains("collects")) {
+        import spark.implicits._
+        import graft.functions.TextOps
+        for (rep <- 1 to reps) {
+          tick(s"rep$rep collect-OLD(.as.collect)") {
+            qs.select(col("qid"), explode(TextOps.tokens(col("question"))).as("term"))
+              .distinct().as[(Long, String)].collect()
+            ()
+          }
+          tick(s"rep$rep collect-NEW(collectBounded)") {
+            graft.Bounded.collectBounded(
+              qs.select(col("qid").cast("long").as("qid"),
+                explode(TextOps.tokens(col("question"))).as("term")).distinct(),
+              4096, "probe", "")
+            ()
+          }
+        }
+        spark.stop(); return
+      }
+      if (args.drop(3).headOption.contains("plan")) {
+        println("=== OLD plan ===")
+        oldBm25All(qs, collection, 3).explain("formatted")
+        println("=== NEW plan ===")
+        RagPipeline.bm25All(qs, collection, 3).explain("formatted")
+        spark.stop(); return
+      }
+      // `swap` reverses the within-rep order: with byte-identical main
+      // plans, a consistent winner that FLIPS with the order is a
+      // positional effect (JIT/page-cache from the first run subsidizing
+      // the second), not a plan difference
+      val swap = args.drop(3).headOption.contains("swap")
+      val arms: Seq[(String, () => Unit)] = Seq(
+        ("OLD(pre-82dea69 bm25All)", () =>
+          oldBm25All(qs, collection, 3).write.format("noop").mode("overwrite").save()),
+        ("NEW(kernel bm25All)", () =>
+          RagPipeline.bm25All(qs, collection, 3)
+            .write.format("noop").mode("overwrite").save()))
+      for (rep <- 1 to reps) {
+        (if (swap) arms.reverse else arms).foreach { case (name, run) =>
+          tick(s"rep$rep $name")(run())
+          spark.catalog.clearCache()
+        }
+        // the full q42 under the same window, as the in-context band
+        tick(s"rep$rep q42(evalBatch full)")(
+          RagPipeline.evalBatch(qa, collection, 3)
+            .select(col("qid"), col("answer"), col("grade"), col("success"))
+            .orderBy(col("qid"))
+            .write.format("noop").mode("overwrite").save())
+        spark.catalog.clearCache()
+      }
+      spark.stop(); return
+    }
+
     // persist mode: A/B the one-materialization collection (q113's
     // single-scan discipline applied to the hybrid retrieval)
     if (args.drop(2).headOption.contains("persist")) {

@@ -541,5 +541,70 @@ class MultimodalSpec extends SparkSpec {
       assert(SimpleMp4.mjpegFrames(java.util.Arrays.copyOf(mp4, k)).isEmpty,
         s"truncation at $k fabricated frames")
     }
+    // multi-entry stsd: samples may be coded under a SECOND description
+    // (stsc sample_description_index), so a first-entry-'jpeg' claim is
+    // not enough — the walk requires entry_count == 1 (r15 advice)
+    assert(SimpleMp4.mjpegFrames(patch("stsd", 8, 2L)).isEmpty)
+  }
+
+  test("MJPEG chunk layouts: 60 seeded multi-run stsc / multi-chunk stco / co64 containers return byte-identical frames") {
+    val (w, h) = (16, 8)
+    val encs = (0 until 11).map(f => jpegFrame(w, h, 13 + f * 7)._1)
+    val reference = SimpleMp4.mjpegFrames(SimpleMp4.muxMjpeg(w, h, encs)).get
+    // deterministic anchors first: a forced multi-run stsc (1,2,2,2,2,2 →
+    // two runs), a co64 layout, and a gapped layout
+    val anchors = Seq(
+      (Seq(1, 2, 2, 2, 2, 2), false, 0),
+      (Seq(4, 4, 3), true, 0),
+      (Seq(2, 2, 2, 2, 2, 1), false, 64))
+    val rnd = new scala.util.Random(0x51DE16)
+    val seeded = (0 until 60).map { _ =>
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var left = encs.length
+      while (left > 0) { val s = 1 + rnd.nextInt(math.min(4, left)); buf += s; left -= s }
+      (buf.toSeq, rnd.nextBoolean(), rnd.nextInt(3) * 7)
+    }
+    for (((sizes, co64, gap), trial) <- (anchors ++ seeded).zipWithIndex) {
+      val layout = s"trial $trial (sizes=$sizes co64=$co64 gap=$gap)"
+      val mp4 = SimpleMp4.muxMjpeg(w, h, encs,
+        chunkSizes = sizes, co64 = co64, chunkGap = gap)
+      // the metadata parser agrees regardless of layout
+      assert(SimpleMp4.parse(mp4).get.tracks.head.nSamples === encs.length, layout)
+      val frames = SimpleMp4.mjpegFrames(mp4)
+        .getOrElse(fail(s"$layout: decode refused a valid layout"))
+      assert(frames.length === reference.length, layout)
+      frames.zip(reference).zipWithIndex.foreach { case ((got, want), i) =>
+        assert(got.sameElements(want), s"$layout frame $i differs")
+      }
+    }
+    // the knob defaults are byte-identical to the legacy single-chunk
+    // layout (q133's fixture hash must not move), and an explicit
+    // single-chunk spec is too (gaps only exist BETWEEN chunks)
+    val legacy = SimpleMp4.muxMjpeg(w, h, encs)
+    assert(legacy.sameElements(
+      SimpleMp4.muxMjpeg(w, h, encs, chunkSizes = Seq(encs.length), chunkGap = 9)))
+  }
+
+  test("muxMjpeg refuses self-disagreeing field ranges and bad chunk specs") {
+    val (enc, _) = jpegFrame(8, 8, 3)
+    // u16 sample-entry dims vs 16.16 tkhd would silently disagree >65535
+    intercept[IllegalArgumentException](SimpleMp4.muxMjpeg(70000, 8, Seq(enc)))
+    intercept[IllegalArgumentException](SimpleMp4.muxMjpeg(8, 70000, Seq(enc)))
+    // timescale is a u32 field
+    intercept[IllegalArgumentException](SimpleMp4.muxMjpeg(8, 8, Seq(enc), timescale = 0))
+    intercept[IllegalArgumentException](
+      SimpleMp4.muxMjpeg(8, 8, Seq(enc), timescale = 0x100000000L))
+    // chunkSizes must partition the sample list exactly
+    intercept[IllegalArgumentException](
+      SimpleMp4.muxMjpeg(8, 8, Seq(enc, enc), chunkSizes = Seq(1)))
+    intercept[IllegalArgumentException](
+      SimpleMp4.muxMjpeg(8, 8, Seq(enc, enc), chunkSizes = Seq(3)))
+    intercept[IllegalArgumentException](
+      SimpleMp4.muxMjpeg(8, 8, Seq(enc, enc), chunkSizes = Seq(2, 0)))
+    intercept[IllegalArgumentException](
+      SimpleMp4.muxMjpeg(8, 8, Seq(enc, enc), chunkGap = -1))
+    // boundary values stay accepted
+    assert(SimpleMp4.parse(SimpleMp4.muxMjpeg(0xFFFF, 0xFFFF, Seq(enc),
+      timescale = 0xFFFFFFFFL)).get.tracks.head.width === 0xFFFF)
   }
 }

@@ -135,6 +135,14 @@ class ParserFuzzSpec extends AnyFunSuite {
       SimpleJpeg.encode(SimpleJpeg.Image(16, 8, 1,
         Array.tabulate(128)(i => ((29 + f * 11 + ((i / 16 / 8) * 2 + (i % 16 / 8)) * 17) % 256).toByte)))
     }), b => SimpleMp4.mjpegFrames(b)),
+    // the multi-chunk layout walks DIFFERENT decode paths (stsc
+    // run-advance, per-chunk stco/co64 offsets, inter-chunk gaps) — fuzz
+    // it as its own target (r15 verdict #2)
+    ("mjpeg-mp4-multichunk", SimpleMp4.muxMjpeg(16, 8, Seq.tabulate(5) { f =>
+      SimpleJpeg.encode(SimpleJpeg.Image(16, 8, 1,
+        Array.tabulate(128)(i => ((29 + f * 11 + ((i / 16 / 8) * 2 + (i % 16 / 8)) * 17) % 256).toByte)))
+    }, chunkSizes = Seq(1, 2, 2), co64 = true, chunkGap = 7),
+      b => SimpleMp4.mjpegFrames(b)),
     ("webm", webmFix, b => SimpleWebm.parse(b)),
     ("pdf", pdfFix, b => SimplePdfExtractor.extractPages(b))
   )

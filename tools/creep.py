@@ -1,0 +1,125 @@
+#!/usr/bin/env python3
+"""Per-query creep ledger, canary-normalized (r15 verdict #4).
+
+The committed sf0.1 total walked 96.3 -> 101.1 s across r14->r15 with
+each step attributed to box drift -- plausible each time, unfalsifiable
+as a trend. This tool makes the trend mechanical: it diffs a bench
+artifact against a committed best-ever per-query table
+(BENCH_LEDGER.json), normalizing BOTH sides by their own artifact's
+canary mean, and flags queries whose normalized time exceeds the
+normalized best by more than a threshold (default 1.25x).
+
+Normalization: the canary is a fixed-size in-memory aggregation timed
+inside every artifact (see Bench.scala) -- it measures the BOX. Dividing
+a query's seconds by its artifact's canary mean cancels the box-speed
+factor between runs taken on differently-loaded machines, which is what
+defeated raw round-over-round diffs (r14's driver log read +25% on an
+identical tree).
+
+Usage:
+  python3 tools/creep.py                          # diff BENCH_full.json vs ledger
+  python3 tools/creep.py --artifact BENCH_sf1.json --ledger BENCH_LEDGER_sf1.json
+  python3 tools/creep.py --threshold 1.25
+  python3 tools/creep.py --update --src r16       # fold current bests into the ledger
+  python3 tools/creep.py --seed r14:f1.json r15:f2.json   # build a fresh ledger
+
+Exit code: number of flagged queries (0 = clean), so it can gate a
+round close. A flagged query is either real creep (fix it) or an
+adjudicated change (record it in SCALE.md and --update the ledger on
+the new tree).
+"""
+import argparse
+import json
+import sys
+
+
+def canary_mean(artifact):
+    cs = artifact.get("canaries")
+    if not cs:
+        cs = [artifact.get("canary_before"), artifact.get("canary_after")]
+        cs = [c for c in cs if c is not None]
+    if not cs:
+        raise SystemExit("artifact carries no canaries -- cannot normalize")
+    return sum(cs) / len(cs)
+
+
+def load(path):
+    with open(path) as f:
+        return json.load(f)
+
+
+def entries(artifact, src):
+    cm = canary_mean(artifact)
+    return {
+        q: {"sec": t, "canary": round(cm, 4), "norm": round(t / cm, 3), "src": src}
+        for q, t in artifact["queries"].items()
+        if t < 9000  # 9999.0 is Bench's all-reps-failed sentinel
+    }
+
+
+def merge(ledger, new):
+    out = dict(ledger)
+    for q, e in new.items():
+        if q not in out or e["norm"] < out[q]["norm"]:
+            out[q] = e
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--artifact", default="BENCH_full.json")
+    ap.add_argument("--ledger", default="BENCH_LEDGER.json")
+    ap.add_argument("--threshold", type=float, default=1.25)
+    ap.add_argument("--update", action="store_true",
+                    help="fold the artifact's normalized bests into the ledger")
+    ap.add_argument("--seed", nargs="*", metavar="SRC:FILE",
+                    help="(re)build the ledger from src:file artifact pairs")
+    args = ap.parse_args()
+
+    if args.seed:
+        ledger = {}
+        for pair in args.seed:
+            src, _, path = pair.partition(":")
+            ledger = merge(ledger, entries(load(path), src))
+        with open(args.ledger, "w") as f:
+            json.dump(dict(sorted(ledger.items())), f, indent=1)
+        print(f"ledger seeded: {len(ledger)} queries -> {args.ledger}")
+        return 0
+
+    ledger = load(args.ledger)
+    art = load(args.artifact)
+    cur = entries(art, args.artifact)
+    cm = canary_mean(art)
+    print(f"{args.artifact}: canary_mean={cm:.4f}  "
+          f"queries={len(cur)}  ledger={len(ledger)}  "
+          f"threshold={args.threshold}x")
+
+    flagged, new_queries = [], []
+    for q, e in sorted(cur.items()):
+        if q not in ledger:
+            new_queries.append(q)
+            continue
+        ratio = e["norm"] / ledger[q]["norm"]
+        if ratio > args.threshold:
+            flagged.append((q, ratio, e, ledger[q]))
+    for q, ratio, e, b in sorted(flagged, key=lambda x: -x[1]):
+        print(f"FLAG {q}: {ratio:.2f}x normalized best "
+              f"(now {e['sec']:.2f}s/cny{e['canary']} = {e['norm']}; "
+              f"best {b['sec']:.2f}s/cny{b['canary']} = {b['norm']} @{b['src']})")
+    if new_queries:
+        print(f"new (not in ledger): {', '.join(new_queries)}")
+    if not flagged:
+        print("clean: no query >%.0f%% above its canary-normalized best"
+              % ((args.threshold - 1) * 100))
+
+    if args.update:
+        merged = merge(ledger, {q: dict(e, src=art.get("sf", args.artifact))
+                                for q, e in cur.items()})
+        with open(args.ledger, "w") as f:
+            json.dump(dict(sorted(merged.items())), f, indent=1)
+        print(f"ledger updated -> {args.ledger}")
+    return len(flagged)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
