@@ -142,11 +142,18 @@ object Bench {
     val sweepTotalsJson = sweepTotals.mkString("[", ",", "]")
     // gate queries this artifact deliberately does NOT time, with the
     // declared reason — 132-of-133 was previously explained only in
-    // prose (r15 verdict #5)
-    val excludedJson = QueryRegistry.all
-      .collect { case d if d.benchExclude.isDefined =>
-        "\"" + d.name + ": " + d.benchExclude.get.replace("\\", "\\\\")
-          .replace("\"", "\\\"") + "\"" }
+    // prose (r15 verdict #5). A SPARK_GRAFT_ONLY-narrowed run leaves
+    // ~all gate queries untimed for a DIFFERENT reason, so it gets a
+    // marker entry instead of a false "only q43" self-description
+    // (r16 self-review; narrowed runs never write the artifact file,
+    // this keeps their stdout line honest too)
+    val excludedJson = (only.map(o =>
+        "\"<narrowed run: SPARK_GRAFT_ONLY=" + o.mkString(",") +
+          "; unselected gate queries are untimed>\"").toSeq ++
+      QueryRegistry.all
+        .collect { case d if d.benchExclude.isDefined =>
+          "\"" + d.name + ": " + d.benchExclude.get.replace("\\", "\\\\")
+            .replace("\"", "\\\"") + "\"" })
       .mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","sweeps":$sweeps,"reps":$reps,"canary_before":$canaryBefore,"canary_after":$canaryAfter,"canaries":$canariesJson,"sweep_totals":$sweepTotalsJson,"excluded":$excludedJson,"data_fingerprint":"$fingerprint","queries":$qs,"sf":"$sfDir"}"""
     println(line)

@@ -330,9 +330,20 @@ object SimpleMp4 {
       assert(rest.isEmpty); out
     }
     // dead gap bytes go BETWEEN chunks only — the single-chunk default
-    // stays byte-identical to the pre-knob layout
-    val mdatPayload = chunks.map(_.flatten.toArray)
-      .reduce((a, c) => a ++ Array.fill(chunkGap)(0.toByte) ++ c)
+    // stays byte-identical to the pre-knob layout. One linear pass into
+    // a stream: a reduce of array ++ array re-copies the accumulated
+    // prefix per chunk — O(chunks²) bytes near the 4096-chunk budget
+    // (r16 self-review)
+    val mdatPayload = {
+      val mb = new java.io.ByteArrayOutputStream()
+      var first = true
+      chunks.foreach { c =>
+        if (!first && chunkGap > 0) mb.write(new Array[Byte](chunkGap))
+        first = false
+        c.foreach(mb.write)
+      }
+      mb.toByteArray
+    }
     val ftyp = box("ftyp", "isom".getBytes, u32(0), "isom".getBytes)
     val firstSampleOff = ftyp.length + 8 // mdat header follows ftyp
     val chunkOffsets = chunks.map(_.iterator.map(_.length.toLong).sum)

@@ -24,9 +24,18 @@ Usage:
   python3 tools/creep.py --seed r14:f1.json r15:f2.json   # build a fresh ledger
 
 Exit code: number of flagged queries (0 = clean), so it can gate a
-round close. A flagged query is either real creep (fix it) or an
+round close. A flagged query is either real creep (fix it), an
 adjudicated change (record it in SCALE.md and --update the ledger on
-the new tree).
+the new tree), or measurement spread (confirm with an isolated
+SPARK_GRAFT_ONLY run before believing it -- the canary under-corrects
+sub-second queries; see README's ledger reading rule).
+
+The ledger is seeded from BUILDER final-tree artifacts (the committed
+r12-r15 bests). Diffing a DRIVER raw log (the BENCH_full.json a
+"round N" commit carries can be a noisy re-run; see README on artifact
+authority) is expected to flag broadly -- that is the tool correctly
+reading box noise, not a gate failure. Gate on the artifact you just
+regenerated on the finished tree.
 """
 import argparse
 import json
@@ -72,21 +81,30 @@ def main():
     ap.add_argument("--threshold", type=float, default=1.25)
     ap.add_argument("--update", action="store_true",
                     help="fold the artifact's normalized bests into the ledger")
-    ap.add_argument("--seed", nargs="*", metavar="SRC:FILE",
+    ap.add_argument("--src", default=None,
+                    help="provenance tag for --update entries (e.g. r16); "
+                         "defaults to the artifact's sf field")
+    ap.add_argument("--seed", nargs="+", metavar="SRC:FILE",
                     help="(re)build the ledger from src:file artifact pairs")
     args = ap.parse_args()
 
     if args.seed:
         ledger = {}
         for pair in args.seed:
-            src, _, path = pair.partition(":")
+            src, sep, path = pair.partition(":")
+            if not sep or not src or not path:
+                raise SystemExit(f"--seed wants SRC:FILE pairs, got {pair!r}")
             ledger = merge(ledger, entries(load(path), src))
         with open(args.ledger, "w") as f:
             json.dump(dict(sorted(ledger.items())), f, indent=1)
         print(f"ledger seeded: {len(ledger)} queries -> {args.ledger}")
         return 0
 
-    ledger = load(args.ledger)
+    try:
+        ledger = load(args.ledger)
+    except FileNotFoundError:
+        raise SystemExit(f"no ledger at {args.ledger} -- bootstrap one with "
+                         "--seed SRC:FILE ...")
     art = load(args.artifact)
     cur = entries(art, args.artifact)
     cm = canary_mean(art)
@@ -113,8 +131,8 @@ def main():
               % ((args.threshold - 1) * 100))
 
     if args.update:
-        merged = merge(ledger, {q: dict(e, src=art.get("sf", args.artifact))
-                                for q, e in cur.items()})
+        src = args.src or art.get("sf", args.artifact)
+        merged = merge(ledger, {q: dict(e, src=src) for q, e in cur.items()})
         with open(args.ledger, "w") as f:
             json.dump(dict(sorted(merged.items())), f, indent=1)
         print(f"ledger updated -> {args.ledger}")
