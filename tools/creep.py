@@ -9,12 +9,18 @@ artifact against a committed best-ever per-query table
 canary mean, and flags queries whose normalized time exceeds the
 normalized best by more than a threshold (default 1.25x).
 
-Normalization: the canary is a fixed-size in-memory aggregation timed
-inside every artifact (see Bench.scala) -- it measures the BOX. Dividing
-a query's seconds by its artifact's canary mean cancels the box-speed
-factor between runs taken on differently-loaded machines, which is what
-defeated raw round-over-round diffs (r14's driver log read +25% on an
-identical tree).
+Normalization, two layers:
+ 1. canary: each side's seconds divide by its own artifact's canary
+    mean (a fixed-size in-memory aggregation, see Bench.scala). This
+    cancels gross box-speed differences but is BIASED when canary cost
+    and query cost decouple -- the canary is a pure 32-way CPU burst,
+    queries are shuffles+IO+codegen (r16 measurement: a box whose
+    canary read 18% fast ran flat-raw control queries at ratio 1.45,
+    flagging all 15 probed queries spuriously).
+ 2. drift: the MEDIAN canary-normalized ratio across all common
+    queries (the r15 verdict's own drift estimator). Real creep is a
+    few queries far above the median; residual box bias moves the
+    median itself. Flags fire on the drift-ADJUSTED ratio.
 
 Usage:
   python3 tools/creep.py                          # diff BENCH_full.json vs ledger
@@ -112,23 +118,32 @@ def main():
           f"queries={len(cur)}  ledger={len(ledger)}  "
           f"threshold={args.threshold}x")
 
-    flagged, new_queries = [], []
+    ratios, new_queries = {}, []
     for q, e in sorted(cur.items()):
         if q not in ledger:
             new_queries.append(q)
-            continue
-        ratio = e["norm"] / ledger[q]["norm"]
-        if ratio > args.threshold:
-            flagged.append((q, ratio, e, ledger[q]))
-    for q, ratio, e, b in sorted(flagged, key=lambda x: -x[1]):
-        print(f"FLAG {q}: {ratio:.2f}x normalized best "
+        else:
+            ratios[q] = e["norm"] / ledger[q]["norm"]
+    if not ratios:
+        raise SystemExit("no common queries between artifact and ledger")
+    rs = sorted(ratios.values())
+    drift = rs[len(rs) // 2]
+    print(f"drift (median ratio vs ledger best): {drift:.3f} -- "
+          "flags are on the drift-ADJUSTED ratio")
+    flagged = []
+    for q, ratio in ratios.items():
+        adj = ratio / drift
+        if adj > args.threshold:
+            flagged.append((q, adj, ratio, cur[q], ledger[q]))
+    for q, adj, ratio, e, b in sorted(flagged, key=lambda x: -x[1]):
+        print(f"FLAG {q}: {adj:.2f}x (raw {ratio:.2f}x) normalized best "
               f"(now {e['sec']:.2f}s/cny{e['canary']} = {e['norm']}; "
               f"best {b['sec']:.2f}s/cny{b['canary']} = {b['norm']} @{b['src']})")
     if new_queries:
         print(f"new (not in ledger): {', '.join(new_queries)}")
     if not flagged:
-        print("clean: no query >%.0f%% above its canary-normalized best"
-              % ((args.threshold - 1) * 100))
+        print("clean: no query >%.0f%% above its drift-adjusted "
+              "canary-normalized best" % ((args.threshold - 1) * 100))
 
     if args.update:
         src = args.src or art.get("sf", args.artifact)
