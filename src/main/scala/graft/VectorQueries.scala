@@ -1135,7 +1135,88 @@ object VectorQueries {
           GROUP BY e.qid)
         SELECT q.qid, coalesce(hits.n_hit, 0) AS n_hit,
                CAST(coalesce(hits.n_hit, 0) AS DOUBLE) / 5.0 AS recall
-        FROM q LEFT JOIN hits ON q.qid = hits.qid ORDER BY q.qid"""))
+        FROM q LEFT JOIN hits ON q.qid = hits.qid ORDER BY q.qid""")),
+
+    // ── q135: contrastive-pair mining — the negative-sampling manifest
+    //   an embedding-model trainer consumes (SimCLR/DPR-style): per
+    //   anchor, the 3 HARD negatives (highest cosine among
+    //   different-label vectors — the near-misses that carry gradient
+    //   signal) plus 2 UNIFORM negatives (deterministic hash-rank draw
+    //   over the remaining different-label pool, so the sample is
+    //   reproducible across runs/engines with zero stored RNG state —
+    //   the q134 epoch-key idiom).
+    //
+    //   100 TB shape: TWO broadcast-join passes over the corpus, not a
+    //   persisted anchors×corpus frame — each pass's rank filter
+    //   becomes a WindowGroupLimit that prunes to k rows per anchor
+    //   per partition BEFORE the shuffle, so the wide edges carry
+    //   O(anchors·k·partitions), never anchors×corpus. (A stacked
+    //   two-window single pass would re-exchange the full cand frame
+    //   between windows: the rand window partitions by (anchor,
+    //   is-hard), a different key.) The hard leg's corpus scan is the
+    //   q11 brute-force baseline; at IVF scale the candidates come from
+    //   the probed cells (q15/q88) and the rand leg from per-partition
+    //   reservoirs. The anti-join side is anchors·3 rows, broadcast. ──
+    QueryDef("q135_hard_negatives",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = emb(s, dir)
+        val anchors = broadcast(e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("anchor_id"), col("label").as("alabel"),
+            col("embedding").as("av")))
+        // different-label candidates, scored once per pass
+        def cand = e.join(anchors, col("label") =!= col("alabel"))
+          .select(col("anchor_id"), col("vec_id").as("neg_id"),
+            score6(col("av"), col("embedding")).as("score"),
+            graft.functions.XHash.hash60(concat(col("anchor_id").cast("string"),
+              lit(":"), col("vec_id").cast("string"))).as("h"))
+        val wHard = Window.partitionBy(col("anchor_id"))
+          .orderBy(col("score").desc, col("neg_id").asc)
+        val hard = cand
+          .withColumn("rnk", row_number().over(wHard).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select(col("anchor_id"), col("neg_id"), col("score"), col("rnk"))
+        val wRand = Window.partitionBy(col("anchor_id"))
+          .orderBy(col("h").asc, col("neg_id").asc)
+        val rand = cand
+          .join(hard.select(col("anchor_id"), col("neg_id")),
+            Seq("anchor_id", "neg_id"), "left_anti")
+          .withColumn("rnk", row_number().over(wRand).cast("long"))
+          .filter(col("rnk") <= 2)
+          .select(col("anchor_id"), col("neg_id"), col("score"), col("rnk"))
+        hard.withColumn("kind", lit("hard"))
+          .unionByName(rand.withColumn("kind", lit("rand")))
+          .select(col("anchor_id"), col("kind"), col("rnk"), col("neg_id"), col("score"))
+          .orderBy(col("anchor_id"), col("kind"), col("rnk"))
+      },
+      Some(s"""
+        WITH anc AS (
+          SELECT vec_id AS anchor_id, label AS alabel, embedding AS av
+          FROM embeddings WHERE vec_id < 16),
+        cand AS (
+          SELECT a.anchor_id AS anchor_id, e.vec_id AS neg_id,
+                 round(${cosSql("a.av", "e.embedding")}, 6) AS score,
+                 ${graft.functions.XHash.hash60Sql(
+                   "a.anchor_id::VARCHAR || ':' || e.vec_id::VARCHAR")} AS h
+          FROM anc a JOIN embeddings e ON e.label != a.alabel),
+        hard AS (
+          SELECT anchor_id, neg_id, score,
+                 CAST(row_number() OVER (PARTITION BY anchor_id
+                   ORDER BY score DESC, neg_id ASC) AS BIGINT) AS rnk
+          FROM cand),
+        hardk AS (SELECT * FROM hard WHERE rnk <= 3),
+        rand AS (
+          SELECT c.anchor_id, c.neg_id, c.score,
+                 CAST(row_number() OVER (PARTITION BY c.anchor_id
+                   ORDER BY c.h ASC, c.neg_id ASC) AS BIGINT) AS rnk
+          FROM cand c
+          WHERE NOT EXISTS (SELECT 1 FROM hardk k
+            WHERE k.anchor_id = c.anchor_id AND k.neg_id = c.neg_id)),
+        randk AS (SELECT * FROM rand WHERE rnk <= 2)
+        SELECT anchor_id, 'hard' AS kind, rnk, neg_id, score FROM hardk
+        UNION ALL
+        SELECT anchor_id, 'rand' AS kind, rnk, neg_id, score FROM randk
+        ORDER BY anchor_id, kind, rnk"""))
   )
 
   // ── q93 oracle: the same quantize → exact moments → covariance →
