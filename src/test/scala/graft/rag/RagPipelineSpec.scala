@@ -97,4 +97,18 @@ class RagPipelineSpec extends SparkSpec {
     val mean = out.agg(avg(col("grade"))).head().getDouble(0)
     assert(mean > 0.0) // retrieval should land on the right docs
   }
+
+  test("bm25All refuses a corpus-cardinality question frame at the 4096-pair cap (r15 advice)") {
+    // 4096 is sized to the DOWNSTREAM consumer: every distinct term
+    // becomes an isin() literal, so the cap guards plan size, not driver
+    // memory — a "question batch" beyond it is a corpus wearing the qid
+    // column
+    val hostile = spark.range(0, 5000)
+      .select(col("id").as("qid"),
+        concat(lit("zz"), col("id").cast("string")).as("question"))
+    val e = intercept[IllegalArgumentException](
+      RagPipeline.bm25All(hostile, collection, 3).collect())
+    assert(e.getMessage.contains("cardinality exceeds"))
+    assert(e.getMessage.contains("4096"))
+  }
 }

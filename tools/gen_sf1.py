@@ -10,6 +10,11 @@ generator and sf1 results are never oracle-gated; they feed ratio
 measurements only.
 
 Usage: python3 tools/gen_sf1.py [outdir=/root/repo/testdata-sf1]
+
+GEN_SF_MULT overrides the multiplier (default 10 = sf1); e.g.
+GEN_SF_MULT=30 python3 tools/gen_sf1.py /root/repo/testdata-sf3
+generates a 3x-sf1 set for a third scale point. The default output is
+byte-identical to the pre-knob generator (same seed, same draw order).
 """
 import os
 import sys
@@ -18,7 +23,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-SF = 10  # multiplier over sf0.1
+SF = int(os.environ.get("GEN_SF_MULT", "10"))  # multiplier over sf0.1
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/testdata-sf1"
 rng = np.random.default_rng(42)
 os.makedirs(OUT, exist_ok=True)
