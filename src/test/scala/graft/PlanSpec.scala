@@ -371,4 +371,28 @@ class PlanSpec extends SparkSpec {
         s"plan probing must be driver-side only, but these job(s) ran: $stray")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("q134: shuffle keys are (epoch, shard) — no global-order window, no round-robin of the manifest") {
+    val p = plan("q134_epoch_shuffle")
+    // the rank window must partition by BOTH epoch and shard — an
+    // anchor-only (or empty) partition spec would serialize the corpus
+    // through one window partition, the exact naive-shuffled-index shape
+    // the query exists to avoid
+    assert(p.contains("row_number") &&
+      "windowspecdefinition\\(epoch#\\d+L, shard#\\d+L".r.findFirstIn(p).isDefined,
+      "rank window must partition by (epoch, shard):\n" + p.take(3000))
+  }
+
+  test("q135: both negative legs prune map-side (partial WindowGroupLimit) and anchors broadcast") {
+    val p = plan("q135_hard_negatives")
+    // two legs × (partial + final) WindowGroupLimit = 4 — the partial
+    // ones are what keep the shuffle at O(anchors·k·partitions) instead
+    // of anchors×corpus
+    val wgl = p.sliding("WindowGroupLimit".length).count(_ == "WindowGroupLimit")
+    assert(wgl >= 4, s"expected >=4 WindowGroupLimit nodes (2 legs x partial+final), got $wgl:\n" + p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "anchors must broadcast (label-inequality join):\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"),
+      "the different-label join must never plan as CartesianProduct:\n" + p.take(3000))
+  }
 }
