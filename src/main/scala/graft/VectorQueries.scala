@@ -101,7 +101,7 @@ object VectorQueries {
   private val KmRounds = 2
   /** Distances are over ×1e6-quantized vectors; /1e12 restores original
     * units before the 6dp round. */
-  private val KmScale = 1e12
+  private[graft] val KmScale = 1e12 // ClusterSampleSpec re-derives assignments
 
   /** DuckDB twin of IvfKMeans's squared distance: same sequential
     * index-order fold as Spark's aggregate(zip_with(...)). */
@@ -1216,7 +1216,50 @@ object VectorQueries {
         SELECT anchor_id, 'hard' AS kind, rnk, neg_id, score FROM hardk
         UNION ALL
         SELECT anchor_id, 'rand' AS kind, rnk, neg_id, score FROM randk
-        ORDER BY anchor_id, kind, rnk"""))
+        ORDER BY anchor_id, kind, rnk""")),
+
+    // ── q136: cluster-BALANCED sample — eval-set / annotation-batch
+    //   construction over the q67 trained quantizer: per learned
+    //   semantic cluster, the 5 members with the smallest deterministic
+    //   hash rank (hash60('eval:' vec_id) — the q134/q135 seeded-draw
+    //   idiom, zero RNG state). Uniform corpus sampling over-represents
+    //   the dominant clusters; a per-cluster draw covers the corpus's
+    //   semantic MODES — the standard eval-subset recipe for curation
+    //   pipelines (cluster-then-sample, as in DataComp/SemDeDup-style
+    //   audits). dist6 rides along so a consumer can also take
+    //   medoid-like (smallest-distance) members by re-ranking.
+    //
+    //   100 TB shape: assignment is map-only against broadcast
+    //   centroids (nlist grows with the corpus, q67's kmNlist); the
+    //   draw is a per-cell rank window whose filter becomes a map-side
+    //   WindowGroupLimit, so the only shuffle carries
+    //   O(cells·5·partitions) rows. Oracle: the SAME unrolled Lloyd's
+    //   CTE chain as q67 (shared kmeansCtes — zero drift) with the
+    //   hash-rank draw on top. ──
+    QueryDef("q136_cluster_sample",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val (q, cents) = trainedKMeans(s, dir)
+        val w = Window.partitionBy(col("cell")).orderBy(col("h").asc, col("vec_id").asc)
+        graft.vector.IvfKMeans.assignCells(q, "qv", cents, KmScale)
+          .select(col("vec_id"), col("cell"), col("dist6"))
+          .withColumn("h", graft.functions.XHash.hash60(
+            concat(lit("eval:"), col("vec_id").cast("string"))))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 5)
+          .select(col("cell"), col("rnk"), col("vec_id"), col("dist6"))
+          .orderBy(col("cell"), col("rnk"))
+      },
+      Some(s"""
+        WITH ${kmeansCtes(KmK, KmRounds)},
+        drawn AS (
+          SELECT cell, vec_id, dist6,
+                 CAST(row_number() OVER (PARTITION BY cell
+                   ORDER BY ${graft.functions.XHash.hash60Sql("'eval:' || vec_id::VARCHAR")} ASC,
+                     vec_id ASC) AS BIGINT) AS rnk
+          FROM a${KmRounds + 1})
+        SELECT cell, rnk, vec_id, dist6 FROM drawn WHERE rnk <= 5
+        ORDER BY cell, rnk"""))
   )
 
   // ── q93 oracle: the same quantize → exact moments → covariance →

@@ -395,4 +395,10 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       "the different-label join must never plan as CartesianProduct:\n" + p.take(3000))
   }
+
+  test("q136: the per-cluster draw prunes map-side (partial WindowGroupLimit)") {
+    val p = plan("q136_cluster_sample")
+    val wgl = p.sliding("WindowGroupLimit".length).count(_ == "WindowGroupLimit")
+    assert(wgl >= 2, s"expected partial+final WindowGroupLimit, got $wgl:\n" + p.take(3000))
+  }
 }
