@@ -1146,17 +1146,23 @@ object VectorQueries {
     //   reproducible across runs/engines with zero stored RNG state —
     //   the q134 epoch-key idiom).
     //
-    //   100 TB shape: TWO broadcast-join passes over the corpus, not a
-    //   persisted anchors×corpus frame — each pass's rank filter
-    //   becomes a WindowGroupLimit that prunes to k rows per anchor
-    //   per partition BEFORE the shuffle, so the wide edges carry
-    //   O(anchors·k·partitions), never anchors×corpus. (A stacked
-    //   two-window single pass would re-exchange the full cand frame
-    //   between windows: the rand window partitions by (anchor,
-    //   is-hard), a different key.) The hard leg's corpus scan is the
-    //   q11 brute-force baseline; at IVF scale the candidates come from
-    //   the probed cells (q15/q88) and the rand leg from per-partition
-    //   reservoirs. The anti-join side is anchors·3 rows, broadcast. ──
+    //   100 TB shape: TWO broadcast-join passes over the corpus — each
+    //   pass's rank filter becomes a WindowGroupLimit that prunes to k
+    //   rows per anchor per partition BEFORE the shuffle, so the wide
+    //   edges carry O(anchors·k·partitions), never anchors×corpus. (A
+    //   stacked two-window single pass would re-exchange the full cand
+    //   frame between windows: the rand window partitions by (anchor,
+    //   is-hard), a different key.) The hard result (anchors·3 rows) is
+    //   PERSISTED and the exclusion joins it with an explicit
+    //   broadcast() — without both, the r16 self-review caught the plan
+    //   recomputing the hard leg for the anti-join side AND planning
+    //   the exclusion as a SortMergeJoin that shuffled the full
+    //   anchors×corpus cand frame, exactly the wide edge this comment
+    //   rules out (an un-hinted 48-row aggregate side has no stats
+    //   until AQE has already materialized the big side's exchange).
+    //   The hard leg's corpus scan is the q11 brute-force baseline; at
+    //   IVF scale the candidates come from the probed cells (q15/q88)
+    //   and the rand leg from per-partition reservoirs. ──
     QueryDef("q135_hard_negatives",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
@@ -1176,10 +1182,11 @@ object VectorQueries {
           .withColumn("rnk", row_number().over(wHard).cast("long"))
           .filter(col("rnk") <= 3)
           .select(col("anchor_id"), col("neg_id"), col("score"), col("rnk"))
+          .persist() // anchors·3 rows: computed once, feeds union AND exclusion
         val wRand = Window.partitionBy(col("anchor_id"))
           .orderBy(col("h").asc, col("neg_id").asc)
         val rand = cand
-          .join(hard.select(col("anchor_id"), col("neg_id")),
+          .join(broadcast(hard.select(col("anchor_id"), col("neg_id"))),
             Seq("anchor_id", "neg_id"), "left_anti")
           .withColumn("rnk", row_number().over(wRand).cast("long"))
           .filter(col("rnk") <= 2)

@@ -14,6 +14,16 @@ class ClusterSampleSpec extends SparkSpec {
   private lazy val q = QueryRegistry.all.find(_.name == "q136_cluster_sample").get
   private lazy val out = q.fn(spark, sf).cache()
 
+  /** One shared training run for the ground-truth assignment —
+    * trainedKMeans is deliberately un-memoized (each call pays Lloyd's),
+    * so per-test re-derivation would triple the suite's training work
+    * (r16 review). */
+  private lazy val truth = {
+    val (qf, cents) = VectorQueries.trainedKMeans(spark, sf)
+    graft.vector.IvfKMeans.assignCells(qf, "qv", cents, VectorQueries.KmScale)
+      .select(col("vec_id"), col("cell").as("true_cell")).cache()
+  }
+
   test("every non-empty cluster is represented, with contiguous ranks capped at 5") {
     val shape = out.groupBy("cell")
       .agg(count(lit(1)).as("n"), max(col("rnk")).as("mx"),
@@ -30,18 +40,12 @@ class ClusterSampleSpec extends SparkSpec {
     // balanced by construction: no cluster exceeds the cap while another
     // non-empty one is unrepresented (representation == appearing at all)
     val cells = shape.map(_.get(0)).toSet
-    val assignedCells = {
-      val (qf, cents) = VectorQueries.trainedKMeans(spark, sf)
-      graft.vector.IvfKMeans.assignCells(qf, "qv", cents, VectorQueries.KmScale)
-        .select("cell").distinct().collect().map(_.get(0)).toSet
-    }
+    val assignedCells =
+      truth.select(col("true_cell")).distinct().collect().map(_.get(0)).toSet
     assert(cells === assignedCells, "sample must cover every non-empty cluster")
   }
 
   test("sampled members belong to the cluster the trained quantizer assigns them to") {
-    val (qf, cents) = VectorQueries.trainedKMeans(spark, sf)
-    val truth = graft.vector.IvfKMeans.assignCells(qf, "qv", cents, VectorQueries.KmScale)
-      .select(col("vec_id"), col("cell").as("true_cell"))
     val wrong = out.join(truth, Seq("vec_id"))
       .filter(col("cell") =!= col("true_cell")).count()
     assert(wrong === 0L)

@@ -394,6 +394,14 @@ class PlanSpec extends SparkSpec {
       "anchors must broadcast (label-inequality join):\n" + p.take(3000))
     assert(!p.contains("CartesianProduct"),
       "the different-label join must never plan as CartesianProduct:\n" + p.take(3000))
+    // the exclusion must be a broadcast anti-join: un-hinted, the 48-row
+    // hard side had no stats and the planner shuffled the full
+    // anchors×corpus cand frame through a SortMergeJoin (r16 review).
+    // toString spells it "BroadcastHashJoin [keys], [keys], LeftAnti, ..."
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "hard-pick exclusion must broadcast:\n" + p.take(3000))
+    assert(!p.contains("SortMergeJoin"),
+      "no leg may shuffle the anchors×corpus cand frame:\n" + p.take(3000))
   }
 
   test("q136: the per-cluster draw prunes map-side (partial WindowGroupLimit)") {

@@ -29,8 +29,9 @@ Usage:
   python3 tools/creep.py --update --src r16       # fold current bests into the ledger
   python3 tools/creep.py --seed r14:f1.json r15:f2.json   # build a fresh ledger
 
-Exit code: number of flagged queries (0 = clean), so it can gate a
-round close. A flagged query is either real creep (fix it), an
+Exit code: number of flagged queries, plus 1 if the drift itself
+exceeds the threshold (a uniform suite-wide slowdown would otherwise
+hide inside the median) -- 0 = clean, so it can gate a round close. A flagged query is either real creep (fix it), an
 adjudicated change (record it in SCALE.md and --update the ledger on
 the new tree), or measurement spread (confirm with an isolated
 SPARK_GRAFT_ONLY run before believing it -- the canary under-corrects
@@ -45,6 +46,7 @@ regenerated on the finished tree.
 """
 import argparse
 import json
+import statistics
 import sys
 
 
@@ -126,10 +128,19 @@ def main():
             ratios[q] = e["norm"] / ledger[q]["norm"]
     if not ratios:
         raise SystemExit("no common queries between artifact and ledger")
-    rs = sorted(ratios.values())
-    drift = rs[len(rs) // 2]
+    drift = statistics.median(ratios.values())
     print(f"drift (median ratio vs ledger best): {drift:.3f} -- "
           "flags are on the drift-ADJUSTED ratio")
+    # a drift beyond the threshold is itself a finding: either the box is
+    # far off its ledger-era state, or the TREE regressed uniformly --
+    # the median would silently absorb the latter (r16 review). Counted
+    # into the exit code so a round-close gate cannot pass through it.
+    drift_alarm = drift > args.threshold
+    if drift_alarm:
+        print(f"WARNING: drift {drift:.2f} exceeds the {args.threshold}x "
+              "threshold -- a uniform suite-wide slowdown is masked at this "
+              "level. Run the isolated-control and tree-vs-tree checks "
+              "(README ledger reading rule) before trusting 'clean'.")
     flagged = []
     for q, ratio in ratios.items():
         adj = ratio / drift
@@ -151,7 +162,7 @@ def main():
         with open(args.ledger, "w") as f:
             json.dump(dict(sorted(merged.items())), f, indent=1)
         print(f"ledger updated -> {args.ledger}")
-    return len(flagged)
+    return len(flagged) + (1 if drift_alarm else 0)
 
 
 if __name__ == "__main__":

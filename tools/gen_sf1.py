@@ -123,9 +123,13 @@ write("lineitem", pa.table({
     "l_shipdate": pa.array(ship, pa.timestamp("ms"))}))
 print(f"lineitem rows: {N_LI}")
 
-# events: increasing ns timestamps, ~26 s mean gap scaled down 10x to
-# keep the same one-month span at 10x volume
-gaps_ns = (rng.exponential(2.6, N_EV) * 1e9).astype(np.int64) + 1
+# events: increasing ns timestamps, ~26 s mean gap at sf0.1 scaled down
+# by SF to keep the same one-month span at every multiplier (r16
+# review: a hardcoded 2.6 left GEN_SF_MULT=30 spanning ~90 days, so
+# per-user density and window selectivity stopped mirroring the driver
+# distribution). 26.0/10 == 2.6 exactly in binary, so the default sf1
+# output is byte-identical.
+gaps_ns = (rng.exponential(26.0 / SF, N_EV) * 1e9).astype(np.int64) + 1
 ts = np.int64(1704067200000000000) + np.cumsum(gaps_ns)
 etypes = np.array(["click", "view", "purchase", "signup", "error"])
 write("events", pa.table({
