@@ -279,8 +279,8 @@ object VectorQueries {
                  FROM scored)
       SELECT qid, rnk, nid, score FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk"""
 
-  // ── q46 constants: up to 32 sign-bit hyperplanes over the 64-dim
-  //    space, 4 bands × adaptive 4..8 bits. ±1 entries come from a fixed
+  // ── q46 constants: up to 48 sign-bit hyperplanes over the 64-dim
+  //    space, 4 bands × adaptive 4..12 bits. ±1 entries come from a fixed
   //    LCG (bit 32, the low bit of an LCG alternates) so the Scala side
   //    and the literal arrays inlined into the oracle SQL are the same
   //    matrix. The matrix is a PREFIX extension of the 16-row round-4
@@ -288,7 +288,7 @@ object VectorQueries {
   //    byte-identical to the old constants and every corpus that
   //    resolves to 4-bit bands (both gate scales) produces unchanged
   //    output. ──
-  private[graft] val RpBitsMax = 32
+  private[graft] val RpBitsMax = 48 // 4 bands × 12-bit ceiling
   private val RpBands = 4
   private val RpDim = 64
   private val hyperplaneSigns: Array[Array[Double]] = {
@@ -302,15 +302,20 @@ object VectorQueries {
   private[graft] def Hyperplanes(b: Int): Array[Double] = hyperplaneSigns(b)
 
   /** q46 adaptive band width (defined semantics, oracle-mirrored): the
-    * smallest b in 4..8 with 125·2^b ≥ n, else 8 — expected bucket size
-    * stays ≤ ~125·skew, so candidate volume is Θ(n·bucket) — LINEAR in
-    * n until the 8-bit ceiling (extend RpBitsMax past 32 to keep
-    * scaling beyond n = 32000·skew; fixed-width LSH banding is Θ(n²/2^b)
-    * — AbQ46 measured the cliff: 20.5 s steady at sf1 with 4-bit bands
-    * vs 4.2 s with 8-bit, identical scheme). Integer-exact on both
-    * engines — no float log anywhere near a semantics boundary. */
+    * smallest b in 4..12 with 125·2^b ≥ n, else 12 — expected bucket
+    * size stays ≤ ~125·skew, so candidate volume is Θ(n·bucket) —
+    * LINEAR in n until the 12-bit ceiling at n = 512000·skew
+    * (fixed-width LSH banding is Θ(n²/2^b) — AbQ46 measured the cliff:
+    * 20.5 s steady at sf1 with 4-bit bands vs 4.2 s with 8-bit,
+    * identical scheme; the r16 whole-suite sf3 audit then caught the
+    * OLD 8-bit ceiling itself: 60k vectors sat past 32000·skew and
+    * q46 read 10× on 3× data — raising the ceiling is exactly the
+    * "extend RpBitsMax" note this scaladoc carried since r10). Every
+    * corpus at or below sf1 resolves to the same width as before —
+    * gate hashes and committed artifacts unchanged. Integer-exact on
+    * both engines — no float log anywhere near a semantics boundary. */
   private[graft] def rpBandBits(n: Long): Int =
-    (4 to 8).find(b => 125L * (1L << b) >= n).getOrElse(8)
+    (4 to 12).find(b => 125L * (1L << b) >= n).getOrElse(12)
 
   /** q93 power-iteration rounds — declared before `defs` (eager Seq). */
   private val PcaIters = 8
@@ -666,8 +671,8 @@ object VectorQueries {
         s"""
         WITH nb AS (SELECT count(*) AS n FROM embeddings),
         bw AS (
-          SELECT COALESCE(min(t.b), 8) AS b
-          FROM (VALUES (4), (5), (6), (7), (8)) t(b), nb
+          SELECT COALESCE(min(t.b), 12) AS b
+          FROM (VALUES (4), (5), (6), (7), (8), (9), (10), (11), (12)) t(b), nb
           WHERE 125 * (1::BIGINT << t.b) >= nb.n),
         sigs AS (
           SELECT vec_id, embedding,

@@ -25,8 +25,10 @@ class Q46AdaptiveSpec extends SparkSpec {
     assert(VectorQueries.rpBandBits(2000L) === 4, "sf0.1 sits exactly on the 4-bit boundary")
     assert(VectorQueries.rpBandBits(2001L) === 5, "one row past the boundary widens the band")
     assert(VectorQueries.rpBandBits(20000L) === 8, "sf1 resolves to 8-bit bands")
-    assert(VectorQueries.rpBandBits(32000L) === 8)
-    assert(VectorQueries.rpBandBits(1000000L) === 8, "past the ceiling the width clamps (extend RpBitsMax to keep scaling)")
+    assert(VectorQueries.rpBandBits(32000L) === 8, "the old 8-bit regime's upper edge is unchanged")
+    assert(VectorQueries.rpBandBits(60000L) === 9, "sf3 widens past the old ceiling (r16: 10x-on-3x-data knee)")
+    assert(VectorQueries.rpBandBits(512000L) === 12)
+    assert(VectorQueries.rpBandBits(10000000L) === 12, "past the 12-bit ceiling the width clamps (extend RpBitsMax to keep scaling)")
   }
 
   test("plane matrix is a prefix extension: rows 0..15 equal the round-4 16-plane constants") {
