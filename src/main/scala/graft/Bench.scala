@@ -148,7 +148,11 @@ object Bench {
     // (r16 self-review; narrowed runs never write the artifact file,
     // this keeps their stdout line honest too)
     val excludedJson = (only.map(o =>
-        "\"<narrowed run: SPARK_GRAFT_ONLY=" + o.mkString(",") +
+        "\"<narrowed run: SPARK_GRAFT_ONLY=" + o.mkString(",")
+          // env content is caller-controlled — escape it like the
+          // benchExclude reasons below or a quote/backslash in the
+          // selector breaks the whole stdout JSON line (r16 advice)
+          .replace("\\", "\\\\").replace("\"", "\\\"") +
           "; unselected gate queries are untimed>\"").toSeq ++
       QueryRegistry.all
         .collect { case d if d.benchExclude.isDefined =>

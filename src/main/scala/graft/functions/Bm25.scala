@@ -63,6 +63,18 @@ object Bm25 {
       (sum(col("dl")) / count(lit(1))).as("avgdl"))
     val qt = qterms.distinct
     val termList = qt.map(_._2).distinct
+    // the plan-size hazard is THIS list: every distinct term becomes a
+    // string literal in the pre-explode isin() below. InSet probes stay
+    // O(1), but analysis time and serialized-plan size grow with the
+    // literal count — so the guard binds on distinct TERMS, here in the
+    // kernel that builds the literal list, not on (qid, term) pairs at
+    // a call site (a few hundred questions sharing a vocabulary make
+    // many pairs but few terms; r16 advice). 4096 literals is far above
+    // any real question batch, far below where planning stalls.
+    require(termList.size <= 4096,
+      s"bm25: ${termList.size} distinct query terms exceed the 4096 " +
+        "isin-literal bound — batch the questions; a term list this " +
+        "size bloats the serialized plan, not executor work")
     val qtFrame = broadcast(qt.toDF("qid", "term"))
     val tf = toks
       .select(col(idCol), col("dl"),

@@ -53,15 +53,13 @@ object RagPipeline {
     // the query-term set is tiny by construction (a question batch):
     // collect it once — through the SAME TextOps.tokens kernel that
     // tokenizes the corpus side — so Bm25.scoreTopK can drop non-query
-    // tokens INSIDE the scan projection, before the explode. Loud-capped
-    // (bounded-collect contract), and the cap is sized to the DOWNSTREAM
-    // consumer, not to driver memory (the q105 lesson, r15 advice): every
-    // distinct term becomes a string literal in the kernel's isin() —
-    // InSet probes stay O(1), but analysis time and serialized-plan size
-    // grow with the list, so 64k terms would stall planning long before
-    // the collect hurt. 4096 distinct (qid, term) pairs ≈ a few hundred
-    // questions — far above any real question batch, far below where the
-    // plan bloats.
+    // tokens INSIDE the scan projection, before the explode. This cap is
+    // the driver-MEMORY bound on the collected (qid, term) pairs only;
+    // the plan-size bound binds on distinct TERMS (what actually becomes
+    // isin() literals) and lives inside Bm25.scoreTopK where the literal
+    // list is built — a pair cap was the wrong proxy for it: hundreds of
+    // questions sharing a vocabulary make many pairs but few terms
+    // (r16 advice).
     val qterms = graft.Bounded.collectBounded(
       questions
         // cast, don't assume: qid arrives as int from some sources; the
@@ -69,7 +67,7 @@ object RagPipeline {
         .select(col("qid").cast("long").as("qid"),
           explode(TextOps.tokens(col("question"))).as("term"))
         .distinct(),
-      4096, "bm25: query-term",
+      65536, "bm25: query-term",
       "the question batch's term set is driver-collected to pre-filter " +
         "the corpus explode; batch the questions, don't stream a corpus " +
         "through the qid column")

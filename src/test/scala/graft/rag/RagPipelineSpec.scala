@@ -98,17 +98,28 @@ class RagPipelineSpec extends SparkSpec {
     assert(mean > 0.0) // retrieval should land on the right docs
   }
 
-  test("bm25All refuses a corpus-cardinality question frame at the 4096-pair cap (r15 advice)") {
-    // 4096 is sized to the DOWNSTREAM consumer: every distinct term
-    // becomes an isin() literal, so the cap guards plan size, not driver
-    // memory — a "question batch" beyond it is a corpus wearing the qid
-    // column
+  test("bm25All refuses a question frame whose distinct-TERM set exceeds the isin-literal bound (r16 advice)") {
+    // the plan-size hazard is the distinct-term isin() literal list, so
+    // the guard binds on terms inside Bm25.scoreTopK — a "question
+    // batch" with 5000 distinct terms is a corpus wearing the qid column
     val hostile = spark.range(0, 5000)
       .select(col("id").as("qid"),
         concat(lit("zz"), col("id").cast("string")).as("question"))
     val e = intercept[IllegalArgumentException](
       RagPipeline.bm25All(hostile, collection, 3).collect())
-    assert(e.getMessage.contains("cardinality exceeds"))
+    assert(e.getMessage.contains("distinct query terms"))
     assert(e.getMessage.contains("4096"))
+  }
+
+  test("bm25All accepts many (qid, term) pairs over a small shared vocabulary (r16 advice)") {
+    // >4096 distinct pairs but only 3 distinct terms: the old pair cap
+    // threw here even though the isin() list — the thing the cap was
+    // protecting — had 3 literals. Pairs bound driver memory (65536);
+    // terms bound the plan (4096, in the kernel).
+    val shared = spark.range(0, 1500)
+      .select(col("id").as("qid"),
+        lit("veridia crown queen").as("question"))
+    val out = RagPipeline.bm25All(shared, collection, 1)
+    assert(out.select(countDistinct(col("qid"))).head().getLong(0) === 1500L)
   }
 }

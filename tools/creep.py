@@ -30,8 +30,10 @@ Usage:
   python3 tools/creep.py --seed r14:f1.json r15:f2.json   # build a fresh ledger
 
 Exit code: number of flagged queries, plus 1 if the drift itself
-exceeds the threshold (a uniform suite-wide slowdown would otherwise
-hide inside the median) -- 0 = clean, so it can gate a round close. A flagged query is either real creep (fix it), an
+exceeds the threshold OR the tighter --drift-bound (default 1.15; a
+uniform suite-wide slowdown below the threshold would otherwise hide
+inside the median -- r16 advice) -- 0 = clean, so it can gate a round
+close. A flagged query is either real creep (fix it), an
 adjudicated change (record it in SCALE.md and --update the ledger on
 the new tree), or measurement spread (confirm with an isolated
 SPARK_GRAFT_ONLY run before believing it -- the canary under-corrects
@@ -87,6 +89,10 @@ def main():
     ap.add_argument("--artifact", default="BENCH_full.json")
     ap.add_argument("--ledger", default="BENCH_LEDGER.json")
     ap.add_argument("--threshold", type=float, default=1.25)
+    ap.add_argument("--drift-bound", type=float, default=1.15,
+                    help="secondary bound on the drift itself: sub-threshold "
+                         "uniform creep fails the gate instead of being "
+                         "divided out of every ratio (r16 advice)")
     ap.add_argument("--update", action="store_true",
                     help="fold the artifact's normalized bests into the ledger")
     ap.add_argument("--src", default=None,
@@ -141,6 +147,22 @@ def main():
               "threshold -- a uniform suite-wide slowdown is masked at this "
               "level. Run the isolated-control and tree-vs-tree checks "
               "(README ledger reading rule) before trusting 'clean'.")
+    # sub-threshold uniform creep (r16 advice): a tree that got e.g. 20%
+    # slower EVERYWHERE divides out of every per-query ratio via the
+    # median, and the alarm above only fires past the full threshold.
+    # A second, tighter bound on drift itself makes that band loud and
+    # gate-failing; cross-session box drift is ~3-5% median on this box
+    # (SCALE.md), so a 1.15 default leaves headroom for honest box
+    # state while refusing to silently absorb a real uniform slowdown.
+    # Adjudicate a firing the same way as a flag: isolated controls,
+    # then tree-vs-tree if the controls move too.
+    drift_creep = (not drift_alarm) and drift > args.drift_bound
+    if drift_creep:
+        print(f"DRIFT-CREEP: drift {drift:.3f} exceeds the secondary "
+              f"{args.drift_bound}x bound -- every per-query ratio was "
+              "adjusted by this factor, so a uniform tree-wide slowdown "
+              "of this size would read 'clean'. Adjudicate with isolated "
+              "untouched-control runs (README ledger reading rule).")
     flagged = []
     for q, ratio in ratios.items():
         adj = ratio / drift
@@ -162,7 +184,7 @@ def main():
         with open(args.ledger, "w") as f:
             json.dump(dict(sorted(merged.items())), f, indent=1)
         print(f"ledger updated -> {args.ledger}")
-    return len(flagged) + (1 if drift_alarm else 0)
+    return len(flagged) + (1 if (drift_alarm or drift_creep) else 0)
 
 
 if __name__ == "__main__":
