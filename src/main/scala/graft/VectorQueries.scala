@@ -1250,16 +1250,8 @@ object VectorQueries {
     //   hash-rank draw on top. ──
     QueryDef("q136_cluster_sample",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val (q, cents) = trainedKMeans(s, dir)
-        val w = Window.partitionBy(col("cell")).orderBy(col("h").asc, col("vec_id").asc)
-        graft.vector.IvfKMeans.assignCells(q, "qv", cents, KmScale)
-          .select(col("vec_id"), col("cell"), col("dist6"))
-          .withColumn("h", graft.functions.XHash.hash60(
-            concat(lit("eval:"), col("vec_id").cast("string"))))
-          .withColumn("rnk", row_number().over(w).cast("long"))
-          .filter(col("rnk") <= 5)
-          .select(col("cell"), col("rnk"), col("vec_id"), col("dist6"))
+        clusterDraw(graft.vector.IvfKMeans.assignCells(q, "qv", cents, KmScale), 5)
           .orderBy(col("cell"), col("rnk"))
       },
       Some(s"""
@@ -1385,16 +1377,50 @@ object VectorQueries {
     * assignment-only path). localCheckpoint because every round
     * re-collects.
     */
-  private[graft] def trainedKMeans(s: SparkSession, dir: String)
+  /** q136's per-cluster draw, factored so the gate query and the
+    * sample-trained production twin (ClusterSampleSpec) execute the SAME
+    * shape: a seeded-hash order within each cell (deterministic, no RNG
+    * state), rank window partitioned BY CELL — map-side WindowGroupLimit
+    * prunes to perCell rows per cell per task, so the shuffle carries
+    * O(cells · perCell · tasks) rows, never the corpus. `assigned` must
+    * carry (vec_id, cell, dist6) — the IvfKMeans.assignCells output. */
+  private[graft] def clusterDraw(assigned: DataFrame, perCell: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cell")).orderBy(col("h").asc, col("vec_id").asc)
+    assigned
+      .select(col("vec_id"), col("cell"), col("dist6"))
+      .withColumn("h", graft.functions.XHash.hash60(
+        concat(lit("eval:"), col("vec_id").cast("string"))))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= perCell)
+      .select(col("cell"), col("rnk"), col("vec_id"), col("dist6"))
+  }
+
+  private[graft] def trainedKMeans(s: SparkSession, dir: String,
+      trainFrac: Double = 1.0, seed: Long = 0L)
       : (DataFrame, Seq[(Long, Seq[Double])]) = {
     val q = emb(s, dir)
       .select(col("vec_id"),
         transform(col("embedding").cast("array<double>"),
           v => floor(v * 1e6 + 0.5).cast("double")).as("qv"))
       .localCheckpoint()
+    // Production mode (r16 verdict #4): trainFrac < 1 trains Lloyd's on
+    // a seeded Bernoulli sample — at 100 TB the trainer is ALWAYS a
+    // sample (each Lloyd's round is a driver-synchronized pass over the
+    // training set; a full-corpus train is a gate-scale luxury), while
+    // assignment stays the one map-only CellArgMin pass over the full
+    // corpus against the broadcast centroids. nlist is still sized from
+    // the FULL count — cell granularity is a property of the corpus the
+    // index serves, not of how many rows taught the centroids. The gate
+    // queries keep trainFrac=1.0 so oracles stay exact (house position
+    // since r10); ClusterSampleSpec executes this mode and gates the
+    // sample-vs-full assignment agreement recall-style.
+    val trainers =
+      if (trainFrac >= 1.0) q
+      else q.sample(withReplacement = false, trainFrac, seed)
     // one count() probe sizes nlist (the q48 one-pass regime); q is
     // checkpointed so the count costs a cached-partition sweep, not a scan
-    (q, graft.vector.IvfKMeans.trainCents(q, "vec_id", "qv", kmNlist(q.count()),
-      KmRounds, KmScale))
+    (q, graft.vector.IvfKMeans.trainCents(trainers, "vec_id", "qv",
+      kmNlist(q.count()), KmRounds, KmScale))
   }
 }
