@@ -1944,6 +1944,173 @@ object CurationQueries {
                CAST(row_number() OVER (PARTITION BY epoch, shard
                  ORDER BY h ASC, doc_id ASC) AS BIGINT) AS pos,
                doc_id
-        FROM sh ORDER BY epoch, shard, pos"""))
+        FROM sh ORDER BY epoch, shard, pos""")),
+
+    // ── q137: per-sequence ATTENTION-BOUNDARY manifest — the artifact a
+    //   block-diagonal-attention loader actually reads next to q126's
+    //   packed sequences: for each (source, seq_id), how many docs it
+    //   holds, its token count, its padding waste against the capacity,
+    //   and the ordered doc END offsets (the attention-mask reset
+    //   points). The per-doc offsets need NO window: the packer's
+    //   cursor already carries the within-sequence inclusive fill
+    //   (seq_fill), so end_off IS seq_fill — a pure projection over the
+    //   q126 plan — and the only added work is one aggregation whose
+    //   groups are capacity-bounded (a 256-token sequence holds at most
+    //   a few dozen docs, at ANY corpus scale). sort_array makes the
+    //   collected offsets deterministic regardless of partial-agg merge
+    //   order. ──
+    QueryDef("q137_pack_manifest",
+      (s, dir) => {
+        val toks = docs(s, dir)
+          .select(col("source"), col("doc_id"),
+            coalesce(size(split(col("text"), " ")).cast("long"), lit(0L))
+              .as("n_tok"))
+        rebasePacked(seqPackRanges(toks))
+          .groupBy(col("source"), col("seq_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            max(col("seq_fill")).as("seq_toks"),
+            // sort NUMERICALLY first, then stringify for the join —
+            // sorting the strings would order "100" before "99"
+            array_join(transform(sort_array(collect_list(col("seq_fill"))),
+              x => x.cast("string")), ",").as("bounds"))
+          .withColumn("pad_toks",
+            greatest(lit(256L) - col("seq_toks"), lit(0L)))
+          .select(col("source"), col("seq_id"), col("n_docs"),
+            col("seq_toks"), col("pad_toks"), col("bounds"))
+          .orderBy(col("source"), col("seq_id"))
+      },
+      Some(s"""
+        SELECT source, seq_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(max(seq_fill) AS BIGINT) AS seq_toks,
+               CAST(greatest(256 - max(seq_fill), 0) AS BIGINT) AS pad_toks,
+               string_agg(seq_fill::VARCHAR, ',' ORDER BY seq_fill) AS bounds
+        FROM ($SeqPackOracleSql)
+        GROUP BY source, seq_id
+        ORDER BY source, seq_id""")),
+
+    // ── q138: TAIL-EPOCH token-budget selection — the executable step
+    //   between q127 (how many tokens each source contributes:
+    //   full_epochs whole passes + a tail_toks remainder) and q134
+    //   (what order an epoch reads): which docs the PARTIAL tail epoch
+    //   takes. Docs are consumed in seeded-hash order until the
+    //   source's tail budget is filled (the doc that crosses the
+    //   boundary is included — budgets fill, not truncate).
+    //
+    //   100 TB shape: the running token total is the q126 rebase
+    //   pattern, not a per-source global window — shard = h mod 8
+    //   splits each source, the cumulative sum windows only WITHIN
+    //   (source, shard), and shard-local cumsums re-base by the
+    //   exclusive prefix of the |sources|·8-row shard-total rollup
+    //   (broadcast). The selection order is therefore shard-major —
+    //   self-consistent and deterministic, which is what a manifest
+    //   needs; it deliberately differs from q134's per-epoch order the
+    //   way any two epoch draws differ. Quota lookup is the broadcast
+    //   sources-sized mixQuotas frame. ──
+    QueryDef("q138_token_budget",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val nShards = 8L
+        val local = docs(s, dir)
+          .select(col("source"), col("doc_id"),
+            coalesce(size(split(col("text"), " ")).cast("long"), lit(0L))
+              .as("n_tok"))
+          .withColumn("h", XHash.hash60(
+            concat(lit("budget:"), col("doc_id").cast("string"))))
+          .withColumn("shard", pmod(col("h"), lit(nShards)))
+          .withColumn("cum_local", sum(col("n_tok")).over(
+            Window.partitionBy(col("source"), col("shard"))
+              .orderBy(col("h").asc, col("doc_id").asc)))
+        val bases = local.groupBy(col("source"), col("shard"))
+          .agg(sum(col("n_tok")).as("stoks"))
+          .withColumn("base", coalesce(
+            sum(col("stoks")).over(Window.partitionBy(col("source"))
+              .orderBy(col("shard"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("source").as("b_source"), col("shard").as("b_shard"),
+            col("base"))
+          .localCheckpoint() // eager |sources|·8-row rollup, never corpus
+        local
+          .join(broadcast(bases),
+            col("source") === col("b_source") && col("shard") === col("b_shard"))
+          .join(broadcast(mixQuotas(s, dir)
+              .select(col("source").as("q_source"), col("tail_toks"))),
+            col("source") === col("q_source"))
+          .withColumn("cum_toks", col("base") + col("cum_local"))
+          .filter(col("cum_toks") - col("n_tok") < col("tail_toks"))
+          .select(col("source"), col("shard"), col("doc_id"), col("n_tok"),
+            col("cum_toks"))
+          .orderBy(col("source"), col("cum_toks"))
+      },
+      Some(s"""
+        $mixQuotaSql,
+        d AS (
+          SELECT source, doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                 ${XHash.hash60Sql("'budget:' || doc_id::VARCHAR")} AS h
+          FROM documents),
+        c AS (
+          SELECT source, h % 8 AS shard, doc_id, n_tok,
+                 CAST(sum(n_tok) OVER (PARTITION BY source
+                   ORDER BY h % 8, h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_toks
+          FROM d)
+        SELECT c.source, c.shard, c.doc_id, c.n_tok, c.cum_toks
+        FROM c JOIN quota q ON q.source = c.source
+        WHERE c.cum_toks - c.n_tok < q.tail_toks
+        ORDER BY c.source, c.cum_toks""")),
+
+    // ── q139: train/val/test SPLIT manifest with an exact-duplicate
+    //   leak guard — the split every pipeline runs before training,
+    //   made deterministic (hash-bucketed on a salted doc_id: 80/10/10)
+    //   and audited: an eval doc whose exact text also appears in the
+    //   train split is contamination (Lee et al.'s dedup argument
+    //   applied at the split seam) and gets flagged, not silently
+    //   shipped. The guard is ONE shuffle by text hash — a window over
+    //   hash-groups (duplicate-cluster-sized partitions, no self-join,
+    //   no driver collect); a 100 TB corpus pays the same single
+    //   exchange its exact-dedup pass already pays. The gate corpus has
+    //   no cross-split duplicates, so the oracle pins all-zero flags
+    //   plus the split assignment itself; TrainManifestSpec injects
+    //   duplicates to prove the guard fires. ──
+    QueryDef("q139_split_leakguard",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        docs(s, dir)
+          .select(col("doc_id"), col("text"))
+          .withColumn("bucket", pmod(XHash.hash60(
+            concat(lit("split:"), col("doc_id").cast("string"))), lit(100L)))
+          .withColumn("split",
+            when(col("bucket") < 80L, "train")
+              .when(col("bucket") < 90L, "val").otherwise("test"))
+          .withColumn("th", XHash.hash60(col("text")))
+          .withColumn("n_train", sum(
+            when(col("split") === "train", 1L).otherwise(0L))
+            .over(Window.partitionBy(col("th"))))
+          .withColumn("leaked",
+            when(col("split") =!= "train" && col("n_train") > 0L, 1L)
+              .otherwise(0L))
+          .select(col("doc_id"), col("split"), col("leaked"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH b AS (
+          SELECT doc_id, text,
+                 ${XHash.hash60Sql("'split:' || doc_id::VARCHAR")} % 100
+                   AS bucket,
+                 ${XHash.hash60Sql("text")} AS th
+          FROM documents),
+        sp AS (
+          SELECT doc_id, th,
+                 CASE WHEN bucket < 80 THEN 'train'
+                      WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+          FROM b)
+        SELECT doc_id, split,
+               CAST(CASE WHEN split != 'train'
+                         AND sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+                             OVER (PARTITION BY th) > 0
+                    THEN 1 ELSE 0 END AS BIGINT) AS leaked
+        FROM sp ORDER BY doc_id"""))
   )
 }
