@@ -151,6 +151,42 @@ object CurationQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Par(s.read.parquet(s"$dir/documents.parquet"))
 
+  /** q134/q142 shared: the 2-epoch, 8-shard training shuffle manifest
+    * (epoch, shard, pos, doc_id), unordered — callers sort or consume as
+    * a set. Per-(epoch, doc) hash key, shard = h mod n, rank only WITHIN
+    * a (epoch, shard) partition — no corpus-wide sort anywhere (the
+    * naive corpus-wide row_number is the exact shape this avoids). */
+  private def epochShuffleManifest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nShards = 8
+    val perEpoch = docs(s, dir).select(col("doc_id"))
+      .withColumn("epoch", explode(typedlit(Seq(0L, 1L))))
+      .withColumn("h", XHash.hash60(
+        concat(col("doc_id").cast("string"), lit(":"),
+          col("epoch").cast("string"))))
+      .withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    perEpoch
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
+  }
+
+  /** DuckDB twin of [[epochShuffleManifest]]: CTE chain ending in
+    * `man(epoch, shard, pos, doc_id)` (composes after `WITH `). */
+  private val epochManifestSqlCte: String = s"""pe AS (
+          SELECT e.epoch AS epoch, d.doc_id AS doc_id,
+                 ${XHash.hash60Sql("d.doc_id::VARCHAR || ':' || e.epoch::VARCHAR")} AS h
+          FROM documents d, (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) AS e(epoch)),
+        sh AS (
+          SELECT epoch, doc_id, h, h % 8 AS shard FROM pe),
+        man AS (
+          SELECT epoch, shard,
+                 CAST(row_number() OVER (PARTITION BY epoch, shard
+                   ORDER BY h ASC, doc_id ASC) AS BIGINT) AS pos,
+                 doc_id
+          FROM sh)"""
+
   private def events(s: SparkSession, dir: String): DataFrame = Events.load(s, dir)
 
   /** Shared banded-Hamming near-dup pair recovery (q123 images, q125
@@ -1917,34 +1953,12 @@ object CurationQueries {
     //   the naive "shuffled index" — would serialize 100 TB through
     //   one window partition. ──
     QueryDef("q134_epoch_shuffle",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val nShards = 8
-        val perEpoch = docs(s, dir).select(col("doc_id"))
-          .withColumn("epoch", explode(typedlit(Seq(0L, 1L))))
-          .withColumn("h", XHash.hash60(
-            concat(col("doc_id").cast("string"), lit(":"),
-              col("epoch").cast("string"))))
-          .withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
-        val w = Window.partitionBy(col("epoch"), col("shard"))
-          .orderBy(col("h").asc, col("doc_id").asc)
-        perEpoch
-          .withColumn("pos", row_number().over(w).cast("long"))
-          .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
-          .orderBy(col("epoch"), col("shard"), col("pos"))
-      },
+      (s, dir) => epochShuffleManifest(s, dir)
+        .orderBy(col("epoch"), col("shard"), col("pos")),
       Some(s"""
-        WITH pe AS (
-          SELECT e.epoch AS epoch, d.doc_id AS doc_id,
-                 ${XHash.hash60Sql("d.doc_id::VARCHAR || ':' || e.epoch::VARCHAR")} AS h
-          FROM documents d, (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) AS e(epoch)),
-        sh AS (
-          SELECT epoch, doc_id, h, h % 8 AS shard FROM pe)
-        SELECT epoch, shard,
-               CAST(row_number() OVER (PARTITION BY epoch, shard
-                 ORDER BY h ASC, doc_id ASC) AS BIGINT) AS pos,
-               doc_id
-        FROM sh ORDER BY epoch, shard, pos""")),
+        WITH $epochManifestSqlCte
+        SELECT epoch, shard, pos, doc_id
+        FROM man ORDER BY epoch, shard, pos""")),
 
     // ── q137: per-sequence ATTENTION-BOUNDARY manifest — the artifact a
     //   block-diagonal-attention loader actually reads next to q126's
@@ -2111,6 +2125,70 @@ object CurationQueries {
                          AND sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
                              OVER (PARTITION BY th) > 0
                     THEN 1 ELSE 0 END AS BIGINT) AS leaked
-        FROM sp ORDER BY doc_id"""))
+        FROM sp ORDER BY doc_id""")),
+
+    // ── q142: checkpoint-RESUME manifest — the last loader artifact the
+    //   q134→q137/q138 family was missing: a trainer checkpoints after
+    //   each worker has drawn `consumed` samples from its shard; on
+    //   restart every worker needs (resume_epoch, resume_pos) WITHOUT
+    //   replaying the stream. Shards consume epoch 0's items in pos
+    //   order, then epoch 1's (the hash reshards per epoch, so per-shard
+    //   epoch lengths DIFFER — the cumulative chain is per shard, not
+    //   global); consumed=62 straddles the epoch boundary at gate scale
+    //   (mean epoch-0 shard length 62.5), exercising both resume paths.
+    //   100 TB shape: the manifest windows stay per-(epoch, shard); the
+    //   length rollup is nShards×nEpochs rows; the cumulative window and
+    //   the resume pick run on THAT tiny frame; the 3-doc preview
+    //   (within the resume epoch) broadcasts the ≤nShards resume rows
+    //   into a map-only range filter — nothing above shard granularity
+    //   ever shuffles. ──
+    QueryDef("q142_resume_manifest",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val consumed = 62L // samples drawn per shard before the checkpoint
+        val man = epochShuffleManifest(s, dir).persist()
+        val wsh = Window.partitionBy(col("shard")).orderBy(col("epoch"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val resume = man.groupBy(col("shard"), col("epoch"))
+          .agg(count(lit(1)).as("len"))
+          .withColumn("cum_before", coalesce(sum(col("len")).over(wsh), lit(0L)))
+          .filter(col("cum_before") <= consumed &&
+            lit(consumed) < col("cum_before") + col("len"))
+          // fresh key names: resume derives FROM man, so joining back on
+          // same-named columns would be an ambiguous self-join
+          .select(col("shard").as("r_shard"), col("epoch").as("resume_epoch"),
+            (lit(consumed) - col("cum_before") + lit(1L)).as("resume_pos"))
+        man.join(broadcast(resume),
+            col("shard") === col("r_shard") &&
+              col("epoch") === col("resume_epoch") &&
+              col("pos").between(col("resume_pos"), col("resume_pos") + lit(2L)))
+          .select(col("shard"), col("resume_epoch"), col("resume_pos"),
+            col("pos"), col("doc_id"))
+          .groupBy(col("shard"), col("resume_epoch"), col("resume_pos"))
+          .agg(array_join(transform(
+            sort_array(collect_list(struct(col("pos"), col("doc_id")))),
+            p => p.getField("doc_id").cast("string")), ",").as("next_docs"))
+          .orderBy(col("shard"))
+      },
+      Some(s"""
+        WITH $epochManifestSqlCte,
+        lens AS (SELECT shard, epoch, count(*) AS len FROM man GROUP BY 1, 2),
+        cum AS (
+          SELECT shard, epoch, len,
+                 coalesce(sum(len) OVER (PARTITION BY shard ORDER BY epoch
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+          FROM lens),
+        res AS (
+          SELECT shard, epoch AS resume_epoch,
+                 CAST(62 - cum_before + 1 AS BIGINT) AS resume_pos
+          FROM cum WHERE cum_before <= 62 AND 62 < cum_before + len)
+        SELECT m.shard AS shard, r.resume_epoch AS resume_epoch,
+               r.resume_pos AS resume_pos,
+               string_agg(m.doc_id::VARCHAR, ',' ORDER BY m.pos) AS next_docs
+        FROM man m JOIN res r ON m.shard = r.shard
+          AND m.epoch = r.resume_epoch
+          AND m.pos BETWEEN r.resume_pos AND r.resume_pos + 2
+        GROUP BY 1, 2, 3 ORDER BY shard"""))
   )
 }

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{CdcCuts, MinHashSig, ShingleHash60, TextKernels, TextOps, XHash}
 
@@ -99,6 +99,50 @@ object TextQueries {
         WHERE round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
                     len(list_distinct(list_concat(sh_a, sh_b))), 6) >= 0.5"""
   }
+
+  /** q49/q140 shared: LSH near-dup pairs → connected-component labels by
+    * iterative min-label propagation. Each pass is one join + min-agg with
+    * lineage truncated per iteration (plans must not nest per pass),
+    * converging in O(component diameter) passes; the fixpoint label is the
+    * component-minimum doc_id. Returns (id, lbl) for CLUSTERED docs only —
+    * docs with no near-dup edge never enter the propagation.
+    */
+  private def lshClusterLabels(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLshPairs(s, dir)
+    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      .localCheckpoint()
+    var lbl = edges.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val viaNeighbor = edges
+        .join(lbl.select(col("id").as("b"), col("lbl")), Seq("b"))
+        .select(col("a").as("id"), col("lbl"))
+      val next = lbl.unionByName(viaNeighbor)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint() // truncate lineage: plans must not nest per pass
+      changed = next.join(lbl.withColumnRenamed("lbl", "old"), Seq("id"))
+        .filter(col("lbl") =!= col("old")).count()
+      lbl.unpersist() // next is materialized; drop the previous pass's blocks
+      lbl = next
+    }
+    lbl
+  }
+
+  /** DuckDB twin of [[lshClusterLabels]]: the transitive-closure CTE chain
+    * (composes after `WITH RECURSIVE pairs AS (...)`) ending in
+    * `lbl(id, lbl)` — the component-minimum label per clustered doc. */
+  private val lshClusterLabelsSqlCte: String = """
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        nodes AS (SELECT DISTINCT a AS id FROM edges),
+        reach(a, b) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        lbl AS (SELECT a AS id, min(b) AS lbl FROM reach GROUP BY a)"""
 
   // Deterministic language marker lists (heuristic language-ID; the
   // classifier is the SPEC — the oracle replays the same lists).
@@ -661,44 +705,19 @@ object TextQueries {
     //   transitive closure over the identical q27 pair SQL. ──
     QueryDef("q49_dedup_clusters",
       (s, dir) => {
-        val pairs = minhashLshPairs(s, dir)
-        val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
-          .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
-          .localCheckpoint()
-        var lbl = edges.select(col("a").as("id")).distinct()
-          .withColumn("lbl", col("id")).localCheckpoint()
-        var changed = 1L
-        while (changed > 0) {
-          val viaNeighbor = edges
-            .join(lbl.select(col("id").as("b"), col("lbl")), Seq("b"))
-            .select(col("a").as("id"), col("lbl"))
-          val next = lbl.unionByName(viaNeighbor)
-            .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
-            .localCheckpoint() // truncate lineage: plans must not nest per pass
-          changed = next.join(lbl.withColumnRenamed("lbl", "old"), Seq("id"))
-            .filter(col("lbl") =!= col("old")).count()
-          lbl.unpersist() // next is materialized; drop the previous pass's blocks
-          lbl = next
-        }
         import org.apache.spark.sql.expressions.Window
-        lbl.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+        lshClusterLabels(s, dir)
+          .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
           .withColumn("cluster_size",
             count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
           .orderBy(col("doc_id"))
       },
       Some(s"""
         WITH RECURSIVE pairs AS ($minhashLshPairsSql),
-        edges AS (
-          SELECT id_a AS a, id_b AS b FROM pairs
-          UNION SELECT id_b, id_a FROM pairs),
-        nodes AS (SELECT DISTINCT a AS id FROM edges),
-        reach(a, b) AS (
-          SELECT id, id FROM nodes
-          UNION
-          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-        SELECT a AS doc_id, min(b) AS cluster_id,
-               count(*) OVER (PARTITION BY min(b)) AS cluster_size
-        FROM reach GROUP BY a ORDER BY doc_id""")),
+        $lshClusterLabelsSqlCte
+        SELECT id AS doc_id, lbl AS cluster_id,
+               count(*) OVER (PARTITION BY lbl) AS cluster_size
+        FROM lbl ORDER BY doc_id""")),
 
     // ── q54: TF-IDF top terms per document — the inverted-index shape
     //   (explode → tf per (doc, term) → df per term → join back) whose
@@ -1221,7 +1240,336 @@ object TextQueries {
                    FROM agg)
         SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS BIGINT) AS rnk,
                doc_id, round(s_int / 1000000.0, 6) AS score
-        FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk"""))
+        FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""")),
+
+    // ── q140: near-dup-cluster-coherent train/val/test split — q139's
+    //   exact-duplicate leak guard upgraded to LSH-cluster granularity
+    //   (how real pretrain corpora split: a NEAR-duplicate of a training
+    //   doc leaking into eval inflates benchmarks just as surely as a
+    //   byte-identical one). Every doc is bucketed by hashing its cluster
+    //   REPRESENTATIVE (component-min doc_id from the q27→q49
+    //   propagation; singletons represent themselves), so a connected
+    //   near-dup component can never straddle splits BY CONSTRUCTION —
+    //   no post-hoc leak scan exists because none is needed. 100 TB
+    //   shape: the propagation is q49's (O(diameter) passes over the
+    //   LSH pair graph, which banding keeps linear-sized); the label
+    //   attach is ONE hash join on doc_id (clustered-doc side is the
+    //   small side — broadcast at gate scale, shuffle-hash beyond); the
+    //   rollup is a map-side-combinable groupBy on (split, source).
+    //   ClusterSplitSpec proves coherence on adversarial near-dup
+    //   batches that q139's exact-hash guard would leak. ──
+    QueryDef("q140_cluster_split",
+      (s, dir) => {
+        val lbl = lshClusterLabels(s, dir).withColumnRenamed("id", "doc_id")
+        docs(s, dir).select(col("doc_id"), col("source"))
+          .join(lbl, Seq("doc_id"), "left")
+          .withColumn("rep", coalesce(col("lbl"), col("doc_id")))
+          .withColumn("bucket", pmod(XHash.hash60(
+            concat(lit("csplit:"), col("rep").cast("string"))), lit(100L)))
+          .withColumn("split",
+            when(col("bucket") < 80L, "train")
+              .when(col("bucket") < 90L, "val").otherwise("test"))
+          .groupBy(col("split"), col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("lbl").isNotNull, 1L).otherwise(0L)).as("n_clustered"),
+            countDistinct(when(col("lbl").isNotNull, col("rep"))).as("n_clusters"))
+          .orderBy(col("split"), col("source"))
+      },
+      Some(s"""
+        WITH RECURSIVE pairs AS ($minhashLshPairsSql),
+        $lshClusterLabelsSqlCte,
+        d AS (
+          SELECT doc_id, source, l.lbl AS lbl, coalesce(l.lbl, doc_id) AS rep
+          FROM documents LEFT JOIN lbl l ON doc_id = l.id),
+        sp AS (
+          SELECT doc_id, source, lbl, rep,
+                 ${XHash.hash60Sql("'csplit:' || rep::VARCHAR")} % 100 AS bucket
+          FROM d)
+        SELECT CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+               source,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN lbl IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_clustered,
+               count(DISTINCT CASE WHEN lbl IS NOT NULL THEN rep END)
+                 AS n_clusters
+        FROM sp GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ── q141: segment-level code-switch detection — doc-level LID (q23)
+    //   misses MIXED-language documents, which a curation pipeline wants
+    //   flagged separately (they poison monolingual training mixes).
+    //   The text is cut into fixed non-overlapping 12-token segments
+    //   (sentence boundaries don't exist in this corpus — a fixed window
+    //   is the deterministic analogue), each segment votes with the SAME
+    //   marker lists and argmax convention as q23 ('unknown' when no
+    //   marker hits), and the doc reports its majority segment language
+    //   plus the fraction of segments disagreeing with it. 100 TB shape:
+    //   explode volume is token-bounded (one row per 12 tokens); both
+    //   aggregations and the window are keyed by doc_id — partial-agg
+    //   combines map-side and NO corpus-wide window exists; the
+    //   majority/total join is co-partitioned on doc_id. ──
+    QueryDef("q141_code_switch",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val segs = docs(s, dir)
+          .withColumn("toks", TextOps.tokens(col("text")))
+          .filter(size(col("toks")) > 0)
+          .withColumn("seg", explode(expr(
+            "transform(sequence(0, (size(toks)-1) div 12), i -> slice(toks, i*12+1, 12))")))
+          .select(col("doc_id"), col("seg"))
+        val scores = LangMarkers.map { case (l, words) =>
+          size(filter(col("seg"), t => t.isin(words.map(lit): _*))).as(s"score_$l")
+        }
+        val best = LangMarkers.map { case (l, _) =>
+          struct(col(s"score_$l").as("s"), lit(l).as("l"))
+        }
+        val preds = segs.select(col("doc_id") +: scores: _*)
+          .withColumn("pred",
+            when(greatest(LangMarkers.map(m => col(s"score_${m._1}")): _*) === 0,
+              lit("unknown"))
+              .otherwise(sort_array(array(best: _*), asc = false)
+                .getItem(0).getField("l")))
+        val grp = preds.groupBy(col("doc_id"), col("pred"))
+          .agg(count(lit(1)).as("n"))
+          .persist() // feeds BOTH the majority window and the totals —
+                     // unpersisted, the explode+agg subtree derives twice
+        val ranked = grp.withColumn("rk", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("n").desc, col("pred").desc)))
+        val tot = grp.groupBy(col("doc_id")).agg(sum(col("n")).as("n_segments"))
+        ranked.filter(col("rk") === 1)
+          .select(col("doc_id"), col("pred").as("majority"), col("n").as("n_maj"))
+          .join(tot, Seq("doc_id"))
+          .withColumn("mixed_frac", round(
+            (col("n_segments") - col("n_maj")).cast("double") / col("n_segments"), 6))
+          .select(col("doc_id"), col("majority"), col("n_segments"), col("mixed_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val toks = TextOps.tokensSql("text")
+        val scoreExprs = LangMarkers.map { case (l, words) =>
+          val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+          s"len(list_filter(seg, t -> list_contains($list, t))) AS score_$l"
+        }.mkString(",\n                 ")
+        val greatest = LangMarkers.map(m => s"score_${m._1}").mkString("greatest(", ", ", ")")
+        // argmax with q23's exact tie convention: higher score, then
+        // lexically larger lang tag (list_reverse_sort on struct(s, l)).
+        val caseExpr = {
+          val structs = LangMarkers.map { case (l, _) => s"{'s': score_$l, 'l': '$l'}" }.mkString("[", ", ", "]")
+          s"list_reverse_sort($structs)[1]['l']"
+        }
+        s"""
+        WITH t AS (
+          SELECT doc_id, $toks AS toks FROM documents
+          WHERE len($toks) > 0),
+        segs AS (
+          SELECT doc_id, toks[(i.i*12+1):(i.i*12+12)] AS seg
+          FROM t, unnest(range(0, (len(toks)-1)//12 + 1)) AS i(i)),
+        scored AS (
+          SELECT doc_id,
+                 $scoreExprs
+          FROM segs),
+        preds AS (
+          SELECT doc_id,
+                 CASE WHEN $greatest = 0 THEN 'unknown' ELSE $caseExpr END AS pred
+          FROM scored),
+        grp AS (SELECT doc_id, pred, count(*) AS n FROM preds GROUP BY 1, 2),
+        ranked AS (
+          SELECT doc_id, pred, n, row_number() OVER (PARTITION BY doc_id
+                   ORDER BY n DESC, pred DESC) AS rk
+          FROM grp),
+        tot AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_segments
+                FROM grp GROUP BY 1)
+        SELECT r.doc_id AS doc_id, r.pred AS majority, t2.n_segments AS n_segments,
+               round(CAST(t2.n_segments - r.n AS DOUBLE) / t2.n_segments, 6)
+                 AS mixed_frac
+        FROM ranked r JOIN tot t2 ON r.doc_id = t2.doc_id
+        WHERE r.rk = 1 ORDER BY doc_id"""
+      }),
+
+    // ── q143: per-domain z-normalized quality QUOTA — the data-recipe
+    //   selection step (FineWeb/DCLM-style): raw quality signals are not
+    //   comparable across domains (a code domain's token-length
+    //   distribution differs from prose), so each signal z-scores WITHIN
+    //   its source and the ensemble picks a fixed quota per source.
+    //   Signals: token count, distinct-token ratio (repetition inverse,
+    //   up), punctuation ratio (down). Determinism is the q62 discipline:
+    //   each signal is integer-lifted to micro-units, the per-source
+    //   moments are EXACT decimal(38,0) power sums, and the z arithmetic
+    //   is a handful of IEEE ops on identical inputs → bitwise equal
+    //   across engines (single-pass stddev_samp would not be).
+    //   100 TB shape: one map-side-combinable groupBy(source) for the
+    //   moments; the sources-sized moment table broadcasts back; the
+    //   quota rank is a per-source window whose rank filter prunes
+    //   map-side (WindowGroupLimit). ──
+    QueryDef("q143_quality_zquota",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.DecimalType
+        val D0 = DecimalType(38, 0)
+        val sig = docs(s, dir)
+          .withColumn("toks", TextOps.tokens(col("text")))
+          .filter(size(col("toks")) > 0)
+          .select(col("doc_id"), col("source"),
+            size(col("toks")).cast("long").as("m1"),
+            round(size(array_distinct(col("toks"))).cast("double") /
+              size(col("toks")) * 1e6, 0).cast("long").as("m2"),
+            round(TextOps.punctRatio(col("text")) * 1e6, 0).cast("long").as("m3"))
+          .persist() // feeds the moment rollup AND the z projection
+        val sums = sig.groupBy(col("source")).agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("m1").cast(D0)).cast("double").as("s1"),
+          sum((col("m1") * col("m1")).cast(D0)).cast("double").as("ss1"),
+          sum(col("m2").cast(D0)).cast("double").as("s2"),
+          sum((col("m2") * col("m2")).cast(D0)).cast("double").as("ss2"),
+          sum(col("m3").cast(D0)).cast("double").as("s3"),
+          sum((col("m3") * col("m3")).cast(D0)).cast("double").as("ss3"))
+        def z(m: String, sc: String, ssc: String): Column = {
+          val mean = col(sc) / col("n")
+          val varr = col(ssc) / col("n") - mean * mean
+          when(varr <= 0.0, lit(0.0))
+            .otherwise((col(m).cast("double") - mean) / sqrt(varr))
+        }
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("zq").desc, col("doc_id").asc)
+        sig.join(broadcast(sums), Seq("source"))
+          .withColumn("zq", round(
+            (z("m1", "s1", "ss1") + z("m2", "s2", "ss2") -
+              z("m3", "s3", "ss3")) / 3.0, 6))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select(col("source"), col("rnk"), col("doc_id"), col("zq"))
+          .orderBy(col("source"), col("rnk"))
+      },
+      Some {
+        val toks = TextOps.tokensSql("text")
+        val punct = "CASE WHEN length(text) = 0 THEN 0.0 ELSE " +
+          "CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) END"
+        def zSql(m: String, i: Int): String =
+          s"(CASE WHEN ss$i/n - (s$i/n)*(s$i/n) <= 0 THEN 0.0 " +
+            s"ELSE (CAST($m AS DOUBLE) - s$i/n) / sqrt(ss$i/n - (s$i/n)*(s$i/n)) END)"
+        s"""
+        WITH t AS (SELECT doc_id, source, text, $toks AS toks FROM documents),
+        sig AS (
+          SELECT doc_id, source,
+                 CAST(len(toks) AS BIGINT) AS m1,
+                 CAST(round(CAST(len(list_distinct(toks)) AS DOUBLE) /
+                   len(toks) * 1000000, 0) AS BIGINT) AS m2,
+                 CAST(round(($punct) * 1000000, 0) AS BIGINT) AS m3
+          FROM t WHERE len(toks) > 0),
+        sums AS (
+          SELECT source, CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(CAST(m1 AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+                 CAST(sum(CAST(m1*m1 AS DECIMAL(38,0))) AS DOUBLE) AS ss1,
+                 CAST(sum(CAST(m2 AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+                 CAST(sum(CAST(m2*m2 AS DECIMAL(38,0))) AS DOUBLE) AS ss2,
+                 CAST(sum(CAST(m3 AS DECIMAL(38,0))) AS DOUBLE) AS s3,
+                 CAST(sum(CAST(m3*m3 AS DECIMAL(38,0))) AS DOUBLE) AS ss3
+          FROM sig GROUP BY source),
+        z AS (
+          SELECT g.doc_id AS doc_id, g.source AS source,
+                 round((${zSql("m1", 1)} + ${zSql("m2", 2)} -
+                        ${zSql("m3", 3)}) / 3.0, 6) AS zq
+          FROM sig g JOIN sums USING (source))
+        SELECT source,
+               CAST(row_number() OVER (PARTITION BY source
+                 ORDER BY zq DESC, doc_id ASC) AS BIGINT) AS rnk,
+               doc_id, zq
+        FROM z QUALIFY rnk <= 3 ORDER BY source, rnk"""
+      }),
+
+    // ── q144: curation-funnel SURVIVORSHIP — the pipeline-observability
+    //   rollup every 100 TB curation run reports: per source, how many
+    //   docs survive each sequential stage (all → quality rules → exact
+    //   dedup → near-dup keep-best). Stages COMPOSE (each runs on the
+    //   previous stage's survivors: the exact-hash window ranks only
+    //   quality docs; the cluster keep-best ranks only exact survivors),
+    //   which is what makes the counts a funnel rather than four
+    //   independent filters. A cross-source cluster credits its one
+    //   survivor to the representative's source — per-source funnel
+    //   steps are therefore honest (a source CAN lose all members of a
+    //   cluster it doesn't represent). 100 TB shape: quality flags are
+    //   map-only; the exact stage is one hash-partitioned window on
+    //   text hash (duplicate-cluster-sized partitions); the near-dup
+    //   stage reuses q49's linear-sized LSH propagation plus one window
+    //   keyed by cluster; every rollup is a map-side-combinable count. ──
+    QueryDef("q144_curation_funnel",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = docs(s, dir)
+          .withColumn("toks", TextOps.tokens(col("text")))
+          .withColumn("n_tokens", size(col("toks")).cast("long"))
+          .withColumn("punct", round(TextOps.punctRatio(col("text")), 6))
+          .withColumn("quality",
+            col("n_tokens") >= 5 && col("n_tokens") <= 10000 && col("punct") < 0.2)
+          .select(col("doc_id"), col("source"), col("text"), col("quality"))
+          .persist()
+        val q = base.filter(col("quality"))
+          .withColumn("th", XHash.hash60(col("text")))
+          .withColumn("exact_keep", row_number().over(
+            Window.partitionBy(col("th")).orderBy(col("doc_id"))) === 1)
+          .persist()
+        val lbl = lshClusterLabels(s, dir).withColumnRenamed("id", "doc_id")
+        val e = q.filter(col("exact_keep"))
+          .join(lbl, Seq("doc_id"), "left")
+          .withColumn("ckey", coalesce(col("lbl"), col("doc_id")))
+          .withColumn("near_keep", row_number().over(
+            Window.partitionBy(col("ckey")).orderBy(col("doc_id"))) === 1)
+        val tot = base.groupBy(col("source")).agg(count(lit(1)).as("n_total"),
+          sum(when(col("quality"), 1L).otherwise(0L)).as("n_quality"))
+        val ne = q.filter(col("exact_keep")).groupBy(col("source"))
+          .agg(count(lit(1)).as("n_exact"))
+        val nn = e.filter(col("near_keep")).groupBy(col("source"))
+          .agg(count(lit(1)).as("n_near"))
+        tot.join(ne, Seq("source"), "left").join(nn, Seq("source"), "left")
+          .select(col("source"), col("n_total"), col("n_quality"),
+            coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+            coalesce(col("n_near"), lit(0L)).as("n_near"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val toks = TextOps.tokensSql("text")
+        val punct = "CASE WHEN length(text) = 0 THEN 0.0 ELSE " +
+          "CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) END"
+        s"""
+        WITH RECURSIVE pairs AS ($minhashLshPairsSql),
+        $lshClusterLabelsSqlCte,
+        base AS (
+          SELECT doc_id, source, text,
+                 (len($toks) >= 5 AND len($toks) <= 10000 AND
+                  round($punct, 6) < 0.2) AS quality
+          FROM documents),
+        q AS (
+          SELECT doc_id, source, ${XHash.hash60Sql("text")} AS th
+          FROM base WHERE quality),
+        qe AS (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY th ORDER BY doc_id) AS rn
+          FROM q),
+        e AS (SELECT doc_id, source FROM qe WHERE rn = 1),
+        en AS (
+          SELECT e.doc_id, e.source, coalesce(l.lbl, e.doc_id) AS ckey
+          FROM e LEFT JOIN lbl l ON e.doc_id = l.id),
+        ek AS (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY ckey ORDER BY doc_id) AS rn
+          FROM en),
+        tot AS (
+          SELECT source, count(*) AS n_total,
+                 CAST(sum(CASE WHEN quality THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_quality
+          FROM base GROUP BY source),
+        ee AS (SELECT source, count(*) AS n_exact FROM e GROUP BY source),
+        nn AS (SELECT source, count(*) AS n_near FROM ek WHERE rn = 1
+               GROUP BY source)
+        SELECT t.source AS source, t.n_total AS n_total,
+               t.n_quality AS n_quality,
+               coalesce(ee.n_exact, 0) AS n_exact,
+               coalesce(nn.n_near, 0) AS n_near
+        FROM tot t LEFT JOIN ee ON t.source = ee.source
+        LEFT JOIN nn ON t.source = nn.source
+        ORDER BY source"""
+      })
   )
 
   /** BM25 top-5 per query over a pre-tokenized corpus frame
