@@ -18,11 +18,16 @@ object TextQueries {
     * → 4×4 band join → exact-Jaccard verify. No output ordering — callers
     * sort or consume as a set.
     */
-  private def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
+  /** Shingle → minhash signature → band machinery shared by the self-join
+    * pair path (q27/q49/q140/q144) and the two-sided decontamination join
+    * (q145). Returns (bands, shSets): `bands` is (doc_id, band_idx,
+    * band_key), `shSets` is (doc_id, sh) for the exact-Jaccard verify.
+    * Both sides of whatever band join follows read the SAME persisted
+    * frames — unpersisted, the shingle+signature subtree derives four
+    * times (the q114 lesson, applied round 7).
+    */
+  private def minhashBands(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val perms = XHash.permParams(16)
-    // d feeds the signature path AND both verify joins; bands feeds both
-    // sides of the band self-join — persist both or the shingle+signature
-    // subtree derives four times (the q114 lesson, applied round 7)
     val d = docs(s, dir)
       .withColumn("toks", TextOps.tokens(col("text")))
       .withColumn("sh", ShingleHash60(col("toks"), 3))
@@ -36,19 +41,23 @@ object TextQueries {
     val sig = d.withColumn("sigv", MinHashSig(col("h31"), perms.length))
       .select(col("doc_id") +:
         perms.indices.map(i => element_at(col("sigv"), i + 1).as(s"mh_$i")): _*)
-    // candidates dedup on ids ONLY (distinct over heavy shingle arrays
-    // would hash megabytes per pair); shingle sets join back after.
     val bands = sig.select(col("doc_id"), posexplode(array(
       (0 until 4).map(bd => concat_ws("_",
         (0 until 4).map(r => col(s"mh_${bd * 4 + r}")): _*)): _*)))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key")
       .persist()
+    (bands, d.select(col("doc_id"), col("sh")))
+  }
+
+  private def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
+    val (bands, shSets) = minhashBands(s, dir)
+    // candidates dedup on ids ONLY (distinct over heavy shingle arrays
+    // would hash megabytes per pair); shingle sets join back after.
     val cand = bands.select(col("band_idx"), col("band_key"), col("doc_id").as("id_a"))
       .join(bands.select(col("band_idx"), col("band_key"), col("doc_id").as("id_b")),
         Seq("band_idx", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    val shSets = d.select(col("doc_id"), col("sh"))
     cand
       .join(shSets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(shSets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -60,7 +69,9 @@ object TextQueries {
   }
 
   /** DuckDB twin of minhashLshPairs (no ORDER BY — composes as a CTE). */
-  private val minhashLshPairsSql: String = {
+  /** DuckDB twin of [[minhashBands]]: CTE chain ending in
+    * `bands(doc_id, sh, band_idx, band_key)` (composes after `WITH `). */
+  private val minhashBandsSqlCte: String = {
     val perms = XHash.permParams(16)
     val toks = TextOps.tokensSql("text")
     val sigs = perms.zipWithIndex.map { case ((a, b), i) =>
@@ -69,8 +80,7 @@ object TextQueries {
     val bandList = (0 until 4).map { bd =>
       (0 until 4).map(r => s"mh_${bd * 4 + r}::VARCHAR").mkString("concat_ws('_', ", ", ", ")")
     }.mkString("[", ", ", "]")
-    s"""
-        WITH tk AS (SELECT doc_id, $toks AS toks FROM documents),
+    s"""tk AS (SELECT doc_id, $toks AS toks FROM documents),
         shg AS (
           SELECT doc_id, list_distinct(list_transform(
             list_distinct(CASE WHEN len(toks) < 3 THEN []::VARCHAR[] ELSE
@@ -87,7 +97,12 @@ object TextQueries {
           FROM hd),
         bands AS (
           SELECT doc_id, sh, i - 1 AS band_idx, ($bandList)[i] AS band_key
-          FROM sig, UNNEST(range(1, 5)) AS u(i)),
+          FROM sig, UNNEST(range(1, 5)) AS u(i))"""
+  }
+
+  private val minhashLshPairsSql: String =
+    s"""
+        WITH $minhashBandsSqlCte,
         cand AS (
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
           FROM bands a JOIN bands b
@@ -98,7 +113,6 @@ object TextQueries {
         FROM cand
         WHERE round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
                     len(list_distinct(list_concat(sh_a, sh_b))), 6) >= 0.5"""
-  }
 
   /** q49/q140 shared: LSH near-dup pairs → connected-component labels by
     * iterative min-label propagation. Each pass is one join + min-agg with
@@ -143,6 +157,24 @@ object TextQueries {
           UNION
           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
         lbl AS (SELECT a AS id, min(b) AS lbl FROM reach GROUP BY a)"""
+
+  /** The fixed retrieval query set shared by q87/q113 (direct BM25) and
+    * q146 (PRF-expanded BM25) — ONE owner so the oracles' VALUES lists
+    * can never drift from the Spark side. Declared BEFORE `defs` (q146's
+    * oracle string interpolates it at object init). */
+  private[graft] val Bm25QuerySet: Seq[(Long, String)] = Seq(
+    (0L, "spark window join"), (1L, "vector hash group"),
+    (2L, "customer order value"), (3L, "stream batch filter"),
+    (4L, "scan slow table"))
+
+  /** Driver-side (qid, term) pairs for [[Bm25QuerySet]] — tokenized by the
+    * kernel's OWN driver-side twin (TextKernels.tokensLocal), never a
+    * hand-rolled split, so the pre-explode membership filter inside
+    * Bm25.scoreTopK can never desynchronize from the corpus-side
+    * TextOps.tokens (r14 advice). */
+  private[graft] def bm25QueryTerms: Seq[(Long, String)] =
+    Bm25QuerySet.flatMap { case (qid, q) =>
+      graft.functions.TextKernels.tokensLocal(q).map(qid -> _) }
 
   // Deterministic language marker lists (heuristic language-ID; the
   // classifier is the SPEC — the oracle replays the same lists).
@@ -1569,6 +1601,165 @@ object TextQueries {
         FROM tot t LEFT JOIN ee ON t.source = ee.source
         LEFT JOIN nn ON t.source = nn.source
         ORDER BY source"""
+      }),
+
+    // ── q145: fuzzy DECONTAMINATION against a held-out benchmark set —
+    //   q71 flags n-gram overlap and q139/q140 guard the split, but the
+    //   op real pipelines run against EXTERNAL eval suites is a NEAR-DUP
+    //   join between the training corpus and the benchmark docs (GPT-3's
+    //   13-gram and Llama's near-dup decontamination): an eval item that
+    //   was lightly paraphrased into the crawl still leaks. Two-sided
+    //   LSH band join — corpus bands ⋈ holdout bands (here the
+    //   deterministic pseudo-holdout doc_id % 10 = 7) — then exact
+    //   Jaccard verifies at the q27 threshold. 100 TB shape: the
+    //   benchmark side is TINY (thousands of eval items vs billions of
+    //   docs), so its banded signatures broadcast and the corpus side
+    //   never shuffles more than its own band keys; candidate volume is
+    //   bounded by true-match count exactly as in q27's self-join. ──
+    QueryDef("q145_fuzzy_decontam",
+      (s, dir) => {
+        val (bands, shSets) = minhashBands(s, dir)
+        val hold = pmod(col("doc_id"), lit(10L)) === 7L
+        val cand = bands.filter(!hold)
+          .select(col("band_idx"), col("band_key"), col("doc_id"))
+          .join(broadcast(bands.filter(hold)
+            .select(col("band_idx"), col("band_key"),
+              col("doc_id").as("holdout_id"))),
+            Seq("band_idx", "band_key"))
+          .select(col("doc_id"), col("holdout_id")).distinct()
+        cand
+          .join(shSets.select(col("doc_id"), col("sh").as("sh_a")), Seq("doc_id"))
+          .join(shSets.select(col("doc_id").as("holdout_id"),
+            col("sh").as("sh_b")), Seq("holdout_id"))
+          .withColumn("jac", round(
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+              size(array_union(col("sh_a"), col("sh_b"))), 6))
+          .filter(col("jac") >= 0.5)
+          .select(col("doc_id"), col("holdout_id"), col("jac"))
+          .orderBy(col("doc_id"), col("holdout_id"))
+      },
+      Some(s"""
+        WITH $minhashBandsSqlCte,
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS holdout_id,
+                 a.sh AS sh_a, b.sh AS sh_b
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.doc_id % 10 <> 7 AND b.doc_id % 10 = 7)
+        SELECT doc_id, holdout_id,
+               round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+                     len(list_distinct(list_concat(sh_a, sh_b))), 6) AS jac
+        FROM cand
+        WHERE round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+                    len(list_distinct(list_concat(sh_a, sh_b))), 6) >= 0.5
+        ORDER BY doc_id, holdout_id""")),
+
+    // ── q146: pseudo-relevance-feedback query EXPANSION (Rocchio/RM-
+    //   style): BM25 top-5 per query → top-2 TF-IDF terms of those docs
+    //   (original query terms excluded) join the query → full rescore.
+    //   The classic recall-repair loop of a retrieval stack, composed
+    //   from the ONE shared BM25 kernel (q87/q42's Bm25.scoreTopK) so
+    //   the scoring arithmetic cannot drift between the passes. The
+    //   expansion terms are rank-bounded (5 queries × 2 terms) and cross
+    //   the driver through the Bounded contract — the same shape as
+    //   q40's literal push-down, NOT a data-sized collect. 100 TB shape:
+    //   both passes are the q87 plan (pre-explode InSet filter, two
+    //   keyed aggregations, rank window pruned map-side); the expansion
+    //   picker runs on 25 doc rows joined against the token index. ──
+    QueryDef("q146_prf_expand",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val session = s
+        import session.implicits._
+        val toks = docs(s, dir)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+          .withColumn("dl", size(col("toks")).cast("double"))
+          .persist() // both BM25 passes + the expansion picker read it
+        val n = toks.count().toDouble // corpus size: one metadata-cheap job
+        val pass1 = graft.functions.Bm25.scoreTopK(toks, "doc_id", bm25QueryTerms, 5)
+        val occ = toks.select(col("doc_id"), explode(col("toks")).as("term"))
+        val exptf = pass1.select(col("qid"), col("doc_id"))
+          .join(occ, Seq("doc_id"))
+          .groupBy(col("qid"), col("term")).agg(count(lit(1)).as("tf"))
+        val dfq = toks.select(explode(array_distinct(col("toks"))).as("term"))
+          .groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+        val qtFrame = bm25QueryTerms.toDF("qid", "term")
+        val expcand = exptf
+          .join(broadcast(qtFrame), Seq("qid", "term"), "left_anti")
+          .join(dfq, Seq("term"))
+          .withColumn("score", round(col("tf") * log(lit(n) / col("df")), 6))
+          .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
+            .orderBy(col("score").desc, col("term").asc)))
+          .filter(col("rk") <= 2)
+        val expansion = Bounded.collectBounded(
+          expcand.select(col("qid"), col("term")), 64,
+          "PRF expansion terms (5 queries × 2 by construction)")
+          .map(r => (r.getLong(0), r.getString(1))).toSeq
+        graft.functions.Bm25.scoreTopK(toks, "doc_id",
+            bm25QueryTerms ++ expansion, 5)
+          .withColumn("score", round(col("s_int") / lit(1e6), 6))
+          .select(col("qid"), col("rnk"), col("doc_id"), col("score"))
+          .orderBy(col("qid"), col("rnk"))
+      },
+      Some {
+        val toks = TextOps.tokensSql("text")
+        val qtoks = TextOps.tokensSql("qtext")
+        val values = Bm25QuerySet
+          .map { case (qid, q) => s"($qid, '$q')" }.mkString(", ")
+        def pass(tf: String, df: String, qt: String, sc: String,
+                 agg: String): String = s"""
+        $tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+               FROM dls GROUP BY doc_id, dl, term
+               HAVING term IN (SELECT term FROM $qt)),
+        $df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM $tf GROUP BY term),
+        $sc AS (
+          SELECT q.qid AS qid, t.doc_id AS doc_id,
+                 CAST(floor(round(
+                   ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0) *
+                     (t.tf * 2.2 /
+                       (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * (t.dl / s.avgdl)))),
+                   6) * 1000000.0 + 0.5) AS BIGINT) AS sterm
+          FROM $tf t JOIN $df d USING (term) JOIN $qt q USING (term)
+          CROSS JOIN stats s),
+        $agg AS (SELECT qid, doc_id, CAST(sum(sterm) AS BIGINT) AS s_int
+                FROM $sc GROUP BY qid, doc_id)"""
+        s"""
+        WITH qr AS (SELECT * FROM (VALUES $values) AS v(qid, qtext)),
+        qt AS (SELECT DISTINCT qid, unnest($qtoks) AS term FROM qr),
+        tk AS (SELECT doc_id, $toks AS toks FROM documents),
+        stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                         CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl FROM tk),
+        dls AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+                       unnest(toks) AS term FROM tk),
+        ${pass("tf1", "df1", "qt", "sc1", "agg1")},
+        top1 AS (SELECT qid, doc_id FROM (
+                  SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+                    ORDER BY s_int DESC, doc_id ASC) AS rnk
+                  FROM agg1) WHERE rnk <= 5),
+        exptf AS (SELECT t1.qid AS qid, d2.term AS term,
+                         CAST(count(*) AS BIGINT) AS tf
+                  FROM top1 t1 JOIN dls d2 USING (doc_id) GROUP BY 1, 2),
+        dfall AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+                  FROM (SELECT DISTINCT doc_id, term FROM dls) GROUP BY term),
+        expcand AS (
+          SELECT e.qid AS qid, e.term AS term,
+                 round(e.tf * ln(s.n / d.df), 6) AS score
+          FROM exptf e JOIN dfall d USING (term) CROSS JOIN stats s
+          WHERE NOT EXISTS (SELECT 1 FROM qt q
+                            WHERE q.qid = e.qid AND q.term = e.term)),
+        exp2 AS (SELECT qid, term FROM (
+                  SELECT qid, term, row_number() OVER (PARTITION BY qid
+                    ORDER BY score DESC, term ASC) AS rk FROM expcand)
+                 WHERE rk <= 2),
+        qt2 AS (SELECT qid, term FROM qt UNION SELECT qid, term FROM exp2),
+        ${pass("tf2", "df2", "qt2", "sc2", "agg2")},
+        r2 AS (SELECT qid, doc_id, s_int,
+                      row_number() OVER (PARTITION BY qid
+                        ORDER BY s_int DESC, doc_id ASC) AS rnk
+               FROM agg2)
+        SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS BIGINT) AS rnk,
+               doc_id, round(s_int / 1000000.0, 6) AS score
+        FROM r2 WHERE rnk <= 5 ORDER BY qid, rnk"""
       })
   )
 
@@ -1583,17 +1774,7 @@ object TextQueries {
     * projection (qid, rnk, doc_id, 6dp score).
     */
   def bm25Leg(toks: DataFrame): DataFrame = {
-    // the query strings are literals, so the (qid, term) set is
-    // driver-known — tokenized by the kernel's OWN driver-side twin
-    // (TextKernels.tokensLocal), never a hand-rolled split, so the
-    // pre-explode membership filter inside Bm25.scoreTopK can never
-    // desynchronize from the corpus-side TextOps.tokens (r14 advice)
-    val qterms = Seq(
-      (0L, "spark window join"), (1L, "vector hash group"),
-      (2L, "customer order value"), (3L, "stream batch filter"),
-      (4L, "scan slow table"))
-      .flatMap { case (qid, q) =>
-        graft.functions.TextKernels.tokensLocal(q).map(qid -> _) }
+    val qterms = bm25QueryTerms
     graft.functions.Bm25.scoreTopK(toks, "doc_id", qterms, 5)
       .withColumn("score", round(col("s_int") / lit(1e6), 6))
       .select(col("qid"), col("rnk"), col("doc_id"), col("score"))
