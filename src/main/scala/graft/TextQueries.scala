@@ -1681,7 +1681,15 @@ object TextQueries {
         val exptf = pass1.select(col("qid"), col("doc_id"))
           .join(occ, Seq("doc_id"))
           .groupBy(col("qid"), col("term")).agg(count(lit(1)).as("tf"))
+          .persist() // feeds the df restriction AND the candidate join
+        // df only over CANDIDATE terms (the top docs' vocabulary) — a df
+        // rollup over the FULL corpus vocabulary shuffles vocab×docs rows
+        // to score a few hundred candidates; the broadcast semi-join drops
+        // non-candidates map-side, before the exchange. Result-identical:
+        // the candidate join below restricts to these terms anyway.
         val dfq = toks.select(explode(array_distinct(col("toks"))).as("term"))
+          .join(broadcast(exptf.select(col("term")).distinct()),
+            Seq("term"), "left_semi")
           .groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
         val qtFrame = bm25QueryTerms.toDF("qid", "term")
         val expcand = exptf
@@ -1760,7 +1768,93 @@ object TextQueries {
         SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS BIGINT) AS rnk,
                doc_id, round(s_int / 1000000.0, 6) AS score
         FROM r2 WHERE rnk <= 5 ORDER BY qid, rnk"""
-      })
+      }),
+
+    // ── q147: vocabulary-DRIFT attribution — q101 reports a slice's JSD
+    //   as one number; when the drift alarm fires, the operator's next
+    //   question is WHICH terms moved. Split the corpus into the old half
+    //   (2·doc_id ≤ max id — the crawl-order proxy; integer-exact in both
+    //   engines) and the new half, add-1-smooth each half's token
+    //   distribution over the union vocabulary, and rank terms by their
+    //   Jensen-Shannon contribution ½(p·ln(p/m) + q·ln(q/m)). q101's
+    //   exactness discipline: one rounding (9dp — per-term contributions
+    //   live at 1e-5..1e-8) then integer ppb, rank on the integer with a
+    //   term tiebreak. 100 TB shape: documents shuffle ONCE into the
+    //   (half, term) count table; everything downstream (totals, the
+    //   full-outer align, the scoring) is vocabulary-sized; the top-20 is
+    //   TakeOrderedAndProject, never a corpus-wide window. ──
+    QueryDef("q147_vocab_drift",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = docs(s, dir)
+        val tok = d.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+        val mx = d.agg(max(col("doc_id")).as("mx"))
+        val byHalf = tok.crossJoin(broadcast(mx))
+          .withColumn("half",
+            when(col("doc_id") * 2 <= col("mx"), "old").otherwise("new"))
+          .groupBy(col("half"), col("t")).agg(count(lit(1)).as("c"))
+          .persist() // feeds the totals AND both sides of the align
+        try {
+          val st = byHalf.agg(
+            sum(when(col("half") === "old", col("c"))).cast("double").as("tot_old"),
+            sum(when(col("half") === "new", col("c"))).cast("double").as("tot_new"),
+            countDistinct(col("t")).cast("double").as("v"))
+          val o = byHalf.filter(col("half") === "old")
+            .select(col("t"), col("c").as("c_old"))
+          val nw = byHalf.filter(col("half") === "new")
+            .select(col("t"), col("c").as("c_new"))
+          val p = (col("c_old") + 1).cast("double") / (col("tot_old") + col("v"))
+          val q = (col("c_new") + 1).cast("double") / (col("tot_new") + col("v"))
+          val m = (p + q) / 2.0
+          val top = o.join(nw, Seq("t"), "full_outer")
+            .na.fill(0L, Seq("c_old", "c_new"))
+            .crossJoin(broadcast(st))
+            .withColumn("drift_ppb", floor(
+              round((p * log(p / m) + q * log(q / m)) / 2.0, 9) * lit(1e9) +
+                lit(0.5)).cast("long"))
+            .select(col("t"), col("c_old"), col("c_new"), col("drift_ppb"))
+            .orderBy(col("drift_ppb").desc, col("t").asc).limit(20)
+          top.withColumn("rnk", row_number().over(
+              Window.orderBy(col("drift_ppb").desc, col("t").asc)).cast("long"))
+            .select(col("rnk"), col("t"), col("c_old"), col("c_new"),
+              col("drift_ppb"))
+            .localCheckpoint() // 20 rows; release byHalf before returning
+        } finally byHalf.unpersist()
+      },
+      Some(s"""
+        WITH tok AS (SELECT doc_id, unnest(${TextOps.tokensSql("text")}) AS t
+                     FROM documents),
+        mx AS (SELECT max(doc_id) AS mx FROM documents),
+        byh AS (
+          SELECT CASE WHEN 2 * tok.doc_id <= mx.mx THEN 'old' ELSE 'new' END
+                   AS half, t, count(*) AS c
+          FROM tok CROSS JOIN mx GROUP BY 1, 2),
+        st AS (
+          SELECT CAST(sum(CASE WHEN half = 'old' THEN c END) AS DOUBLE) AS tot_old,
+                 CAST(sum(CASE WHEN half = 'new' THEN c END) AS DOUBLE) AS tot_new,
+                 CAST(count(DISTINCT t) AS DOUBLE) AS v
+          FROM byh),
+        o AS (SELECT t, c AS c_old FROM byh WHERE half = 'old'),
+        nw AS (SELECT t, c AS c_new FROM byh WHERE half = 'new'),
+        j AS (
+          SELECT coalesce(o.t, nw.t) AS t,
+                 coalesce(o.c_old, 0) AS c_old, coalesce(nw.c_new, 0) AS c_new
+          FROM o FULL JOIN nw ON o.t = nw.t),
+        sc AS (
+          SELECT t, c_old, c_new,
+                 (c_old + 1) / (tot_old + v) AS p,
+                 (c_new + 1) / (tot_new + v) AS q
+          FROM j CROSS JOIN st),
+        ranked AS (
+          SELECT t, c_old, c_new,
+                 CAST(floor(round((p * ln(p / ((p + q) / 2)) +
+                                   q * ln(q / ((p + q) / 2))) / 2.0, 9)
+                      * 1000000000.0 + 0.5) AS BIGINT) AS drift_ppb
+          FROM sc)
+        SELECT CAST(row_number() OVER (ORDER BY drift_ppb DESC, t ASC)
+                 AS BIGINT) AS rnk,
+               t, c_old, c_new, drift_ppb
+        FROM ranked QUALIFY rnk <= 20 ORDER BY rnk"""))
   )
 
   /** BM25 top-5 per query over a pre-tokenized corpus frame
