@@ -409,4 +409,67 @@ class PlanSpec extends SparkSpec {
     val wgl = p.sliding("WindowGroupLimit".length).count(_ == "WindowGroupLimit")
     assert(wgl >= 2, s"expected partial+final WindowGroupLimit, got $wgl:\n" + p.take(3000))
   }
+
+  test("q140: rollup combines map-side; the label attach is a keyed join, never a cross") {
+    val p = plan("q140_cluster_split")
+    assert(p.contains("partial_count"),
+      "the (split, source) rollup must partial-aggregate map-side:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the label attach must stay an equi-join on doc_id:\n" + p.take(3000))
+  }
+
+  test("q141: majority window keys by doc_id and its rank filter prunes map-side") {
+    val p = plan("q141_code_switch")
+    assert("windowspecdefinition\\(doc_id#\\d+L".r.findFirstIn(p).isDefined,
+      "the majority window must partition by doc_id (never corpus-wide):\n" + p.take(3000))
+    val wgl = p.sliding("WindowGroupLimit".length).count(_ == "WindowGroupLimit")
+    assert(wgl >= 2, s"rk=1 must prune via partial+final WindowGroupLimit, got $wgl:\n" + p.take(3000))
+  }
+
+  test("q142: the resume rows broadcast into the preview filter") {
+    val p = plan("q142_resume_manifest")
+    assert(p.contains("BroadcastHashJoin"),
+      "the <=nShards resume frame must broadcast:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q143: per-source moments broadcast back; the quota rank prunes map-side") {
+    val p = plan("q143_quality_zquota")
+    assert(p.contains("BroadcastHashJoin"),
+      "the sources-sized moment table must broadcast:\n" + p.take(3000))
+    val wgl = p.sliding("WindowGroupLimit".length).count(_ == "WindowGroupLimit")
+    assert(wgl >= 2, s"rnk<=3 must prune via partial+final WindowGroupLimit, got $wgl:\n" + p.take(3000))
+  }
+
+  test("q145: the holdout band side broadcasts; the verify joins stay equi-joins") {
+    val p = plan("q145_fuzzy_decontam")
+    assert(p.contains("BroadcastHashJoin"),
+      "the benchmark-side bands must broadcast:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+  }
+
+  test("q146: rescore keeps q87's shape — pre-explode InSet filter, broadcast query frame") {
+    // construction runs pass 1 + the bounded expansion collect; the
+    // executedPlan is the PASS-2 rescore, which must keep the q87 plan
+    // discipline: the membership filter sits BELOW the explode so only
+    // query-term occurrences ever reach the (doc, term) aggregation
+    val p = plan("q146_prf_expand")
+    assert(p.contains("explode(filter(toks#"),
+      "pre-explode membership filter must gate the token explode:\n" + p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"),
+      "stats attach must be a broadcast, never a cartesian:\n" + p.take(3000))
+  }
+
+  test("q147: output stays top-k-bounded (the checkpoint hides the inner plan)") {
+    // the query localCheckpoints its 20-row result to release the
+    // byHalf cache (the q101 discipline), so the returned frame's plan
+    // is the checkpoint scan and the inner TakeOrderedAndProject is not
+    // observable here — pin what IS: the materialized frame is top-k
+    // sized, not vocabulary-sized
+    val pre = SparkEntry.queries("q147_vocab_drift")(spark, sf)
+    assert(pre.rdd.getNumPartitions <= 4, "20-row frame")
+    assert(pre.count() <= 20L)
+  }
 }
