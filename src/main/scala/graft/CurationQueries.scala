@@ -850,8 +850,16 @@ object CurationQueries {
   /** q117/q130 engine-side trainer pieces: the feature frame, the micro-
     * unit z column for a weight vector, and the gradient-descent loop.
     * Kept bit-identical to the oracle chain below. */
-  private[graft] def logregFeatures(s: SparkSession, dir: String): DataFrame =
+  /** `tag` = per-CALLER cache identity (the minhashBands discipline):
+    * q117 and q130 both persist this frame, and Spark's cache manager
+    * dedupes persist() by canonicalized plan — untagged, the two queries
+    * share ONE cache entry under Verify's concurrent pool and either's
+    * `finally unpersist` drops it under the other (the r17 q130 flake's
+    * enabling condition). The literal keeps the entries disjoint. */
+  private[graft] def logregFeatures(s: SparkSession, dir: String,
+                                    tag: String = "shared"): DataFrame =
     docs(s, dir)
+      .withColumn("_q", lit(tag))
       .withColumn("toks", TextOps.tokens(col("text")))
       .withColumn("wc", size(col("toks")))
       .filter(col("wc") > 0)
@@ -1129,7 +1137,7 @@ object CurationQueries {
     QueryDef("q117_logreg_quality",
       (s, dir) => {
         import s.implicits._
-        val f = logregFeatures(s, dir).persist()
+        val f = logregFeatures(s, dir, "q117").persist()
         try {
           val n = f.count()
           val w = logregTrain(f, n)
@@ -1160,7 +1168,7 @@ object CurationQueries {
     //   partials do. The ece row rides along as bin = -1. ──
     QueryDef("q130_calibration",
       (s, dir) => {
-        val f = logregFeatures(s, dir).persist()
+        val f = logregFeatures(s, dir, "q130").persist()
         try {
           val n = f.count()
           val w = logregTrain(f, n)
@@ -1176,11 +1184,20 @@ object CurationQueries {
             .select(col("bin"), col("n_docs"), col("conf_micro"),
               col("obs_micro"), col("gap_micro"))
             .persist() // feeds the bin rows AND the ece rollup
-          val ece = b.agg(
-            lit(-1L).as("bin"), lit(n).as("n_docs"),
-            lit(0L).as("conf_micro"), lit(0L).as("obs_micro"),
-            expr(s"sum(gap_micro * n_docs) div $n").as("gap_micro"))
-          b.union(ece).orderBy(col("bin"))
+          try {
+            val ece = b.agg(
+              lit(-1L).as("bin"), lit(n).as("n_docs"),
+              lit(0L).as("conf_micro"), lit(0L).as("obs_micro"),
+              expr(s"sum(gap_micro * n_docs) div $n").as("gap_micro"))
+            // Eager ≤11-row materialization INSIDE the try: the returned
+            // frame must not depend on f or b after their unpersist — a
+            // lazy return re-evaluated later (Verify's pool + clearCache)
+            // once yielded 1 row (r17 gate flake). The per-query tag on
+            // logregFeatures is the second layer: without it q117's
+            // finally could drop this query's cache entry mid-flight.
+            PlanProbe.probe("q130_calibration",
+              b.union(ece).orderBy(col("bin"))).localCheckpoint()
+          } finally b.unpersist()
         } finally f.unpersist()
       },
       Some(s"""
@@ -2147,6 +2164,7 @@ object CurationQueries {
         import org.apache.spark.sql.expressions.Window
         val consumed = 62L // samples drawn per shard before the checkpoint
         val man = epochShuffleManifest(s, dir).persist()
+        try {
         val wsh = Window.partitionBy(col("shard")).orderBy(col("epoch"))
           .rowsBetween(Window.unboundedPreceding, -1)
         val resume = man.groupBy(col("shard"), col("epoch"))
@@ -2169,6 +2187,9 @@ object CurationQueries {
             sort_array(collect_list(struct(col("pos"), col("doc_id")))),
             p => p.getField("doc_id").cast("string")), ",").as("next_docs"))
           .orderBy(col("shard"))
+          .transform(PlanProbe.probe("q142_resume_manifest", _))
+          .localCheckpoint() // eager ≤nShards rows; man freed below
+        } finally man.unpersist()
       },
       Some(s"""
         WITH $epochManifestSqlCte,

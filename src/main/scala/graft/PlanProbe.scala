@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Diagnostics seam for eagerly materialized query results.
+  *
+  * The persist-discipline queries (q130/q141/.../q146) return
+  * `localCheckpoint()`ed frames so their `finally unpersist` cannot drop
+  * cached blocks under a lazy evaluation (SCALE.md round-18). That makes
+  * the returned frame's plan an opaque `Scan ExistingRDD` — the REAL plan
+  * (the one the scale claims are about) executes inside the query. This
+  * probe records that inner plan at the materialization site, keyed by
+  * query name, so PlanSpec can keep pinning broadcast/WindowGroupLimit/
+  * no-cartesian shapes. Disabled by default: `probe` is identity unless a
+  * caller (PlanSpec) switches it on, so production/bench pay nothing.
+  */
+object PlanProbe {
+  private val plans = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  @volatile private var enabled = false
+
+  def setEnabled(on: Boolean): Unit = enabled = on
+
+  /** Record `df`'s executed plan under `name` (when enabled) and return
+    * `df` unchanged — call directly before the materialization. */
+  def probe(name: String, df: DataFrame): DataFrame = {
+    if (enabled) plans.put(name, df.queryExecution.executedPlan.toString)
+    df
+  }
+
+  def get(name: String): Option[String] = Option(plans.get(name))
+}

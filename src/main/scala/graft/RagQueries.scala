@@ -136,6 +136,39 @@ object RagQueries {
       },
       None),
 
+    // ── q148: ORACLE-CHECKED companion to q42 (r17 verdict #6) — q42's
+    //   `no_oracle` row fences regressions with fixtures but never proved
+    //   its arithmetic CROSS-ENGINE. Everything in q42 except the
+    //   extractive sentence-selection stub IS SQL-expressible, so this
+    //   query runs exactly that subset end to end: the SAME QA derivation
+    //   (question = tokens 3..10 of the doc, expected = its first 120
+    //   chars), the SAME hybrid retrieval machinery (`retrieveHybrid`:
+    //   cosine leg + BM25 kernel + RRF fusion, k=3), and the SAME judge
+    //   token-F1 through the SAME mapPartitions LlmClient boundary —
+    //   graded against the retrieved doc text (deterministic) instead of
+    //   the stub's extracted sentence (the one step with no SQL twin;
+    //   its lookbehind sentence split doesn't exist in RE2). The DuckDB
+    //   twin re-derives both retrieval legs, the fusion, and the F1 from
+    //   first principles — rint via roundbankers, the exact half-to-even
+    //   the JVM computes. ──
+    QueryDef("q148_rag_eval_audit",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val collection = TextEmbed.withEmbed(d, "text", "vector")
+          .select(col("doc_id").as("id"), col("text"), col("vector"))
+        val qa = d.filter(col("doc_id") < 8)
+          .select(col("doc_id").as("qid"),
+            concat_ws(" ", slice(split(col("text"), " "), 3, 8)).as("question"),
+            substring(col("text"), 1, 120).as("expected_answer"))
+        val q = TextEmbed.withEmbed(qa, "question", "qv")
+        val hits = RagPipeline.retrieveHybrid(q, collection, k = 3)
+        RagPipeline.judgeBatch(hits, "question", "expected_answer", "text")
+          .select(col("qid"), col("rnk").cast("long").as("rnk"),
+            col("id").as("doc_id"), col("grade"))
+          .orderBy(col("qid"), col("rnk"))
+      },
+      Some(ragEvalAuditSql)),
+
     // ── q99: ColBERT-style late-interaction retrieval (MaxSim; Khattab &
     //   Zaharia, SIGIR'20): score(q, d) = Σ_{query tokens} max_{doc
     //   tokens} sim(qt, dt) — token-level interaction instead of one
@@ -254,6 +287,100 @@ object RagQueries {
       },
       Some(hybridRrfSql))
   )
+
+  /** q148 oracle: the q42 subset with SQL twins — QA derivation, cosine
+    * leg (CosineSim's dot/(|a||b|) with its NULL-on-zero-denominator
+    * contract), the q87/q146 BM25 pass, RRF fusion, and the judge's
+    * token-F1 (sets via list_distinct, rint via roundbankers — half to
+    * even, what math.rint computes). Tokenizers are the shared
+    * TextOps.tokensSql on both sides. */
+  private def ragEvalAuditSql: String = {
+    val toks = graft.functions.TextOps.tokensSql _
+    s"""
+      WITH qa AS (
+        SELECT doc_id AS qid,
+               array_to_string(list_slice(string_split(text, ' '), 3, 10), ' ') AS question,
+               substr(text, 1, 120) AS expected_answer
+        FROM documents WHERE doc_id < 8),
+      ${TextEmbed.embedSqlStages("qa", "qid", "question", prefix = "qe")},
+      ${TextEmbed.embedSqlStages("documents", "doc_id", "text", prefix = "de")},
+      cosscored AS (
+        SELECT q.qid AS qid, d.doc_id AS doc_id,
+               CASE WHEN sqrt(list_sum(list_transform(q.vec, x -> x*x))) *
+                         sqrt(list_sum(list_transform(d.vec, x -> x*x))) = 0
+                    THEN NULL
+                    ELSE round(
+                      list_sum(list_transform(range(1, 65), i -> q.vec[i] * d.vec[i])) /
+                      (sqrt(list_sum(list_transform(q.vec, x -> x*x))) *
+                       sqrt(list_sum(list_transform(d.vec, x -> x*x)))), 6) END AS score
+        FROM qe_vec q CROSS JOIN de_vec d),
+      cosleg AS (
+        SELECT qid, doc_id,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY score DESC NULLS LAST, doc_id ASC) AS cos_rnk
+        FROM cosscored),
+      tk AS (SELECT doc_id, coalesce(${toks("text")}, []::VARCHAR[]) AS toks
+             FROM documents),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                       CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl FROM tk),
+      qt AS (SELECT DISTINCT qid, unnest(${toks("question")}) AS term FROM qa),
+      dls AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+                     unnest(toks) AS term FROM tk),
+      tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+             FROM dls GROUP BY doc_id, dl, term
+             HAVING term IN (SELECT term FROM qt)),
+      dfc AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+      sc AS (
+        SELECT q.qid AS qid, t.doc_id AS doc_id,
+               CAST(floor(round(
+                 ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0) *
+                   (t.tf * 2.2 /
+                     (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * (t.dl / s.avgdl)))),
+                 6) * 1000000.0 + 0.5) AS BIGINT) AS sterm
+        FROM tf t JOIN dfc d USING (term) JOIN qt q USING (term)
+        CROSS JOIN stats s),
+      agg AS (SELECT qid, doc_id, CAST(sum(sterm) AS BIGINT) AS s_int
+              FROM sc GROUP BY qid, doc_id),
+      bmleg AS (SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+                  ORDER BY s_int DESC, doc_id ASC) AS bm_rnk
+                FROM agg),
+      fused AS (
+        SELECT coalesce(c.qid, b.qid) AS qid,
+               coalesce(c.doc_id, b.doc_id) AS doc_id,
+               coalesce(1.0 / (60 + c.cos_rnk), 0.0) +
+                 coalesce(1.0 / (60 + b.bm_rnk), 0.0) AS score
+        FROM (SELECT * FROM cosleg WHERE cos_rnk <= 3) c
+        FULL OUTER JOIN (SELECT * FROM bmleg WHERE bm_rnk <= 3) b
+          ON c.qid = b.qid AND c.doc_id = b.doc_id),
+      ranked AS (
+        SELECT qid, doc_id,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY score DESC, doc_id ASC) AS rnk
+        FROM fused),
+      hits AS (
+        SELECT r.qid AS qid, r.rnk AS rnk, r.doc_id AS doc_id,
+               coalesce(d.text, '') AS predicted,
+               coalesce(a.expected_answer, '') AS expected_answer
+        FROM ranked r JOIN documents d ON r.doc_id = d.doc_id
+        JOIN qa a ON r.qid = a.qid
+        WHERE r.rnk <= 3),
+      graded AS (
+        SELECT qid, rnk, doc_id,
+               list_distinct(${toks("expected_answer")}) AS e,
+               list_distinct(${toks("predicted")}) AS p
+        FROM hits)
+      SELECT CAST(qid AS BIGINT) AS qid, CAST(rnk AS BIGINT) AS rnk, doc_id,
+             CASE WHEN len(e) = 0 OR len(p) = 0
+                       OR len(list_intersect(e, p)) = 0 THEN 0.0
+                  ELSE roundbankers(
+                    200.0 * (len(list_intersect(e, p)) / CAST(len(p) AS DOUBLE))
+                          * (len(list_intersect(e, p)) / CAST(len(e) AS DOUBLE))
+                    / ((len(list_intersect(e, p)) / CAST(len(p) AS DOUBLE))
+                       + (len(list_intersect(e, p)) / CAST(len(e) AS DOUBLE))), 0)
+                    / 100.0
+             END AS grade
+      FROM graded ORDER BY qid, rnk"""
+  }
 
   /** q99 oracle: query-token vectors inlined as literals (driver-embedded,
     * same embedScala the Spark side broadcasts — the q40 precedent), doc

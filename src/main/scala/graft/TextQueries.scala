@@ -26,13 +26,23 @@ object TextQueries {
     * frames — unpersisted, the shingle+signature subtree derives four
     * times (the q114 lesson, applied round 7).
     */
-  private def minhashBands(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private def minhashBands(s: SparkSession, dir: String, tag: String)
+      : (DataFrame, DataFrame, () => Unit) = {
     val perms = XHash.permParams(16)
+    // `_q` = per-CALLER cache identity. Spark's cache manager dedupes
+    // persist() by canonicalized plan, so without it q27/q49/q140/q144/
+    // q145 running concurrently in Verify's pool would all map onto ONE
+    // cache entry — and the first caller's release() would drop the
+    // blocks under the others (the exact mechanism behind the r17
+    // q130/q117 logregFeatures flake). The literal makes each caller's
+    // subtree distinct; the returned thunk releases both frames once the
+    // caller has materialized its (small) result.
     val d = docs(s, dir)
       .withColumn("toks", TextOps.tokens(col("text")))
       .withColumn("sh", ShingleHash60(col("toks"), 3))
       .filter(size(col("sh")) > 0)
       .withColumn("h31", transform(col("sh"), h => h % 2147483647L))
+      .withColumn("_q", lit(tag))
       .persist()
     // doc_id + signature columns ONLY — carrying `sh` here misled readers
     // into thinking shingle sets flow into the band join (they must not;
@@ -45,12 +55,14 @@ object TextQueries {
       (0 until 4).map(bd => concat_ws("_",
         (0 until 4).map(r => col(s"mh_${bd * 4 + r}")): _*)): _*)))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key")
-      .persist()
-    (bands, d.select(col("doc_id"), col("sh")))
+      .persist() // plan contains d's tagged node → per-caller-distinct too
+    (bands, d.select(col("doc_id"), col("sh")),
+      () => { bands.unpersist(); d.unpersist() })
   }
 
-  private def minhashLshPairs(s: SparkSession, dir: String): DataFrame = {
-    val (bands, shSets) = minhashBands(s, dir)
+  private def minhashLshPairs(s: SparkSession, dir: String, tag: String)
+      : (DataFrame, () => Unit) = {
+    val (bands, shSets, release) = minhashBands(s, dir, tag)
     // candidates dedup on ids ONLY (distinct over heavy shingle arrays
     // would hash megabytes per pair); shingle sets join back after.
     val cand = bands.select(col("band_idx"), col("band_key"), col("doc_id").as("id_a"))
@@ -65,7 +77,7 @@ object TextQueries {
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))), 6))
       .filter(col("jac") >= 0.5)
-      .select(col("id_a"), col("id_b"), col("jac"))
+      .select(col("id_a"), col("id_b"), col("jac")) -> release
   }
 
   /** DuckDB twin of minhashLshPairs (no ORDER BY — composes as a CTE). */
@@ -121,11 +133,13 @@ object TextQueries {
     * component-minimum doc_id. Returns (id, lbl) for CLUSTERED docs only —
     * docs with no near-dup edge never enter the propagation.
     */
-  private def lshClusterLabels(s: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLshPairs(s, dir)
-    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
-      .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
-      .localCheckpoint()
+  private def lshClusterLabels(s: SparkSession, dir: String, tag: String): DataFrame = {
+    val (pairs, release) = minhashLshPairs(s, dir, tag)
+    val edges =
+      try pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+        .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+        .localCheckpoint() // eager — the band frames are consumed here
+      finally release()
     var lbl = edges.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint()
     var changed = 1L
@@ -725,7 +739,14 @@ object TextQueries {
     //   all-pairs cross join), then exact Jaccard verifies. At 100 TB the
     //   band join is the only shuffle and candidate count ≈ true-dup count. ──
     QueryDef("q27_minhash_lsh",
-      (s, dir) => minhashLshPairs(s, dir).orderBy(col("id_a"), col("id_b")),
+      (s, dir) => {
+        val (pairs, release) = minhashLshPairs(s, dir, "q27")
+        // eager: |pairs| ≈ true near-dup count (banding keeps it linear),
+        // so materializing here is cheap and lets the band frames free
+        try PlanProbe.probe("q27_minhash_lsh",
+          pairs.orderBy(col("id_a"), col("id_b"))).localCheckpoint()
+        finally release()
+      },
       Some(s"$minhashLshPairsSql\n        ORDER BY id_a, id_b")),
 
     // ── q49: near-dup pairs → connected components (the step after LSH in
@@ -738,7 +759,7 @@ object TextQueries {
     QueryDef("q49_dedup_clusters",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        lshClusterLabels(s, dir)
+        lshClusterLabels(s, dir, "q49")
           .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
           .withColumn("cluster_size",
             count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
@@ -1292,7 +1313,7 @@ object TextQueries {
     //   batches that q139's exact-hash guard would leak. ──
     QueryDef("q140_cluster_split",
       (s, dir) => {
-        val lbl = lshClusterLabels(s, dir).withColumnRenamed("id", "doc_id")
+        val lbl = lshClusterLabels(s, dir, "q140").withColumnRenamed("id", "doc_id")
         docs(s, dir).select(col("doc_id"), col("source"))
           .join(lbl, Seq("doc_id"), "left")
           .withColumn("rep", coalesce(col("lbl"), col("doc_id")))
@@ -1365,17 +1386,21 @@ object TextQueries {
           .agg(count(lit(1)).as("n"))
           .persist() // feeds BOTH the majority window and the totals —
                      // unpersisted, the explode+agg subtree derives twice
-        val ranked = grp.withColumn("rk", row_number().over(
-          Window.partitionBy(col("doc_id"))
-            .orderBy(col("n").desc, col("pred").desc)))
-        val tot = grp.groupBy(col("doc_id")).agg(sum(col("n")).as("n_segments"))
-        ranked.filter(col("rk") === 1)
-          .select(col("doc_id"), col("pred").as("majority"), col("n").as("n_maj"))
-          .join(tot, Seq("doc_id"))
-          .withColumn("mixed_frac", round(
-            (col("n_segments") - col("n_maj")).cast("double") / col("n_segments"), 6))
-          .select(col("doc_id"), col("majority"), col("n_segments"), col("mixed_frac"))
-          .orderBy(col("doc_id"))
+        try {
+          val ranked = grp.withColumn("rk", row_number().over(
+            Window.partitionBy(col("doc_id"))
+              .orderBy(col("n").desc, col("pred").desc)))
+          val tot = grp.groupBy(col("doc_id")).agg(sum(col("n")).as("n_segments"))
+          ranked.filter(col("rk") === 1)
+            .select(col("doc_id"), col("pred").as("majority"), col("n").as("n_maj"))
+            .join(tot, Seq("doc_id"))
+            .withColumn("mixed_frac", round(
+              (col("n_segments") - col("n_maj")).cast("double") / col("n_segments"), 6))
+            .select(col("doc_id"), col("majority"), col("n_segments"), col("mixed_frac"))
+            .orderBy(col("doc_id"))
+            .transform(PlanProbe.probe("q141_code_switch", _))
+            .localCheckpoint() // eager doc-level rows; grp must not outlive this
+        } finally grp.unpersist()
       },
       Some {
         val toks = TextOps.tokensSql("text")
@@ -1448,6 +1473,7 @@ object TextQueries {
               size(col("toks")) * 1e6, 0).cast("long").as("m2"),
             round(TextOps.punctRatio(col("text")) * 1e6, 0).cast("long").as("m3"))
           .persist() // feeds the moment rollup AND the z projection
+        try {
         val sums = sig.groupBy(col("source")).agg(
           count(lit(1)).cast("double").as("n"),
           sum(col("m1").cast(D0)).cast("double").as("s1"),
@@ -1472,6 +1498,9 @@ object TextQueries {
           .filter(col("rnk") <= 3)
           .select(col("source"), col("rnk"), col("doc_id"), col("zq"))
           .orderBy(col("source"), col("rnk"))
+          .transform(PlanProbe.probe("q143_quality_zquota", _))
+          .localCheckpoint() // eager |sources|×3 rows; sig freed below
+        } finally sig.unpersist()
       },
       Some {
         val toks = TextOps.tokensSql("text")
@@ -1541,23 +1570,27 @@ object TextQueries {
           .withColumn("exact_keep", row_number().over(
             Window.partitionBy(col("th")).orderBy(col("doc_id"))) === 1)
           .persist()
-        val lbl = lshClusterLabels(s, dir).withColumnRenamed("id", "doc_id")
-        val e = q.filter(col("exact_keep"))
-          .join(lbl, Seq("doc_id"), "left")
-          .withColumn("ckey", coalesce(col("lbl"), col("doc_id")))
-          .withColumn("near_keep", row_number().over(
-            Window.partitionBy(col("ckey")).orderBy(col("doc_id"))) === 1)
-        val tot = base.groupBy(col("source")).agg(count(lit(1)).as("n_total"),
-          sum(when(col("quality"), 1L).otherwise(0L)).as("n_quality"))
-        val ne = q.filter(col("exact_keep")).groupBy(col("source"))
-          .agg(count(lit(1)).as("n_exact"))
-        val nn = e.filter(col("near_keep")).groupBy(col("source"))
-          .agg(count(lit(1)).as("n_near"))
-        tot.join(ne, Seq("source"), "left").join(nn, Seq("source"), "left")
-          .select(col("source"), col("n_total"), col("n_quality"),
-            coalesce(col("n_exact"), lit(0L)).as("n_exact"),
-            coalesce(col("n_near"), lit(0L)).as("n_near"))
-          .orderBy(col("source"))
+        try {
+          val lbl = lshClusterLabels(s, dir, "q144").withColumnRenamed("id", "doc_id")
+          val e = q.filter(col("exact_keep"))
+            .join(lbl, Seq("doc_id"), "left")
+            .withColumn("ckey", coalesce(col("lbl"), col("doc_id")))
+            .withColumn("near_keep", row_number().over(
+              Window.partitionBy(col("ckey")).orderBy(col("doc_id"))) === 1)
+          val tot = base.groupBy(col("source")).agg(count(lit(1)).as("n_total"),
+            sum(when(col("quality"), 1L).otherwise(0L)).as("n_quality"))
+          val ne = q.filter(col("exact_keep")).groupBy(col("source"))
+            .agg(count(lit(1)).as("n_exact"))
+          val nn = e.filter(col("near_keep")).groupBy(col("source"))
+            .agg(count(lit(1)).as("n_near"))
+          tot.join(ne, Seq("source"), "left").join(nn, Seq("source"), "left")
+            .select(col("source"), col("n_total"), col("n_quality"),
+              coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+              coalesce(col("n_near"), lit(0L)).as("n_near"))
+            .orderBy(col("source"))
+            .transform(PlanProbe.probe("q144_curation_funnel", _))
+            .localCheckpoint() // eager |sources| rows; base/q freed below
+        } finally { q.unpersist(); base.unpersist() }
       },
       Some {
         val toks = TextOps.tokensSql("text")
@@ -1618,25 +1651,29 @@ object TextQueries {
     //   bounded by true-match count exactly as in q27's self-join. ──
     QueryDef("q145_fuzzy_decontam",
       (s, dir) => {
-        val (bands, shSets) = minhashBands(s, dir)
-        val hold = pmod(col("doc_id"), lit(10L)) === 7L
-        val cand = bands.filter(!hold)
-          .select(col("band_idx"), col("band_key"), col("doc_id"))
-          .join(broadcast(bands.filter(hold)
-            .select(col("band_idx"), col("band_key"),
-              col("doc_id").as("holdout_id"))),
-            Seq("band_idx", "band_key"))
-          .select(col("doc_id"), col("holdout_id")).distinct()
-        cand
-          .join(shSets.select(col("doc_id"), col("sh").as("sh_a")), Seq("doc_id"))
-          .join(shSets.select(col("doc_id").as("holdout_id"),
-            col("sh").as("sh_b")), Seq("holdout_id"))
-          .withColumn("jac", round(
-            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-              size(array_union(col("sh_a"), col("sh_b"))), 6))
-          .filter(col("jac") >= 0.5)
-          .select(col("doc_id"), col("holdout_id"), col("jac"))
-          .orderBy(col("doc_id"), col("holdout_id"))
+        val (bands, shSets, release) = minhashBands(s, dir, "q145")
+        try {
+          val hold = pmod(col("doc_id"), lit(10L)) === 7L
+          val cand = bands.filter(!hold)
+            .select(col("band_idx"), col("band_key"), col("doc_id"))
+            .join(broadcast(bands.filter(hold)
+              .select(col("band_idx"), col("band_key"),
+                col("doc_id").as("holdout_id"))),
+              Seq("band_idx", "band_key"))
+            .select(col("doc_id"), col("holdout_id")).distinct()
+          cand
+            .join(shSets.select(col("doc_id"), col("sh").as("sh_a")), Seq("doc_id"))
+            .join(shSets.select(col("doc_id").as("holdout_id"),
+              col("sh").as("sh_b")), Seq("holdout_id"))
+            .withColumn("jac", round(
+              size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+                size(array_union(col("sh_a"), col("sh_b"))), 6))
+            .filter(col("jac") >= 0.5)
+            .select(col("doc_id"), col("holdout_id"), col("jac"))
+            .orderBy(col("doc_id"), col("holdout_id"))
+            .transform(PlanProbe.probe("q145_fuzzy_decontam", _))
+            .localCheckpoint() // eager true-match rows; bands freed below
+        } finally release()
       },
       Some(s"""
         WITH $minhashBandsSqlCte,
@@ -1675,6 +1712,7 @@ object TextQueries {
           .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
           .withColumn("dl", size(col("toks")).cast("double"))
           .persist() // both BM25 passes + the expansion picker read it
+        try {
         val n = toks.count().toDouble // corpus size: one metadata-cheap job
         val pass1 = graft.functions.Bm25.scoreTopK(toks, "doc_id", bm25QueryTerms, 5)
         val occ = toks.select(col("doc_id"), explode(col("toks")).as("term"))
@@ -1682,6 +1720,7 @@ object TextQueries {
           .join(occ, Seq("doc_id"))
           .groupBy(col("qid"), col("term")).agg(count(lit(1)).as("tf"))
           .persist() // feeds the df restriction AND the candidate join
+        try {
         // df only over CANDIDATE terms (the top docs' vocabulary) — a df
         // rollup over the FULL corpus vocabulary shuffles vocab×docs rows
         // to score a few hundred candidates; the broadcast semi-join drops
@@ -1708,6 +1747,10 @@ object TextQueries {
           .withColumn("score", round(col("s_int") / lit(1e6), 6))
           .select(col("qid"), col("rnk"), col("doc_id"), col("score"))
           .orderBy(col("qid"), col("rnk"))
+          .transform(PlanProbe.probe("q146_prf_expand", _))
+          .localCheckpoint() // eager |queries|×5 rows; toks/exptf freed below
+        } finally exptf.unpersist()
+        } finally toks.unpersist()
       },
       Some {
         val toks = TextOps.tokensSql("text")

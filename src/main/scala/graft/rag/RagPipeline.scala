@@ -250,4 +250,21 @@ object RagPipeline {
       client.judge(r.getString(qIdx), r.getString(eIdx), r.getString(pIdx))
     }
   }
+
+  /** Judge-only harness: appends `grade` = llm.judge(question, expected,
+    * predicted) over arbitrary columns, through the SAME mapPartitions
+    * LlmClient boundary evalBatch grades through. Exists so the judge's
+    * token-F1 arithmetic can be oracle-checked cross-engine (q148): the
+    * generative step has no SQL twin, but grading a DETERMINISTIC
+    * predicted column (e.g. the retrieved doc text) does. */
+  def judgeBatch(df: DataFrame, questionCol: String, expectedCol: String,
+                 predictedCol: String, llm: LlmClient = ExtractiveLlm): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val qIdx = df.schema.fieldIndex(questionCol)
+    val eIdx = df.schema.fieldIndex(expectedCol)
+    val pIdx = df.schema.fieldIndex(predictedCol)
+    withLlmColumn(df, llm, "grade", DoubleType) { (client, r) =>
+      client.judge(r.getString(qIdx), r.getString(eIdx), r.getString(pIdx))
+    }
+  }
 }

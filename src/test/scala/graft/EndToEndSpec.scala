@@ -78,4 +78,53 @@ class EndToEndSpec extends SparkSpec {
     assert(answered === 55L)
     assert(mean >= 0.44, f"quality regression: mean grade $mean%.3f < 0.44 (pinned run: 0.4515)")
   }
+
+  test("HTTP seam: ingest → RagServer on a bound loopback port → /health, /query, /query/stream over the wire (app.py:113-143)") {
+    // the reference's full entry-point shape (`uvicorn app:app` serving
+    // /query and /health over HTTP) driven END TO END from the same
+    // ingested corpus the batch tests use: real socket, random port,
+    // JDK HttpClient — the last seam between app.py's surface and ours
+    // exercised inside the E2E suite, not only in RagServerSpec
+    // (r17 verdict #7).
+    import java.net.URI
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val root = java.nio.file.Files.createTempDirectory("e2e-http").toString
+    val c = Collection.create(spark, root, "diary", Dim, overwrite = true)
+    c.insert(collectionDf)
+    val server = new graft.rag.RagServer(c, k = 20, dim = Dim)
+    val port = server.start(0)
+    try {
+      val http = HttpClient.newHttpClient()
+      def send(r: HttpRequest): HttpResponse[String] =
+        http.send(r, HttpResponse.BodyHandlers.ofString())
+
+      val health = send(HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port/health")).GET().build())
+      assert(health.statusCode() === 200, health.body())
+      assert(health.body().contains("healthy"), health.body())
+
+      val query = send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port/query"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"question": "What is the currency of Veridia called?"}"""))
+        .build())
+      assert(query.statusCode() === 200, query.body())
+      assert(query.body().contains("\"success\":true"), query.body().take(400))
+      assert(query.body().toLowerCase.contains("veridian crown"),
+        s"HTTP answer missed the Crown context: ${query.body().take(400)}")
+
+      val stream = send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port/query/stream"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"question": "What is the currency of Veridia called?"}"""))
+        .build())
+      assert(stream.statusCode() === 200, stream.body().take(400))
+      val events = stream.body().split("\n\n").filter(_.startsWith("data: "))
+      assert(events.last === "data: [DONE]", events.takeRight(2).mkString("|"))
+      assert(events.init.nonEmpty && events.init.forall(_.contains("\"delta\"")),
+        events.take(3).mkString("|"))
+    } finally server.stop()
+  }
 }

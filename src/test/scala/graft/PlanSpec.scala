@@ -11,8 +11,16 @@ class PlanSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  private def plan(name: String): String =
-    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+  private def plan(name: String): String = {
+    // the persist-discipline queries return localCheckpoint'ed frames
+    // (opaque Scan ExistingRDD); PlanProbe hands back the inner plan they
+    // actually executed so the pins keep binding on the real shape
+    PlanProbe.setEnabled(true)
+    try {
+      val outer = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+      PlanProbe.get(name).map(inner => inner + "\n" + outer).getOrElse(outer)
+    } finally PlanProbe.setEnabled(false)
+  }
 
   test("q02: predicate and projection pushed to the parquet scan") {
     val p = plan("q02_filter_project")

@@ -80,6 +80,9 @@ def merge(ledger, new):
     out = dict(ledger)
     for q, e in new.items():
         if q not in out or e["norm"] < out[q]["norm"]:
+            # a new best supersedes the old entry INCLUDING any
+            # "adjudicated" mark: the current tree beat the old best
+            # head-to-head, so the suppression has nothing left to cover
             out[q] = e
     return out
 
@@ -100,6 +103,14 @@ def main():
                          "defaults to the artifact's sf field")
     ap.add_argument("--seed", nargs="+", metavar="SRC:FILE",
                     help="(re)build the ledger from src:file artifact pairs")
+    ap.add_argument("--adjudicate", nargs="+", metavar="QUERY:ANCHOR",
+                    help="mark ledger entries as tree-vs-tree adjudicated "
+                         "(e.g. q46_rp_lsh:SCALE.md#r17-box-era): the entry "
+                         "stays the normalization best, but a flag against "
+                         "it prints as ADJUDICATED and does not fail the "
+                         "gate. The mark drops automatically when a newer "
+                         "best replaces the entry (r17 verdict #5 -- stop "
+                         "re-litigating box-era bests every round)")
     args = ap.parse_args()
 
     if args.seed:
@@ -119,6 +130,19 @@ def main():
     except FileNotFoundError:
         raise SystemExit(f"no ledger at {args.ledger} -- bootstrap one with "
                          "--seed SRC:FILE ...")
+
+    if args.adjudicate:
+        for pair in args.adjudicate:
+            q, sep, anchor = pair.partition(":")
+            if not sep or not q or not anchor:
+                raise SystemExit(f"--adjudicate wants QUERY:ANCHOR pairs, got {pair!r}")
+            if q not in ledger:
+                raise SystemExit(f"--adjudicate: {q} not in {args.ledger}")
+            ledger[q]["adjudicated"] = anchor
+        with open(args.ledger, "w") as f:
+            json.dump(dict(sorted(ledger.items())), f, indent=1)
+        print(f"adjudicated {len(args.adjudicate)} entries -> {args.ledger}")
+        return 0
     art = load(args.artifact)
     cur = entries(art, args.artifact)
     cm = canary_mean(art)
@@ -163,15 +187,22 @@ def main():
               "adjusted by this factor, so a uniform tree-wide slowdown "
               "of this size would read 'clean'. Adjudicate with isolated "
               "untouched-control runs (README ledger reading rule).")
-    flagged = []
+    flagged, suppressed = [], []
     for q, ratio in ratios.items():
         adj = ratio / drift
         if adj > args.threshold:
-            flagged.append((q, adj, ratio, cur[q], ledger[q]))
+            if ledger[q].get("adjudicated"):
+                suppressed.append((q, adj, ratio, cur[q], ledger[q]))
+            else:
+                flagged.append((q, adj, ratio, cur[q], ledger[q]))
     for q, adj, ratio, e, b in sorted(flagged, key=lambda x: -x[1]):
         print(f"FLAG {q}: {adj:.2f}x (raw {ratio:.2f}x) normalized best "
               f"(now {e['sec']:.2f}s/cny{e['canary']} = {e['norm']}; "
               f"best {b['sec']:.2f}s/cny{b['canary']} = {b['norm']} @{b['src']})")
+    for q, adj, ratio, e, b in sorted(suppressed, key=lambda x: -x[1]):
+        print(f"ADJUDICATED {q}: {adj:.2f}x vs {b['norm']} @{b['src']} -- "
+              f"suppressed per {b['adjudicated']} (tree-vs-tree proven "
+              "box-era; beats the gate only by superseding the best)")
     if new_queries:
         print(f"new (not in ledger): {', '.join(new_queries)}")
     if not flagged:
