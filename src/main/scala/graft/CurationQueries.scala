@@ -1168,6 +1168,7 @@ object CurationQueries {
     //   partials do. The ece row rides along as bin = -1. ──
     QueryDef("q130_calibration",
       (s, dir) => {
+        import s.implicits._
         val f = logregFeatures(s, dir, "q130").persist()
         try {
           val n = f.count()
@@ -1183,21 +1184,28 @@ object CurationQueries {
             .withColumn("gap_micro", abs(col("conf_micro") - col("obs_micro")))
             .select(col("bin"), col("n_docs"), col("conf_micro"),
               col("obs_micro"), col("gap_micro"))
-            .persist() // feeds the bin rows AND the ece rollup
-          try {
-            val ece = b.agg(
-              lit(-1L).as("bin"), lit(n).as("n_docs"),
-              lit(0L).as("conf_micro"), lit(0L).as("obs_micro"),
-              expr(s"sum(gap_micro * n_docs) div $n").as("gap_micro"))
-            // Eager ≤11-row materialization INSIDE the try: the returned
-            // frame must not depend on f or b after their unpersist — a
-            // lazy return re-evaluated later (Verify's pool + clearCache)
-            // once yielded 1 row (r17 gate flake). The per-query tag on
-            // logregFeatures is the second layer: without it q117's
-            // finally could drop this query's cache entry mid-flight.
-            PlanProbe.probe("q130_calibration",
-              b.union(ece).orderBy(col("bin"))).localCheckpoint()
-          } finally b.unpersist()
+          // ONE evaluation of the ≤10-row decile frame, through the
+          // Bounded contract; the ece rollup is exact integer arithmetic
+          // over those driver-local rows. History: the r17 gate flaked
+          // this query to 1 row (lazy union over a persisted-then-
+          // unpersisted bin frame), and the r18 eager-checkpoint rewrite
+          // STILL collapsed once under VerifyStressSpec's clearCache
+          // hammering (the union's ece branch re-read the bin frame's
+          // cache entry mid-drop). A driver-computed ece has no second
+          // read to race: the corpus is touched exactly once past
+          // training, and the returned frame is a local Seq.
+          val bins = Bounded.collectBounded(b, 16,
+            "calibration deciles (≤10 bins by construction)")
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+              r.getLong(3), r.getLong(4)))
+            .sortBy(_._1)
+          require(bins.map(_._2).sum == n,
+            s"calibration bins lost rows: ${bins.map(_._2).sum} != $n " +
+              "— a cache race returned a partial decile frame")
+          val gapSum = bins.map(bb => bb._5 * bb._2).sum // ≤ 1e6·n, fits long
+          val ece = (-1L, n, 0L, 0L, gapSum / n)
+          (ece +: bins).toSeq // bin asc, ece (bin = -1) first, as ORDER BY bin
+            .toDF("bin", "n_docs", "conf_micro", "obs_micro", "gap_micro")
         } finally f.unpersist()
       },
       Some(s"""
@@ -1226,6 +1234,82 @@ object CurationQueries {
                CAST((SELECT sum(gap_micro * n_docs) FROM pb) // nn.n AS BIGINT)
         FROM nn
         ORDER BY bin""")),
+
+    // ── q150: classifier AUC (r18) — the third leg of the quality-filter
+    //   eval triad: q117 trains, q130 calibrates, this ranks. AUC is the
+    //   Mann-Whitney pair statistic, computed HISTOGRAM-first so it needs
+    //   no global sort of the corpus: scores quantize to integer
+    //   micro-units (the q130 lift), so the score DOMAIN is ≤ 1e6+1
+    //   distinct values BY CONSTRUCTION — corpus-independent — and the
+    //   cumulative-negatives window runs on that bounded frame, never on
+    //   data-sized rows. Ties get the standard half credit (each pos=neg
+    //   tie contributes 1 to the 2×-scaled pair sum); per-bucket pair
+    //   products lift to DECIMAL before multiplying (npos·nneg overflows
+    //   a long at ~10^10 docs), and the single division that produces the
+    //   AUC runs on exact integers in both engines. 100 TB shape: one
+    //   map-side-combinable groupBy(s_micro), one ≤1e6-row window, one
+    //   1-row aggregate. ──
+    QueryDef("q150_classifier_auc",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.DecimalType
+        val D = DecimalType(38, 0)
+        val f = logregFeatures(s, dir, "q150").persist()
+        try {
+          val n = f.count()
+          val w = logregTrain(f, n)
+          val hist = f.withColumn("z", zCol(w)).withColumn("sg", sigCol)
+            .withColumn("s_micro", floor(col("sg") * lit(1e6) + lit(0.5)).cast("long"))
+            .groupBy(col("s_micro"))
+            .agg(sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("np"),
+              sum(when(col("y") === 1.0, 0L).otherwise(1L)).as("nn"))
+          // global-order window, but over the BOUNDED quantized domain
+          // (≤ 1e6+1 rows at any corpus size) — not a corpus sort
+          val wcum = Window.orderBy(col("s_micro"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+          PlanProbe.probe("q150_classifier_auc",
+            hist
+              .withColumn("cneg", coalesce(sum(col("nn")).over(wcum), lit(0L)))
+              .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+                sum(col("np").cast(D) *
+                  (lit(2L) * col("cneg") + col("nn")).cast(D)).as("u2"))
+              .select(col("n_pos"), col("n_neg"),
+                // AUC is undefined when either class is empty (a hostile
+                // or degenerate corpus) — NULL, not a divide-by-zero
+                // (ANSI mode throws on the bare division)
+                when(col("n_pos") > 0 && col("n_neg") > 0,
+                  round(col("u2").cast("double") /
+                    (lit(2.0) * col("n_pos") * col("n_neg")), 6))
+                  .otherwise(lit(null).cast("double")).as("auc")))
+            .localCheckpoint() // eager 1-row result; f freed below
+        } finally f.unpersist()
+      },
+      Some(s"""
+        $logregChainSql,
+        sc AS MATERIALIZED (
+          SELECT y, 0.5 * (1.0 + z / (1.0 + abs(z))) AS s
+          FROM (SELECT f.*, ${lrZSql(s"w$LrIters")} AS z
+                FROM feat f CROSS JOIN w$LrIters)),
+        hist AS (
+          SELECT CAST(floor(s * 1000000.0 + 0.5) AS BIGINT) AS s_micro,
+                 CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+                 CAST(sum(CASE WHEN y = 1.0 THEN 0 ELSE 1 END) AS BIGINT) AS nn
+          FROM sc GROUP BY 1),
+        cum AS (
+          SELECT s_micro, np, nn,
+                 CAST(coalesce(sum(nn) OVER (ORDER BY s_micro
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cneg
+          FROM hist)
+        SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+               CAST(sum(nn) AS BIGINT) AS n_neg,
+               CASE WHEN sum(np) > 0 AND sum(nn) > 0 THEN
+                 round(CAST(sum(CAST(np AS DECIMAL(18,0)) *
+                              CAST(2*cneg + nn AS DECIMAL(18,0))) AS DOUBLE)
+                       / (2.0 * CAST(sum(np) AS BIGINT)
+                              * CAST(sum(nn) AS BIGINT)), 6)
+               ELSE NULL END AS auc
+        FROM cum""")),
 
     // ── q118: INCREMENTAL dedup — the production shape of q27: a new
     //   batch (doc_id % 5 = 0 stands in for today's crawl) joins the
@@ -2210,6 +2294,58 @@ object CurationQueries {
         FROM man m JOIN res r ON m.shard = r.shard
           AND m.epoch = r.resume_epoch
           AND m.pos BETWEEN r.resume_pos AND r.resume_pos + 2
-        GROUP BY 1, 2, 3 ORDER BY shard"""))
+        GROUP BY 1, 2, 3 ORDER BY shard""")),
+
+    // ── q153: PREFIX-CACHE sharing manifest (r18) — the serving/eval-era
+    //   twin of the loader manifests (q137/q138/q142): modern inference
+    //   stacks (vLLM / SGLang-style automatic prefix caching) reuse the
+    //   KV computation of a shared prompt prefix, so batch planning wants
+    //   to know, per source, how many docs share an exact 32-token prefix
+    //   and how many prefill tokens dedup away. Grouping is by the hash
+    //   of the first 32 tokens (docs shorter than the window are
+    //   ineligible — a partial prefix is its own full prompt); within a
+    //   shared group the FIRST doc (min doc_id) pays the prefill and
+    //   every other member saves exactly 32 tokens. 100 TB shape: the
+    //   prefix hash is map-only; the group rollup (count + min) is one
+    //   map-side-combinable groupBy keyed by the hash; the flag join is
+    //   co-partitioned on the same hash; the per-source rollup combines
+    //   map-side. No pair joins, no windows. ──
+    QueryDef("q153_prefix_cache",
+      (s, dir) => {
+        val pre = docs(s, dir)
+          .withColumn("toks", TextOps.tokens(col("text")))
+          .filter(size(col("toks")) >= 32)
+          .select(col("doc_id"), col("source"),
+            XHash.hash60(concat_ws(" ", slice(col("toks"), 1, 32))).as("ph"))
+        val grp = pre.groupBy(col("ph"))
+          .agg(count(lit(1)).as("gn"), min(col("doc_id")).as("gmin"))
+        pre.join(grp, Seq("ph"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_eligible"),
+            sum(when(col("gn") >= 2, 1L).otherwise(0L)).as("n_shared"),
+            sum(when(col("gn") >= 2 && col("doc_id") =!= col("gmin"), 32L)
+              .otherwise(0L)).as("saved_tokens"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val toks = TextOps.tokensSql("text")
+        s"""
+        WITH t AS (
+          SELECT doc_id, source, $toks AS toks FROM documents),
+        pre AS (
+          SELECT doc_id, source,
+                 ${XHash.hash60Sql("array_to_string(toks[1:32], ' ')")} AS ph
+          FROM t WHERE len(toks) >= 32),
+        grp AS (
+          SELECT ph, count(*) AS gn, min(doc_id) AS gmin
+          FROM pre GROUP BY ph)
+        SELECT p.source AS source, count(*) AS n_eligible,
+               CAST(sum(CASE WHEN g.gn >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_shared,
+               CAST(sum(CASE WHEN g.gn >= 2 AND p.doc_id <> g.gmin
+                 THEN 32 ELSE 0 END) AS BIGINT) AS saved_tokens
+        FROM pre p JOIN grp g USING (ph)
+        GROUP BY 1 ORDER BY 1"""
+      })
   )
 }

@@ -16,6 +16,7 @@ import org.apache.spark.sql.DataFrame
   */
 object PlanProbe {
   private val plans = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val formatted = new java.util.concurrent.ConcurrentHashMap[String, String]()
   @volatile private var enabled = false
 
   def setEnabled(on: Boolean): Unit = enabled = on
@@ -23,9 +24,16 @@ object PlanProbe {
   /** Record `df`'s executed plan under `name` (when enabled) and return
     * `df` unchanged — call directly before the materialization. */
   def probe(name: String, df: DataFrame): DataFrame = {
-    if (enabled) plans.put(name, df.queryExecution.executedPlan.toString)
+    if (enabled) {
+      plans.put(name, df.queryExecution.executedPlan.toString)
+      formatted.put(name, df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
     df
   }
 
   def get(name: String): Option[String] = Option(plans.get(name))
+
+  /** FormattedMode twin of [[get]] — what ExplainDump writes to PLANS.md. */
+  def getFormatted(name: String): Option[String] = Option(formatted.get(name))
 }

@@ -1897,7 +1897,114 @@ object TextQueries {
         SELECT CAST(row_number() OVER (ORDER BY drift_ppb DESC, t ASC)
                  AS BIGINT) AS rnk,
                t, c_old, c_new, drift_ppb
-        FROM ranked QUALIFY rnk <= 20 ORDER BY rnk"""))
+        FROM ranked QUALIFY rnk <= 20 ORDER BY rnk""")),
+
+    // ── q149: BOILERPLATE-segment audit (r18) — CCNet dedupes web text at
+    //   PARAGRAPH granularity before any doc-level pass (navigation bars,
+    //   cookie banners and license footers repeat across thousands of
+    //   pages that are not document-level duplicates). This corpus has no
+    //   newlines, so the deterministic segment analogue is q141's fixed
+    //   non-overlapping 12-token window; a segment is boilerplate when it
+    //   appears in ≥ 3 DISTINCT docs corpus-wide, and each source reports
+    //   how much of its text is boilerplate. 100 TB shape: the explode is
+    //   token-bounded (one row per 12 tokens); the frequency rollup and
+    //   the flag join are BOTH keyed by segment hash — the distinct and
+    //   the count partial-aggregate map-side, the join is co-partitioned
+    //   (no broadcast needed, no skew: a boilerplate hash's rows collapse
+    //   to one row per doc BEFORE the exchange via the distinct). The
+    //   per-source rollup is a map-side-combinable count. ──
+    QueryDef("q149_boilerplate",
+      (s, dir) => {
+        val segs = docs(s, dir)
+          .withColumn("toks", TextOps.tokens(col("text")))
+          .filter(size(col("toks")) > 0)
+          .withColumn("seg", explode(expr(
+            "transform(sequence(0, (size(toks)-1) div 12), i -> slice(toks, i*12+1, 12))")))
+          .select(col("doc_id"), col("source"),
+            XHash.hash60(concat_ws(" ", col("seg"))).as("h"))
+        val freq = segs.select(col("h"), col("doc_id")).distinct()
+          .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+        segs.join(freq, Seq("h"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_segments"),
+            sum(when(col("nd") >= 3, 1L).otherwise(0L)).as("n_boilerplate"))
+          .withColumn("boiler_frac", round(
+            col("n_boilerplate").cast("double") / col("n_segments"), 6))
+          .select(col("source"), col("n_segments"), col("n_boilerplate"),
+            col("boiler_frac"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val toks = TextOps.tokensSql("text")
+        s"""
+        WITH t AS (
+          SELECT doc_id, source, $toks AS toks FROM documents
+          WHERE len($toks) > 0),
+        segs AS (
+          SELECT doc_id, source,
+                 ${XHash.hash60Sql("array_to_string(toks[(i.i*12+1):(i.i*12+12)], ' ')")} AS h
+          FROM t, unnest(range(0, (len(toks)-1)//12 + 1)) AS i(i)),
+        freq AS (
+          SELECT h, count(*) AS nd
+          FROM (SELECT DISTINCT h, doc_id FROM segs) GROUP BY h)
+        SELECT s.source AS source, count(*) AS n_segments,
+               CAST(sum(CASE WHEN f.nd >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_boilerplate,
+               round(CAST(sum(CASE WHEN f.nd >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 6) AS boiler_frac
+        FROM segs s JOIN freq f USING (h)
+        GROUP BY 1 ORDER BY 1"""
+      }),
+
+    // ── q152: N-GRAM NOVELTY / memorization-risk audit (r18) — the
+    //   crawl-order attribution behind dedup-before-train (Lee et al.
+    //   2022; Carlini et al. memorization): for each doc, what fraction
+    //   of its distinct 5-gram shingles FIRST appeared in this doc
+    //   (earliest doc_id owns the gram)? Low-novelty docs are near-copies
+    //   of earlier crawl content even when no single pair crosses q27's
+    //   Jaccard threshold — the long tail near-dup families miss. 100 TB
+    //   shape: the gram table is token-bounded (ShingleHash60 emits
+    //   per-doc-DISTINCT hashes in one fused pass); first-owner is a
+    //   map-side-combinable MIN keyed by gram hash; the attribution join
+    //   is co-partitioned on the same hash (the groupBy's exchange is
+    //   reused — no second corpus shuffle); the per-doc rollup combines
+    //   map-side. No pair joins anywhere, so candidate volume cannot
+    //   explode the way a similarity self-join can. ──
+    QueryDef("q152_ngram_novelty",
+      (s, dir) => {
+        val g = docs(s, dir)
+          .withColumn("toks", TextOps.tokens(col("text")))
+          .select(col("doc_id"),
+            explode(ShingleHash60(col("toks"), 5)).as("h"))
+        val first = g.groupBy(col("h")).agg(min(col("doc_id")).as("fo"))
+        g.join(first, Seq("h"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("fo") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+          .withColumn("novelty", round(
+            col("n_novel").cast("double") / col("n_grams"), 6))
+          .select(col("doc_id"), col("n_grams"), col("n_novel"), col("novelty"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val toks = TextOps.tokensSql("text")
+        s"""
+        WITH g AS (
+          SELECT doc_id, unnest(list_transform(
+                   list_distinct(CASE WHEN len(toks) < 5 THEN []::VARCHAR[] ELSE
+                     list_transform(range(0, len(toks) - 4), i ->
+                       array_to_string(list_slice(toks, i + 1, i + 5), ' ')) END),
+                   sh -> ${XHash.hash60Sql("sh")})) AS h
+          FROM (SELECT doc_id, $toks AS toks FROM documents)),
+        f AS (SELECT h, min(doc_id) AS fo FROM g GROUP BY h)
+        SELECT g.doc_id AS doc_id, count(*) AS n_grams,
+               CAST(sum(CASE WHEN f.fo = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_novel,
+               round(CAST(sum(CASE WHEN f.fo = g.doc_id THEN 1 ELSE 0 END)
+                       AS DOUBLE) / count(*), 6) AS novelty
+        FROM g JOIN f USING (h)
+        GROUP BY 1 ORDER BY 1"""
+      })
   )
 
   /** BM25 top-5 per query over a pre-tokenized corpus frame

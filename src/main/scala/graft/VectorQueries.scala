@@ -1263,7 +1263,100 @@ object VectorQueries {
                      vec_id ASC) AS BIGINT) AS rnk
           FROM a${KmRounds + 1})
         SELECT cell, rnk, vec_id, dist6 FROM drawn WHERE rnk <= 5
-        ORDER BY cell, rnk"""))
+        ORDER BY cell, rnk""")),
+
+    // ── q151: embedding-space OUTLIER audit (r18) — the vector-side
+    //   curation check the scalar passes (q95 rules, q104 MAD, q117/q130
+    //   classifier) cannot see: a doc whose text stats look normal but
+    //   whose embedding sits far from its label's centroid is mislabeled,
+    //   adversarial, or a pipeline bug (truncated/garbled encodes land in
+    //   a characteristic far-from-everything region). Per label: integer-
+    //   lifted (milli-unit) centroid from EXACT per-dim long sums
+    //   (integer division — both engines identical), squared L2 distance
+    //   to it in pure integer space, then a z-score within the label from
+    //   exact decimal power sums (the q143 discipline) and the top-3
+    //   outliers per label. 100 TB shape: the centroid is ONE map-side-
+    //   combinable groupBy(label, dim) over the exploded frame; centroids
+    //   (labels×dim rows) broadcast back and the distance is a map-only
+    //   HOF fold per row; the moment rollup is labels-sized; the rank
+    //   window prunes map-side (WindowGroupLimit). No pairwise anything. ──
+    QueryDef("q151_embed_outliers",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.DecimalType
+        val D = DecimalType(38, 0)
+        val lifted = emb(s, dir)
+          .select(col("vec_id"), col("label"),
+            transform(col("embedding"),
+              x => floor(x.cast("double") * lit(1000.0) + lit(0.5)).cast("long"))
+              .as("xi"))
+        val cent = lifted
+          .select(col("label"), posexplode(col("xi")))
+          .groupBy(col("label"), col("pos"))
+          .agg(sum(col("col")).as("sx"), count(lit(1)).as("n"))
+          .withColumn("c", expr("sx div n"))
+          .groupBy(col("label"))
+          .agg(sort_array(collect_list(struct(col("pos"), col("c")))).as("cs"))
+          .select(col("label"),
+            expr("transform(cs, e -> e.c)").as("cv"))
+        val dist = lifted.join(broadcast(cent), Seq("label"))
+          .withColumn("d2", expr(
+            "aggregate(zip_with(xi, cv, (x, c) -> (x - c) * (x - c)), 0L, (a, e) -> a + e)"))
+          .select(col("vec_id"), col("label"), col("d2"))
+        val mom = dist.groupBy(col("label")).agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("d2").cast(D)).cast("double").as("s1"),
+          sum(col("d2").cast(D) * col("d2").cast(D)).cast("double").as("ss"))
+        val wr = Window.partitionBy(col("label"))
+          .orderBy(col("z").desc, col("vec_id").asc)
+        dist.join(broadcast(mom), Seq("label"))
+          .withColumn("z", round({
+            val mean = col("s1") / col("n")
+            val varr = col("ss") / col("n") - mean * mean
+            when(varr <= 0.0, lit(0.0))
+              .otherwise((col("d2").cast("double") - mean) / sqrt(varr))
+          }, 6))
+          .withColumn("rnk", row_number().over(wr).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select(col("label"), col("rnk"), col("vec_id"), col("z"))
+          .orderBy(col("label"), col("rnk"))
+      },
+      Some("""
+        WITH lifted AS (
+          SELECT vec_id, label,
+                 list_transform(embedding, x ->
+                   CAST(floor(CAST(x AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)) AS xi
+          FROM embeddings),
+        pd AS (
+          SELECT label, i.i AS pos,
+                 CAST(sum(xi[i.i]) AS BIGINT) AS sx, count(*) AS n
+          FROM lifted, unnest(range(1, len(xi) + 1)) AS i(i)
+          GROUP BY 1, 2),
+        cent AS (
+          SELECT label, list(sx // n ORDER BY pos) AS cv
+          FROM pd GROUP BY label),
+        dist AS (
+          SELECT vec_id, l.label AS label,
+                 CAST(list_sum(list_transform(range(1, len(xi) + 1),
+                   i -> (xi[i] - cv[i]) * (xi[i] - cv[i]))) AS BIGINT) AS d2
+          FROM lifted l JOIN cent c ON l.label = c.label),
+        mom AS (
+          SELECT label, CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(CAST(d2 AS DECIMAL(18,0))) AS DOUBLE) AS s1,
+                 CAST(sum(CAST(d2 AS DECIMAL(18,0)) * CAST(d2 AS DECIMAL(18,0)))
+                   AS DOUBLE) AS ss
+          FROM dist GROUP BY label),
+        z AS (
+          SELECT d.vec_id AS vec_id, d.label AS label,
+                 round(CASE WHEN m.ss/m.n - (m.s1/m.n)*(m.s1/m.n) <= 0 THEN 0.0
+                   ELSE (CAST(d.d2 AS DOUBLE) - m.s1/m.n) /
+                        sqrt(m.ss/m.n - (m.s1/m.n)*(m.s1/m.n)) END, 6) AS z
+          FROM dist d JOIN mom m ON d.label = m.label)
+        SELECT label,
+               CAST(row_number() OVER (PARTITION BY label
+                 ORDER BY z DESC, vec_id ASC) AS BIGINT) AS rnk,
+               vec_id, z
+        FROM z QUALIFY rnk <= 3 ORDER BY label, rnk"""))
   )
 
   // ── q93 oracle: the same quantize → exact moments → covariance →

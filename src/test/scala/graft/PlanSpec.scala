@@ -470,6 +470,48 @@ class PlanSpec extends SparkSpec {
       "stats attach must be a broadcast, never a cartesian:\n" + p.take(3000))
   }
 
+  test("q149: both segment-hash edges stay keyed — no cartesian, map-side partials") {
+    val p = plan("q149_boilerplate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the frequency flag must join on the segment hash:\n" + p.take(3000))
+    assert(p.contains("partial_count"),
+      "the distinct-doc frequency rollup must partial-aggregate map-side:\n" + p.take(3000))
+  }
+
+  test("q150: histogram-first AUC — map-side partials feed the bounded-domain window") {
+    val p = plan("q150_classifier_auc")
+    assert(p.contains("partial_sum"),
+      "the s_micro histogram must partial-aggregate map-side:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "nothing in the AUC plan may shuffle pairwise:\n" + p.take(3000))
+  }
+
+  test("q151: centroids and moments broadcast; the outlier rank prunes map-side") {
+    val p = plan("q151_embed_outliers")
+    assert(p.contains("BroadcastHashJoin"),
+      "the labels-sized centroid/moment tables must broadcast:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      p.take(3000))
+    val wgl = p.sliding("WindowGroupLimit".length).count(_ == "WindowGroupLimit")
+    assert(wgl >= 2, s"rnk<=3 must prune via partial+final WindowGroupLimit, got $wgl:\n" + p.take(3000))
+  }
+
+  test("q152: first-owner attribution stays keyed on the gram hash — no pair joins") {
+    val p = plan("q152_ngram_novelty")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the attribution join must stay an equi-join on h:\n" + p.take(3000))
+    assert(p.contains("partial_min"),
+      "first-owner must be a map-side-combinable MIN:\n" + p.take(3000))
+  }
+
+  test("q153: prefix grouping stays keyed on the prefix hash — no pair joins, map-side partials") {
+    val p = plan("q153_prefix_cache")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the group flag must join on the prefix hash:\n" + p.take(3000))
+    assert(p.contains("partial_count") && p.contains("partial_min"),
+      "the group rollup (count + min) must partial-aggregate map-side:\n" + p.take(3000))
+  }
+
   test("q147: output stays top-k-bounded (the checkpoint hides the inner plan)") {
     // the query localCheckpoints its 20-row result to release the
     // byHalf cache (the q101 discipline), so the returned frame's plan

@@ -12,12 +12,16 @@ import scala.concurrent.ExecutionContext.Implicits.global
   * every 16 completions, and q130 returned a LAZY frame evaluated after
   * its `finally unpersist` had already dropped the shared entry. This
   * spec reproduces that harness shape deliberately and repeatedly:
-  * q117+q130 (shared logregFeatures persist) + one BPE trainer (the
+  * q117+q130 (both persisting logregFeatures) + one BPE trainer (the
   * conf-lock interaction) run concurrently ×20 with a clearCache thread
   * firing throughout, and EVERY iteration's rows must equal the serial
-  * baseline. Pre-fix (lazy `b.union(ece)` returned after unpersist), the
-  * q130 row count could collapse; post-fix (eager localCheckpoint inside
-  * the try, per the house discipline at q91/q147/mixQuotas) it cannot.
+  * baseline. This spec EARNED ITS KEEP in round 18: the first fix
+  * (eager localCheckpoint of the `b.union(ece)` result) still collapsed
+  * to 1 row once in 20 iterations under this hammering — the union's
+  * ece branch re-reads the persisted bin frame while clearCache drops
+  * it — which forced the race-immune-by-construction rewrite (ONE
+  * bounded collect of the decile frame, ece computed in driver-side
+  * integer arithmetic, a row-conservation require as the tripwire).
   */
 class VerifyStressSpec extends SparkSpec {
 
@@ -53,7 +57,8 @@ class VerifyStressSpec extends SparkSpec {
           Duration.Inf).toMap
         names.foreach { n =>
           assert(concurrent(n).size === serial(n).size,
-            s"iter $iter: $n row count diverged under clearCache interference")
+            s"iter $iter: $n row count diverged under clearCache " +
+              s"interference; got:\n${concurrent(n).mkString("\n")}")
           assert(concurrent(n) === serial(n),
             s"iter $iter: $n rows diverged under clearCache interference")
         }
