@@ -187,11 +187,20 @@ def main():
               "adjusted by this factor, so a uniform tree-wide slowdown "
               "of this size would read 'clean'. Adjudicate with isolated "
               "untouched-control runs (README ledger reading rule).")
-    flagged, suppressed = [], []
+    flagged, suppressed, canary_inverted = [], [], []
     for q, ratio in ratios.items():
         adj = ratio / drift
         if adj > args.threshold:
-            if ledger[q].get("adjudicated"):
+            if ratio < 1.0:
+                # r18 verdict #8: a query whose RAW seconds-per-canary
+                # ratio is < 1.0 got FASTER than its ledger best -- the
+                # adjusted ratio only exceeds the threshold because the
+                # canary era moved (erratic canary inverting the
+                # normalization). Definitionally not creep; print as
+                # INFO so the era shift stays visible without costing
+                # an adjudication cycle.
+                canary_inverted.append((q, adj, ratio, cur[q], ledger[q]))
+            elif ledger[q].get("adjudicated"):
                 suppressed.append((q, adj, ratio, cur[q], ledger[q]))
             else:
                 flagged.append((q, adj, ratio, cur[q], ledger[q]))
@@ -199,6 +208,11 @@ def main():
         print(f"FLAG {q}: {adj:.2f}x (raw {ratio:.2f}x) normalized best "
               f"(now {e['sec']:.2f}s/cny{e['canary']} = {e['norm']}; "
               f"best {b['sec']:.2f}s/cny{b['canary']} = {b['norm']} @{b['src']})")
+    for q, adj, ratio, e, b in sorted(canary_inverted, key=lambda x: -x[1]):
+        print(f"INFO {q}: adj {adj:.2f}x but raw {ratio:.2f}x < 1.0 -- "
+              f"at or below its normalized best ({e['sec']:.2f}s/cny"
+              f"{e['canary']} vs {b['sec']:.2f}s/cny{b['canary']} "
+              f"@{b['src']}); canary-era inversion, not creep")
     for q, adj, ratio, e, b in sorted(suppressed, key=lambda x: -x[1]):
         print(f"ADJUDICATED {q}: {adj:.2f}x vs {b['norm']} @{b['src']} -- "
               f"suppressed per {b['adjudicated']} (tree-vs-tree proven "
