@@ -2305,11 +2305,23 @@ object CurationQueries {
     //   of the first 32 tokens (docs shorter than the window are
     //   ineligible — a partial prefix is its own full prompt); within a
     //   shared group the FIRST doc (min doc_id) pays the prefill and
-    //   every other member saves exactly 32 tokens. 100 TB shape: the
-    //   prefix hash is map-only; the group rollup (count + min) is one
-    //   map-side-combinable groupBy keyed by the hash; the flag join is
-    //   co-partitioned on the same hash; the per-source rollup combines
-    //   map-side. No pair joins, no windows. ──
+    //   every other member saves exactly 32 tokens. 100 TB shape
+    //   (r19 rewrite, aggregation-BEFORE-join): the r18 shape joined the
+    //   full instance table back to the hash-keyed rollup — at 100 TB a
+    //   corpus-scale shared prefix is ONE join key carrying half the
+    //   probe side into a single reduce task, and AQE's skew split
+    //   cannot save that plan (OptimizeSkewedJoin only matches a join
+    //   whose children are bare Sort+ShuffleStage; the co-partitioned
+    //   rollup side reads through its final HashAggregate — measured in
+    //   SkewAuditSpec's r19 diagnosis, SCALE.md#round-19-skew-audit).
+    //   So the instance table collapses FIRST: one map-side-combinable
+    //   groupBy to (ph, source, cnt, smin) — the hot key shrinks to
+    //   |sources| rows BEFORE any exchange-crossing join — the group
+    //   rollup derives from THAT (sum/min re-aggregation, saving the
+    //   second corpus scan the old shape paid), and the flag join moves
+    //   rollup-sized rows only. saved_tokens folds the member-count
+    //   arithmetic: 32·(cnt − 1 if this source holds the group min).
+    //   Skew-immune by construction; no pair joins, no windows. ──
     QueryDef("q153_prefix_cache",
       (s, dir) => {
         val pre = docs(s, dir)
@@ -2317,13 +2329,16 @@ object CurationQueries {
           .filter(size(col("toks")) >= 32)
           .select(col("doc_id"), col("source"),
             XHash.hash60(concat_ws(" ", slice(col("toks"), 1, 32))).as("ph"))
-        val grp = pre.groupBy(col("ph"))
-          .agg(count(lit(1)).as("gn"), min(col("doc_id")).as("gmin"))
-        pre.join(grp, Seq("ph"))
+        val bySrc = pre.groupBy(col("ph"), col("source"))
+          .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("smin"))
+        val grp = bySrc.groupBy(col("ph"))
+          .agg(sum(col("cnt")).as("gn"), min(col("smin")).as("gmin"))
+        bySrc.join(grp, Seq("ph"))
           .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_eligible"),
-            sum(when(col("gn") >= 2, 1L).otherwise(0L)).as("n_shared"),
-            sum(when(col("gn") >= 2 && col("doc_id") =!= col("gmin"), 32L)
+          .agg(sum(col("cnt")).as("n_eligible"),
+            sum(when(col("gn") >= 2, col("cnt")).otherwise(0L)).as("n_shared"),
+            sum(when(col("gn") >= 2,
+                (col("cnt") - when(col("smin") === col("gmin"), 1L).otherwise(0L)) * 32L)
               .otherwise(0L)).as("saved_tokens"))
           .orderBy(col("source"))
       },

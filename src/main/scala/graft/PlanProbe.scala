@@ -19,7 +19,15 @@ object PlanProbe {
   private val formatted = new java.util.concurrent.ConcurrentHashMap[String, String]()
   @volatile private var enabled = false
 
-  def setEnabled(on: Boolean): Unit = enabled = on
+  /** Enabling CLEARS prior recordings (r18 advice): entries otherwise
+    * accumulate process-globally, so a consumer enabling the probe could
+    * read a stale plan recorded by an earlier run of the same query in
+    * this JVM. Within one enabled window, last-write-wins per name —
+    * consumers (PlanSpec, ExplainDump) run their queries sequentially. */
+  def setEnabled(on: Boolean): Unit = {
+    if (on) { plans.clear(); formatted.clear() }
+    enabled = on
+  }
 
   /** Record `df`'s executed plan under `name` (when enabled) and return
     * `df` unchanged — call directly before the materialization. */

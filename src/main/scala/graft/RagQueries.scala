@@ -27,6 +27,14 @@ object RagQueries {
     (2L, "customer order value"), (3L, "stream batch filter"),
     (4L, "scan slow table"))
 
+  /** q154's question set — q41's three questions, shared so the Spark
+    * side and the oracle VALUES list cannot drift (declared before
+    * `defs` for the same eager-evaluation reason as MaxSimQueries). */
+  private val AnswerAuditQuestions: Seq[(Long, String)] = Seq(
+    (0L, "spark batch window join customer value"),
+    (1L, "hash agg row scan slow fast table"),
+    (2L, "stream filter merge sort order group"))
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── q40: deterministic-embed retrieval, oracle-checked end to end.
@@ -68,11 +76,10 @@ object RagQueries {
       (s, dir) => {
         val collection = TextEmbed.withEmbed(docs(s, dir), "text", "vector")
           .select(col("doc_id").as("id"), col("text"), col("vector"))
-        val questions = s.createDataFrame(Seq(
-          (0L, "spark batch window join customer value"),
-          (1L, "hash agg row scan slow fast table"),
-          (2L, "stream filter merge sort order group")
-        )).toDF("qid", "question")
+        // the question set is shared with q154, whose oracle re-derives
+        // this query's retrieval/context/flag envelope cross-engine
+        val questions = s.createDataFrame(AnswerAuditQuestions)
+          .toDF("qid", "question")
         RagPipeline.answerBatch(questions, collection, k = 3)
           .select(col("qid"), col("question"), col("answer"), col("n_context"), col("success"))
           .orderBy(col("qid"))
@@ -285,8 +292,140 @@ object RagQueries {
           .select(col("qid"), col("rnk"), col("doc_id"), col("rrf"))
           .orderBy(col("qid"), col("rnk"))
       },
-      Some(hybridRrfSql))
+      Some(hybridRrfSql)),
+
+    // ── q154: ORACLE-CHECKED companion to q41 (r18 verdict #4, the q148
+    //   method) — q41's `no_oracle` row runs the full answerBatch but only
+    //   gets a rows-only check because the stub's answer TEXT has no SQL
+    //   twin (lookbehind sentence split). Everything AROUND the text IS
+    //   SQL-expressible: the hybrid retrieval (cosine + BM25 + RRF, k=3),
+    //   the context assembly (source_ids in rank order, n_context), and
+    //   the fallback flag — ExtractiveLlm answers the verbatim fallback
+    //   iff NO context token survives into the effective question-term
+    //   set (stopword-filtered, whole set when filtering empties it; the
+    //   per-sentence max-overlap only picks WHICH sentence, never whether
+    //   one exists, because the sentence split preserves the token
+    //   multiset). So this query runs the SAME answerBatch — the real
+    //   mapPartitions LlmClient boundary, success read off the actual
+    //   answer string — and the DuckDB twin re-derives retrieval, context
+    //   and flag from first principles. success survives as 0/1 BIGINT so
+    //   the cross-engine hash is byte-stable. ──
+    QueryDef("q154_rag_answer_audit",
+      (s, dir) => {
+        val collection = TextEmbed.withEmbed(docs(s, dir), "text", "vector")
+          .select(col("doc_id").as("id"), col("text"), col("vector"))
+        val questions = s.createDataFrame(AnswerAuditQuestions)
+          .toDF("qid", "question")
+        RagPipeline.answerBatch(questions, collection, k = 3)
+          .select(col("qid"),
+            array_join(transform(col("source_ids"), _.cast("string")), ",")
+              .as("src_ids"),
+            col("n_context").cast("long").as("n_context"),
+            col("success").cast("long").as("success"))
+          .orderBy(col("qid"))
+      },
+      Some(ragAnswerAuditSql))
   )
+
+  /** q154 oracle: answerBatch's SQL-expressible envelope from first
+    * principles — the q148 retrieval machinery at k=3 (cosine leg with
+    * CosineSim's NULL-on-zero-denominator contract, the shared BM25 pass,
+    * RRF fusion), then rank-ordered source ids, context count, and the
+    * fallback flag: success ⇔ some retrieved doc's token set intersects
+    * the effective question-term set (`ExtractiveLlm.answer`'s q — content
+    * terms after the shared Stop list, all terms when that empties).
+    * Tokenizers are the shared TextOps.tokensSql on both sides; the Stop
+    * list inlines from the ONE `ExtractiveLlm.Stop` definition. */
+  private def ragAnswerAuditSql: String = {
+    val toks = graft.functions.TextOps.tokensSql _
+    val stop = graft.rag.ExtractiveLlm.Stop.toSeq.sorted
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    val qVals = AnswerAuditQuestions
+      .map { case (qid, t) => s"($qid, '$t')" }.mkString(", ")
+    s"""
+      WITH qs AS (SELECT * FROM (VALUES $qVals) AS v(qid, question)),
+      ${TextEmbed.embedSqlStages("qs", "qid", "question", prefix = "qe")},
+      ${TextEmbed.embedSqlStages("documents", "doc_id", "text", prefix = "de")},
+      cosscored AS (
+        SELECT q.qid AS qid, d.doc_id AS doc_id,
+               CASE WHEN sqrt(list_sum(list_transform(q.vec, x -> x*x))) *
+                         sqrt(list_sum(list_transform(d.vec, x -> x*x))) = 0
+                    THEN NULL
+                    ELSE round(
+                      list_sum(list_transform(range(1, 65), i -> q.vec[i] * d.vec[i])) /
+                      (sqrt(list_sum(list_transform(q.vec, x -> x*x))) *
+                       sqrt(list_sum(list_transform(d.vec, x -> x*x)))), 6) END AS score
+        FROM qe_vec q CROSS JOIN de_vec d),
+      cosleg AS (
+        SELECT qid, doc_id,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY score DESC NULLS LAST, doc_id ASC) AS cos_rnk
+        FROM cosscored),
+      tk AS (SELECT doc_id, coalesce(${toks("text")}, []::VARCHAR[]) AS toks
+             FROM documents),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                       CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl FROM tk),
+      qt AS (SELECT DISTINCT qid, unnest(${toks("question")}) AS term FROM qs),
+      dls AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+                     unnest(toks) AS term FROM tk),
+      tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+             FROM dls GROUP BY doc_id, dl, term
+             HAVING term IN (SELECT term FROM qt)),
+      dfc AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+      sc AS (
+        SELECT q.qid AS qid, t.doc_id AS doc_id,
+               CAST(floor(round(
+                 ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0) *
+                   (t.tf * 2.2 /
+                     (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * (t.dl / s.avgdl)))),
+                 6) * 1000000.0 + 0.5) AS BIGINT) AS sterm
+        FROM tf t JOIN dfc d USING (term) JOIN qt q USING (term)
+        CROSS JOIN stats s),
+      agg AS (SELECT qid, doc_id, CAST(sum(sterm) AS BIGINT) AS s_int
+              FROM sc GROUP BY qid, doc_id),
+      bmleg AS (SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+                  ORDER BY s_int DESC, doc_id ASC) AS bm_rnk
+                FROM agg),
+      fused AS (
+        SELECT coalesce(c.qid, b.qid) AS qid,
+               coalesce(c.doc_id, b.doc_id) AS doc_id,
+               coalesce(1.0 / (60 + c.cos_rnk), 0.0) +
+                 coalesce(1.0 / (60 + b.bm_rnk), 0.0) AS score
+        FROM (SELECT * FROM cosleg WHERE cos_rnk <= 3) c
+        FULL OUTER JOIN (SELECT * FROM bmleg WHERE bm_rnk <= 3) b
+          ON c.qid = b.qid AND c.doc_id = b.doc_id),
+      hits AS (
+        SELECT qid, doc_id,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY score DESC, doc_id ASC) AS rnk
+        FROM fused QUALIFY rnk <= 3),
+      qeff AS (
+        SELECT qid,
+               CASE WHEN len(list_filter(alltoks,
+                      t -> NOT list_contains($stop, t))) > 0
+                    THEN list_filter(alltoks, t -> NOT list_contains($stop, t))
+                    ELSE alltoks END AS qset
+        FROM (SELECT qid, list_distinct(${toks("question")}) AS alltoks
+              FROM qs)),
+      ctx AS (
+        SELECT h.qid AS qid,
+               string_agg(CAST(h.doc_id AS VARCHAR), ',' ORDER BY h.rnk)
+                 AS src_ids,
+               count(*) AS n_context,
+               max(CASE WHEN len(list_intersect(
+                      list_distinct(${toks("coalesce(d.text, '')")}), q.qset)) > 0
+                    THEN 1 ELSE 0 END) AS ov
+        FROM hits h JOIN documents d ON h.doc_id = d.doc_id
+        JOIN qeff q ON h.qid = q.qid
+        GROUP BY h.qid)
+      SELECT CAST(s.qid AS BIGINT) AS qid,
+             coalesce(c.src_ids, '') AS src_ids,
+             CAST(coalesce(c.n_context, 0) AS BIGINT) AS n_context,
+             CAST(CASE WHEN coalesce(c.n_context, 0) > 0 AND c.ov = 1
+                  THEN 1 ELSE 0 END AS BIGINT) AS success
+      FROM qs s LEFT JOIN ctx c ON s.qid = c.qid
+      ORDER BY qid"""
+  }
 
   /** q148 oracle: the q42 subset with SQL twins — QA derivation, cosine
     * leg (CosineSim's dot/(|a||b|) with its NULL-on-zero-denominator

@@ -1906,13 +1906,21 @@ object TextQueries {
     //   newlines, so the deterministic segment analogue is q141's fixed
     //   non-overlapping 12-token window; a segment is boilerplate when it
     //   appears in ≥ 3 DISTINCT docs corpus-wide, and each source reports
-    //   how much of its text is boilerplate. 100 TB shape: the explode is
-    //   token-bounded (one row per 12 tokens); the frequency rollup and
-    //   the flag join are BOTH keyed by segment hash — the distinct and
-    //   the count partial-aggregate map-side, the join is co-partitioned
-    //   (no broadcast needed, no skew: a boilerplate hash's rows collapse
-    //   to one row per doc BEFORE the exchange via the distinct). The
-    //   per-source rollup is a map-side-combinable count. ──
+    //   how much of its text is boilerplate. 100 TB shape (r19 rewrite,
+    //   aggregation-BEFORE-join): the r18 shape joined the full segment-
+    //   instance table back to the hash-keyed frequency rollup — a
+    //   corpus-scale boilerplate segment (a cookie banner in 10⁹ docs)
+    //   is ONE join key carrying its every instance into a single reduce
+    //   task, and AQE cannot split that join (its skew rule only matches
+    //   bare Sort+ShuffleStage children; the rollup side reads through
+    //   its final HashAggregate — SkewAuditSpec's r19 diagnosis,
+    //   SCALE.md#round-19-skew-audit). So the instances collapse FIRST:
+    //   a map-side-combinable (h, source) groupBy shrinks the hot hash
+    //   to |sources| rows before any join exchange; the distinct-doc
+    //   frequency keeps its skew-free shape (the distinct's exchange is
+    //   keyed by the (h, doc) PAIR, and the count after it partial-
+    //   aggregates map-side); the flag join then moves rollup-sized
+    //   rows only. Skew-immune by construction. ──
     QueryDef("q149_boilerplate",
       (s, dir) => {
         val segs = docs(s, dir)
@@ -1922,12 +1930,14 @@ object TextQueries {
             "transform(sequence(0, (size(toks)-1) div 12), i -> slice(toks, i*12+1, 12))")))
           .select(col("doc_id"), col("source"),
             XHash.hash60(concat_ws(" ", col("seg"))).as("h"))
+        val bySrc = segs.groupBy(col("h"), col("source"))
+          .agg(count(lit(1)).as("inst"))
         val freq = segs.select(col("h"), col("doc_id")).distinct()
           .groupBy(col("h")).agg(count(lit(1)).as("nd"))
-        segs.join(freq, Seq("h"))
+        bySrc.join(freq, Seq("h"))
           .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_segments"),
-            sum(when(col("nd") >= 3, 1L).otherwise(0L)).as("n_boilerplate"))
+          .agg(sum(col("inst")).as("n_segments"),
+            sum(when(col("nd") >= 3, col("inst")).otherwise(0L)).as("n_boilerplate"))
           .withColumn("boiler_frac", round(
             col("n_boilerplate").cast("double") / col("n_segments"), 6))
           .select(col("source"), col("n_segments"), col("n_boilerplate"),
@@ -1963,24 +1973,36 @@ object TextQueries {
     //   (earliest doc_id owns the gram)? Low-novelty docs are near-copies
     //   of earlier crawl content even when no single pair crosses q27's
     //   Jaccard threshold — the long tail near-dup families miss. 100 TB
-    //   shape: the gram table is token-bounded (ShingleHash60 emits
-    //   per-doc-DISTINCT hashes in one fused pass); first-owner is a
-    //   map-side-combinable MIN keyed by gram hash; the attribution join
-    //   is co-partitioned on the same hash (the groupBy's exchange is
-    //   reused — no second corpus shuffle); the per-doc rollup combines
-    //   map-side. No pair joins anywhere, so candidate volume cannot
-    //   explode the way a similarity self-join can. ──
+    //   shape (r19 rewrite — the gram-keyed join is GONE): the r18 shape
+    //   joined the gram table back to the first-owner rollup, and a
+    //   corpus-scale hot gram (a boilerplate phrase in 10⁹ docs) is one
+    //   join key AQE cannot split (its skew rule only matches bare
+    //   Sort+ShuffleStage children; the rollup side reads through its
+    //   final HashAggregate — SkewAuditSpec's r19 diagnosis,
+    //   SCALE.md#round-19-skew-audit). The observation that removes the
+    //   join outright: fo = doc_id for exactly ONE doc per gram, so the
+    //   per-doc novel counts ARE the first-owner table re-keyed —
+    //   n_novel = first.groupBy(fo).count() (owner-keyed, bounded by a
+    //   doc's own gram count); n_grams is map-only arithmetic
+    //   (ShingleHash60 already emits the per-doc-DISTINCT set, its size
+    //   needs no explode); the only join left is doc-keyed between two
+    //   |docs|-sized frames. first-owner stays a map-side-combinable MIN
+    //   keyed by gram hash — the hot gram collapses to one row per map
+    //   task before its exchange. ──
     QueryDef("q152_ngram_novelty",
       (s, dir) => {
-        val g = docs(s, dir)
-          .withColumn("toks", TextOps.tokens(col("text")))
-          .select(col("doc_id"),
-            explode(ShingleHash60(col("toks"), 5)).as("h"))
-        val first = g.groupBy(col("h")).agg(min(col("doc_id")).as("fo"))
-        g.join(first, Seq("h"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_grams"),
-            sum(when(col("fo") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+        val d = docs(s, dir)
+          .withColumn("grams", ShingleHash60(TextOps.tokens(col("text")), 5))
+        val first = d
+          .select(col("doc_id"), explode(col("grams")).as("h"))
+          .groupBy(col("h")).agg(min(col("doc_id")).as("fo"))
+        val nGrams = d
+          .filter(size(col("grams")) > 0)
+          .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
+        val nNovel = first.groupBy(col("fo").as("doc_id"))
+          .agg(count(lit(1)).as("novel"))
+        nGrams.join(nNovel, Seq("doc_id"), "left")
+          .withColumn("n_novel", coalesce(col("novel"), lit(0L)))
           .withColumn("novelty", round(
             col("n_novel").cast("double") / col("n_grams"), 6))
           .select(col("doc_id"), col("n_grams"), col("n_novel"), col("novelty"))
@@ -2004,6 +2026,75 @@ object TextQueries {
                        AS DOUBLE) / count(*), 6) AS novelty
         FROM g JOIN f USING (h)
         GROUP BY 1 ORDER BY 1"""
+      }),
+
+    // ── q155: EXACT 13-GRAM DECONTAMINATION vs a held-out benchmark set
+    //   (r19) — the GPT-3 Appendix-C method by the book: a training doc
+    //   is contaminated when any of its 13-grams collides EXACTLY with a
+    //   benchmark 13-gram. This is the third leg of the decontamination
+    //   triad — q145 catches NEAR-dup leakage (LSH + Jaccard), q152
+    //   catches intra-corpus memorization risk; this catches verbatim
+    //   eval-set spans the fuzzy threshold can miss (one long quoted
+    //   answer inside an otherwise-novel doc moves Jaccard ~0 but is
+    //   exactly the leak that inflates benchmark scores). Holdout is the
+    //   q145 pseudo-benchmark (doc_id % 10 = 7). 100 TB shape: the
+    //   holdout gram set is BENCHMARK-sized (eval suites are MBs, not
+    //   TBs) → broadcast; the corpus gram table left-joins it map-only
+    //   and immediately collapses to one row per doc via the partial
+    //   aggregate (each doc's exploded grams sit in its input partition,
+    //   so the (doc_id, source) groupBy combines map-side and the
+    //   exchange carries |docs| rows, never grams); the per-source
+    //   rollup is sources-sized. The corpus is never shuffled at gram
+    //   granularity, no pair joins. ──
+    QueryDef("q155_ngram_decontam",
+      (s, dir) => {
+        def grams(df: DataFrame) = df
+          .withColumn("toks", TextOps.tokens(col("text")))
+          .select(col("doc_id"), col("source"),
+            explode(ShingleHash60(col("toks"), 13)).as("h"))
+        val hold = grams(docs(s, dir).filter(pmod(col("doc_id"), lit(10L)) === 7L))
+          .select(col("h")).distinct()
+        grams(docs(s, dir).filter(pmod(col("doc_id"), lit(10L)) =!= 7L))
+          .join(broadcast(hold.withColumn("hit", lit(1L))), Seq("h"), "left")
+          .groupBy(col("doc_id"), col("source"))
+          .agg(count(lit(1)).as("n_grams_doc"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_collide"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_checked"),
+            sum(col("n_grams_doc")).as("n_grams"),
+            sum(when(col("n_collide") > 0, 1L).otherwise(0L)).as("n_dirty"),
+            sum(col("n_collide")).as("n_collisions"))
+          .withColumn("dirty_frac", round(
+            col("n_dirty").cast("double") / col("n_checked"), 6))
+          .select(col("source"), col("n_checked"), col("n_grams"),
+            col("n_dirty"), col("n_collisions"), col("dirty_frac"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val toks = TextOps.tokensSql("text")
+        s"""
+        WITH g AS (
+          SELECT doc_id, source, unnest(list_transform(
+                   list_distinct(CASE WHEN len(toks) < 13 THEN []::VARCHAR[] ELSE
+                     list_transform(range(0, len(toks) - 12), i ->
+                       array_to_string(list_slice(toks, i + 1, i + 13), ' ')) END),
+                   sh -> ${XHash.hash60Sql("sh")})) AS h
+          FROM (SELECT doc_id, source, $toks AS toks FROM documents)),
+        hold AS (SELECT DISTINCT h FROM g WHERE doc_id % 10 = 7),
+        perdoc AS (
+          SELECT doc_id, source, count(*) AS n_grams_doc,
+                 sum(CASE WHEN h IN (SELECT h FROM hold) THEN 1 ELSE 0 END)
+                   AS n_collide
+          FROM g WHERE doc_id % 10 <> 7
+          GROUP BY doc_id, source)
+        SELECT source, count(*) AS n_checked,
+               CAST(sum(n_grams_doc) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN n_collide > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dirty,
+               CAST(sum(n_collide) AS BIGINT) AS n_collisions,
+               round(CAST(sum(CASE WHEN n_collide > 0 THEN 1 ELSE 0 END)
+                       AS DOUBLE) / count(*), 6) AS dirty_frac
+        FROM perdoc GROUP BY 1 ORDER BY 1"""
       })
   )
 

@@ -54,8 +54,10 @@ object ExtractiveLlm extends LlmClient {
     else s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
 
   /** question-side stopwords: interrogatives + glue that match every
-    * sentence and drown the discriminative terms */
-  private val Stop = Set(
+    * sentence and drown the discriminative terms. Public so q154's
+    * DuckDB oracle can inline the SAME list (single source of truth for
+    * the fallback-flag arithmetic it re-derives cross-engine). */
+  val Stop = Set(
     "what", "who", "whom", "whose", "which", "where", "when", "why", "how",
     "is", "are", "was", "were", "be", "been", "did", "do", "does", "has",
     "have", "had", "the", "a", "an", "of", "in", "on", "at", "to", "for",

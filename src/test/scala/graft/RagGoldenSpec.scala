@@ -89,5 +89,19 @@ class RagGoldenSpec extends SparkSpec {
     // same frame (the fixture pins it implicitly; this names it)
     val mean = df.agg(avg(col("grade"))).head().getDouble(0)
     assert(mean >= 0.44, f"diary-eval mean grade $mean%.4f fell below the 0.44 headline")
+    // r18 verdict #5: the reference's ARCHIVED run on this exact
+    // 55-question corpus scored mean grade 0.216 with 46/55 fallbacks
+    // (BASELINE.md, reference data/evaluation_results.json). The
+    // capability claim — same pipeline, better retrieval (k=10 honest
+    // top-k + hybrid RRF vs the reference's hard-coded k=1,
+    // scripts/milvus_db.py:112) — is pinned here as numbers against the
+    // reference's own eval, not left as an implication.
+    assert(mean > 0.216,
+      f"diary-eval mean grade $mean%.4f no longer beats the reference's archived 0.216")
+    val fallbacks = df.filter(!col("success")).count()
+    assert(fallbacks < 46,
+      s"diary-eval fallbacks $fallbacks/55 no longer beat the reference's archived 46/55")
+    info(f"diary-eval: mean grade $mean%.4f vs reference 0.216; " +
+      s"fallbacks $fallbacks/55 vs reference 46/55")
   }
 }

@@ -1,0 +1,156 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
+
+/** r18 verdict #3: hot-key skew stress for the hash-keyed audit queries.
+  *
+  * q149/q152/q153 aggregate per segment/gram/prefix hash. At 100 TB a
+  * corpus-scale boilerplate segment (a cookie banner in 10⁹ docs) or a
+  * shared prompt prefix is ONE key carrying a large slice of the corpus —
+  * the q68_skew_join discipline applied to the audit family.
+  *
+  * The r19 DIAGNOSIS this spec forced (SCALE.md#round-19-skew-audit):
+  * the r18 shapes joined the full instance table back to the hash-keyed
+  * rollup, and AQE's OptimizeSkewedJoin CANNOT split that join — the
+  * rule only matches a join whose children are bare Sort+ShuffleStage,
+  * while the co-partitioned rollup side reads its shuffle through the
+  * final HashAggregate (a minimal two-table skew join under identical
+  * confs DOES get `skew=true`; the audit joins never did, with the hot
+  * partition measured at 7.4× the median). So the queries were rewritten
+  * aggregation-BEFORE-join: the instance table collapses map-side to
+  * (hash, source)/(owner) granularity before any join exchange, making
+  * the plans skew-immune BY CONSTRUCTION instead of relying on a
+  * runtime rescue that provably never fires for this shape.
+  *
+  * This spec constructs the hot corpus — half the docs share one
+  * 32-token prefix / three 12-token segments / 32 5-gram shingles — and
+  * pins two things under broadcast-disabled (at real scale the rollup
+  * outgrows the broadcast ceiling) AQE execution:
+  *   1. CORRECTNESS under skew: every rollup figure matches the
+  *      by-construction arithmetic (no row loss, no double count);
+  *   2. the MECHANISM: no materialized shuffle stage carries a hot
+  *      partition (max ≤ 4× median above a 16 KB noise floor) — the
+  *      hot key never crosses an exchange un-collapsed.
+  */
+class SkewAuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val HotDocs = 2000
+  private val ColdDocs = 2000
+
+  /** 50% of docs share the first 36 tokens (= one 32-token prefix for
+    * q153, three complete 12-token segments for q149, 32 interior
+    * 5-gram shingles for q152); every doc then carries a 12-token
+    * unique tail, so every doc has 48 tokens and cold docs share
+    * nothing. Sources split by parity to exercise per-source
+    * attribution under the shared key. */
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-skew-").toFile
+    d.deleteOnExit()
+    val hot = (0 until 36).map(i => s"hot$i").mkString(" ")
+    val rows = (0L until (HotDocs + ColdDocs).toLong).map { id =>
+      val text =
+        if (id < HotDocs) s"$hot " + (0 until 12).map(i => s"d${id}t$i").mkString(" ")
+        else (0 until 48).map(i => s"d${id}t$i").mkString(" ")
+      (id, text, "en", s"s${id % 2}", text.length.toLong)
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${d.getAbsolutePath}/documents.parquet")
+    d.getAbsolutePath
+  }
+
+  private def withConfs(confs: (String, String)*)(body: => Unit): Unit = {
+    val prev = confs.map { case (k, _) =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption.flatMap(Option(_)) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  /** Broadcast off (the 100 TB rollup side outgrows the ceiling — the
+    * join exchanges must actually exist for the balance check to mean
+    * anything) and enough reduce partitions that a hot key would stand
+    * out against the median. */
+  private def underSkewConfs(body: => Unit): Unit = withConfs(
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.shuffle.partitions" -> "16")(body)
+
+  private def shuffleStages(p: SparkPlan): Seq[ShuffleQueryStageExec] = p match {
+    case s: ShuffleQueryStageExec => Seq(s) ++ shuffleStages(s.plan)
+    case q: QueryStageExec        => shuffleStages(q.plan)
+    case o                        => o.children.flatMap(shuffleStages)
+  }
+
+  /** No materialized shuffle stage may hold a partition both > 16 KB
+    * (noise floor: balanced stages at this scale sit well under it per
+    * partition spread) and > 4× its stage's median — the r18 q153 shape
+    * measured 18440 B against a 2496 B median (7.4×) on exactly this
+    * corpus, so the bound discriminates the fixed shape from the old. */
+  private def assertBalancedShuffles(df: org.apache.spark.sql.DataFrame, q: String): Unit = {
+    val adaptive = df.queryExecution.executedPlan.asInstanceOf[AdaptiveSparkPlanExec]
+    val stats = shuffleStages(adaptive.executedPlan).flatMap(s => s.mapStats.map(s.id -> _))
+    assert(stats.nonEmpty, s"$q: no materialized shuffle stages found")
+    stats.foreach { case (id, ms) =>
+      val sizes = ms.bytesByPartitionId
+      val median = sizes.sorted.apply(sizes.length / 2)
+      val hot = sizes.max
+      assert(hot <= math.max(4L * median, 16384L),
+        s"$q stage $id: hot partition $hot B vs median $median B — " +
+          s"a hot key crossed an exchange un-collapsed (sizes: ${sizes.sorted.reverse.take(5).mkString(",")})")
+    }
+  }
+
+  test("q153_prefix_cache: hot prefix (50% of docs on one key) — exact rollup + balanced exchanges") {
+    underSkewConfs {
+      val df = SparkEntry.queries("q153_prefix_cache")(spark, dir)
+      val bySrc = df.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      // per source: 1000 hot (ONE shared group of 2000) + 1000 cold
+      // eligible; group min is doc 0 (source s0) → s0 saves 999·32,
+      // s1 saves 1000·32
+      assert(bySrc("s0") === ((2000L, 1000L, 999L * 32)))
+      assert(bySrc("s1") === ((2000L, 1000L, 1000L * 32)))
+      assertBalancedShuffles(df, "q153")
+    }
+  }
+
+  test("q149_boilerplate: hot segment (3 shared 12-token windows × 2000 docs) — exact rollup + balanced exchanges") {
+    underSkewConfs {
+      val df = SparkEntry.queries("q149_boilerplate")(spark, dir)
+      val bySrc = df.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+      // 48 tokens → 4 segments/doc; hot docs: first 3 windows shared by
+      // 2000 docs (nd=2000 ≥ 3 → boilerplate), 4th window unique; cold
+      // docs: all unique → per source 2000 docs · 4 = 8000 segments,
+      // 1000 hot docs · 3 = 3000 boilerplate
+      assert(bySrc("s0") === ((8000L, 3000L, 0.375)))
+      assert(bySrc("s1") === ((8000L, 3000L, 0.375)))
+      assertBalancedShuffles(df, "q149")
+    }
+  }
+
+  test("q152_ngram_novelty: hot grams (32 shared 5-grams × 2000 docs) — exact rollup + balanced exchanges") {
+    underSkewConfs {
+      val df = SparkEntry.queries("q152_ngram_novelty")(spark, dir)
+      val rows = df.collect()
+      assert(rows.length === HotDocs + ColdDocs)
+      val byDoc = rows.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // every doc: 48 distinct tokens → 44 distinct 5-grams; grams fully
+      // inside the hot region (start ≤ 31) are owned by doc 0 — doc 0 is
+      // all-novel, hot docs 1..1999 keep only the 12 tail-crossing grams,
+      // cold docs are all-novel
+      assert(byDoc(0L) === ((44L, 44L)))
+      (1L until HotDocs.toLong).foreach(id => assert(byDoc(id) === ((44L, 12L)),
+        s"doc $id: expected 12/44 novel grams"))
+      (HotDocs.toLong until (HotDocs + ColdDocs).toLong)
+        .foreach(id => assert(byDoc(id) === ((44L, 44L))))
+      assertBalancedShuffles(df, "q152")
+    }
+  }
+}

@@ -29,15 +29,26 @@ class VerifyStressSpec extends SparkSpec {
   private val names = Seq("q117_logreg_quality", "q130_calibration",
     "q128_bpe_train")
 
+  /** r18 verdict #6 + advice: the q130 class proved this harness shape
+    * finds races specs don't, and the heaviest shared-helper surface
+    * left is the minhashBands family (q27/q49/q140/q144/q145 all consume
+    * the shared band frames through the release-thunk pattern) plus the
+    * other multi-branch persisted-frame readers the r18 advice named
+    * (q141's grp feeds ranked+tot; q146's toks/exptf read multiply). */
+  private val bandFamily = Seq("q27_minhash_lsh", "q49_dedup_clusters",
+    "q140_cluster_split", "q144_curation_funnel", "q145_fuzzy_decontam",
+    "q141_code_switch", "q146_prf_expand")
+
   private def rows(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).toSeq
 
-  test("Verify-shaped stress: shared-persist queries survive 20 concurrent rounds with clearCache interference") {
-    val serial = names.map(n => n -> rows(SparkEntry.queries(n)(spark, sf))).toMap
-    assert(serial("q130_calibration").size === 9,
-      "baseline: 8 occupied decile bins at sf0.001 + 1 ece row — the flake collapsed this to 1")
-
-    for (iter <- 1 to 20) {
+  /** Run `qs` concurrently `iters` times under a continuous clearCache
+    * hammer, asserting every iteration reproduces the serial baseline. */
+  private def stress(qs: Seq[String], iters: Int,
+                     baselineCheck: Map[String, Seq[String]] => Unit = _ => ()): Unit = {
+    val serial = qs.map(n => n -> rows(SparkEntry.queries(n)(spark, sf))).toMap
+    baselineCheck(serial)
+    for (iter <- 1 to iters) {
       @volatile var queriesRunning = true
       // the interference thread: Verify clears every 16 completions; here
       // we clear continuously while the three queries are in flight so an
@@ -52,10 +63,10 @@ class VerifyStressSpec extends SparkSpec {
       clearer.start()
       try {
         val concurrent = Await.result(
-          Future.traverse(names)(n =>
+          Future.traverse(qs)(n =>
             Future(n -> rows(SparkEntry.queries(n)(spark, sf)))),
           Duration.Inf).toMap
-        names.foreach { n =>
+        qs.foreach { n =>
           assert(concurrent(n).size === serial(n).size,
             s"iter $iter: $n row count diverged under clearCache " +
               s"interference; got:\n${concurrent(n).mkString("\n")}")
@@ -67,5 +78,17 @@ class VerifyStressSpec extends SparkSpec {
         clearer.join()
       }
     }
+  }
+
+  test("Verify-shaped stress: shared-persist queries survive 20 concurrent rounds with clearCache interference") {
+    stress(names, 20, serial =>
+      assert(serial("q130_calibration").size === 9,
+        "baseline: 8 occupied decile bins at sf0.001 + 1 ece row — the flake collapsed this to 1"))
+  }
+
+  test("Verify-shaped stress: the minhashBands family and multi-branch persisted readers survive 20 concurrent rounds with clearCache interference") {
+    stress(bandFamily, 20, serial =>
+      bandFamily.foreach(n => assert(serial(n).nonEmpty,
+        s"baseline: $n returned no rows at sf0.001 — the stress compare would be vacuous")))
   }
 }
