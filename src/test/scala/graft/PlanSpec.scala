@@ -496,12 +496,18 @@ class PlanSpec extends SparkSpec {
     assert(wgl >= 2, s"rnk<=3 must prune via partial+final WindowGroupLimit, got $wgl:\n" + p.take(3000))
   }
 
-  test("q152: first-owner attribution stays keyed on the gram hash — no pair joins") {
+  test("q152: first-owner MIN combines map-side and NO join is keyed on the gram hash (r19 skew rewrite)") {
     val p = plan("q152_ngram_novelty")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      "the attribution join must stay an equi-join on h:\n" + p.take(3000))
+      p.take(3000))
     assert(p.contains("partial_min"),
       "first-owner must be a map-side-combinable MIN:\n" + p.take(3000))
+    // the r19 rewrite's load-bearing property: the gram hash is an
+    // aggregation key only — a corpus-scale hot gram must never be a
+    // join key (SCALE.md#round-19-skew-audit); the surviving join is
+    // doc-keyed
+    assert(!p.contains("Join [h#"),
+      "no join may be keyed on the gram hash:\n" + p.take(3000))
   }
 
   test("q153: prefix grouping stays keyed on the prefix hash — no pair joins, map-side partials") {
@@ -510,6 +516,17 @@ class PlanSpec extends SparkSpec {
       "the group flag must join on the prefix hash:\n" + p.take(3000))
     assert(p.contains("partial_count") && p.contains("partial_min"),
       "the group rollup (count + min) must partial-aggregate map-side:\n" + p.take(3000))
+  }
+
+  test("q155: holdout gram set broadcasts; the corpus collapses via map-side partials before any exchange") {
+    val p = plan("q155_ngram_decontam")
+    assert(p.contains("BroadcastHashJoin"),
+      "the benchmark-sized holdout gram set must broadcast (left join is map-only):\n" + p.take(3000))
+    assert(p.contains("partial_count"),
+      "the (doc_id, source) rollup must partial-aggregate map-side so the " +
+        "exchange carries |docs| rows, never grams:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "nothing in the decontam plan may shuffle the gram table into a join:\n" + p.take(3000))
   }
 
   test("q147: output stays top-k-bounded (the checkpoint hides the inner plan)") {
