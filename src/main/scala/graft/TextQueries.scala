@@ -2095,6 +2095,69 @@ object TextQueries {
                round(CAST(sum(CASE WHEN n_collide > 0 THEN 1 ELSE 0 END)
                        AS DOUBLE) / count(*), 6) AS dirty_frac
         FROM perdoc GROUP BY 1 ORDER BY 1"""
+      }),
+
+    // ── q156: CROSS-SOURCE content-overlap matrix (r19) — the mixture-
+    //   level companion to pair dedup: which sources duplicate EACH
+    //   OTHER's content (mirror crawls, syndication, re-hosted dumps)?
+    //   For every source pair, the number of distinct 5-gram shingles
+    //   present in BOTH, plus a containment-style fraction against the
+    //   smaller side — the number a data-mixture designer reads before
+    //   setting per-source quotas (two mirrors at 0.9 overlap should not
+    //   both get full weight). This corpus's near-dup families DO span
+    //   sources (22 of 23 heavy-shingle pairs at sf0.01 are
+    //   cross-source), so the matrix carries real signal the per-pair
+    //   dedup views (q27/q49) aggregate away. 100 TB shape: grams
+    //   collapse to the DISTINCT (source, h) incidence first (the
+    //   exchange is keyed by the pair — no hot key; ShingleHash60's
+    //   per-doc-distinct emit bounds the explode), so the self-join on h
+    //   has per-key cardinality ≤ |sources| BY CONSTRUCTION — bounded
+    //   fan-out, never a corpus-scale key (the r19 skew lesson applied
+    //   at design time); both sides derive from ONE frame so the
+    //   exchange is reused; per-source sizes broadcast. For extreme
+    //   source cardinality (10⁵+), pre-group sources by domain (q83)
+    //   before this matrix. ──
+    QueryDef("q156_source_overlap",
+      (s, dir) => {
+        val g = docs(s, dir)
+          .withColumn("grams", ShingleHash60(TextOps.tokens(col("text")), 5))
+          .select(col("source"), explode(col("grams")).as("h"))
+          .distinct()
+        val sz = g.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val p = g.select(col("h"), col("source").as("src_a"))
+          .join(g.select(col("h"), col("source").as("src_b")), Seq("h"))
+          .filter(col("src_a") < col("src_b"))
+          .groupBy(col("src_a"), col("src_b"))
+          .agg(count(lit(1)).as("n_shared"))
+        p.join(broadcast(sz.select(col("source").as("src_a"), col("n").as("na"))), Seq("src_a"))
+          .join(broadcast(sz.select(col("source").as("src_b"), col("n").as("nb"))), Seq("src_b"))
+          .withColumn("overlap_frac", round(
+            col("n_shared").cast("double") / least(col("na"), col("nb")), 6))
+          .select(col("src_a"), col("src_b"), col("n_shared"), col("overlap_frac"))
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some {
+        val toks = TextOps.tokensSql("text")
+        s"""
+        WITH hg AS (
+          SELECT source, list_transform(
+                   list_distinct(CASE WHEN len(toks) < 5 THEN []::VARCHAR[] ELSE
+                     list_transform(range(0, len(toks) - 4), i ->
+                       array_to_string(list_slice(toks, i + 1, i + 5), ' ')) END),
+                   sh -> ${XHash.hash60Sql("sh")}) AS hs
+          FROM (SELECT source, $toks AS toks FROM documents)),
+        g AS (SELECT DISTINCT source, u.h AS h FROM hg, unnest(hs) AS u(h)),
+        sz AS (SELECT source, count(*) AS n FROM g GROUP BY 1),
+        p AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+              FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
+              GROUP BY 1, 2)
+        SELECT p.src_a AS src_a, p.src_b AS src_b,
+               CAST(p.n_shared AS BIGINT) AS n_shared,
+               round(CAST(p.n_shared AS DOUBLE) / least(sa.n, sb.n), 6)
+                 AS overlap_frac
+        FROM p JOIN sz sa ON sa.source = p.src_a
+        JOIN sz sb ON sb.source = p.src_b
+        ORDER BY src_a, src_b"""
       })
   )
 
