@@ -17,6 +17,8 @@ import org.apache.spark.sql.DataFrame
 object PlanProbe {
   private val plans = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val formatted = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val executions = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.execution.QueryExecution]()
   @volatile private var enabled = false
 
   /** Enabling CLEARS prior recordings (r18 advice): entries otherwise
@@ -25,7 +27,7 @@ object PlanProbe {
     * this JVM. Within one enabled window, last-write-wins per name —
     * consumers (PlanSpec, ExplainDump) run their queries sequentially. */
   def setEnabled(on: Boolean): Unit = {
-    if (on) { plans.clear(); formatted.clear() }
+    if (on) { plans.clear(); formatted.clear(); executions.clear() }
     enabled = on
   }
 
@@ -36,11 +38,23 @@ object PlanProbe {
       plans.put(name, df.queryExecution.executedPlan.toString)
       formatted.put(name, df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
+      executions.put(name, df.queryExecution)
     }
     df
   }
 
   def get(name: String): Option[String] = Option(plans.get(name))
+
+  /** The live QueryExecution behind the probed materialization — after
+    * the query's eager action (localCheckpoint) this is the SAME object
+    * that executed, so its AdaptiveSparkPlanExec holds the final
+    * materialized stages and populated SQLMetrics. StageReuseSpec reads
+    * scan-execution counts off it and the join-key pins walk its plan
+    * OBJECTS instead of matching plan strings (r19 advice: string pins
+    * go vacuous under attribute renames). */
+  def getExecution(name: String)
+      : Option[org.apache.spark.sql.execution.QueryExecution] =
+    Option(executions.get(name))
 
   /** FormattedMode twin of [[get]] — what ExplainDump writes to PLANS.md. */
   def getFormatted(name: String): Option[String] = Option(formatted.get(name))

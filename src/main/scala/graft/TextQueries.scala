@@ -1923,6 +1923,11 @@ object TextQueries {
     //   rows only. Skew-immune by construction. ──
     QueryDef("q149_boilerplate",
       (s, dir) => {
+        // the segment-instance frame feeds two aggregations whose
+        // exchanges differ in key ((h, source) vs the (h, doc_id)
+        // distinct) — AQE stage reuse never dedupes them, so unpersisted
+        // the scan + tokenize + hash ran twice (StageReuseSpec pins the
+        // single runtime scan; release-thunk per the house discipline)
         val segs = docs(s, dir)
           .withColumn("toks", TextOps.tokens(col("text")))
           .filter(size(col("toks")) > 0)
@@ -1930,19 +1935,25 @@ object TextQueries {
             "transform(sequence(0, (size(toks)-1) div 12), i -> slice(toks, i*12+1, 12))")))
           .select(col("doc_id"), col("source"),
             XHash.hash60(concat_ws(" ", col("seg"))).as("h"))
-        val bySrc = segs.groupBy(col("h"), col("source"))
-          .agg(count(lit(1)).as("inst"))
-        val freq = segs.select(col("h"), col("doc_id")).distinct()
-          .groupBy(col("h")).agg(count(lit(1)).as("nd"))
-        bySrc.join(freq, Seq("h"))
-          .groupBy(col("source"))
-          .agg(sum(col("inst")).as("n_segments"),
-            sum(when(col("nd") >= 3, col("inst")).otherwise(0L)).as("n_boilerplate"))
-          .withColumn("boiler_frac", round(
-            col("n_boilerplate").cast("double") / col("n_segments"), 6))
-          .select(col("source"), col("n_segments"), col("n_boilerplate"),
-            col("boiler_frac"))
-          .orderBy(col("source"))
+          .withColumn("_q", lit("q149")) // per-caller cache identity
+          .persist()
+        try {
+          val bySrc = segs.groupBy(col("h"), col("source"))
+            .agg(count(lit(1)).as("inst"))
+          val freq = segs.select(col("h"), col("doc_id")).distinct()
+            .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+          bySrc.join(freq, Seq("h"))
+            .groupBy(col("source"))
+            .agg(sum(col("inst")).as("n_segments"),
+              sum(when(col("nd") >= 3, col("inst")).otherwise(0L)).as("n_boilerplate"))
+            .withColumn("boiler_frac", round(
+              col("n_boilerplate").cast("double") / col("n_segments"), 6))
+            .select(col("source"), col("n_segments"), col("n_boilerplate"),
+              col("boiler_frac"))
+            .orderBy(col("source"))
+            .transform(PlanProbe.probe("q149_boilerplate", _))
+            .localCheckpoint() // eager per-source rows; segment cache freed below
+        } finally segs.unpersist()
       },
       Some {
         val toks = TextOps.tokensSql("text")
@@ -1988,25 +1999,38 @@ object TextQueries {
     //   needs no explode); the only join left is doc-keyed between two
     //   |docs|-sized frames. first-owner stays a map-side-combinable MIN
     //   keyed by gram hash — the hot gram collapses to one row per map
-    //   task before its exchange. ──
+    //   task before its exchange. The (doc_id, grams) frame computes
+    //   ONCE and persists (r19 advice: the explode path and the size
+    //   path both re-evaluated the scan + ShingleHash60 — no exchange
+    //   sits between the scan and either consumer, so AQE stage reuse
+    //   cannot dedupe them); the house release-thunk frees the blocks
+    //   once the per-doc result is materialized. StageReuseSpec pins
+    //   the corpus scan executing exactly once at runtime. ──
     QueryDef("q152_ngram_novelty",
       (s, dir) => {
         val d = docs(s, dir)
           .withColumn("grams", ShingleHash60(TextOps.tokens(col("text")), 5))
-        val first = d
-          .select(col("doc_id"), explode(col("grams")).as("h"))
-          .groupBy(col("h")).agg(min(col("doc_id")).as("fo"))
-        val nGrams = d
-          .filter(size(col("grams")) > 0)
-          .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
-        val nNovel = first.groupBy(col("fo").as("doc_id"))
-          .agg(count(lit(1)).as("novel"))
-        nGrams.join(nNovel, Seq("doc_id"), "left")
-          .withColumn("n_novel", coalesce(col("novel"), lit(0L)))
-          .withColumn("novelty", round(
-            col("n_novel").cast("double") / col("n_grams"), 6))
-          .select(col("doc_id"), col("n_grams"), col("n_novel"), col("novelty"))
-          .orderBy(col("doc_id"))
+          .select(col("doc_id"), col("grams"))
+          .withColumn("_q", lit("q152")) // per-caller cache identity
+          .persist()
+        try {
+          val first = d
+            .select(col("doc_id"), explode(col("grams")).as("h"))
+            .groupBy(col("h")).agg(min(col("doc_id")).as("fo"))
+          val nGrams = d
+            .filter(size(col("grams")) > 0)
+            .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
+          val nNovel = first.groupBy(col("fo").as("doc_id"))
+            .agg(count(lit(1)).as("novel"))
+          nGrams.join(nNovel, Seq("doc_id"), "left")
+            .withColumn("n_novel", coalesce(col("novel"), lit(0L)))
+            .withColumn("novelty", round(
+              col("n_novel").cast("double") / col("n_grams"), 6))
+            .select(col("doc_id"), col("n_grams"), col("n_novel"), col("novelty"))
+            .orderBy(col("doc_id"))
+            .transform(PlanProbe.probe("q152_ngram_novelty", _))
+            .localCheckpoint() // eager per-doc rows; gram cache freed below
+        } finally d.unpersist()
       },
       Some {
         val toks = TextOps.tokensSql("text")
@@ -2037,9 +2061,18 @@ object TextQueries {
     //   eval-set spans the fuzzy threshold can miss (one long quoted
     //   answer inside an otherwise-novel doc moves Jaccard ~0 but is
     //   exactly the leak that inflates benchmark scores). Holdout is the
-    //   q145 pseudo-benchmark (doc_id % 10 = 7). 100 TB shape: the
-    //   holdout gram set is BENCHMARK-sized (eval suites are MBs, not
-    //   TBs) → broadcast; the corpus gram table left-joins it map-only
+    //   q145 pseudo-benchmark (doc_id % 10 = 7) — a TEST STAND-IN: at
+    //   real scale the holdout is a separate eval-suite table, and the
+    //   broadcast below PRESUMES that benchmark-sized provenance (eval
+    //   suites are MBs, not TBs). A holdout defined as a corpus fraction
+    //   — like this pseudo one at 100 TB — scales with the corpus and
+    //   would OOM the driver under the hint; gate the hint on holdout
+    //   provenance before pointing this at a corpus-derived split
+    //   (r19 advice). The double corpus scan the two filters cost is
+    //   likewise an artifact of the stand-in: with a real holdout table
+    //   the corpus is scanned ONCE (StageReuseSpec pins the 2-scan
+    //   stand-in shape and this rationale). 100 TB shape: the holdout
+    //   gram set broadcasts; the corpus gram table left-joins it map-only
     //   and immediately collapses to one row per doc via the partial
     //   aggregate (each doc's exploded grams sit in its input partition,
     //   so the (doc_id, source) groupBy combines map-side and the

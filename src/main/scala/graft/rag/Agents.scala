@@ -90,8 +90,12 @@ object Agents {
     var answer = ExtractiveLlm.Fallback
     while (round < maxRounds && {
       val ctx = ranked.take(batchSize * (round + 1)).toSeq
-      answer = llm.answer(question, ctx)
-      answer == ExtractiveLlm.Fallback && ctx.size < ranked.length
+      // sentinel form (null ⇔ fell back): the retry must fire on the
+      // client actually failing, not on extracted text that happens to
+      // equal the fallback string (r19 advice)
+      val raw = llm.answerOrNull(question, ctx)
+      answer = Option(raw).getOrElse(ExtractiveLlm.Fallback)
+      raw == null && ctx.size < ranked.length
     }) round += 1
     (answer, round + 1)
   }

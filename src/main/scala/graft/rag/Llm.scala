@@ -20,6 +20,19 @@ trait LlmClient extends Serializable {
     */
   def open(): Unit = ()
   def answer(question: String, context: Seq[String]): String
+  /** `answer`, with the FALLBACK signalled as null instead of text: the
+    * sentinel `answerBatch` derives its `success` flag from (r19 advice).
+    * Comparing answer TEXT to the fallback literal is wrong on hostile
+    * corpora — an extractive client can legitimately return corpus text
+    * that EQUALS the fallback string, which is a successful answer, not
+    * a failure. Clients that know when they fell back override this with
+    * the true sentinel (ExtractiveLlm/RecordedLlm do); the default keeps
+    * the text-compare for clients without one, preserving their old
+    * behavior and its documented hostile-corpus caveat. */
+  def answerOrNull(question: String, context: Seq[String]): String = {
+    val a = answer(question, context)
+    if (a == ExtractiveLlm.Fallback) null else a
+  }
   /** Streamed variant of answer: content deltas whose concatenation IS
     * `answer(question, context)` — the SSE contract of the reference's
     * `_stream_final_answer` (`src/groq_cot_batch_agents.ipynb` cell 5),
@@ -65,25 +78,35 @@ object ExtractiveLlm extends LlmClient {
     "that", "there", "about", "many", "much", "name", "called", "happened",
     "during", "describe", "according", "diary")
 
-  override def answer(question: String, context: Seq[String]): String = {
+  override def answer(question: String, context: Seq[String]): String =
+    extract(question, context).getOrElse(Fallback)
+
+  /** True fallback sentinel: None ⇔ no extraction happened. Distinguishes
+    * "fell back" from "extracted corpus text that equals the fallback
+    * string" — the hostile case where text comparison misreports success
+    * (r19 advice). */
+  override def answerOrNull(question: String, context: Seq[String]): String =
+    extract(question, context).orNull
+
+  private def extract(question: String, context: Seq[String]): Option[String] = {
     val all = toks(question).toSet
     val content = all -- Stop
     val q = if (content.nonEmpty) content else all // never score on nothing
-    if (q.isEmpty || context.isEmpty) return Fallback
+    if (q.isEmpty || context.isEmpty) return None
     // sentence-level extraction: the sentence with the densest question
     // overlap usually CONTAINS or IMMEDIATELY PRECEDES the answer, and
     // sentence boundaries keep judge precision meaningful (a fixed token
     // window drags in neighbors that dilute F1)
     val sents = context.flatMap(_.split("(?<=[.!?])\\s+")).map(_.trim).filter(_.nonEmpty)
-    if (sents.isEmpty) return Fallback
+    if (sents.isEmpty) return None
     val overlaps = sents.map(s => toks(s).distinct.count(q.contains))
     val bestScore = overlaps.max
-    if (bestScore == 0) return Fallback
+    if (bestScore == 0) return None
     // among max-overlap sentences prefer the shortest (F1 precision),
     // then the earliest (deterministic)
-    sents.zip(overlaps).zipWithIndex
+    Some(sents.zip(overlaps).zipWithIndex
       .filter(_._1._2 == bestScore)
-      .minBy { case ((s, _), idx) => (toks(s).length, idx) }._1._1
+      .minBy { case ((s, _), idx) => (toks(s).length, idx) }._1._1)
   }
 
   override def judge(question: String, expected: String, predicted: String): Double = {
@@ -111,6 +134,10 @@ object ExtractiveLlm extends LlmClient {
 final class RecordedLlm(recording: Map[String, String]) extends LlmClient {
   override def answer(question: String, context: Seq[String]): String =
     recording.getOrElse(question, ExtractiveLlm.Fallback)
+  /** true sentinel: unrecorded question ⇔ fallback — a RECORDED answer
+    * that happens to equal the fallback text is still a success */
+  override def answerOrNull(question: String, context: Seq[String]): String =
+    recording.get(question).orNull
   override def judge(question: String, expected: String, predicted: String): Double =
     ExtractiveLlm.judge(question, expected, predicted)
 }

@@ -223,11 +223,16 @@ object RagPipeline {
         coalesce(col("source_ids"), array().cast("array<bigint>")))
     val qIdx = withAll.schema.fieldIndex("question")
     val cIdx = withAll.schema.fieldIndex("context")
-    withLlmColumn(withAll, llm, "answer", StringType) { (client, r) =>
-      client.answer(r.getString(qIdx), r.getSeq[String](cIdx))
+    // the boundary emits the SENTINEL form (null ⇔ fell back) so success
+    // is read off what the client DID, never off answer-text equality —
+    // an extractive client can legitimately return corpus text that
+    // equals the fallback string, which is a success (r19 advice)
+    withLlmColumn(withAll, llm, "answer_raw", StringType) { (client, r) =>
+      client.answerOrNull(r.getString(qIdx), r.getSeq[String](cIdx))
     }
+      .withColumn("answer", coalesce(col("answer_raw"), lit(ExtractiveLlm.Fallback)))
       .withColumn("n_context", size(col("context")))
-      .withColumn("success", col("answer") =!= lit(ExtractiveLlm.Fallback))
+      .withColumn("success", col("answer_raw").isNotNull)
       .select("qid", "question", "answer", "source_ids", "n_context", "success")
   }
 

@@ -57,8 +57,12 @@ final class RagServer(
       else {
         val context = hits.map(r => Option(r.getString(1)).getOrElse("")).toSeq
         val ids = hits.map(_.getLong(0).toString).toSeq
-        val answer = llmLock.synchronized { llm.answer(question, context) }
-        QueryResponse(answer, context, ids, success = answer != ExtractiveLlm.Fallback)
+        // sentinel form: success reads what the client DID (null ⇔ fell
+        // back), never answer-text equality — the same hostile-corpus
+        // discipline as answerBatch (r19 advice)
+        val raw = llmLock.synchronized { llm.answerOrNull(question, context) }
+        val answer = Option(raw).getOrElse(ExtractiveLlm.Fallback)
+        QueryResponse(answer, context, ids, success = raw != null)
       }
     } catch {
       case e: Exception =>

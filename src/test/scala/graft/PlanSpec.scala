@@ -502,12 +502,23 @@ class PlanSpec extends SparkSpec {
       p.take(3000))
     assert(p.contains("partial_min"),
       "first-owner must be a map-side-combinable MIN:\n" + p.take(3000))
-    // the r19 rewrite's load-bearing property: the gram hash is an
-    // aggregation key only — a corpus-scale hot gram must never be a
-    // join key (SCALE.md#round-19-skew-audit); the surviving join is
-    // doc-keyed
-    assert(!p.contains("Join [h#"),
-      "no join may be keyed on the gram hash:\n" + p.take(3000))
+    // the r19 rewrite's load-bearing property, pinned on plan OBJECTS
+    // (r19 advice: the old `!p.contains("Join [h#")` string pin went
+    // vacuously green under any attribute rename): the gram hash is an
+    // aggregation key only — every surviving equi-join must key on
+    // doc_id attributes, so a rename or a returning gram-keyed join
+    // fails LOUDLY here
+    val qe = PlanProbe.getExecution("q152_ngram_novelty")
+      .getOrElse(fail("q152 must be probed (localCheckpoint hides the inner plan)"))
+    val joins = PlanWalk.all(qe.executedPlan).collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.nonEmpty, "the doc-keyed nGrams ⋈ nNovel join must exist")
+    joins.foreach { j =>
+      val keyNames = (j.leftKeys ++ j.rightKeys).flatMap(_.references.toSeq.map(_.name))
+      assert(keyNames.nonEmpty && keyNames.forall(_ == "doc_id"),
+        s"every q152 join key must resolve to doc_id, got ${keyNames.mkString(",")} in:\n$j")
+    }
   }
 
   test("q153: prefix grouping stays keyed on the prefix hash — no pair joins, map-side partials") {

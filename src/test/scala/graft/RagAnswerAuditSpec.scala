@@ -90,4 +90,33 @@ class RagAnswerAuditSpec extends SparkSpec {
       assert(q41(qid) === ((nCtx, success)), s"qid $qid: q41/q154 envelope drift")
     }
   }
+
+  test("hostile corpus: a document equal to the fallback string is a SUCCESS, not a fallback (r19 advice sentinel)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // The hostile case the r19 advice named: ExtractiveLlm extracts the
+    // best-overlap sentence; when that sentence IS the fallback literal,
+    // text-compared success would read false while the oracle's overlap
+    // arithmetic derives true — a spurious cross-engine mismatch. The
+    // sentinel (answerOrNull) makes success report what the client DID.
+    val d = Files.createTempDirectory("q154-hostile").toFile.getAbsolutePath
+    (0L until 4L).map { i =>
+      val text =
+        if (i == 0L) ExtractiveLlm.Fallback // overlaps q "find relevant data document"
+        else s"unrelated filler${i}a filler${i}b filler${i}c"
+      (i, text, s"src${i % 2}")
+    }.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val questions = Seq((0L, "find relevant data within the document"))
+      .toDF("qid", "question")
+    val collection = graft.functions.TextEmbed
+      .withEmbed(spark.read.parquet(s"$d/documents.parquet"), "text", "vector")
+      .select(col("doc_id").as("id"), col("text"), col("vector"))
+    val row = graft.rag.RagPipeline.answerBatch(questions, collection, k = 3)
+      .collect().head
+    assert(row.getString(row.fieldIndex("answer")) === ExtractiveLlm.Fallback,
+      "the extracted sentence IS the fallback text")
+    assert(row.getBoolean(row.fieldIndex("success")),
+      "success must read the sentinel (extraction happened), not answer-text equality")
+  }
 }

@@ -87,13 +87,29 @@ class SkewAuditSpec extends SparkSpec {
     case o                        => o.children.flatMap(shuffleStages)
   }
 
+  /** The execution whose stages carry the query's real shuffles: the
+    * persist-discipline queries (q149/q152) return localCheckpoint'ed
+    * frames whose own plan is an opaque RDD scan — their inner execution
+    * is recorded via PlanProbe at the materialization site. Lazy queries
+    * (q153) fall back to the returned frame's execution, forced by the
+    * caller's collect(). */
+  private def innerExecution(name: String, df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.execution.QueryExecution =
+    PlanProbe.getExecution(name).getOrElse(df.queryExecution)
+
+  private def probed[A](body: => A): A = {
+    PlanProbe.setEnabled(true)
+    try body finally PlanProbe.setEnabled(false)
+  }
+
   /** No materialized shuffle stage may hold a partition both > 16 KB
     * (noise floor: balanced stages at this scale sit well under it per
     * partition spread) and > 4× its stage's median — the r18 q153 shape
     * measured 18440 B against a 2496 B median (7.4×) on exactly this
     * corpus, so the bound discriminates the fixed shape from the old. */
-  private def assertBalancedShuffles(df: org.apache.spark.sql.DataFrame, q: String): Unit = {
-    val adaptive = df.queryExecution.executedPlan.asInstanceOf[AdaptiveSparkPlanExec]
+  private def assertBalancedShuffles(qe: org.apache.spark.sql.execution.QueryExecution,
+                                     q: String): Unit = {
+    val adaptive = qe.executedPlan.asInstanceOf[AdaptiveSparkPlanExec]
     val stats = shuffleStages(adaptive.executedPlan).flatMap(s => s.mapStats.map(s.id -> _))
     assert(stats.nonEmpty, s"$q: no materialized shuffle stages found")
     stats.foreach { case (id, ms) =>
@@ -107,7 +123,7 @@ class SkewAuditSpec extends SparkSpec {
   }
 
   test("q153_prefix_cache: hot prefix (50% of docs on one key) — exact rollup + balanced exchanges") {
-    underSkewConfs {
+    underSkewConfs { probed {
       val df = SparkEntry.queries("q153_prefix_cache")(spark, dir)
       val bySrc = df.collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
@@ -116,12 +132,12 @@ class SkewAuditSpec extends SparkSpec {
       // s1 saves 1000·32
       assert(bySrc("s0") === ((2000L, 1000L, 999L * 32)))
       assert(bySrc("s1") === ((2000L, 1000L, 1000L * 32)))
-      assertBalancedShuffles(df, "q153")
-    }
+      assertBalancedShuffles(innerExecution("q153_prefix_cache", df), "q153")
+    } }
   }
 
   test("q149_boilerplate: hot segment (3 shared 12-token windows × 2000 docs) — exact rollup + balanced exchanges") {
-    underSkewConfs {
+    underSkewConfs { probed {
       val df = SparkEntry.queries("q149_boilerplate")(spark, dir)
       val bySrc = df.collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
@@ -131,12 +147,12 @@ class SkewAuditSpec extends SparkSpec {
       // 1000 hot docs · 3 = 3000 boilerplate
       assert(bySrc("s0") === ((8000L, 3000L, 0.375)))
       assert(bySrc("s1") === ((8000L, 3000L, 0.375)))
-      assertBalancedShuffles(df, "q149")
-    }
+      assertBalancedShuffles(innerExecution("q149_boilerplate", df), "q149")
+    } }
   }
 
   test("q152_ngram_novelty: hot grams (32 shared 5-grams × 2000 docs) — exact rollup + balanced exchanges") {
-    underSkewConfs {
+    underSkewConfs { probed {
       val df = SparkEntry.queries("q152_ngram_novelty")(spark, dir)
       val rows = df.collect()
       assert(rows.length === HotDocs + ColdDocs)
@@ -150,7 +166,42 @@ class SkewAuditSpec extends SparkSpec {
         s"doc $id: expected 12/44 novel grams"))
       (HotDocs.toLong until (HotDocs + ColdDocs).toLong)
         .foreach(id => assert(byDoc(id) === ((44L, 44L))))
-      assertBalancedShuffles(df, "q152")
-    }
+      assertBalancedShuffles(innerExecution("q152_ngram_novelty", df), "q152")
+    } }
+  }
+
+  test("q155_ngram_decontam: hot benchmark 13-gram (24 grams shared by 2000 docs) — exact rollup + balanced exchanges") {
+    underSkewConfs { probed {
+      val df = SparkEntry.queries("q155_ngram_decontam")(spark, dir)
+      val bySrc = df.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+      // 48 tokens → 36 13-grams/doc; hot docs share the 24 grams fully
+      // inside the 36-token hot region. Holdout = doc_id % 10 = 7 (all
+      // odd → source s1): its hot members put those 24 grams in the
+      // benchmark set, so EVERY checked hot doc collides on all 24.
+      // s0 (even ids, none held out): 1000 hot + 1000 cold checked;
+      // s1 (odd ids minus the 200-held-out per half): 800 + 800.
+      assert(bySrc("s0") === ((2000L, 2000L * 36, 1000L, 1000L * 24, 0.5)))
+      assert(bySrc("s1") === ((1600L, 1600L * 36, 800L, 800L * 24, 0.5)))
+      assertBalancedShuffles(innerExecution("q155_ngram_decontam", df), "q155")
+    } }
+  }
+
+  test("q156_source_overlap: hot gram shared by ALL sources and 2000 docs — exact matrix + balanced exchanges") {
+    underSkewConfs { probed {
+      val df = SparkEntry.queries("q156_source_overlap")(spark, dir)
+      val rows = df.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      // 48 tokens → 44 distinct 5-grams/doc; the 32 grams fully inside
+      // the hot region appear in BOTH sources (hot docs split by
+      // parity) — the maximal per-key fan-out for the h-keyed self-join
+      // (|sources| rows). Tail/boundary grams are per-doc unique:
+      // per source 1000·12 hot-unique + 1000·44 cold-unique + 32 shared.
+      val na = 32L + 1000L * 12 + 1000L * 44
+      val frac = BigDecimal(32.0 / na)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(rows.toSeq === Seq(("s0", "s1", 32L, frac)))
+      assertBalancedShuffles(innerExecution("q156_source_overlap", df), "q156")
+    } }
   }
 }
