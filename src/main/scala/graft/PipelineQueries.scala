@@ -79,6 +79,52 @@ object PipelineQueries {
   private val Stops = Seq("the", "be", "to", "of", "and", "that", "have", "with", "a")
   private def stopsSqlList: String = Stops.map(s => s"'$s'").mkString("[", ", ", "]")
 
+  /** q95's Gopher rule metrics over a frame carrying a `toks` column —
+    * appends n_words/mean_wlen/alpha_frac/stop_hits/keep. ONE owner,
+    * shared with the q157 funnel's quality stage so the composed DAG can
+    * never drift from the standalone filter (the same discipline as the
+    * shared BM25 kernel, r14 verdict #1). Semantics unchanged from the
+    * original q95 body: zero-token docs carry NULL ratios and keep=0. */
+  private[graft] def gopherMetrics(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val stopsArr = array(Stops.map(lit): _*)
+    df
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      // zero-token docs: NULL ratios on both engines (ANSI Spark
+      // throws on /0 where DuckDB's NULL-on-zero-divide propagates a
+      // NULL list_sum — the guard is the shared semantics; r12)
+      .withColumn("mean_wlen", when(col("n_words") > 0, round(
+        expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))").cast("double") /
+          col("n_words"), 6)))
+      .withColumn("alpha_frac", when(col("n_words") > 0, round(
+        size(filter(col("toks"), t => t.rlike("[a-z]"))).cast("double") /
+          col("n_words"), 6)))
+      .withColumn("stop_hits",
+        size(filter(col("toks"), t => array_contains(stopsArr, t))).cast("long"))
+      .withColumn("keep", coalesce( // NULL rule inputs never keep (= the oracle's CASE ELSE 0)
+        (col("n_words").between(30, 100000) &&
+          col("mean_wlen").between(3.8, 10.0) &&
+          col("alpha_frac") >= 0.8 && col("stop_hits") >= 2).cast("long"), lit(0L)))
+  }
+
+  /** DuckDB twin of [[gopherMetrics]]'s metric columns (composes in a
+    * SELECT over a rel with `toks`). */
+  private[graft] def gopherMetricsSqlSelect: String = s"""
+                     CAST(len(toks) AS BIGINT) AS n_words,
+                     round(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+                       / len(toks), 6) AS mean_wlen,
+                     round(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                       AS DOUBLE) / len(toks), 6) AS alpha_frac,
+                     CAST(len(list_filter(toks, x -> list_contains($stopsSqlList, x)))
+                       AS BIGINT) AS stop_hits"""
+
+  /** DuckDB twin of the keep rule (over the metric columns above). */
+  private[graft] val gopherKeepCaseSql: String =
+    """CAST(CASE WHEN n_words BETWEEN 30 AND 100000
+                          AND mean_wlen BETWEEN 3.8 AND 10.0
+                          AND alpha_frac >= 0.8 AND stop_hits >= 2
+                    THEN 1 ELSE 0 END AS BIGINT)"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── q90: n-gram LM perplexity scoring — the CCNet/KenLM quality
@@ -154,46 +200,21 @@ object PipelineQueries {
     //   floor, scaled to this corpus's 10-99-word documents so the
     //   filter is non-vacuous (the paper's 50 applies to web pages). ──
     QueryDef("q95_gopher_rules",
-      (s, dir) => {
-        val stopsArr = array(Stops.map(lit): _*)
+      (s, dir) =>
+        // rule arithmetic lives in the ONE shared gopherMetrics helper
+        // (q157's quality stage composes the same columns — r20)
         docs(s, dir)
           .withColumn("toks", TextOps.tokens(col("text")))
-          .withColumn("n_words", size(col("toks")).cast("long"))
-          // zero-token docs: NULL ratios on both engines (ANSI Spark
-          // throws on /0 where DuckDB's NULL-on-zero-divide propagates a
-          // NULL list_sum — the guard is the shared semantics; r12)
-          .withColumn("mean_wlen", when(col("n_words") > 0, round(
-            expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))").cast("double") /
-              col("n_words"), 6)))
-          .withColumn("alpha_frac", when(col("n_words") > 0, round(
-            size(filter(col("toks"), t => t.rlike("[a-z]"))).cast("double") /
-              col("n_words"), 6)))
-          .withColumn("stop_hits",
-            size(filter(col("toks"), t => array_contains(stopsArr, t))).cast("long"))
-          .withColumn("keep", coalesce( // NULL rule inputs never keep (= the oracle's CASE ELSE 0)
-            (col("n_words").between(30, 100000) &&
-              col("mean_wlen").between(3.8, 10.0) &&
-              col("alpha_frac") >= 0.8 && col("stop_hits") >= 2).cast("long"), lit(0L)))
+          .transform(gopherMetrics)
           .select(col("doc_id"), col("n_words"), col("mean_wlen"),
             col("alpha_frac"), col("stop_hits"), col("keep"))
-          .orderBy(col("doc_id"))
-      },
+          .orderBy(col("doc_id")),
       Some(s"""
         WITH t AS (SELECT doc_id, ${TextOps.tokensSql("text")} AS toks FROM documents),
-        m AS (SELECT doc_id,
-                     CAST(len(toks) AS BIGINT) AS n_words,
-                     round(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
-                       / len(toks), 6) AS mean_wlen,
-                     round(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
-                       AS DOUBLE) / len(toks), 6) AS alpha_frac,
-                     CAST(len(list_filter(toks, x -> list_contains($stopsSqlList, x)))
-                       AS BIGINT) AS stop_hits
+        m AS (SELECT doc_id,$gopherMetricsSqlSelect
               FROM t)
         SELECT doc_id, n_words, mean_wlen, alpha_frac, stop_hits,
-               CAST(CASE WHEN n_words BETWEEN 30 AND 100000
-                          AND mean_wlen BETWEEN 3.8 AND 10.0
-                          AND alpha_frac >= 0.8 AND stop_hits >= 2
-                    THEN 1 ELSE 0 END AS BIGINT) AS keep
+               $gopherKeepCaseSql AS keep
         FROM m ORDER BY doc_id""")),
 
     // ── q92: count-min sketch heavy hitters (Cormode & Muthukrishnan,

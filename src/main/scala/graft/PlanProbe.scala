@@ -56,6 +56,18 @@ object PlanProbe {
       : Option[org.apache.spark.sql.execution.QueryExecution] =
     Option(executions.get(name))
 
+  /** Every recorded execution under `name` or `name#<sub>` — composite
+    * queries that materialize intermediates mid-fn (q157's LSH edge
+    * frames) probe those under suffixed keys so a consumer can account
+    * for ALL the work, not just the final frame's plan. */
+  def getExecutionTree(name: String)
+      : Seq[org.apache.spark.sql.execution.QueryExecution] = {
+    import scala.jdk.CollectionConverters._
+    executions.asScala.collect {
+      case (k, qe) if k == name || k.startsWith(name + "#") => qe
+    }.toSeq
+  }
+
   /** FormattedMode twin of [[get]] — what ExplainDump writes to PLANS.md. */
   def getFormatted(name: String): Option[String] = Option(formatted.get(name))
 }

@@ -140,6 +140,14 @@ object TextQueries {
         .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
         .localCheckpoint() // eager — the band frames are consumed here
       finally release()
+    propagateMinLabels(edges)
+  }
+
+  /** Min-label propagation over an EAGER symmetric edge frame (a, b) —
+    * the connected-components core shared by lshClusterLabels and the
+    * q157 funnel's survivor-restricted near-dedup stage. Callers own the
+    * edge materialization (the loop re-reads `edges` every pass). */
+  private def propagateMinLabels(edges: DataFrame): DataFrame = {
     var lbl = edges.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint()
     var changed = 1L
@@ -2191,6 +2199,184 @@ object TextQueries {
         FROM p JOIN sz sa ON sa.source = p.src_a
         JOIN sz sb ON sb.source = p.src_b
         ORDER BY src_a, src_b"""
+      }),
+
+    // ── q157: END-TO-END CURATION DAG (r19 verdict #6) — the nightly
+    //   pipeline a 100 TB pretraining corpus actually runs, composed as
+    //   ONE oracled query with per-stage survivor counts reconciled
+    //   cross-engine. Every stage reuses the exact machinery its
+    //   standalone query proved: quality = q95's Gopher rules (the ONE
+    //   shared gopherMetrics kernel), exact dedup = q20's fingerprint
+    //   keying (keep min doc_id), near dedup = q27's LSH pairs
+    //   restricted to survivors + q49's min-label components (keep
+    //   cluster minimum), decontam = q155's exact 13-gram collision vs
+    //   the held-out eval split (doc_id % 10 = 7, the stand-in — see
+    //   q155's provenance caveat), mix quota = deterministic per-source
+    //   hash thinning to the mean source size (the q83/q127 domain-
+    //   balance move: keep iff h % 1e6 · n_src < cap · 1e6 — exact
+    //   integer arithmetic, map-only once the sources-sized counts
+    //   broadcast back), split = 19:1 train/val by a second hash. The
+    //   output is the funnel: (stage_no, stage, n_docs, n_tokens).
+    //   100 TB shape: one persisted corpus pass carries every per-doc
+    //   column (tokens metrics, fingerprint, gram set) — release-thunk
+    //   freed after the 8-row result materializes; quality/quota/split
+    //   are map-only; exact dedup is one fp-keyed shuffle; near-dedup
+    //   is the banded LSH (never all-pairs) + O(component-diameter)
+    //   label passes over true-match-sized edges; decontam broadcasts
+    //   the benchmark-sized holdout grams. Survivor frames only shrink
+    //   stage over stage. ──
+    QueryDef("q157_curation_dag",
+      (s, dir) => {
+        val base = docs(s, dir)
+          .filter(pmod(col("doc_id"), lit(10L)) =!= 7L)
+          .withColumn("toks", TextOps.tokens(col("text")))
+          .transform(PipelineQueries.gopherMetrics)
+          .withColumn("fp", TextOps.fingerprint(col("text")))
+          .withColumn("g13", ShingleHash60(col("toks"), 13))
+          .select(col("doc_id"), col("source"), col("n_words"),
+            col("keep").as("keep_q"), col("fp"), col("g13"))
+          .withColumn("_q", lit("q157")) // per-caller cache identity
+          .persist()
+        try {
+          val s2 = base.filter(col("keep_q") === 1L)
+          val canon = s2.groupBy(col("fp")).agg(min(col("doc_id")).as("kid"))
+          val s3 = s2.join(canon, Seq("fp")).filter(col("doc_id") === col("kid")).drop("kid")
+          // near-dup edges among stage-3 survivors only: a quality-dropped
+          // bridge doc must not merge two surviving clusters
+          val (pairs, prelease) = minhashLshPairs(s, dir, "q157")
+          val edgesRaw =
+            try pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+              .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+              // suffixed probe: this materialization is a separate
+              // execution the final frame's plan cannot show —
+              // StageReuseSpec accounts for it via getExecutionTree
+              .transform(PlanProbe.probe("q157_curation_dag#bands", _))
+              .localCheckpoint() // eager — the band frames are consumed here
+            finally prelease()
+          val s3ids = s3.select(col("doc_id"))
+          val edges = edgesRaw
+            .join(s3ids.withColumnRenamed("doc_id", "a"), Seq("a"))
+            .join(s3ids.withColumnRenamed("doc_id", "b"), Seq("b"))
+            .transform(PlanProbe.probe("q157_curation_dag#edges", _))
+            .localCheckpoint() // eager: the propagation loop re-reads every pass
+          val lbl = propagateMinLabels(edges)
+          val s4 = s3
+            .join(lbl.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+            .filter(col("lbl").isNull || col("lbl") === col("doc_id")).drop("lbl")
+          // decontam: q155's rule over the survivors' persisted gram sets
+          val hold = docs(s, dir)
+            .filter(pmod(col("doc_id"), lit(10L)) === 7L)
+            .select(explode(ShingleHash60(TextOps.tokens(col("text")), 13)).as("h"))
+            .distinct()
+          val dirtyIds = s4.select(col("doc_id"), explode(col("g13")).as("h"))
+            .join(broadcast(hold.withColumn("hit", lit(1L))), Seq("h"), "left")
+            .groupBy(col("doc_id")).agg(max(col("hit")).as("hit"))
+            .filter(col("hit") === 1L).select(col("doc_id"))
+          val s5 = s4.join(dirtyIds, Seq("doc_id"), "left_anti")
+          // mix quota: thin each source to cap = ceil(mean source size)
+          // via the deterministic hash predicate (sources ≤ cap keep all:
+          // h%1e6 < 1e6 ≤ cap·1e6/ns) — integer-exact on both engines
+          val srcs = s5.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+          val cap = srcs.agg(expr(
+            "(CAST(sum(ns) AS BIGINT) + count(1) - 1) div count(1)").as("cap"))
+          val s6 = s5.join(broadcast(srcs), Seq("source"))
+            .crossJoin(broadcast(cap))
+            .filter(pmod(XHash.hash60(concat(lit("mix:"), col("doc_id").cast("string"))),
+              lit(1000000L)) * col("ns") < col("cap") * lit(1000000L))
+            .drop("ns", "cap")
+          val splitHash = pmod(
+            XHash.hash60(concat(lit("split:"), col("doc_id").cast("string"))), lit(20L))
+          val s7 = s6.filter(splitHash =!= 0L)
+          val s8 = s6.filter(splitHash === 0L)
+          def stage(no: Long, name: String, df: DataFrame): DataFrame =
+            df.agg(count(lit(1)).as("n_docs"),
+              coalesce(sum(col("n_words")), lit(0L)).as("n_tokens"))
+              .select(lit(no).as("stage_no"), lit(name).as("stage"),
+                col("n_docs"), col("n_tokens"))
+          Seq(stage(1L, "ingest", base), stage(2L, "quality", s2),
+            stage(3L, "exact_dedup", s3), stage(4L, "near_dedup", s4),
+            stage(5L, "decontam", s5), stage(6L, "quota", s6),
+            stage(7L, "split_train", s7), stage(8L, "split_val", s8))
+            .reduce(_ unionByName _)
+            .orderBy(col("stage_no"))
+            .transform(PlanProbe.probe("q157_curation_dag", _))
+            .localCheckpoint() // eager 8-row funnel; corpus cache freed below
+        } finally base.unpersist()
+      },
+      Some {
+        val toks = TextOps.tokensSql("text")
+        val gopherMetricsSqlSelect = PipelineQueries.gopherMetricsSqlSelect
+        val gopherKeepCaseSql = PipelineQueries.gopherKeepCaseSql
+        def g13 = s"""list_transform(
+                   list_distinct(CASE WHEN len(toks) < 13 THEN []::VARCHAR[] ELSE
+                     list_transform(range(0, len(toks) - 12), i ->
+                       array_to_string(list_slice(toks, i + 1, i + 13), ' ')) END),
+                   sh -> ${XHash.hash60Sql("sh")})"""
+        def stageSql(no: Int, name: String, rel: String) =
+          s"""SELECT CAST($no AS BIGINT) AS stage_no, '$name' AS stage,
+               count(*) AS n_docs,
+               CAST(coalesce(sum(n_words), 0) AS BIGINT) AS n_tokens FROM $rel"""
+        s"""
+        WITH RECURSIVE tk AS (
+          SELECT doc_id, source, text, $toks AS toks FROM documents
+          WHERE doc_id % 10 <> 7),
+        base AS (
+          SELECT doc_id, source,$gopherMetricsSqlSelect,
+                 ${TextOps.fingerprintSql("text")} AS fp,
+                 $g13 AS g13
+          FROM tk),
+        baseq AS (SELECT *, $gopherKeepCaseSql AS keep_q FROM base),
+        s2 AS (SELECT * FROM baseq WHERE keep_q = 1),
+        canon AS (SELECT fp, min(doc_id) AS kid FROM s2 GROUP BY fp),
+        s3 AS (SELECT b.* FROM s2 b JOIN canon c ON b.fp = c.fp AND b.doc_id = c.kid),
+        pairs AS ($minhashLshPairsSql),
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+           WHERE id_a IN (SELECT doc_id FROM s3) AND id_b IN (SELECT doc_id FROM s3)
+          UNION
+          SELECT id_b, id_a FROM pairs
+           WHERE id_a IN (SELECT doc_id FROM s3) AND id_b IN (SELECT doc_id FROM s3)),
+        nodes AS (SELECT DISTINCT a AS id FROM edges),
+        reach(a, b) AS (
+          SELECT id, id FROM nodes
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        lbl AS (SELECT a AS id, min(b) AS lbl FROM reach GROUP BY a),
+        s4 AS (SELECT b.* FROM s3 b LEFT JOIN lbl l ON b.doc_id = l.id
+               WHERE l.id IS NULL OR l.lbl = b.doc_id),
+        hold AS (
+          SELECT DISTINCT u.h AS h
+          FROM (SELECT $g13 AS g13
+                FROM (SELECT $toks AS toks FROM documents WHERE doc_id % 10 = 7)) hh,
+               unnest(hh.g13) AS u(h)),
+        dirty AS (
+          SELECT DISTINCT g.doc_id AS doc_id
+          FROM (SELECT doc_id, unnest(g13) AS h FROM s4) g
+          WHERE g.h IN (SELECT h FROM hold)),
+        s5 AS (SELECT * FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+        srcs AS (SELECT source, count(*) AS ns FROM s5 GROUP BY source),
+        cap AS (SELECT (CAST(sum(ns) AS BIGINT) + count(*) - 1) // count(*) AS cap
+                FROM srcs),
+        s6 AS (
+          SELECT b.* FROM s5 b JOIN srcs USING (source) CROSS JOIN cap
+          WHERE (${XHash.hash60Sql("concat('mix:', CAST(b.doc_id AS VARCHAR))")}
+                 % 1000000) * srcs.ns < cap.cap * 1000000),
+        s7 AS (SELECT * FROM s6
+               WHERE ${XHash.hash60Sql("concat('split:', CAST(doc_id AS VARCHAR))")}
+                     % 20 <> 0),
+        s8 AS (SELECT * FROM s6
+               WHERE ${XHash.hash60Sql("concat('split:', CAST(doc_id AS VARCHAR))")}
+                     % 20 = 0)
+        SELECT * FROM (
+          ${stageSql(1, "ingest", "baseq")}
+          UNION ALL ${stageSql(2, "quality", "s2")}
+          UNION ALL ${stageSql(3, "exact_dedup", "s3")}
+          UNION ALL ${stageSql(4, "near_dedup", "s4")}
+          UNION ALL ${stageSql(5, "decontam", "s5")}
+          UNION ALL ${stageSql(6, "quota", "s6")}
+          UNION ALL ${stageSql(7, "split_train", "s7")}
+          UNION ALL ${stageSql(8, "split_val", "s8")})
+        ORDER BY stage_no"""
       })
   )
 

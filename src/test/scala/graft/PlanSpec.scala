@@ -540,6 +540,17 @@ class PlanSpec extends SparkSpec {
       "nothing in the decontam plan may shuffle the gram table into a join:\n" + p.take(3000))
   }
 
+  test("q157: funnel stages broadcast their small sides — holdout grams, source counts, cap; no cartesian") {
+    val p = plan("q157_curation_dag")
+    assert(p.contains("BroadcastHashJoin"),
+      "the benchmark-sized holdout gram set and the sources-sized quota " +
+        "frames must broadcast:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"),
+      "the only cross join is the broadcast 1-row cap scalar:\n" + p.take(3000))
+    assert(p.contains("InMemoryTableScan"),
+      "every stage must read the ONE persisted corpus pass:\n" + p.take(3000))
+  }
+
   test("q147: output stays top-k-bounded (the checkpoint hides the inner plan)") {
     // the query localCheckpoints its 20-row result to release the
     // byHalf cache (the q101 discipline), so the returned frame's plan

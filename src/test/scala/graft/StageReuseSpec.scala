@@ -43,18 +43,28 @@ class StageReuseSpec extends SparkSpec {
 
   private val NDocs = 600L
 
-  /** 40 unique tokens per doc (≥ 32 so every doc is q153-eligible,
-    * ≥ 13 so q155 shingles are non-empty), 3 sources; a shared 40-token
-    * text for every 10th doc gives the dedup families non-trivial
-    * output without changing scan-row arithmetic. */
+  /** 40 tokens per doc (≥ 32 so every doc is q153-eligible, ≥ 13 so
+    * 13-gram shingles are non-empty), 3 sources. EVERY branch of every
+    * measured query must produce rows on this corpus: AQE's
+    * empty-relation propagation REWRITES the final plan around an
+    * empty stage, dropping the already-executed subtree (and its scan
+    * metrics) from the walk — an empty branch under-counts passes (the
+    * debugging finding behind this fixture). So: a stopword suffix
+    * keeps the q157 quality stage non-empty, every 10th doc shares one
+    * text (exact/near-dup families and LSH pairs exist), and docs
+    * ≡ 4 (mod 10) carry a 13-token run shared with the ≡ 7 holdout
+    * docs (the decontam branches flag someone). */
   private lazy val dir: String = {
     val d = Files.createTempDirectory("graft-reuse-").toFile
     d.deleteOnExit()
-    val shared = (0 until 40).map(i => s"shared$i").mkString(" ")
+    val shared = (0 until 36).map(i => s"shared$i").mkString(" ") + " the of and a"
+    val runR = (0 until 13).map(i => s"hr$i").mkString(" ")
     val rows = (0L until NDocs).map { id =>
       val text =
         if (id % 10 == 3) shared
-        else (0 until 40).map(i => s"d${id}t$i").mkString(" ")
+        else if (id % 10 == 4 || id % 10 == 7)
+          runR + " " + (0 until 23).map(i => s"d${id}t$i").mkString(" ") + " the of and a"
+        else (0 until 36).map(i => s"d${id}t$i").mkString(" ") + " the of and a"
       (id, text, "en", s"s${id % 3}", text.length.toLong)
     }
     rows.toDF("doc_id", "text", "lang", "source", "n_chars")
@@ -65,21 +75,25 @@ class StageReuseSpec extends SparkSpec {
 
   /** Runs the query probed; lazy frames are forced by collect() (the
     * persist-discipline queries already materialized inside fn). Returns
-    * the execution whose metrics carry the run. */
-  private def runProbed(name: String): QueryExecution = {
+    * every execution that carried the run's work — the main frame plus
+    * any mid-fn materializations probed under `name#<sub>` keys. */
+  private def runProbed(name: String): Seq[QueryExecution] = {
     PlanProbe.setEnabled(true)
     try {
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect()
-      PlanProbe.getExecution(name).getOrElse(df.queryExecution)
+      val tree = PlanProbe.getExecutionTree(name)
+      if (tree.nonEmpty) tree else Seq(df.queryExecution)
     } finally PlanProbe.setEnabled(false)
   }
 
-  /** (distinct executed corpus scans, total rows they emitted). */
-  private def corpusScanRows(qe: QueryExecution): (Int, Long) = {
+  /** (distinct executed corpus scans, total rows they emitted) across
+    * every execution of the run — reference-dedup spans them, so a
+    * cached scan read by several executions counts once. */
+  private def corpusScanRows(qes: Seq[QueryExecution]): (Int, Long) = {
     val seen = java.util.Collections.newSetFromMap(
       new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
-    val scans = PlanWalk.all(qe.executedPlan).collect {
+    val scans = qes.flatMap(qe => PlanWalk.all(qe.executedPlan)).collect {
       case f: FileSourceScanExec
           if f.relation.location.rootPaths.exists(_.toString.contains("documents")) => f
     }.filter(seen.add)
@@ -118,5 +132,14 @@ class StageReuseSpec extends SparkSpec {
 
   test("q156_source_overlap reads the corpus once (AQE stage reuse on the distinct-(source, h) exchange)") {
     assertPasses("q156_source_overlap", 1L)
+  }
+
+  test("q157_curation_dag reads the corpus exactly three times (funnel base + holdout grams + LSH bands, each persisted once)") {
+    // three DISTINCT per-doc projections, each computed once behind its
+    // own persist: the funnel base (metrics+fingerprint+grams over the
+    // non-holdout split), the holdout gram set, and minhashBands'
+    // shingle+signature frame (the q27 machinery, full corpus) — all
+    // eight stages then derive from these without re-scanning
+    assertPasses("q157_curation_dag", 3L)
   }
 }
