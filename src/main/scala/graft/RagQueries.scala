@@ -114,14 +114,21 @@ object RagQueries {
           .filter(col("start") === 0 || col("start") < size(col("toks")))
           .withColumn("chunk_text", array_join(slice(col("toks"), col("start") + 1, lit(50)), " "))
           .select(col("start").as("id"), col("chunk_text"))
+        // the 872-chunk × 384-dim embed feeds evalBatch's four collection
+        // branches — persist computes it once (the q42/q154 discipline)
         val collection = TextEmbed.withEmbed(Par(chunks), "chunk_text", "vector", 384)
           .select(col("id"), col("chunk_text").as("text"), col("vector"))
+          .withColumn("_q", lit("q43")) // per-caller cache identity
+          .persist()
         val qa = graft.sources.QaSource.load(s,
             s"$ref/data/questions.txt", s"$ref/data/answers.txt")
           .select(col("qa_id").as("qid"), col("question"), col("expected_answer"))
-        RagPipeline.evalBatch(qa, collection, k = 10, dim = 384)
+        try RagPipeline.evalBatch(qa, collection, k = 10, dim = 384)
           .select(col("qid"), col("question"), col("answer"), col("grade"), col("success"))
           .orderBy(col("qid"))
+          .transform(PlanProbe.probe("q43_diary_eval", _))
+          .localCheckpoint() // eager 55 rows; chunk embeddings freed below
+        finally collection.unpersist()
       },
       None,
       // still in the verify gate; the reason lands in the bench JSON's
@@ -134,19 +141,28 @@ object RagQueries {
     // ── q42: eval harness — QA pairs, judge grades, mean grade ──
     QueryDef("q42_rag_eval",
       (s, dir) => {
-        val d = docs(s, dir)
-        val collection = TextEmbed.withEmbed(d, "text", "vector")
+        // evalBatch reads the collection through four static branches
+        // (cosine leg, BM25 stats, BM25 tf, context join-back) whose
+        // exchanges all key differently — persist computes the scan +
+        // embed ONCE (r19 verdict #2, the q154 discipline); the QA
+        // frame derives from the SAME cache instead of a fifth scan
+        val collection = TextEmbed.withEmbed(docs(s, dir), "text", "vector")
           .select(col("doc_id").as("id"), col("text"), col("vector"))
+          .withColumn("_q", lit("q42")) // per-caller cache identity
+          .persist()
         // QA pairs built from the corpus itself: the question is a snippet
         // of the doc, the expected answer is the doc's opening — retrieval
         // should find the source doc (a self-retrieval sanity corpus).
-        val qa = d.filter(col("doc_id") < 8)
-          .select(col("doc_id").as("qid"),
+        val qa = collection.filter(col("id") < 8)
+          .select(col("id").as("qid"),
             concat_ws(" ", slice(split(col("text"), " "), 3, 8)).as("question"),
             substring(col("text"), 1, 120).as("expected_answer"))
-        RagPipeline.evalBatch(qa, collection, k = 3)
+        try RagPipeline.evalBatch(qa, collection, k = 3)
           .select(col("qid"), col("answer"), col("grade"), col("success"))
           .orderBy(col("qid"))
+          .transform(PlanProbe.probe("q42_rag_eval", _))
+          .localCheckpoint() // eager |qa| rows; collection freed below
+        finally collection.unpersist()
       },
       None),
 
@@ -167,19 +183,26 @@ object RagQueries {
     //   the JVM computes. ──
     QueryDef("q148_rag_eval_audit",
       (s, dir) => {
-        val d = docs(s, dir)
-        val collection = TextEmbed.withEmbed(d, "text", "vector")
+        // same persist discipline as q42/q154: one scan+embed behind the
+        // retriever's four collection branches; QA derives from the cache
+        val collection = TextEmbed.withEmbed(docs(s, dir), "text", "vector")
           .select(col("doc_id").as("id"), col("text"), col("vector"))
-        val qa = d.filter(col("doc_id") < 8)
-          .select(col("doc_id").as("qid"),
+          .withColumn("_q", lit("q148")) // per-caller cache identity
+          .persist()
+        val qa = collection.filter(col("id") < 8)
+          .select(col("id").as("qid"),
             concat_ws(" ", slice(split(col("text"), " "), 3, 8)).as("question"),
             substring(col("text"), 1, 120).as("expected_answer"))
         val q = TextEmbed.withEmbed(qa, "question", "qv")
-        val hits = RagPipeline.retrieveHybrid(q, collection, k = 3)
-        RagPipeline.judgeBatch(hits, "question", "expected_answer", "text")
-          .select(col("qid"), col("rnk").cast("long").as("rnk"),
-            col("id").as("doc_id"), col("grade"))
-          .orderBy(col("qid"), col("rnk"))
+        try {
+          val hits = RagPipeline.retrieveHybrid(q, collection, k = 3)
+          RagPipeline.judgeBatch(hits, "question", "expected_answer", "text")
+            .select(col("qid"), col("rnk").cast("long").as("rnk"),
+              col("id").as("doc_id"), col("grade"))
+            .orderBy(col("qid"), col("rnk"))
+            .transform(PlanProbe.probe("q148_rag_eval_audit", _))
+            .localCheckpoint() // eager |qa|·k rows; collection freed below
+        } finally collection.unpersist()
       },
       Some(ragEvalAuditSql)),
 

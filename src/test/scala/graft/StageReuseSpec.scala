@@ -134,6 +134,14 @@ class StageReuseSpec extends SparkSpec {
     assertPasses("q156_source_overlap", 1L)
   }
 
+  test("q42_rag_eval reads the corpus once (persisted scan+embed; the QA frame derives from the same cache)") {
+    assertPasses("q42_rag_eval", 1L)
+  }
+
+  test("q148_rag_eval_audit reads the corpus once (persisted scan+embed; QA from the same cache)") {
+    assertPasses("q148_rag_eval_audit", 1L)
+  }
+
   test("q157_curation_dag reads the corpus exactly three times (funnel base + holdout grams + LSH bands, each persisted once)") {
     // three DISTINCT per-doc projections, each computed once behind its
     // own persist: the funnel base (metrics+fingerprint+grams over the
