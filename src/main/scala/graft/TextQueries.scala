@@ -2238,9 +2238,19 @@ object TextQueries {
           .withColumn("_q", lit("q157")) // per-caller cache identity
           .persist()
         try {
-          val s2 = base.filter(col("keep_q") === 1L)
-          val canon = s2.groupBy(col("fp")).agg(min(col("doc_id")).as("kid"))
-          val s3 = s2.join(canon, Seq("fp")).filter(col("doc_id") === col("kid")).drop("kid")
+          // ── ONE LABELED PASS, not eight chained sub-frames: each
+          // stage's membership is a monotone conjunction of per-doc
+          // flags, so the funnel is ONE flag frame + ONE conditional
+          // rollup. The first cut UNION'ed eight aggregates whose
+          // branches re-executed every shallower stage's joins (AQE
+          // reuses exchange OUTPUTS, not the operators above them) —
+          // measured 16.7 s at sf1 against ~6.5 s for the sum of the
+          // standalone stage queries; the flag shape removes the
+          // re-execution entirely. ──
+          val canon = base.filter(col("keep_q") === 1L)
+            .groupBy(col("fp")).agg(min(col("doc_id")).as("kid"))
+          val f1 = base.join(canon, Seq("fp"), "left")
+            .withColumn("f3", col("keep_q") === 1L && col("doc_id") === col("kid"))
           // near-dup edges among stage-3 survivors only: a quality-dropped
           // bridge doc must not merge two surviving clusters
           val (pairs, prelease) = minhashLshPairs(s, dir, "q157")
@@ -2253,51 +2263,74 @@ object TextQueries {
               .transform(PlanProbe.probe("q157_curation_dag#bands", _))
               .localCheckpoint() // eager — the band frames are consumed here
             finally prelease()
-          val s3ids = s3.select(col("doc_id"))
+          val s3ids = f1.filter(col("f3")).select(col("doc_id"))
           val edges = edgesRaw
             .join(s3ids.withColumnRenamed("doc_id", "a"), Seq("a"))
             .join(s3ids.withColumnRenamed("doc_id", "b"), Seq("b"))
             .transform(PlanProbe.probe("q157_curation_dag#edges", _))
             .localCheckpoint() // eager: the propagation loop re-reads every pass
           val lbl = propagateMinLabels(edges)
-          val s4 = s3
+          val f2 = f1
             .join(lbl.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-            .filter(col("lbl").isNull || col("lbl") === col("doc_id")).drop("lbl")
+            .withColumn("f4",
+              col("f3") && (col("lbl").isNull || col("lbl") === col("doc_id")))
           // decontam: q155's rule over the survivors' persisted gram sets
           val hold = docs(s, dir)
             .filter(pmod(col("doc_id"), lit(10L)) === 7L)
             .select(explode(ShingleHash60(TextOps.tokens(col("text")), 13)).as("h"))
             .distinct()
-          val dirtyIds = s4.select(col("doc_id"), explode(col("g13")).as("h"))
+          val dirtyIds = f2.filter(col("f4"))
+            .select(col("doc_id"), explode(col("g13")).as("h"))
             .join(broadcast(hold.withColumn("hit", lit(1L))), Seq("h"), "left")
             .groupBy(col("doc_id")).agg(max(col("hit")).as("hit"))
-            .filter(col("hit") === 1L).select(col("doc_id"))
-          val s5 = s4.join(dirtyIds, Seq("doc_id"), "left_anti")
+            .filter(col("hit") === 1L).select(col("doc_id"), lit(true).as("dirty"))
+          val flags = f2.join(dirtyIds, Seq("doc_id"), "left")
+            .withColumn("f5", col("f4") && col("dirty").isNull)
+            .select(col("doc_id"), col("source"), col("n_words"),
+              col("keep_q"), col("f3"), col("f4"), col("f5"))
+            // eager |docs|-row flag frame: TWO consumers (the quota
+            // counts and the rollup) — and its execution carries the
+            // holdout scan, so it is probed for StageReuseSpec
+            .transform(PlanProbe.probe("q157_curation_dag#flags", _))
+            .localCheckpoint()
           // mix quota: thin each source to cap = ceil(mean source size)
           // via the deterministic hash predicate (sources ≤ cap keep all:
           // h%1e6 < 1e6 ≤ cap·1e6/ns) — integer-exact on both engines
-          val srcs = s5.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+          val srcs = flags.filter(col("f5"))
+            .groupBy(col("source")).agg(count(lit(1)).as("ns"))
           val cap = srcs.agg(expr(
             "(CAST(sum(ns) AS BIGINT) + count(1) - 1) div count(1)").as("cap"))
-          val s6 = s5.join(broadcast(srcs), Seq("source"))
+          val g = flags
+            .join(broadcast(srcs), Seq("source"), "left") // null ns only where f5=false
             .crossJoin(broadcast(cap))
-            .filter(pmod(XHash.hash60(concat(lit("mix:"), col("doc_id").cast("string"))),
-              lit(1000000L)) * col("ns") < col("cap") * lit(1000000L))
-            .drop("ns", "cap")
-          val splitHash = pmod(
-            XHash.hash60(concat(lit("split:"), col("doc_id").cast("string"))), lit(20L))
-          val s7 = s6.filter(splitHash =!= 0L)
-          val s8 = s6.filter(splitHash === 0L)
-          def stage(no: Long, name: String, df: DataFrame): DataFrame =
-            df.agg(count(lit(1)).as("n_docs"),
-              coalesce(sum(col("n_words")), lit(0L)).as("n_tokens"))
-              .select(lit(no).as("stage_no"), lit(name).as("stage"),
-                col("n_docs"), col("n_tokens"))
-          Seq(stage(1L, "ingest", base), stage(2L, "quality", s2),
-            stage(3L, "exact_dedup", s3), stage(4L, "near_dedup", s4),
-            stage(5L, "decontam", s5), stage(6L, "quota", s6),
-            stage(7L, "split_train", s7), stage(8L, "split_val", s8))
-            .reduce(_ unionByName _)
+            .withColumn("f6", col("f5") &&
+              pmod(XHash.hash60(concat(lit("mix:"), col("doc_id").cast("string"))),
+                lit(1000000L)) * col("ns") < col("cap") * lit(1000000L))
+            .withColumn("f7", col("f6") && pmod(
+              XHash.hash60(concat(lit("split:"), col("doc_id").cast("string"))),
+              lit(20L)) =!= 0L)
+          def cnt(flag: Column): Column = // coalesce: an empty (hostile) corpus rolls up to 0s, not nulls
+            coalesce(sum(when(flag, 1L).otherwise(0L)), lit(0L))
+          def tok(flag: Column): Column =
+            coalesce(sum(when(flag, col("n_words")).otherwise(0L)), lit(0L))
+          g.agg(
+            count(lit(1)).as("d1"), coalesce(sum(col("n_words")), lit(0L)).as("t1"),
+            cnt(col("keep_q") === 1L).as("d2"), tok(col("keep_q") === 1L).as("t2"),
+            cnt(col("f3")).as("d3"), tok(col("f3")).as("t3"),
+            cnt(col("f4")).as("d4"), tok(col("f4")).as("t4"),
+            cnt(col("f5")).as("d5"), tok(col("f5")).as("t5"),
+            cnt(col("f6")).as("d6"), tok(col("f6")).as("t6"),
+            cnt(col("f7")).as("d7"), tok(col("f7")).as("t7"),
+            cnt(col("f6") && !col("f7")).as("d8"), tok(col("f6") && !col("f7")).as("t8"))
+            .selectExpr("""stack(8,
+              CAST(1 AS BIGINT), 'ingest',      d1, t1,
+              CAST(2 AS BIGINT), 'quality',     d2, t2,
+              CAST(3 AS BIGINT), 'exact_dedup', d3, t3,
+              CAST(4 AS BIGINT), 'near_dedup',  d4, t4,
+              CAST(5 AS BIGINT), 'decontam',    d5, t5,
+              CAST(6 AS BIGINT), 'quota',       d6, t6,
+              CAST(7 AS BIGINT), 'split_train', d7, t7,
+              CAST(8 AS BIGINT), 'split_val',   d8, t8) AS (stage_no, stage, n_docs, n_tokens)""")
             .orderBy(col("stage_no"))
             .transform(PlanProbe.probe("q157_curation_dag", _))
             .localCheckpoint() // eager 8-row funnel; corpus cache freed below

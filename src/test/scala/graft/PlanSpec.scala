@@ -543,12 +543,18 @@ class PlanSpec extends SparkSpec {
   test("q157: funnel stages broadcast their small sides — holdout grams, source counts, cap; no cartesian") {
     val p = plan("q157_curation_dag")
     assert(p.contains("BroadcastHashJoin"),
-      "the benchmark-sized holdout gram set and the sources-sized quota " +
-        "frames must broadcast:\n" + p.take(3000))
+      "the sources-sized quota frame must broadcast into the rollup:\n" + p.take(3000))
     assert(!p.contains("CartesianProduct"),
       "the only cross join is the broadcast 1-row cap scalar:\n" + p.take(3000))
-    assert(p.contains("InMemoryTableScan"),
-      "every stage must read the ONE persisted corpus pass:\n" + p.take(3000))
+    // the flag-frame execution (probed under #flags) carries the stage
+    // joins: the holdout gram broadcast and the ONE persisted corpus pass
+    val pf = PlanProbe.get("q157_curation_dag#flags")
+      .getOrElse(fail("q157 must probe its flag-frame execution"))
+    assert(pf.contains("BroadcastHashJoin"),
+      "the benchmark-sized holdout gram set must broadcast:\n" + pf.take(3000))
+    assert(pf.contains("InMemoryTableScan"),
+      "every stage must read the ONE persisted corpus pass:\n" + pf.take(3000))
+    assert(!pf.contains("CartesianProduct"), pf.take(3000))
   }
 
   test("q147: output stays top-k-bounded (the checkpoint hides the inner plan)") {
