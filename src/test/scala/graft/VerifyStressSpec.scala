@@ -91,4 +91,20 @@ class VerifyStressSpec extends SparkSpec {
       bandFamily.foreach(n => assert(serial(n).nonEmpty,
         s"baseline: $n returned no rows at sf0.001 — the stress compare would be vacuous")))
   }
+
+  /** r20: the collection-persist family (q41/q42/q148/q154 share the
+    * scan+embed persist shape; q157 composes the funnel base persist,
+    * the q157-tagged minhashBands, AND mid-fn localCheckpoints) — these
+    * run concurrently in Verify's pool, so the `_q` cache-identity tags
+    * must keep one query's release from dropping blocks under another
+    * (the r17 logregFeatures flake class), and an evicted cache must
+    * recompute identically. */
+  private val ragPersistFamily = Seq("q41_rag_answer", "q42_rag_eval",
+    "q148_rag_eval_audit", "q154_rag_answer_audit", "q157_curation_dag")
+
+  test("Verify-shaped stress: the collection-persist RAG family and the q157 funnel survive 12 concurrent rounds with clearCache interference") {
+    stress(ragPersistFamily, 12, serial =>
+      ragPersistFamily.foreach(n => assert(serial(n).nonEmpty,
+        s"baseline: $n returned no rows at sf0.001 — the stress compare would be vacuous")))
+  }
 }
