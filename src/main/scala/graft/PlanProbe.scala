@@ -25,11 +25,26 @@ object PlanProbe {
     * accumulate process-globally, so a consumer enabling the probe could
     * read a stale plan recorded by an earlier run of the same query in
     * this JVM. Within one enabled window, last-write-wins per name —
-    * consumers (PlanSpec, ExplainDump) run their queries sequentially. */
+    * consumers (PlanSpec, ExplainDump) run their queries sequentially.
+    * DISABLING releases the heavyweight retention (r20 advice): the
+    * executions map pins full QueryExecution objects (final AQE plans,
+    * SQLMetrics, broadcast refs, and via InMemoryTableScan the
+    * cached-relation plans) — without the clear they stay pinned for the
+    * JVM's lifetime after a probe window closes (e.g. ExplainDump over
+    * all 157 queries). Execution consumers (StageReuseSpec,
+    * SkewAuditSpec) read — or take references — inside their enabled
+    * window; the plan STRINGS stay available after disable (they are
+    * small, and PlanSpec reads them post-window). */
   def setEnabled(on: Boolean): Unit = {
-    if (on) { plans.clear(); formatted.clear(); executions.clear() }
+    if (on) { plans.clear(); formatted.clear() }
+    executions.clear()
     enabled = on
   }
+
+  /** Snapshot of every recorded key (mainline names and `name#<sub>`
+    * probes) — lets a consumer enumerate a query's sub-executions without
+    * knowing their suffixes. */
+  def allNames: java.util.Set[String] = formatted.keySet()
 
   /** Record `df`'s executed plan under `name` (when enabled) and return
     * `df` unchanged — call directly before the materialization. */

@@ -14,6 +14,29 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Par(s.read.parquet(s"$dir/documents.parquet"))
 
+  /** Broadcast `df` only when it is provably bounded (r20 verdict #4):
+    * persist, count, and apply the hint only under the row cap —
+    * otherwise return the un-hinted frame so the join falls back to a
+    * shuffle instead of building a driver-resident relation that scales
+    * with the corpus. The decontam holdout (q155/q157) PRESUMES
+    * benchmark-sized provenance (eval suites are MBs); a user pointing
+    * it at a corpus-derived split would otherwise OOM the driver — the
+    * caveat the q155 scaladoc carried as prose is now enforced in code.
+    * The count is one cheap job over the persisted blocks (the subtree
+    * still computes exactly once — scan-count discipline intact); the
+    * caller releases via the thunk after its consumer materializes.
+    * Cap: `spark.graft.broadcastMaxRows` (default 5M rows ≈ 40 MB of
+    * packed 8-byte gram hashes — comfortably inside executor/driver
+    * budgets at any cluster size; scale deployments size it to their
+    * eval-suite ceiling, see OPTIMIZATION_r21.md). */
+  private def broadcastIfBounded(s: SparkSession, df: DataFrame)
+      : (DataFrame, () => Unit) = {
+    val cap = s.conf.get("spark.graft.broadcastMaxRows", "5000000").toLong
+    val p = df.persist()
+    val n = p.count()
+    (if (n <= cap) broadcast(p) else p, () => { p.unpersist(); () })
+  }
+
   /** q27's pipeline, reusable (q49 clusters its pairs): shingle → minhash
     * → 4×4 band join → exact-Jaccard verify. No output ordering — callers
     * sort or consume as a set.
@@ -26,43 +49,32 @@ object TextQueries {
     * frames — unpersisted, the shingle+signature subtree derives four
     * times (the q114 lesson, applied round 7).
     */
-  private def minhashBands(s: SparkSession, dir: String, tag: String)
-      : (DataFrame, DataFrame, () => Unit) = {
+  /** Band frame (doc_id, band_idx, band_key) from a (doc_id, sh) shingle
+    * frame — 16 minhash perms, 4 bands × 4 rows (the q27 parameters).
+    * Not persisted here: callers persist the result (the band self-join
+    * reads it twice) with their own cache identity. */
+  private def bandsFromShingles(shingled: DataFrame): DataFrame = {
     val perms = XHash.permParams(16)
-    // `_q` = per-CALLER cache identity. Spark's cache manager dedupes
-    // persist() by canonicalized plan, so without it q27/q49/q140/q144/
-    // q145 running concurrently in Verify's pool would all map onto ONE
-    // cache entry — and the first caller's release() would drop the
-    // blocks under the others (the exact mechanism behind the r17
-    // q130/q117 logregFeatures flake). The literal makes each caller's
-    // subtree distinct; the returned thunk releases both frames once the
-    // caller has materialized its (small) result.
-    val d = docs(s, dir)
-      .withColumn("toks", TextOps.tokens(col("text")))
-      .withColumn("sh", ShingleHash60(col("toks"), 3))
-      .filter(size(col("sh")) > 0)
-      .withColumn("h31", transform(col("sh"), h => h % 2147483647L))
-      .withColumn("_q", lit(tag))
-      .persist()
     // doc_id + signature columns ONLY — carrying `sh` here misled readers
     // into thinking shingle sets flow into the band join (they must not;
     // the candidates dedup on ids precisely to keep the exchange narrow,
-    // and shSets re-reads the persisted `d` for the verify joins)
-    val sig = d.withColumn("sigv", MinHashSig(col("h31"), perms.length))
+    // and the verify joins re-read the caller's shingle frame)
+    val sig = shingled.filter(size(col("sh")) > 0)
+      .withColumn("h31", transform(col("sh"), h => h % 2147483647L))
+      .withColumn("sigv", MinHashSig(col("h31"), perms.length))
       .select(col("doc_id") +:
         perms.indices.map(i => element_at(col("sigv"), i + 1).as(s"mh_$i")): _*)
-    val bands = sig.select(col("doc_id"), posexplode(array(
+    sig.select(col("doc_id"), posexplode(array(
       (0 until 4).map(bd => concat_ws("_",
         (0 until 4).map(r => col(s"mh_${bd * 4 + r}")): _*)): _*)))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_key")
-      .persist() // plan contains d's tagged node → per-caller-distinct too
-    (bands, d.select(col("doc_id"), col("sh")),
-      () => { bands.unpersist(); d.unpersist() })
   }
 
-  private def minhashLshPairs(s: SparkSession, dir: String, tag: String)
-      : (DataFrame, () => Unit) = {
-    val (bands, shSets, release) = minhashBands(s, dir, tag)
+  /** Band self-join → id-deduped candidates → exact-Jaccard verify at
+    * 0.5 — the pair core shared by the full-corpus path (minhashLshPairs)
+    * and q157's survivor-restricted path. `shSets` must be (or derive
+    * from) a persisted frame: the verify joins read it twice. */
+  private def pairsFromBands(bands: DataFrame, shSets: DataFrame): DataFrame = {
     // candidates dedup on ids ONLY (distinct over heavy shingle arrays
     // would hash megabytes per pair); shingle sets join back after.
     val cand = bands.select(col("band_idx"), col("band_key"), col("doc_id").as("id_a"))
@@ -77,13 +89,48 @@ object TextQueries {
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))), 6))
       .filter(col("jac") >= 0.5)
-      .select(col("id_a"), col("id_b"), col("jac")) -> release
+      .select(col("id_a"), col("id_b"), col("jac"))
+  }
+
+  private def minhashBands(s: SparkSession, dir: String, tag: String)
+      : (DataFrame, DataFrame, () => Unit) = {
+    // `_q` = per-CALLER cache identity. Spark's cache manager dedupes
+    // persist() by canonicalized plan, so without it q27/q49/q140/q144/
+    // q145 running concurrently in Verify's pool would all map onto ONE
+    // cache entry — and the first caller's release() would drop the
+    // blocks under the others (the exact mechanism behind the r17
+    // q130/q117 logregFeatures flake). The literal makes each caller's
+    // subtree distinct; the returned thunk releases both frames once the
+    // caller has materialized its (small) result.
+    val d = docs(s, dir)
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("sh", ShingleHash60(col("toks"), 3))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh")) // narrow the cache: nothing past
+      // this seam reads text/toks, and the r21 prune keeps the cached
+      // blocks to the two columns the band+verify stages actually touch
+      .withColumn("_q", lit(tag))
+      .persist()
+    val bands = bandsFromShingles(d)
+      .persist() // plan contains d's tagged node → per-caller-distinct too
+    (bands, d.select(col("doc_id"), col("sh")),
+      () => { bands.unpersist(); d.unpersist() })
+  }
+
+  private def minhashLshPairs(s: SparkSession, dir: String, tag: String)
+      : (DataFrame, () => Unit) = {
+    val (bands, shSets, release) = minhashBands(s, dir, tag)
+    pairsFromBands(bands, shSets) -> release
   }
 
   /** DuckDB twin of minhashLshPairs (no ORDER BY — composes as a CTE). */
   /** DuckDB twin of [[minhashBands]]: CTE chain ending in
-    * `bands(doc_id, sh, band_idx, band_key)` (composes after `WITH `). */
-  private val minhashBandsSqlCte: String = {
+    * `{p}bands(doc_id, sh, band_idx, band_key)` (composes after `WITH `).
+    * Parameterized (r21) on the doc relation `rel` — must expose
+    * (doc_id, text) — and a CTE-name prefix `p`, so q157 can embed a
+    * SURVIVOR-RESTRICTED copy without colliding with (or relying on
+    * shadowing of, r20 advice #1) its outer funnel CTEs. */
+  private def minhashBandsSqlCteFor(rel: String, p: String): String = {
     val perms = XHash.permParams(16)
     val toks = TextOps.tokensSql("text")
     val sigs = perms.zipWithIndex.map { case ((a, b), i) =>
@@ -92,39 +139,43 @@ object TextQueries {
     val bandList = (0 until 4).map { bd =>
       (0 until 4).map(r => s"mh_${bd * 4 + r}::VARCHAR").mkString("concat_ws('_', ", ", ", ")")
     }.mkString("[", ", ", "]")
-    s"""tk AS (SELECT doc_id, $toks AS toks FROM documents),
-        shg AS (
+    s"""${p}tk AS (SELECT doc_id, $toks AS toks FROM $rel),
+        ${p}shg AS (
           SELECT doc_id, list_distinct(list_transform(
             list_distinct(CASE WHEN len(toks) < 3 THEN []::VARCHAR[] ELSE
               list_transform(range(0, len(toks) - 2), i ->
                 array_to_string(list_slice(toks, i + 1, i + 3), ' ')) END),
             sh -> (('0x' || substr(md5(sh), 1, 15))::BIGINT))) AS sh
-          FROM tk),
-        hd AS (
+          FROM ${p}tk),
+        ${p}hd AS (
           SELECT doc_id, sh, list_transform(sh, h -> (h % 2147483647)) AS h31
-          FROM shg WHERE len(sh) > 0),
-        sig AS (
+          FROM ${p}shg WHERE len(sh) > 0),
+        ${p}sig AS (
           SELECT doc_id, sh,
                $sigs
-          FROM hd),
-        bands AS (
+          FROM ${p}hd),
+        ${p}bands AS (
           SELECT doc_id, sh, i - 1 AS band_idx, ($bandList)[i] AS band_key
-          FROM sig, UNNEST(range(1, 5)) AS u(i))"""
+          FROM ${p}sig, UNNEST(range(1, 5)) AS u(i))"""
   }
 
-  private val minhashLshPairsSql: String =
+  private val minhashBandsSqlCte: String = minhashBandsSqlCteFor("documents", "")
+
+  private def minhashLshPairsSqlFor(rel: String, p: String): String =
     s"""
-        WITH $minhashBandsSqlCte,
-        cand AS (
+        WITH ${minhashBandsSqlCteFor(rel, p)},
+        ${p}cand AS (
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
-          FROM bands a JOIN bands b
+          FROM ${p}bands a JOIN ${p}bands b
             ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
         SELECT id_a, id_b,
                round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
                      len(list_distinct(list_concat(sh_a, sh_b))), 6) AS jac
-        FROM cand
+        FROM ${p}cand
         WHERE round(CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
                     len(list_distinct(list_concat(sh_a, sh_b))), 6) >= 0.5"""
+
+  private val minhashLshPairsSql: String = minhashLshPairsSqlFor("documents", "")
 
   /** q49/q140 shared: LSH near-dup pairs → connected-component labels by
     * iterative min-label propagation. Each pass is one join + min-agg with
@@ -2071,12 +2122,13 @@ object TextQueries {
     //   exactly the leak that inflates benchmark scores). Holdout is the
     //   q145 pseudo-benchmark (doc_id % 10 = 7) — a TEST STAND-IN: at
     //   real scale the holdout is a separate eval-suite table, and the
-    //   broadcast below PRESUMES that benchmark-sized provenance (eval
+    //   broadcast PRESUMES that benchmark-sized provenance (eval
     //   suites are MBs, not TBs). A holdout defined as a corpus fraction
     //   — like this pseudo one at 100 TB — scales with the corpus and
-    //   would OOM the driver under the hint; gate the hint on holdout
-    //   provenance before pointing this at a corpus-derived split
-    //   (r19 advice). The double corpus scan the two filters cost is
+    //   would OOM the driver under an unconditional hint; since r21 the
+    //   hint is SIZE-GATED (broadcastIfBounded: persist → count → hint
+    //   only under spark.graft.broadcastMaxRows, shuffle-join fallback
+    //   above it — r20 verdict #4). The double corpus scan the two filters cost is
     //   likewise an artifact of the stand-in: with a real holdout table
     //   the corpus is scanned ONCE (StageReuseSpec pins the 2-scan
     //   stand-in shape and this rationale). 100 TB shape: the holdout
@@ -2093,23 +2145,33 @@ object TextQueries {
           .withColumn("toks", TextOps.tokens(col("text")))
           .select(col("doc_id"), col("source"),
             explode(ShingleHash60(col("toks"), 13)).as("h"))
+        // r21: the broadcast hint is GATED on measured holdout size —
+        // benchmark-sized holdouts broadcast (map-only left join); a
+        // corpus-derived split past the cap falls back to the shuffle
+        // join instead of the driver OOM the r20 scaladoc only warned
+        // about (NgramDecontamSpec exercises the fallback)
         val hold = grams(docs(s, dir).filter(pmod(col("doc_id"), lit(10L)) === 7L))
-          .select(col("h")).distinct()
-        grams(docs(s, dir).filter(pmod(col("doc_id"), lit(10L)) =!= 7L))
-          .join(broadcast(hold.withColumn("hit", lit(1L))), Seq("h"), "left")
-          .groupBy(col("doc_id"), col("source"))
-          .agg(count(lit(1)).as("n_grams_doc"),
-            sum(coalesce(col("hit"), lit(0L))).as("n_collide"))
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_checked"),
-            sum(col("n_grams_doc")).as("n_grams"),
-            sum(when(col("n_collide") > 0, 1L).otherwise(0L)).as("n_dirty"),
-            sum(col("n_collide")).as("n_collisions"))
-          .withColumn("dirty_frac", round(
-            col("n_dirty").cast("double") / col("n_checked"), 6))
-          .select(col("source"), col("n_checked"), col("n_grams"),
-            col("n_dirty"), col("n_collisions"), col("dirty_frac"))
-          .orderBy(col("source"))
+          .select(col("h")).distinct().withColumn("hit", lit(1L))
+        val (holdJ, release) = broadcastIfBounded(s, hold)
+        try {
+          grams(docs(s, dir).filter(pmod(col("doc_id"), lit(10L)) =!= 7L))
+            .join(holdJ, Seq("h"), "left")
+            .groupBy(col("doc_id"), col("source"))
+            .agg(count(lit(1)).as("n_grams_doc"),
+              sum(coalesce(col("hit"), lit(0L))).as("n_collide"))
+            .groupBy(col("source"))
+            .agg(count(lit(1)).as("n_checked"),
+              sum(col("n_grams_doc")).as("n_grams"),
+              sum(when(col("n_collide") > 0, 1L).otherwise(0L)).as("n_dirty"),
+              sum(col("n_collide")).as("n_collisions"))
+            .withColumn("dirty_frac", round(
+              col("n_dirty").cast("double") / col("n_checked"), 6))
+            .select(col("source"), col("n_checked"), col("n_grams"),
+              col("n_dirty"), col("n_collisions"), col("dirty_frac"))
+            .orderBy(col("source"))
+            .transform(PlanProbe.probe("q155_ngram_decontam", _))
+            .localCheckpoint() // eager sources-sized rows; holdout cache freed below
+        } finally release()
       },
       Some {
         val toks = TextOps.tokensSql("text")
@@ -2218,13 +2280,20 @@ object TextQueries {
     //   broadcast back), split = 19:1 train/val by a second hash. The
     //   output is the funnel: (stage_no, stage, n_docs, n_tokens).
     //   100 TB shape: one persisted corpus pass carries every per-doc
-    //   column (tokens metrics, fingerprint, gram set) — release-thunk
-    //   freed after the 8-row result materializes; quality/quota/split
-    //   are map-only; exact dedup is one fp-keyed shuffle; near-dedup
-    //   is the banded LSH (never all-pairs) + O(component-diameter)
+    //   column (tokens metrics, fingerprint, gram sets — 13-gram AND
+    //   3-gram shingles since r21, so the LSH stage derives from the
+    //   same pass) — release-thunk freed after the 8-row result
+    //   materializes; quality/quota/split are map-only; exact dedup is
+    //   one fp-keyed shuffle; near-dedup is the banded LSH (never
+    //   all-pairs) RESTRICTED TO STAGE-3 SURVIVORS (r20 verdict #2: an
+    //   n-member exact-dup family — boilerplate duplicated 10M× at
+    //   100 TB — previously saturated one band key with Θ(n²) candidate
+    //   pairs for docs the funnel had already dropped; banding survivors
+    //   only makes such a family cost ONE banded doc, the q123
+    //   dedup-before-quadratic discipline) + O(component-diameter)
     //   label passes over true-match-sized edges; decontam broadcasts
-    //   the benchmark-sized holdout grams. Survivor frames only shrink
-    //   stage over stage. ──
+    //   the holdout grams under the r21 size gate. Survivor frames only
+    //   shrink stage over stage. ──
     QueryDef("q157_curation_dag",
       (s, dir) => {
         val base = docs(s, dir)
@@ -2233,8 +2302,11 @@ object TextQueries {
           .transform(PipelineQueries.gopherMetrics)
           .withColumn("fp", TextOps.fingerprint(col("text")))
           .withColumn("g13", ShingleHash60(col("toks"), 13))
+          .withColumn("sh", ShingleHash60(col("toks"), 3)) // LSH shingles:
+          // computed in the SAME corpus pass the funnel already pays —
+          // r21 retires the separate full-corpus scan minhashLshPairs cost
           .select(col("doc_id"), col("source"), col("n_words"),
-            col("keep").as("keep_q"), col("fp"), col("g13"))
+            col("keep").as("keep_q"), col("fp"), col("g13"), col("sh"))
           .withColumn("_q", lit("q157")) // per-caller cache identity
           .persist()
         try {
@@ -2247,52 +2319,73 @@ object TextQueries {
           // measured 16.7 s at sf1 against ~6.5 s for the sum of the
           // standalone stage queries; the flag shape removes the
           // re-execution entirely. ──
+          // canonical-per-fingerprint, joined back on the (fp, doc_id)
+          // PAIR, not fp alone (r21): a doc is stage-3 iff it IS its
+          // fingerprint's canonical, so matching (fp, kid) directly is
+          // semantically identical (the oracle's s3 CTE always joined
+          // this way) — and the pair key spreads an n-member exact-dup
+          // family across the exchange instead of landing all n
+          // full-width rows on ONE hot fp partition (the SkewAuditSpec
+          // composite case measures the balance; the fp-keyed groupBy
+          // above it stays skew-immune via map-side partials)
           val canon = base.filter(col("keep_q") === 1L)
-            .groupBy(col("fp")).agg(min(col("doc_id")).as("kid"))
-          val f1 = base.join(canon, Seq("fp"), "left")
-            .withColumn("f3", col("keep_q") === 1L && col("doc_id") === col("kid"))
-          // near-dup edges among stage-3 survivors only: a quality-dropped
-          // bridge doc must not merge two surviving clusters
-          val (pairs, prelease) = minhashLshPairs(s, dir, "q157")
-          val edgesRaw =
-            try pairs.select(col("id_a").as("a"), col("id_b").as("b"))
-              .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
-              // suffixed probe: this materialization is a separate
-              // execution the final frame's plan cannot show —
-              // StageReuseSpec accounts for it via getExecutionTree
-              .transform(PlanProbe.probe("q157_curation_dag#bands", _))
-              .localCheckpoint() // eager — the band frames are consumed here
-            finally prelease()
-          val s3ids = f1.filter(col("f3")).select(col("doc_id"))
-          val edges = edgesRaw
-            .join(s3ids.withColumnRenamed("doc_id", "a"), Seq("a"))
-            .join(s3ids.withColumnRenamed("doc_id", "b"), Seq("b"))
-            .transform(PlanProbe.probe("q157_curation_dag#edges", _))
-            .localCheckpoint() // eager: the propagation loop re-reads every pass
+            .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+            .withColumn("is_kid", lit(true))
+          val f1 = base.join(canon, Seq("fp", "doc_id"), "left")
+            .withColumn("f3",
+              col("keep_q") === 1L && coalesce(col("is_kid"), lit(false)))
+          // ── near-dup edges among stage-3 survivors ONLY, and the LSH
+          // machinery itself runs over survivors only (r20 verdict #2):
+          // a pair's band membership and Jaccard depend on nothing but
+          // the two docs, and every edge was already required to have
+          // BOTH ends in s3 — so banding just s3 yields the IDENTICAL
+          // edge set (CurationDagSpec re-proves the semantics: the
+          // quality-dropped bridge doc and the exact-dup non-canonicals
+          // never merge or re-drop surviving clusters) while an
+          // exact-dup family costs one banded doc instead of Θ(n²)
+          // dropped-doc candidate pairs, and the holdout split is never
+          // shingled for LSH at all. ──
+          val s3sh = f1.filter(col("f3")).select(col("doc_id"), col("sh"))
+          val bands = bandsFromShingles(s3sh).persist()
+          val edges =
+            try {
+              val pairs = pairsFromBands(bands, s3sh)
+              pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+                .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+                // suffixed probe: this materialization is a separate
+                // execution the final frame's plan cannot show —
+                // StageReuseSpec accounts for it via getExecutionTree
+                .transform(PlanProbe.probe("q157_curation_dag#edges", _))
+                .localCheckpoint() // eager: the propagation loop re-reads every pass
+            } finally bands.unpersist()
           val lbl = propagateMinLabels(edges)
           val f2 = f1
             .join(lbl.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
             .withColumn("f4",
               col("f3") && (col("lbl").isNull || col("lbl") === col("doc_id")))
-          // decontam: q155's rule over the survivors' persisted gram sets
+          // decontam: q155's rule over the survivors' persisted gram
+          // sets; the holdout broadcast is size-gated (r20 verdict #4)
           val hold = docs(s, dir)
             .filter(pmod(col("doc_id"), lit(10L)) === 7L)
             .select(explode(ShingleHash60(TextOps.tokens(col("text")), 13)).as("h"))
-            .distinct()
+            .distinct().withColumn("hit", lit(1L))
+          val (holdJ, hrelease) = broadcastIfBounded(s, hold)
           val dirtyIds = f2.filter(col("f4"))
             .select(col("doc_id"), explode(col("g13")).as("h"))
-            .join(broadcast(hold.withColumn("hit", lit(1L))), Seq("h"), "left")
+            .join(holdJ, Seq("h"), "left")
             .groupBy(col("doc_id")).agg(max(col("hit")).as("hit"))
             .filter(col("hit") === 1L).select(col("doc_id"), lit(true).as("dirty"))
-          val flags = f2.join(dirtyIds, Seq("doc_id"), "left")
-            .withColumn("f5", col("f4") && col("dirty").isNull)
-            .select(col("doc_id"), col("source"), col("n_words"),
-              col("keep_q"), col("f3"), col("f4"), col("f5"))
-            // eager |docs|-row flag frame: TWO consumers (the quota
-            // counts and the rollup) — and its execution carries the
-            // holdout scan, so it is probed for StageReuseSpec
-            .transform(PlanProbe.probe("q157_curation_dag#flags", _))
-            .localCheckpoint()
+          val flags =
+            try f2.join(dirtyIds, Seq("doc_id"), "left")
+              .withColumn("f5", col("f4") && col("dirty").isNull)
+              .select(col("doc_id"), col("source"), col("n_words"),
+                col("keep_q"), col("f3"), col("f4"), col("f5"))
+              // eager |docs|-row flag frame: TWO consumers (the quota
+              // counts and the rollup) — and its execution carries the
+              // holdout join, so it is probed for StageReuseSpec
+              .transform(PlanProbe.probe("q157_curation_dag#flags", _))
+              .localCheckpoint()
+            finally hrelease() // holdout gram cache freed once flags is eager
           // mix quota: thin each source to cap = ceil(mean source size)
           // via the deterministic hash predicate (sources ≤ cap keep all:
           // h%1e6 < 1e6 ≤ cap·1e6/ns) — integer-exact on both engines
@@ -2362,13 +2455,18 @@ object TextQueries {
         s2 AS (SELECT * FROM baseq WHERE keep_q = 1),
         canon AS (SELECT fp, min(doc_id) AS kid FROM s2 GROUP BY fp),
         s3 AS (SELECT b.* FROM s2 b JOIN canon c ON b.fp = c.fp AND b.doc_id = c.kid),
-        pairs AS ($minhashLshPairsSql),
+        -- r21: the LSH twin runs over the s3 survivors ONLY, mirroring
+        -- the engine (band membership and Jaccard are pairwise, and edges
+        -- always required both ends in s3 — identical edge set); the l_
+        -- prefix keeps its inner CTE chain from colliding with the
+        -- funnel's CTEs (r20 advice #1: no more reliance on shadowing)
+        pairs AS (${minhashLshPairsSqlFor(
+          "(SELECT d.doc_id, d.text FROM documents d " +
+            "WHERE d.doc_id IN (SELECT doc_id FROM s3))", "l_")}),
         edges AS (
           SELECT id_a AS a, id_b AS b FROM pairs
-           WHERE id_a IN (SELECT doc_id FROM s3) AND id_b IN (SELECT doc_id FROM s3)
           UNION
-          SELECT id_b, id_a FROM pairs
-           WHERE id_a IN (SELECT doc_id FROM s3) AND id_b IN (SELECT doc_id FROM s3)),
+          SELECT id_b, id_a FROM pairs),
         nodes AS (SELECT DISTINCT a AS id FROM edges),
         reach(a, b) AS (
           SELECT id, id FROM nodes

@@ -19,19 +19,21 @@ trait LlmClient extends Serializable {
     * invoked exactly once per partition, mirroring `Embedder.open`.
     */
   def open(): Unit = ()
-  def answer(question: String, context: Seq[String]): String
-  /** `answer`, with the FALLBACK signalled as null instead of text: the
-    * sentinel `answerBatch` derives its `success` flag from (r19 advice).
-    * Comparing answer TEXT to the fallback literal is wrong on hostile
-    * corpora — an extractive client can legitimately return corpus text
-    * that EQUALS the fallback string, which is a successful answer, not
-    * a failure. Clients that know when they fell back override this with
-    * the true sentinel (ExtractiveLlm/RecordedLlm do); the default keeps
-    * the text-compare for clients without one, preserving their old
-    * behavior and its documented hostile-corpus caveat. */
-  def answerOrNull(question: String, context: Seq[String]): String = {
-    val a = answer(question, context)
-    if (a == ExtractiveLlm.Fallback) null else a
+  /** THE abstract primitive (r20 advice): `answer` with the FALLBACK
+    * signalled as null instead of text — the sentinel `answerBatch`
+    * derives its `success` flag from (r19 advice). Comparing answer TEXT
+    * to the fallback literal is wrong on hostile corpora: an extractive
+    * client can legitimately return corpus text that EQUALS the fallback
+    * string, which is a successful answer, not a failure. Making this
+    * the primitive (with `answer` derived) forces every client to state
+    * what it DID — the old silent text-compare default reintroduced the
+    * misclassification for any client that forgot to override it. */
+  def answerOrNull(question: String, context: Seq[String]): String
+  /** `answerOrNull` with the reference's verbatim fallback text in place
+    * of the null sentinel (`src/groq_proxy.py:56`). */
+  def answer(question: String, context: Seq[String]): String = {
+    val a = answerOrNull(question, context)
+    if (a == null) ExtractiveLlm.Fallback else a
   }
   /** Streamed variant of answer: content deltas whose concatenation IS
     * `answer(question, context)` — the SSE contract of the reference's
@@ -78,13 +80,10 @@ object ExtractiveLlm extends LlmClient {
     "that", "there", "about", "many", "much", "name", "called", "happened",
     "during", "describe", "according", "diary")
 
-  override def answer(question: String, context: Seq[String]): String =
-    extract(question, context).getOrElse(Fallback)
-
   /** True fallback sentinel: None ⇔ no extraction happened. Distinguishes
     * "fell back" from "extracted corpus text that equals the fallback
     * string" — the hostile case where text comparison misreports success
-    * (r19 advice). */
+    * (r19 advice). `answer` derives via the trait (null → Fallback). */
   override def answerOrNull(question: String, context: Seq[String]): String =
     extract(question, context).orNull
 
@@ -132,10 +131,9 @@ object ExtractiveLlm extends LlmClient {
   * token-F1 (a recorded judge would be a Map lookup the same way).
   */
 final class RecordedLlm(recording: Map[String, String]) extends LlmClient {
-  override def answer(question: String, context: Seq[String]): String =
-    recording.getOrElse(question, ExtractiveLlm.Fallback)
   /** true sentinel: unrecorded question ⇔ fallback — a RECORDED answer
-    * that happens to equal the fallback text is still a success */
+    * that happens to equal the fallback text is still a success;
+    * `answer` derives via the trait (null → the fallback string) */
   override def answerOrNull(question: String, context: Seq[String]): String =
     recording.get(question).orNull
   override def judge(question: String, expected: String, predicted: String): Double =

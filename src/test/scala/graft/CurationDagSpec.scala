@@ -117,6 +117,18 @@ class CurationDagSpec extends SparkSpec {
     assert(out("near_dedup")._1 - out("decontam")._1 === 2L)
   }
 
+  test("q157 broadcast gate fallback (r20 verdict #4): over-cap holdout shuffle-joins, identical funnel") {
+    val (dir, _, _) = fixture
+    val expected = SparkEntry.queries("q157_curation_dag")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    spark.conf.set("spark.graft.broadcastMaxRows", "0")
+    try {
+      val got = SparkEntry.queries("q157_curation_dag")(spark, dir)
+        .collect().map(_.toSeq).toSeq
+      assert(got === expected)
+    } finally spark.conf.unset("spark.graft.broadcastMaxRows")
+  }
+
   test("q157 quota stage: oversized source thins to the hash predicate exactly; small source keeps all") {
     import org.apache.spark.sql.functions.col
     val d = Files.createTempDirectory("graft-dag-quota-").toFile

@@ -53,4 +53,40 @@ class NgramDecontamSpec extends SparkSpec {
     assert(!rows.contains("bench"))
     assert(rows.size === 1)
   }
+
+  test("broadcast gate fallback (r20 verdict #4): over-cap holdout shuffle-joins, same rows") {
+    // the size gate must actually bind: with the cap at 0 the holdout
+    // gram set may NOT broadcast (a corpus-derived split at 100 TB
+    // outgrows the driver), the join degrades to a shuffle — and the
+    // answer is bit-identical to the broadcast path
+    val expected = SparkEntry.queries("q155_ngram_decontam")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    // cap=0 suppresses the HINT; auto-broadcast must be off too or the
+    // planner re-broadcasts the (locally tiny) holdout on size estimates
+    // — at 100 TB those estimates are what keep the corpus-derived split
+    // out of the driver, so the fallback under test is the join shape
+    // with BOTH paths closed
+    spark.conf.set("spark.graft.broadcastMaxRows", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      PlanProbe.setEnabled(true)
+      val got = try {
+        val df = SparkEntry.queries("q155_ngram_decontam")(spark, dir)
+        val rows = df.collect().map(_.toSeq).toSeq
+        val inner = PlanProbe.get("q155_ngram_decontam")
+          .getOrElse(fail("q155 must probe its pre-checkpoint plan"))
+        assert(!inner.contains("BroadcastHashJoin"),
+          "cap=0 must suppress the holdout broadcast hint:\n" + inner.take(3000))
+        assert(inner.contains("SortMergeJoin") || inner.contains("ShuffledHashJoin"),
+          "the fallback must be a shuffle join, not a nested loop:\n" + inner.take(3000))
+        rows
+      } finally PlanProbe.setEnabled(false)
+      assert(got === expected)
+    } finally {
+      spark.conf.unset("spark.graft.broadcastMaxRows")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
 }

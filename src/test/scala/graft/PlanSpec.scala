@@ -497,7 +497,18 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q152: first-owner MIN combines map-side and NO join is keyed on the gram hash (r19 skew rewrite)") {
-    val p = plan("q152_ngram_novelty")
+    // executions are released when the probe window closes (r20 advice:
+    // retained QueryExecutions pin AQE plans + metrics for the JVM's
+    // lifetime) — take the reference INSIDE the window; plan strings
+    // survive the disable, so `plan()`-style asserts need no window
+    PlanProbe.setEnabled(true)
+    val (p, qe) = try {
+      val outer = SparkEntry.queries("q152_ngram_novelty")(spark, sf)
+        .queryExecution.executedPlan.toString
+      (PlanProbe.get("q152_ngram_novelty").map(_ + "\n" + outer).getOrElse(outer),
+        PlanProbe.getExecution("q152_ngram_novelty")
+          .getOrElse(fail("q152 must be probed (localCheckpoint hides the inner plan)")))
+    } finally PlanProbe.setEnabled(false)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(3000))
     assert(p.contains("partial_min"),
@@ -508,8 +519,6 @@ class PlanSpec extends SparkSpec {
     // aggregation key only — every surviving equi-join must key on
     // doc_id attributes, so a rename or a returning gram-keyed join
     // fails LOUDLY here
-    val qe = PlanProbe.getExecution("q152_ngram_novelty")
-      .getOrElse(fail("q152 must be probed (localCheckpoint hides the inner plan)"))
     val joins = PlanWalk.all(qe.executedPlan).collect {
       case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
     }

@@ -187,6 +187,98 @@ class SkewAuditSpec extends SparkSpec {
     } }
   }
 
+  // ── q157 composite (r20 verdict #3): the full funnel under a
+  // constructed hot corpus — a 900-member exact-dup family (>80% of the
+  // in-funnel docs sharing ONE fingerprint and identical LSH signatures),
+  // plus an engineered near-dup twin pair and two contaminated docs so
+  // the later stages still drop someone. 1200 docs, holdout = %10==7;
+  // family ids 0..999 (≢7), text identical and quality-passing; doc 7
+  // seeds the benchmark 13-gram carried by docs 1002/1012. ──
+  private lazy val dagDir: String = {
+    val d = Files.createTempDirectory("graft-skew-dag-").toFile
+    d.deleteOnExit()
+    val suffix = "the of and a"
+    def uniq(tag: String, n: Int) = (0 until n).map(i => s"${tag}w$i").mkString(" ")
+    val runR = (0 until 13).map(i => s"hr$i").mkString(" ")
+    val dupText = uniq("dup", 36) + " " + suffix
+    val twinBase = uniq("tw", 36) + " " + suffix
+    def text(id: Long): String =
+      if (id % 10 == 7) {
+        if (id == 7L) runR + " " + uniq("h7", 23) + " " + suffix
+        else uniq(s"h$id", 36) + " " + suffix
+      } else if (id < 1000) dupText
+      else id match {
+        case 1001L => twinBase
+        case 1011L => twinBase.replaceFirst(" ", ", ") // same tokens, new fp
+        case 1002L | 1012L => runR + " " + uniq(s"c$id", 23) + " " + suffix
+        case _ => uniq(s"d$id", 36) + " " + suffix
+      }
+    val rows = (0L until 1200L).map { id =>
+      val t = text(id); (id, t, "en", s"s${id % 2}", t.length.toLong)
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${d.getAbsolutePath}/documents.parquet")
+    d.getAbsolutePath
+  }
+
+  /** Driver-side twin of XHash.hash60 (the shared md5-prefix primitive). */
+  private def hash60(s: String): Long = graft.functions.XHash.md5Prefix60(
+    graft.functions.XHash.Md5.get.digest(s.getBytes("UTF-8")))
+
+  test("q157_curation_dag composite: 900-member exact-dup family — exact funnel, fingerprint-scaled LSH candidates, balanced exchanges") {
+    underSkewConfs { probed {
+      val df = SparkEntry.queries("q157_curation_dag")(spark, dagDir)
+      val out = df.collect()
+        .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+      // every in-funnel doc is 40 tokens; 1200 − 120 holdout = 1080
+      assert(out("ingest") === ((1080L, 1080L * 40)))
+      assert(out("quality") === ((1080L, 1080L * 40)))
+      // the family collapses to ONE canonical (doc 0)
+      assert(out("exact_dedup") === ((181L, 181L * 40)))
+      // the only surviving near-dup edge is the engineered twin pair
+      assert(out("near_dedup") === ((180L, 180L * 40)))
+      // exactly the two runR carriers collide with holdout doc 7
+      assert(out("decontam") === ((178L, 178L * 40)))
+      // quota/split recomputed driver-side from the survivor set
+      val s5 = (Set(0L) ++ (1000L until 1200L).filter(_ % 10 != 7).toSet
+        -- Set(1011L, 1002L, 1012L))
+      assert(s5.size === 178)
+      val ns = s5.groupBy(_ % 2).view.mapValues(_.size.toLong).toMap
+      val cap = 89L // ceil(178 / 2 sources)
+      val s6 = s5.filter(id =>
+        (hash60(s"mix:$id") % 1000000L) * ns(id % 2) < cap * 1000000L)
+      assert(out("quota")._1 === s6.size.toLong)
+      val s7 = s6.filter(id => hash60(s"split:$id") % 20 != 0)
+      assert(out("split_train")._1 === s7.size.toLong)
+      assert(out("split_val")._1 === (s6.size - s7.size).toLong)
+
+      // r20 verdict #2 mechanism: LSH candidate volume scales with
+      // DISTINCT fingerprints, not docs. Banded over the 181 canonical
+      // survivors, every join in the edge derivation emits a handful of
+      // rows; banded over all docs (the pre-r21 shape), the dropped
+      // family alone yields ~4 × C(900,2) ≈ 1.6M band-join rows.
+      val edgesQe = PlanProbe.getExecution("q157_curation_dag#edges")
+        .getOrElse(fail("q157 must probe its edge materialization"))
+      val joinRows = PlanWalk.all(edgesQe.executedPlan).collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+          j.metrics("numOutputRows").value
+      }
+      assert(joinRows.nonEmpty, "the band/verify joins must exist")
+      assert(joinRows.forall(_ <= 1000L),
+        s"a join in the LSH edge derivation emitted family-quadratic rows " +
+          s"(${joinRows.mkString(",")}) — banding must see canonical survivors only")
+
+      // balance: every materialized exchange of every probed execution
+      // (funnel rollup, flag frame, edge derivation) — the (fp, doc_id)
+      // pair-keyed canon join keeps the 900-row family off any single
+      // partition (fp alone was ONE hot key)
+      val tree = PlanProbe.getExecutionTree("q157_curation_dag")
+      assert(tree.size >= 3, s"expected main+#flags+#edges probes, got ${tree.size}")
+      tree.foreach(assertBalancedShuffles(_, "q157"))
+    } }
+  }
+
   test("q156_source_overlap: hot gram shared by ALL sources and 2000 docs — exact matrix + balanced exchanges") {
     underSkewConfs { probed {
       val df = SparkEntry.queries("q156_source_overlap")(spark, dir)

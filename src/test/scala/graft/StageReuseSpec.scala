@@ -101,13 +101,26 @@ class StageReuseSpec extends SparkSpec {
   }
 
   private def assertPasses(name: String, expected: Long): Unit = {
-    spark.catalog.clearCache() // a stale cache would hide a scan entirely
-    val (nScans, rows) = corpusScanRows(runProbed(name))
+    def once(): (Int, Long) = {
+      spark.catalog.clearCache() // a stale cache would hide a scan entirely
+      corpusScanRows(runProbed(name))
+    }
+    val first = once()
+    // Spark does not synchronize cache population across one job's
+    // independent stages: branches racing on a freshly-persisted frame
+    // can compute a partition twice before its block lands, inflating
+    // the row total spuriously (r20 advice). An OVER-count gets one
+    // retry — a reproducible over-count is a real duplicated branch and
+    // still fails; an UNDER-count fails immediately (a missing pass is
+    // never a race artifact).
+    val (nScans, rows) =
+      if (first._2 > expected * NDocs) once() else first
     assert(rows === expected * NDocs,
       s"$name: $rows corpus rows read across $nScans executed scans — " +
         s"expected exactly $expected pass(es) × $NDocs docs; a higher " +
         "count means a duplicated branch re-executed (stage reuse or the " +
-        "persist failed to dedupe it)")
+        "persist failed to dedupe it)" +
+        (if (first._2 != rows) s" [reproduced after retry; first read ${first._2}]" else ""))
   }
 
   test("q149_boilerplate reads the corpus once (persisted segment frame)") {
@@ -142,12 +155,14 @@ class StageReuseSpec extends SparkSpec {
     assertPasses("q148_rag_eval_audit", 1L)
   }
 
-  test("q157_curation_dag reads the corpus exactly three times (funnel base + holdout grams + LSH bands, each persisted once)") {
-    // three DISTINCT per-doc projections, each computed once behind its
-    // own persist: the funnel base (metrics+fingerprint+grams over the
-    // non-holdout split), the holdout gram set, and minhashBands'
-    // shingle+signature frame (the q27 machinery, full corpus) — all
-    // eight stages then derive from these without re-scanning
-    assertPasses("q157_curation_dag", 3L)
+  test("q157_curation_dag reads the corpus exactly twice (funnel base + holdout grams; LSH derives from the base pass)") {
+    // two DISTINCT per-doc projections, each computed once behind its
+    // own persist: the funnel base (metrics+fingerprint+13-gram AND
+    // 3-gram shingles over the non-holdout split) and the holdout gram
+    // set. r21 (verdict #2): the LSH stage no longer re-scans the
+    // corpus — its shingles ride the base pass and only the stage-3
+    // SURVIVORS are minhashed/banded (was 3 passes, with the bands pass
+    // shingling holdout + already-dropped docs it could never use)
+    assertPasses("q157_curation_dag", 2L)
   }
 }

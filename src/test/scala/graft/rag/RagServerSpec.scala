@@ -176,7 +176,7 @@ class RagServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     val c = Collection.create(spark, root, "d2", DiaryFixture.Dim, overwrite = true)
     c.insert(DiaryFixture.windowedCollection(spark))
     val boom = new LlmClient {
-      override def answer(q: String, ctx: Seq[String]): String = "unused"
+      override def answerOrNull(q: String, ctx: Seq[String]): String = "unused"
       override def answerStream(q: String, ctx: Seq[String]): Iterator[String] =
         throw new RuntimeException("upstream 503")
       override def judge(q: String, e: String, pr: String): Double = 0.0
