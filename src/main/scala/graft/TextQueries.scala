@@ -2345,7 +2345,11 @@ object TextQueries {
           // exact-dup family costs one banded doc instead of Θ(n²)
           // dropped-doc candidate pairs, and the holdout split is never
           // shingled for LSH at all. ──
+          // survivor shingle frame PERSISTED: three consumers (the bands
+          // build + both Jaccard-verify joins) would otherwise each
+          // re-execute the base⋈canon join from the corpus cache
           val s3sh = f1.filter(col("f3")).select(col("doc_id"), col("sh"))
+            .persist()
           val bands = bandsFromShingles(s3sh).persist()
           val edges =
             try {
@@ -2357,7 +2361,7 @@ object TextQueries {
                 // StageReuseSpec accounts for it via getExecutionTree
                 .transform(PlanProbe.probe("q157_curation_dag#edges", _))
                 .localCheckpoint() // eager: the propagation loop re-reads every pass
-            } finally bands.unpersist()
+            } finally { bands.unpersist(); s3sh.unpersist() }
           val lbl = propagateMinLabels(edges)
           val f2 = f1
             .join(lbl.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
