@@ -102,7 +102,16 @@ object TextQueries {
     // q130/q117 logregFeatures flake). The literal makes each caller's
     // subtree distinct; the returned thunk releases both frames once the
     // caller has materialized its (small) result.
-    val d = docs(s, dir)
+    minhashBandsOver(docs(s, dir), tag)
+  }
+
+  /** [[minhashBands]] over a caller-provided (doc_id, text, ...) frame —
+    * a caller that already holds the corpus in cache (q144's quality
+    * base) feeds it here instead of paying a second parquet scan+decode
+    * of `text` (r21, guide §2.4). */
+  private def minhashBandsOver(d0: DataFrame, tag: String)
+      : (DataFrame, DataFrame, () => Unit) = {
+    val d = d0
       .withColumn("toks", TextOps.tokens(col("text")))
       .withColumn("sh", ShingleHash60(col("toks"), 3))
       .filter(size(col("sh")) > 0)
@@ -184,11 +193,24 @@ object TextQueries {
     * component-minimum doc_id. Returns (id, lbl) for CLUSTERED docs only —
     * docs with no near-dup edge never enter the propagation.
     */
-  private def lshClusterLabels(s: SparkSession, dir: String, tag: String): DataFrame = {
-    val (pairs, release) = minhashLshPairs(s, dir, tag)
+  private def lshClusterLabels(s: SparkSession, dir: String, tag: String): DataFrame =
+    lshClusterLabelsOver(docs(s, dir), tag)
+
+  /** [[lshClusterLabels]] over a caller-provided (doc_id, text, ...)
+    * frame — q144 feeds its persisted quality base so the label stage
+    * derives from the cache instead of re-scanning the corpus (r21).
+    * `probeName` (when non-null) records the edge materialization — a
+    * separate execution the caller's final plan cannot show — so
+    * StageReuseSpec can account for ALL the work. */
+  private def lshClusterLabelsOver(d0: DataFrame, tag: String,
+                                   probeName: String = null): DataFrame = {
+    val (bands, shSets, release) = minhashBandsOver(d0, tag)
+    val pairs = pairsFromBands(bands, shSets)
     val edges =
       try pairs.select(col("id_a").as("a"), col("id_b").as("b"))
         .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+        .transform(df =>
+          if (probeName == null) df else PlanProbe.probe(probeName, df))
         .localCheckpoint() // eager — the band frames are consumed here
       finally release()
     propagateMinLabels(edges)
@@ -1630,7 +1652,12 @@ object TextQueries {
             Window.partitionBy(col("th")).orderBy(col("doc_id"))) === 1)
           .persist()
         try {
-          val lbl = lshClusterLabels(s, dir, "q144").withColumnRenamed("id", "doc_id")
+          // labels derive from the persisted base (which already carries
+          // text for the exact-hash stage) — one corpus scan, not two (r21)
+          val lbl = lshClusterLabelsOver(
+            base.select(col("doc_id"), col("text")), "q144",
+            probeName = "q144_curation_funnel#edges")
+            .withColumnRenamed("id", "doc_id")
           val e = q.filter(col("exact_keep"))
             .join(lbl, Seq("doc_id"), "left")
             .withColumn("ckey", coalesce(col("lbl"), col("doc_id")))

@@ -155,6 +155,14 @@ class StageReuseSpec extends SparkSpec {
     assertPasses("q148_rag_eval_audit", 1L)
   }
 
+  test("q144_curation_funnel reads the corpus once (LSH labels derive from the persisted quality base)") {
+    // r21: lshClusterLabels used to re-scan documents.parquet for its
+    // shingle frame; q144's base already holds (doc_id, text) in cache,
+    // so the label stage now derives from it — one parquet pass total
+    // (the #edges probe exposes the materialization that carries it)
+    assertPasses("q144_curation_funnel", 1L)
+  }
+
   test("q157_curation_dag reads the corpus exactly twice (funnel base + holdout grams; LSH derives from the base pass)") {
     // two DISTINCT per-doc projections, each computed once behind its
     // own persist: the funnel base (metrics+fingerprint+13-gram AND
